@@ -1,0 +1,82 @@
+"""Local replica of the verification driver's DuckDB-oracle compare.
+
+Runs a registered Spark query and its oracle SQL side by side and
+compares row count, column names, and order-insensitive values — the
+same contract CORRECTNESS_r{N}.json grades, so failures surface here
+before the driver sees them.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from .catalog import TABLES
+
+
+def duckdb_connection(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "∅"
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(round(v, 9))
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(cell(x) for x in v) + "]"
+        if isinstance(v, pd.Timestamp):
+            return v.isoformat()
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns)).reset_index(drop=True)
+
+
+def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
+    sp = spark_df.toPandas()
+    if len(sp) != len(oracle_df):
+        return False, f"row count {len(sp)} vs oracle {len(oracle_df)}"
+    if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, oracle_df.columns)):
+        return False, f"columns {sorted(sp.columns)} vs oracle {sorted(oracle_df.columns)}"
+    a, b = _canon(sp), _canon(oracle_df.rename(columns=dict(zip(oracle_df.columns, oracle_df.columns))))
+    b.columns = a.columns  # align case
+    if a.equals(b):
+        return True, "ok"
+    diff = (a != b)
+    bad = diff.any(axis=1)
+    n_bad = int(bad.sum())
+    sample = ""
+    if n_bad:
+        i = bad.idxmax()
+        sample = f" first diff row {i}: spark={a.loc[i].to_dict()} oracle={b.loc[i].to_dict()}"
+    return False, f"{n_bad}/{len(a)} rows differ.{sample}"
+
+
+def run_one(spark, sf_dir: str, name: str) -> tuple[bool, str]:
+    from .queries import load_all_modules
+
+    reg = load_all_modules()
+    spec = reg[name]
+    sdf = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        n = sdf.count()
+        return True, f"rows-only: {n} rows"
+    con = duckdb_connection(sf_dir)
+    odf = con.sql(spec.oracle).df()
+    return compare(sdf, odf)

@@ -1,0 +1,117 @@
+"""Incremental marker-driven driver (reference parity, M1).
+
+Reproduces the reference's lifecycle
+(/root/reference/src/Split/parquet-splitter.py:117-196):
+
+1. list ``<in>/*.parquet`` and ``<markers>/*.json``        (O2)
+2. extract YYYYMMDD dates from basenames                   (O3/O4)
+3. work set = input_dates − done_dates, sorted             (O5 anti-join)
+4. per missing day: read → guard → split by key → write    (O7-O16)
+5. commit a JSON marker listing all outputs                (O18)
+
+Listing uses the Hadoop FileSystem API so the same code handles
+``file://``, ``hdfs://`` and ``s3a://``.  The scheduling set-difference
+runs driver-side on listings (metadata, thousands of entries — the same
+place Spark's own file index does this work); the *data* path is fully
+distributed.  Error taxonomy preserved: missing file → warn+skip, empty
+file → info+skip, missing key column → hard fail, any write failure →
+day fails before its marker is written (so a crash is safely re-run).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+
+from pyspark.sql import SparkSession
+
+from .splitter import require_columns, split_day
+
+log = logging.getLogger(__name__)
+
+
+def list_files(spark: SparkSession, directory: str, suffix: str) -> list[str]:
+    """List files under ``directory`` with ``suffix`` (Hadoop FS — any scheme)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(directory)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    out: list[str] = []
+    it = fs.listFiles(hpath, False)
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if p.endswith(suffix):
+            out.append(p)
+    return out
+
+
+def extract_dates(keys: list[str], suffix: str) -> set[str]:
+    """Basename minus suffix → date key set (dedup via set)."""
+    dates: set[str] = set()
+    for k in keys:
+        base = k.rsplit("/", 1)[-1]
+        if base.endswith(suffix):
+            dates.add(base[: -len(suffix)])
+    return dates
+
+
+def write_marker(marker_path: str, doc: dict) -> None:
+    import os
+
+    os.makedirs(os.path.dirname(marker_path), exist_ok=True)
+    with open(marker_path, "w", encoding="utf-8") as f:
+        json.dump(doc, f, ensure_ascii=False)
+
+
+def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
+                    marker_dir: str, key: str = "item_id",
+                    exact_layout: bool = True) -> dict:
+    """Process every not-yet-marked day; returns the summary dict the
+    reference's ``process_kind`` returns (parquet-splitter.py:190-196)."""
+    t0 = time.perf_counter()
+    in_keys = list_files(spark, in_dir, ".parquet")
+    marker_keys = list_files(spark, marker_dir, ".json")
+    log.info("[list] inputs=%d markers=%d elapsed=%.2fs",
+             len(in_keys), len(marker_keys), time.perf_counter() - t0)
+
+    input_dates = extract_dates(in_keys, ".parquet")
+    done_dates = extract_dates(marker_keys, ".json")
+    missing_dates = sorted(input_dates - done_dates)
+    log.info("[%s] input=%d done=%d missing=%d", kind,
+             len(input_dates), len(done_dates), len(missing_dates))
+
+    processed = 0
+    for date in missing_dates:
+        in_path = f"{in_dir.rstrip('/')}/{date}.parquet"
+        try:
+            df = spark.read.parquet(in_path)
+        except Exception as e:  # missing/corrupt input → skip+warn
+            log.warning("[%s] unreadable: %s (%s)", kind, in_path, e)
+            continue
+        if df.isEmpty():
+            log.info("[%s] empty: %s", kind, in_path)
+            continue
+        require_columns(df, [key])
+
+        outputs = split_day(df, out_dir, date, key=key, exact_layout=exact_layout)
+        marker_path = f"{marker_dir.rstrip('/')}/{date}.json"
+        write_marker(marker_path, {
+            "kind": kind,
+            "date": date,
+            "input_key": in_path,
+            "outputs": outputs,
+            "output_count": len(outputs),
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        })
+        log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
+        processed += 1
+
+    return {
+        "kind": kind,
+        "input_files": len(input_dates),
+        "output_files": len(done_dates),
+        "missing_dates": missing_dates,
+        "processed_days": processed,
+    }
