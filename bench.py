@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS], plus a split-pipeline throughput
+replay of the reference workload shape (BASELINE.md: ≥ ~15k rows/s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Queries are materialized with the noop sink (full execution, no
+driver collect). Brute-force O(N²) similarity queries are deliberately
+excluded — their scale path (ann_lsh_bucketed) is included instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from glue_parquet_splitter_spark.queries import load_all_modules  # noqa: E402
+from glue_parquet_splitter_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_unshipped_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "join_broadcast_multihop",
+    "agg_count_distinct",
+    "window_running_sum",
+    "topk_per_group",
+    "tumbling_window_counts",
+    "session_window_agg",
+    "dedup_exact_hash",
+    "minhash_lsh_candidates",
+    "tfidf_top_terms",
+    "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_split_replay(spark, tmp_root: str) -> tuple[float, float]:
+    """Reference workload shape: 10k rows/day × 3 days, 30-way fan-out,
+    marker protocol. Returns (sec, rows_per_sec)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from glue_parquet_splitter_spark.pipeline import run_incremental
+
+    in_dir = f"{tmp_root}/input"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    os.makedirs(in_dir)
+    for i, date in enumerate(["20250101", "20250102", "20250103"]):
+        df = (
+            spark.range(10_000)
+            .select(
+                F.lit(date).alias("date"),
+                F.lpad((F.col("id") % 30).cast("string"), 10, "0").alias("item_id"),
+                (F.col("id") % 101).alias("sales_figures"),
+                F.lpad((F.col("id") % 50).cast("string"), 4, "0").alias("store_id"),
+            )
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_root}/stage{i}")
+        # single file named <date>.parquet, as the reference expects
+        part = [f for f in os.listdir(f"{tmp_root}/stage{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{tmp_root}/stage{i}/{part}", f"{in_dir}/{date}.parquet")
+    t0 = time.perf_counter()
+    run_incremental(spark, "bench", in_dir, f"{tmp_root}/out", f"{tmp_root}/markers")
+    dt = time.perf_counter() - t0
+    return dt, 30_000 / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    reg = load_all_modules()
+    spark = get_spark("bench")
+
+    # warm the JVM/codegen path once with a trivial action
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        materialize(reg[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    split_sec, rows_per_s = bench_split_replay(spark, "/tmp/bench_split")
+    timings["split_replay_3x10k"] = round(split_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "split_replay_rows_per_sec": round(rows_per_s),
+    }))
+
+
+if __name__ == "__main__":
+    main()

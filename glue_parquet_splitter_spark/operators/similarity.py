@@ -1,0 +1,70 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Spark-first: cosine is a higher-order-function fold (``zip_with`` +
+``aggregate``) — JVM-side, no Python. Two search paths:
+
+- brute-force top-k: cross join + window top-k. Exact; O(Q·N) — fine
+  when Q (the query set) is small; at 100 TB N-side it's one broadcast
+  of Q against a partitioned scan of N, no shuffle of the corpus.
+- sign-bit LSH buckets: partition the corpus by the sign pattern of a
+  fixed dimension subset (axis-aligned random hyperplanes); candidates
+  only within the query's bucket. The bucket id is computed in the
+  scan projection, so the "index" is a cheap repartition/bucketed
+  layout at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    v = F.col(vec).cast("array<double>")
+    return df.withColumn(
+        "_norm", F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<double> columns (fold over
+    zip_with — element order fixed, so the result is deterministic)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` / ``corpus``: (vec_id, embedding). Queries are
+    broadcast; the corpus is never shuffled.
+    """
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def signbit_bucket(vec, dims: tuple = (1, 9, 17, 25)) -> F.Column:
+    """LSH bucket id from the sign bits of fixed dimensions (1-based)."""
+    b = F.lit(0)
+    for d in dims:
+        b = b * 2 + F.when(F.element_at(vec, d) > 0, 1).otherwise(0)
+    return b.cast("int")

@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines (M4).
+
+All built-in expressions (split/explode/agg/window) — the per-token
+work is map-side; the only shuffles are the (doc, token) group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Tiny marker-word lists for the n-gram/keyword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "a", "order", "fast"),
+    "es": ("table", "data", "row", "value"),
+    "de": ("window", "batch", "stream", "merge"),
+}
+
+
+def token_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) with multiplicity — whitespace tokenization."""
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(F.transform(toks, lambda t: F.length(t).cast("double")),
+                        F.lit(0.0), lambda a, x: a + x) / F.size(toks), 4,
+        ).alias("avg_tok_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: stopword ratio, type-token ratio,
+    length bucket — the usual cheap pre-filters before expensive dedup."""
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        F.round(n_stop / F.size(toks), 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("type_token_ratio"),
+        F.when(F.col("n_chars") < 100, "short")
+        .when(F.col("n_chars") < 300, "medium")
+        .otherwise("long").alias("len_bucket"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Deterministic keyword-overlap language scorer (stub for a real
+    n-gram model; the Spark plumbing — per-doc scores + argmax — is the
+    part that matters at scale)."""
+    toks = F.split("text", " ")
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    pred = (
+        F.when((scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]), "en")
+        .when(scores["es"] >= scores["de"], "es")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id", "lang",
+        *[scores[lg].cast("long").alias(f"score_{lg}") for lg in LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def tf_idf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    toks = token_table(docs)
+    n_docs = docs.count()  # scalar dimension, broadcast into the plan
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df_, "tok")
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "tok", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )

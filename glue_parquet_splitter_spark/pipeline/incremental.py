@@ -83,30 +83,34 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
              len(input_dates), len(done_dates), len(missing_dates))
 
     processed = 0
-    for date in missing_dates:
-        in_path = f"{in_dir.rstrip('/')}/{date}.parquet"
-        try:
-            df = spark.read.parquet(in_path)
-        except Exception as e:  # missing/corrupt input → skip+warn
-            log.warning("[%s] unreadable: %s (%s)", kind, in_path, e)
-            continue
-        if df.isEmpty():
-            log.info("[%s] empty: %s", kind, in_path)
-            continue
-        require_columns(df, [key])
+    if missing_dates and exact_layout:
+        processed = _process_batched(spark, kind, in_dir, out_dir, marker_dir,
+                                     missing_dates, key)
+    else:
+        for date in missing_dates:
+            in_path = f"{in_dir.rstrip('/')}/{date}.parquet"
+            try:
+                df = spark.read.parquet(in_path)
+            except Exception as e:  # missing/corrupt input → skip+warn
+                log.warning("[%s] unreadable: %s (%s)", kind, in_path, e)
+                continue
+            if df.isEmpty():
+                log.info("[%s] empty: %s", kind, in_path)
+                continue
+            require_columns(df, [key])
 
-        outputs = split_day(df, out_dir, date, key=key, exact_layout=exact_layout)
-        marker_path = f"{marker_dir.rstrip('/')}/{date}.json"
-        write_marker(marker_path, {
-            "kind": kind,
-            "date": date,
-            "input_key": in_path,
-            "outputs": outputs,
-            "output_count": len(outputs),
-            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        })
-        log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
-        processed += 1
+            outputs = split_day(df, out_dir, date, key=key, exact_layout=exact_layout)
+            marker_path = f"{marker_dir.rstrip('/')}/{date}.json"
+            write_marker(marker_path, {
+                "kind": kind,
+                "date": date,
+                "input_key": in_path,
+                "outputs": outputs,
+                "output_count": len(outputs),
+                "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            })
+            log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
+            processed += 1
 
     return {
         "kind": kind,
@@ -115,3 +119,75 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         "missing_dates": missing_dates,
         "processed_days": processed,
     }
+
+
+def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
+                     marker_dir: str, missing_dates: list[str], key: str) -> int:
+    """Process ALL missing days in one Spark job.
+
+    The reference loops day-by-day (parquet-splitter.py:144); on Spark
+    that pays per-job overhead per day. Reading every backlog file in
+    one scan (day recovered from the filename) and fanning out with a
+    single ``groupBy(key, day).applyInPandas`` amortizes scheduling to
+    one job regardless of backlog depth — the catch-up semantics and
+    the per-day marker documents are unchanged. Markers commit after
+    the whole batch succeeds: a crash mid-batch leaves no markers, so
+    the re-run redoes those days (output overwrite keeps that safe —
+    same recovery contract as the reference, :159-160 in SURVEY.md).
+    """
+    from .splitter import ORDER_COL
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    base = in_dir.rstrip("/")
+    # missing_dates derive from the listing, so the files exist; no
+    # per-file probe needed (the reference's NoSuchKey guard covers a
+    # list/get race — here the batch read's own error handling does).
+    paths = [f"{base}/{date}.parquet" for date in missing_dates]
+    try:
+        df = spark.read.parquet(*paths)
+    except Exception as e:
+        log.warning("[%s] batch read failed (%s); falling back day-by-day", kind, e)
+        return 0
+    require_columns(df, [key])
+    tagged = (
+        df.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        .withColumn(
+            "__date",
+            F.element_at(F.split(F.input_file_name(), "/"), -1).substr(F.lit(1), F.lit(8)),
+        )
+    )
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ORDER_COL)
+        k, date = pdf[key].iloc[0], pdf["__date"].iloc[0]
+        path = f"{out_dir}/{k}/{date}.parquet"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        (pdf.drop(columns=[ORDER_COL, "__date"])
+            .to_parquet(path, engine="pyarrow", compression="snappy", index=False))
+        return pd.DataFrame({"date": [date], "out_path": [path]})
+
+    manifest = (
+        tagged.groupBy(key, "__date")
+        .applyInPandas(_write_group, schema="date string, out_path string")
+        .collect()  # one row per (key, day) output object
+    )
+    by_date: dict[str, list[str]] = {}
+    for r in manifest:
+        by_date.setdefault(r.date, []).append(r.out_path)
+
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    for date in sorted(by_date):
+        outputs = sorted(by_date[date])
+        write_marker(f"{marker_dir.rstrip('/')}/{date}.json", {
+            "kind": kind,
+            "date": date,
+            "input_key": f"{base}/{date}.parquet",
+            "outputs": outputs,
+            "output_count": len(outputs),
+            "generated_at": stamp,
+        })
+        log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
+    return len(by_date)

@@ -1,1 +1,225 @@
-"""(stub — filled in later this round)"""
+"""Dedup queries over ``documents`` (north-star surface, M4).
+
+Every variant is deterministic, so even the MinHash/LSH and SimHash
+paths carry full DuckDB oracles — the oracle SQL re-derives the same
+salted-md5 hash family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from . import register
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup, deterministic survivor policy: min doc_id per
+    distinct text (hash-groupBy — one shuffle on the content key)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+    ).select("doc_id", "n_copies")
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT)    AS n_copies
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_hash(spark, sf_dir):
+    """Exact dedup keyed on md5(content): at 100 TB the shuffle moves
+    32-byte keys, not documents. Emits only the duplicate clusters."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# The 8-hash family = 8-hex chunks of md5(shingle) and md5('x'||shingle);
+# bands of 2 → 4 bucket signatures; elements are 3-word shingles.
+# Mirrors operators/dedup.py exactly.
+_MINHASH_ORACLE_CTE = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(array_length(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ), mh AS (
+      SELECT doc_id,
+             MIN(substr(md5(tok), 1, 8))         AS m0,
+             MIN(substr(md5(tok), 9, 8))         AS m1,
+             MIN(substr(md5(tok), 17, 8))        AS m2,
+             MIN(substr(md5(tok), 25, 8))        AS m3,
+             MIN(substr(md5('x' || tok), 1, 8))  AS m4,
+             MIN(substr(md5('x' || tok), 9, 8))  AS m5,
+             MIN(substr(md5('x' || tok), 17, 8)) AS m6,
+             MIN(substr(md5('x' || tok), 25, 8)) AS m7
+      FROM toks GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS sig FROM mh UNION ALL
+      SELECT doc_id, 1 AS band, md5(m2 || '|' || m3) AS sig FROM mh UNION ALL
+      SELECT doc_id, 2 AS band, md5(m4 || '|' || m5) AS sig FROM mh UNION ALL
+      SELECT doc_id, 3 AS band, md5(m6 || '|' || m7) AS sig FROM mh
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=_MINHASH_ORACLE_CTE + """
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b
+    FROM pairs
+    """,
+    tags=("dedup", "lsh"),
+)
+def minhash_lsh_candidates(spark, sf_dir):
+    """MinHash(8 hashes over 3-word shingles) + LSH(4 bands × 2)
+    candidate pairs."""
+    d = _docs(spark, sf_dir)
+    return D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
+
+
+@register(
+    "minhash_dedup_verified",
+    oracle=_MINHASH_ORACLE_CTE + """
+    , sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.doc_a
+      JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4) >= 0.5
+    """,
+    tags=("dedup", "lsh"),
+)
+def minhash_dedup_verified(spark, sf_dir):
+    """LSH candidates verified with exact shingle-set Jaccard ≥ 0.5 —
+    the verify stage touches only candidate pairs, not the corpus."""
+    d = _docs(spark, sf_dir)
+    toks = D.shingles(d, distinct=True)
+    pairs = D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
+    j = D.jaccard(pairs, toks).withColumn("jaccard", F.round("jaccard", 4))
+    return j.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
+
+
+def _simhash_oracle() -> str:
+    HEX = "0123456789abcdef"
+    sums = []
+    for j in range(16):
+        nib_idx, bit_in_nib = j // 4, j % 4
+        nib = f"(instr('{HEX}', substr(h, {nib_idx + 1}, 1)) - 1)"
+        bit = f"(CAST(FLOOR({nib} / {2 ** (3 - bit_in_nib)}.0) AS INT) % 2)"
+        sums.append(f"SUM(2 * {bit} - 1) AS s{j}")
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** (15 - j)} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    ), hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    sums AS (SELECT doc_id, {', '.join(sums)} FROM hashed GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums)
+    SELECT simhash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+    """
+
+
+@register("simhash_clusters", oracle=_simhash_oracle(), tags=("dedup", "simhash"))
+def simhash_clusters(spark, sf_dir):
+    """16-bit SimHash dup clusters (identical signature, >1 doc)."""
+    d = _docs(spark, sf_dir)
+    sig = D.simhash16(d)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(array_length(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks)
+    ), sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+                  JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.3
+    """,
+    tags=("dedup", "ngram"),
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """3-word-shingle Jaccard near-dup pairs (≥ 0.3). Shingling makes
+    the self-join key high-cardinality, so the bucket join stays sparse
+    even when the raw vocabulary is tiny."""
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    shingle_expr = F.when(
+        F.size("t") >= 3,
+        F.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
+    ).otherwise(F.expr("array()"))
+    sh = (
+        t.select("doc_id", F.explode(shingle_expr).alias("shingle")).distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+    )
+    return j.filter(F.col("jaccard") >= 0.3).select("doc_a", "doc_b", "jaccard")

@@ -1,1 +1,152 @@
-"""(stub — filled in later this round)"""
+"""Event-time window queries over the ``events`` table (SURVEY.md §2
+streaming row; M3).
+
+The reference only batch-emulates a stream (daily files + marker set,
+parquet-splitter.py:135-138); the engine provides real event-time
+operators: tumbling / sliding / session windows, plus a genuine
+Structured Streaming execution (``streaming_tumbling_counts``) that
+runs the same tumbling aggregation through ``readStream`` with an
+availableNow trigger — and still hash-matches the batch oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2)     AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "window"),
+)
+def tumbling_window_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("window.start", TS_FMT).alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT UNNEST([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      FROM events
+    ) GROUP BY 1
+    """,
+    tags=("events", "window"),
+)
+def sliding_window_counts(spark, sf_dir):
+    """1-hour windows sliding every 30 min — each event lands in two
+    windows; the oracle expands the membership explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", TS_FMT).alias("window_start"), "n")
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL '10 minutes'
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("events", "window", "session"),
+)
+def session_window_agg(spark, sf_dir):
+    """Gap-based sessionization (10-min gap) via ``session_window`` —
+    the oracle reproduces it with classic gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("second", "session_window.start"), TS_FMT).alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+
+
+@register(
+    "event_type_funnel",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)     AS views,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)    AS clicks,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) FILTER (WHERE event_type = 'view') > 0
+    """,
+    tags=("events", "agg"),
+)
+def event_type_funnel(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+        )
+        .filter(F.col("views") > 0)
+    )
+
+
+@register(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "streaming"),
+)
+def streaming_tumbling_counts(spark, sf_dir):
+    """True Structured Streaming: file-source ``readStream`` over the
+    events parquet, event-time tumbling window + watermark, availableNow
+    trigger, complete-mode memory sink. Because availableNow drains the
+    whole source and complete mode emits every window, the result equals
+    the batch aggregation — so it still gets a DuckDB oracle."""
+    from ..streaming.windows import run_tumbling_count_stream
+
+    return run_tumbling_count_stream(spark, f"{sf_dir}/events.parquet")

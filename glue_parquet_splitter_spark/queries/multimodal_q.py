@@ -1,1 +1,76 @@
-"""(stub — filled in later this round)"""
+"""Multimodal-column queries (north-star, M4).
+
+The Spark side exercises real binary/struct/mapInPandas plumbing; the
+oracle replicates the deterministic fake-decode arithmetic from the
+``n_chars`` column (payload bytes == n_chars for this ASCII corpus,
+verified by the checksum fields)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import multimodal as M
+from . import register
+
+
+def _packed(spark, sf_dir):
+    return M.pack_binary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_pack_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+           md5(text)  AS checksum,
+           source     AS origin,
+           CAST(n_chars AS BIGINT) AS content_len
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_pack_meta(spark, sf_dir):
+    """Binary payload + typed metadata struct; flattened for compare."""
+    p = _packed(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.content_len").alias("content_len"),
+    )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT)              AS n_bytes,
+           CAST(64 + (n_chars % 512) AS INT)    AS width,
+           CAST(64 + ((n_chars * 7) % 512) AS INT) AS height,
+           CAST(1 + (n_chars % 30) AS INT)      AS n_frames
+    FROM documents
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode_stub(spark, sf_dir):
+    """mapInPandas Arrow-batched decode (deterministic fake decoder —
+    see operators/multimodal.py; the plumbing is the deliverable)."""
+    return M.decode_metadata(_packed(spark, sf_dir))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(UNNEST(generate_series(0, (1 + (n_chars % 30)) - 1, 5)) AS BIGINT) AS frame_idx
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Every-5th-frame sampling over the decoded n_frames."""
+    decoded = M.decode_metadata(_packed(spark, sf_dir))
+    return M.sample_frames(decoded, every=5).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

@@ -1,1 +1,176 @@
-"""(stub — filled in later this round)"""
+"""Text-analysis queries over ``documents`` (north-star, M4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import text as T
+from . import register
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(array_length(t) AS BIGINT)                 AS n_tokens,
+           CAST(array_length(list_distinct(t)) AS BIGINT)  AS n_distinct,
+           ROUND(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
+                 / array_length(t), 4)                     AS avg_tok_len
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    """,
+    tags=("text",),
+)
+def token_stats(spark, sf_dir):
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(CAST(array_length(list_filter(t,
+                 x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                 / array_length(t), 4)                                        AS stopword_ratio,
+           ROUND(CAST(array_length(list_distinct(t)) AS DOUBLE)
+                 / array_length(t), 4)                                        AS type_token_ratio,
+           CASE WHEN n_chars < 100 THEN 'short'
+                WHEN n_chars < 300 THEN 'medium'
+                ELSE 'long' END                                               AS len_bucket
+    FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS t FROM documents)
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality_score(spark, sf_dir):
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+@register(
+    "language_id_heuristic",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(array_length(list_filter(t, x -> list_contains(['the','a','order','fast'], x))) AS BIGINT)      AS score_en,
+           CAST(array_length(list_filter(t, x -> list_contains(['table','data','row','value'], x))) AS BIGINT)  AS score_es,
+           CAST(array_length(list_filter(t, x -> list_contains(['window','batch','stream','merge'], x))) AS BIGINT) AS score_de,
+           CASE WHEN array_length(list_filter(t, x -> list_contains(['the','a','order','fast'], x)))
+                     >= array_length(list_filter(t, x -> list_contains(['table','data','row','value'], x)))
+                 AND array_length(list_filter(t, x -> list_contains(['the','a','order','fast'], x)))
+                     >= array_length(list_filter(t, x -> list_contains(['window','batch','stream','merge'], x)))
+                THEN 'en'
+                WHEN array_length(list_filter(t, x -> list_contains(['table','data','row','value'], x)))
+                     >= array_length(list_filter(t, x -> list_contains(['window','batch','stream','merge'], x)))
+                THEN 'es' ELSE 'de' END AS predicted_lang
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+    """,
+    tags=("text", "langid"),
+)
+def language_id_heuristic(spark, sf_dir):
+    return T.language_id(_docs(spark, sf_dir))
+
+
+@register(
+    "lang_source_rollup",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("text", "agg"),
+)
+def lang_source_rollup(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "term_frequency_top20",
+    oracle="""
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+    """,
+    tags=("text",),
+)
+def term_frequency_top20(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok").limit(20)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, tok, ROUND(tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark, sf_dir):
+    return T.tf_idf_top_terms(_docs(spark, sf_dir), top_k=3)
+
+
+@register(
+    "regex_tokenizer_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(array_length(regexp_extract_all(text, '[a-z]+')) AS BIGINT)   AS n_alpha,
+           CAST(array_length(regexp_extract_all(text, '[0-9]+')) AS BIGINT)   AS n_num,
+           CAST(array_length(regexp_extract_all(text, '[a-z]{5,}')) AS BIGINT) AS n_long
+    FROM documents
+    """,
+    tags=("text", "regexp"),
+)
+def regex_tokenizer_counts(spark, sf_dir):
+    """BPE-ish regex tokenization: class-based token counts."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias("n_alpha"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long").alias("n_num"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]{5,}"), 0)).cast("long").alias("n_long"),
+    )
+
+
+@register(
+    "doc_fingerprint_bag",
+    oracle="""
+    SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY tok)) AS bag_fingerprint
+    FROM (SELECT DISTINCT doc_id, tok FROM
+           (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents))
+    GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint_bag(spark, sf_dir):
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token bag — catches shuffled near-identical docs that
+    defeat raw-text hashing."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))).alias("bag_fingerprint"),
+    )

@@ -1,1 +1,155 @@
-"""(stub — filled in later this round)"""
+"""Window function queries (SURVEY.md §2 taxonomy: absent from the
+reference, mandated for the engine). All orderings carry a unique
+tie-break key so results are deterministic across engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_total"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "window_rank_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(RANK()       OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6)     AS prnk,
+           ROUND(CUME_DIST() OVER w, 6)        AS cdist,
+           CAST(NTILE(4) OVER w AS BIGINT)     AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_rank_funcs(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(COALESCE(o_totalprice - LAG(o_totalprice) OVER w, 0), 2)  AS delta_prev,
+           ROUND(COALESCE(LEAD(o_totalprice) OVER w - o_totalprice, 0), 2) AS delta_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.coalesce(tp - F.lag(tp).over(w), F.lit(0)), 2).alias("delta_prev"),
+        F.round(F.coalesce(F.lead(tp).over(w) - tp, F.lit(0)), 2).alias("delta_next"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_moving_avg(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    w = (W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-2, W.currentRow))
+    return o.select(
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma3"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(COUNT(*) OVER (
+               ORDER BY o_totalprice
+               RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_5k
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over a numeric ordering — count of orders within
+    $5000 below each order's price."""
+    o = _orders(spark, sf_dir)
+    w = W.orderBy("o_totalprice").rangeBetween(-5000, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.count("*").over(w).cast("long").alias("n_within_5k"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS cheapest,
+           ROUND(LAST_VALUE(o_totalprice)  OVER w, 2) AS priciest,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 2) AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def window_first_last(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    w = (W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return o.select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("priciest"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_cheapest"),
+    )

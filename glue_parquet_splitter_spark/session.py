@@ -28,6 +28,37 @@ _RUNTIME_CONFS = {
 }
 
 
+_PYFILE_SESSIONS: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python workers regardless of the
+    driver's cwd/PYTHONPATH: zip it once and addPyFile it (workers get
+    the zip on their sys.path; also correct on a real cluster, where
+    executors share nothing with the driver's filesystem layout)."""
+    key = id(spark.sparkContext)
+    if key in _PYFILE_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), "glue_parquet_splitter_spark.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. connect-only sessions; closures must then be self-contained
+    _PYFILE_SESSIONS.add(key)
+
+
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set the confs this engine relies on onto an existing session."""
     for k, v in _RUNTIME_CONFS.items():
@@ -36,6 +67,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             # Non-settable in this build — best effort.
             pass
+    _ship_package(spark)
     return spark
 
 
@@ -58,7 +90,8 @@ def get_spark(app_name: str = "glue_parquet_splitter_spark",
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM is the whole cluster — give it room
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
