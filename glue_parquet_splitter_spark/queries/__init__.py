@@ -53,4 +53,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import text_q  # noqa: F401
     from . import multimodal_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
+    from . import advanced_q  # noqa: F401
     return REGISTRY

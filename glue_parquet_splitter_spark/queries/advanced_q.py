@@ -1,0 +1,206 @@
+"""Advanced operators: as-of join, range join, statistical aggregates,
+ordered string aggregation, bitwise ops (SURVEY.md §2 extended-join row
+and aggregate taxonomy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "asof_join",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id AS event_id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS asof_order_date,
+           o.n_orders, o.last_orderkey
+    FROM events e ASOF JOIN od o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def asof_join(spark, sf_dir):
+    """As-of join: each event matched to the user's most recent order
+    day at event time. Spark lacks a native ASOF — composed as an
+    inequality join + per-event row_number top-1 (orders pre-aggregated
+    per (cust, day) so the as-of pick is unique & deterministic). At
+    scale the right side is bucketed by key and the window stays
+    key-local, so the only wide exchange is the join itself."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    od = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderkey").alias("last_orderkey"),
+    )
+    joined = ev.join(
+        F.broadcast(od),
+        (ev.user_id == od.o_custkey) & (ev.ts >= od.o_orderdate),
+    )
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_id",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_order_date"),
+            "n_orders", "last_orderkey",
+        )
+    )
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '60 seconds'
+    """,
+    tags=("join", "range"),
+)
+def range_join_events(spark, sf_dir):
+    """Range (interval) self-join: pairs of same-user events within
+    60 s — the building block of sequence/funnel mining. Equi-key on
+    user_id keeps it a hash join with a range residual, not a BNLJ."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(F.col("event_id").alias("event_a"), F.col("user_id").alias("u"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("event_b"), F.col("user_id").alias("u"), F.col("ts").alias("ts_b"))
+    return (
+        a.join(b, "u")
+        .filter((F.col("ts_b") > F.col("ts_a")) &
+                (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 60 SECONDS")))
+        .select(
+            "event_a", "event_b",
+            (F.unix_timestamp(F.date_trunc("second", "ts_b"))
+             - F.unix_timestamp(F.date_trunc("second", "ts_a"))).alias("gap_s"),
+        )
+    )
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(median(o_totalprice), 4)              AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats"),
+)
+def percentile_stats(spark, sf_dir):
+    """Exact interpolated percentiles (both engines use linear
+    interpolation). The 100 TB variant is approx_percentile
+    (t-digest) — see ``approx_percentile_stats`` (rows-only)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.median("o_totalprice"), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+@register("approx_percentile_stats", oracle=None, tags=("agg", "stats", "approx"))
+def approx_percentile_stats(spark, sf_dir):
+    """Sketch-based percentiles — single-pass, mergeable, the scale
+    path. Estimates are engine-specific → rows-only check."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+    )
+
+
+@register(
+    "corr_covar_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           ROUND(stddev_samp(l_quantity), 6)                 AS qty_stddev,
+           ROUND(var_samp(l_discount), 6)                    AS disc_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def corr_covar_stats(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+    )
+
+
+@register(
+    "listagg_ordered",
+    oracle="""
+    SELECT n_regionkey AS region_key,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def listagg_ordered(spark, sf_dir):
+    """Ordered string aggregation — deterministic via sort_array over
+    the collected list (collect_list order alone is not)."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("region_key")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations")
+    )
+
+
+@register(
+    "bitwise_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT)            AS low_byte,
+           CAST(l_orderkey | 4096 AS BIGINT)           AS with_flag,
+           CAST(xor(l_orderkey, l_partkey) AS BIGINT)  AS key_xor,
+           CAST(l_linenumber << 4 AS BIGINT)           AS shifted,
+           CAST(bit_count(l_orderkey) AS BIGINT)       AS popcount
+    FROM lineitem
+    """,
+    tags=("scalar", "bitwise"),
+)
+def bitwise_ops(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("l_orderkey & 255").cast("long").alias("low_byte"),
+        F.expr("l_orderkey | 4096").cast("long").alias("with_flag"),
+        F.expr("l_orderkey ^ l_partkey").cast("long").alias("key_xor"),
+        F.expr("shiftleft(l_linenumber, 4)").cast("long").alias("shifted"),
+        F.bit_count("l_orderkey").cast("long").alias("popcount"),
+    )
+
+
+@register(
+    "conditional_distinct_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END) AS BIGINT) AS f_custs,
+           CAST(COUNT(DISTINCT CASE WHEN o_orderstatus = 'O' THEN o_custkey END) AS BIGINT) AS o_custs
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def conditional_distinct_agg(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct(F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))).alias("f_custs"),
+        F.countDistinct(F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))).alias("o_custs"),
+    )

@@ -150,3 +150,32 @@ def streaming_tumbling_counts(spark, sf_dir):
     from ..streaming.windows import run_tumbling_count_stream
 
     return run_tumbling_count_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register("streaming_late_data_append", oracle=None, tags=("events", "streaming"))
+def streaming_late_data_append(spark, sf_dir):
+    """Append-mode windowed stream with a 30-min watermark: only
+    watermark-finalized windows emit, demonstrating late-data discard.
+    Rows-only check by design — the unfinalized tail is intentionally
+    absent from the output."""
+    from ..streaming.windows import run_late_data_stream
+
+    return run_late_data_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("events", "streaming", "stateful"),
+)
+def streaming_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals; after draining the bounded source the final state
+    equals the batch group-by, so the oracle still applies."""
+    from ..streaming.stateful import run_user_stats_stream
+
+    return run_user_stats_stream(spark, f"{sf_dir}/events.parquet")

@@ -1,0 +1,77 @@
+"""Physical-plan shape tests (M5 scale hardening).
+
+Correctness says the operator works; these assert it runs with the
+plan you'd want at 100 TB: small dims broadcast (no fact-side
+shuffle), filters/projections pushed into the parquet scan, partial
+(map-side) aggregation before the exchange, whole-stage codegen in
+the hot path.
+"""
+
+import pytest
+
+from glue_parquet_splitter_spark.queries import load_all_modules
+
+REG = load_all_modules()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REG[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_join_in_flagship(spark, sf_dir):
+    """q5: all dims must broadcast — the lineitem side is never
+    shuffled for a dim join."""
+    plan = plan_of(spark, sf_dir, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_small_dim_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_multihop")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing should sort-merge here
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "filter_project")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThanOrEqual(l_quantity" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    """A 4-column projection must not read all 11 lineitem columns."""
+    plan = plan_of(spark, sf_dir, "filter_project")
+    scan = plan[plan.index("ReadSchema"):][:400]
+    assert "l_extendedprice" in scan
+    assert "l_tax" not in scan and "l_comment" not in scan
+
+
+def test_partial_aggregation(spark, sf_dir):
+    """Group-by must partial-aggregate map-side before the exchange."""
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "partial_sum" in plan or "partial_avg" in plan
+
+
+def test_whole_stage_codegen(spark, sf_dir):
+    df = REG["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan (and codegen markers) on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_anti_join_strategy(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_anti")
+    assert "LeftAnti" in plan
+
+
+def test_range_join_not_cartesian(spark, sf_dir):
+    """The equi-key must carry the range join — no CartesianProduct."""
+    plan = plan_of(spark, sf_dir, "range_join_events")
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_no_global_sort_of_input(spark, sf_dir):
+    """LIMIT after ORDER BY must run as TakeOrderedAndProject, not a
+    full global sort."""
+    plan = plan_of(spark, sf_dir, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
