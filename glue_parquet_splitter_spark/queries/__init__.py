@@ -54,4 +54,6 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import multimodal_q  # noqa: F401
     from . import pipeline_q  # noqa: F401
     from . import advanced_q  # noqa: F401
+    from . import tpch_q  # noqa: F401
+    from . import scale_q  # noqa: F401
     return REGISTRY

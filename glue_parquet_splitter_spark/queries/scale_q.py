@@ -1,0 +1,212 @@
+"""Scale-technique queries: each demonstrates a 100 TB pattern whose
+RESULT is still oracle-checkable (the technique changes the plan, not
+the answer)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("scale", "join", "skew"),
+)
+def salted_skew_join(spark, sf_dir):
+    """Skew-mitigation by salting: the (potentially hot) fact key is
+    salted 8 ways and the dim side replicated ×8, so one hot key spreads
+    over 8 reducers. Result is identical to the plain join — the oracle
+    IS the plain join. (AQE's skew-join handles this automatically; the
+    manual pattern is for engines/joins AQE can't rewrite.)"""
+    n_salt = 8
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_salt", (F.abs(F.hash("o_orderkey")) % n_salt).cast("int")
+    )
+    salts = spark.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+    c = load_table(spark, sf_dir, "customer").crossJoin(F.broadcast(salts))
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o._salt == c._salt))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "deterministic_sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE CAST(substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 4) AS VARCHAR) < '1999'
+    """,
+    tags=("scale", "sampling"),
+)
+def deterministic_sample(spark, sf_dir):
+    """~10% deterministic sample via content hashing (md5 prefix <
+    '1999' ≈ 0x1999/0xffff ≈ 10%). Unlike ``TABLESAMPLE``, the picked
+    set is stable across engines, runs, and partitionings — the
+    reproducibility property a training-data pipeline needs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat(F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")))
+    return (
+        li.filter(F.substring(h, 1, 4) < "1999")
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         UNNEST(generate_series(1, array_length(t))) AS u(i)
+    WHERE doc_id < 50
+    """,
+    tags=("scale", "generator"),
+)
+def posexplode_tokens(spark, sf_dir):
+    """Positional explode (generator/UDTF shape)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+    )
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT key, CAST(SUM(n) AS BIGINT) AS n FROM (
+      SELECT c_nationkey AS key, 1 AS n FROM customer
+      UNION ALL BY NAME
+      SELECT 1 AS n, s_nationkey AS key FROM supplier
+    ) GROUP BY key
+    """,
+    tags=("scale", "setop"),
+)
+def union_by_name(spark, sf_dir):
+    """Schema-aligned union (column order independent) — the safe way
+    to append heterogeneous batches in a long-lived pipeline."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("key"), F.lit(1).alias("n"))
+    s = load_table(spark, sf_dir, "supplier").select(F.lit(1).alias("n"), F.col("s_nationkey").alias("key"))
+    return c.unionByName(s).groupBy("key").agg(F.sum("n").alias("n"))
+
+
+@register(
+    "histogram_fixed_buckets",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    tags=("scale", "agg"),
+)
+def histogram_fixed_buckets(spark, sf_dir):
+    """Fixed-width histogram — single map-side bucketing + one agg;
+    the building block for distribution profiling at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "event_sequence_first_after",
+    oracle="""
+    WITH sign AS (
+      SELECT user_id, MIN(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT s.user_id AS user_id,
+           strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_at,
+           strftime(MIN(e.ts), '%Y-%m-%d %H:%M:%S')   AS first_purchase_after
+    FROM sign s JOIN events e
+      ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.signup_ts
+    GROUP BY s.user_id, s.signup_ts
+    """,
+    tags=("scale", "events", "sequence"),
+)
+def event_sequence_first_after(spark, sf_dir):
+    """Event sequencing: first purchase strictly after each user's
+    first signup — two group-bys and one equi-join, no window needed."""
+    ev = load_table(spark, sf_dir, "events")
+    sign = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("signup_ts"))
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return (
+        sign.join(pur, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_at"),
+            F.date_format("first_ts", "yyyy-MM-dd HH:mm:ss").alias("first_purchase_after"),
+        )
+    )
+
+
+@register(
+    "kmeans_assign_step",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
+    dists AS (
+      SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+      FROM v JOIN cent c ON c.i = v.i
+      WHERE v.vec_id >= 4
+      GROUP BY v.vec_id, c.cid
+    ), assigned AS (
+      SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists
+    )
+    SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_assigned
+    FROM assigned WHERE rn = 1 GROUP BY cid
+    """,
+    tags=("scale", "similarity", "iterative"),
+)
+def kmeans_assign_step(spark, sf_dir):
+    """One k-means assignment step (k=4, centroids = vectors 0..3):
+    the inner loop of Lloyd's algorithm as a broadcast-centroid pass —
+    the iterative-algorithm shape on DataFrames (each iteration is one
+    scan + one small agg; centroids always broadcast)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        vecs.filter(F.col("vec_id") >= 4)
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("centroid_id"))
+        .agg(F.count("*").alias("n_assigned"))
+    )
