@@ -56,4 +56,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import advanced_q  # noqa: F401
     from . import tpch_q  # noqa: F401
     from . import scale_q  # noqa: F401
+    from . import misc_q  # noqa: F401
     return REGISTRY
