@@ -1,0 +1,151 @@
+"""UDF / UDAF / UDTF coverage (SURVEY.md §2 taxonomy row: absent from
+the reference — every transform there is driver-side Python; here each
+Python-extension API is exercised with Arrow vectorization where the
+API supports it, and every function is deterministic so the oracle
+still applies)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "pandas_udaf_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS weighted_avg_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("udf", "udaf"),
+)
+def pandas_udaf_weighted_avg(spark, sf_dir):
+    """Grouped-agg Pandas UDF (vectorized UDAF): quantity-weighted mean
+    price per return flag. Arrow moves each group's columns in one
+    batch; the Python work is two numpy dot products."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price"))
+    )
+
+
+@register(
+    "python_udtf_chunks",
+    oracle="""
+    SELECT doc_id,
+           CAST(c - 1 AS BIGINT) AS chunk_idx,
+           array_to_string(t[(c - 1) * 10 + 1 : c * 10], ' ') AS chunk_text
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 30),
+         UNNEST(generate_series(1, CAST(CEIL(array_length(t) / 10.0) AS BIGINT))) AS u(c)
+    """,
+    tags=("udf", "udtf"),
+)
+def python_udtf_chunks(spark, sf_dir):
+    """Python UDTF (table function): chunk each document into 10-token
+    windows — the canonical pre-tokenization step of a training-data
+    pipeline (context-length packing). One input row → N output rows."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk_text string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for c, start in enumerate(range(0, len(toks), 10)):
+                yield doc_id, c, " ".join(toks[start:start + 10])
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("doc_chunker", Chunker)
+    return spark.sql(
+        "SELECT c.* FROM _udtf_docs d, LATERAL doc_chunker(d.doc_id, d.text) c"
+    )
+
+
+@register(
+    "ivf_topk_search",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY SUM((v.x - c.x) * (v.x - c.x)), c.cid) AS rn
+        FROM v JOIN cent c ON c.i = v.i
+        GROUP BY v.vec_id, c.cid)
+      WHERE rn = 1
+    ), q AS (SELECT vec_id AS query_id, cid FROM assign WHERE vec_id >= 4 AND vec_id < 12),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id
+      FROM q JOIN assign a ON a.cid = q.cid
+       AND a.vec_id <> q.query_id AND a.vec_id >= 4
+    ), norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(SUM(a.x * b.x) / (MIN(na.nrm) * MIN(nb.nrm)), 6) AS cos_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = cand.query_id
+      JOIN norms nb ON nb.vec_id = cand.neighbor_id
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 2
+    """,
+    tags=("similarity", "ivf"),
+)
+def ivf_topk_search(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize the corpus to its nearest of 4
+    centroids (vectors 0–3), then search only the query's inverted
+    list. At scale the assignment is a bucketed/partitioned layout and
+    a query touches one partition; centroids always broadcast."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    corpus = assign.filter(F.col("vec_id") >= 4)
+    q = corpus.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    from ..operators.similarity import cosine
+
+    cand = corpus.join(F.broadcast(q), "cid").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )

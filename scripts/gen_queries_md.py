@@ -23,6 +23,7 @@ FAMILIES = OrderedDict([
     ("pipeline_q", "Split-pipeline parity (reference operators as relational programs)"),
     ("scale_q", "Scale techniques (salting, sampling, generators, iterative)"),
     ("misc_q", "Maps, null-safe joins, rolling fingerprints, pandas UDFs"),
+    ("udf_q", "UDF / UDAF / UDTF APIs + IVF search"),
 ])
 
 
