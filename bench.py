@@ -96,9 +96,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        materialize(reg[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: first run pays codegen compile
+            t0 = time.perf_counter()
+            materialize(reg[name].fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     split_sec, rows_per_s = bench_split_replay(spark, "/tmp/bench_split")
     timings[f"split_replay_{N_REPLAY_DAYS}x10k"] = round(split_sec, 3)

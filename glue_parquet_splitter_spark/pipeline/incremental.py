@@ -152,6 +152,8 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         log.warning("[%s] batch read failed (%s); falling back day-by-day", kind, e)
         return 0
     require_columns(df, [key])
+    # null-key rows dropped (reference parity — pandas groupby dropna)
+    df = df.filter(F.col(key).isNotNull())
     tagged = (
         df.withColumn(ORDER_COL, F.monotonically_increasing_id())
         .withColumn(

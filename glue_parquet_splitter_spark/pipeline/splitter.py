@@ -67,6 +67,10 @@ def split_day(df: DataFrame, out_dir: str, date: str, key: str = "item_id",
     before the shuffle.
     """
     require_columns(df, [key])
+    # Reference parity: pandas groupby silently drops NaN keys
+    # (parquet-splitter.py:166, pandas dropna=True default) — drop
+    # null-key rows explicitly so the fan-out is total over outputs.
+    df = df.filter(F.col(key).isNotNull())
     if df.isEmpty():
         return []
     if not exact_layout:
