@@ -58,4 +58,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import scale_q  # noqa: F401
     from . import misc_q  # noqa: F401
     from . import udf_q  # noqa: F401
+    from . import tpch2_q  # noqa: F401
     return REGISTRY

@@ -152,6 +152,27 @@ def streaming_tumbling_counts(spark, sf_dir):
     return run_tumbling_count_stream(spark, f"{sf_dir}/events.parquet")
 
 
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           CAST(date_diff('second', a.ts, b.ts) AS BIGINT) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '60 seconds'
+    """,
+    tags=("events", "streaming", "join"),
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream interval inner join with watermarks on both sides
+    (bounded join state); drained fully it equals the batch range join,
+    which serves as the oracle."""
+    from ..streaming.windows import run_stream_stream_join
+
+    return run_stream_stream_join(spark, f"{sf_dir}/events.parquet")
+
+
 @register("streaming_late_data_append", oracle=None, tags=("events", "streaming"))
 def streaming_late_data_append(spark, sf_dir):
     """Append-mode windowed stream with a 30-min watermark: only

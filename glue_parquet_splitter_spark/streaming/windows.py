@@ -66,6 +66,40 @@ def run_tumbling_count_stream(spark: SparkSession, events_path: str,
     return spark.table(name)
 
 
+def run_stream_stream_join(spark: SparkSession, events_path: str) -> DataFrame:
+    """Stream-stream interval inner join: same-user event pairs within
+    60 s, both sides watermarked so the join state is bounded. Drained
+    with availableNow the emitted matches equal the batch range join —
+    so the batch SQL is still the oracle."""
+    a = _events_stream(spark, events_path).select(
+        F.col("event_id").alias("event_a"), F.col("user_id").alias("u_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "10 minutes")
+    b = _events_stream(spark, events_path).select(
+        F.col("event_id").alias("event_b"), F.col("user_id").alias("u_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    joined = a.join(
+        b,
+        F.expr("""u_a = u_b AND ts_b > ts_a
+                  AND ts_b <= ts_a + INTERVAL 60 SECONDS"""),
+    ).select(
+        "event_a", "event_b",
+        (F.unix_timestamp(F.date_trunc("second", "ts_b"))
+         - F.unix_timestamp(F.date_trunc("second", "ts_a"))).alias("gap_s"),
+    )
+    name = "stream_join_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_join_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_late_data_stream(spark: SparkSession, events_path: str,
                          window: str = "1 hour",
                          watermark: str = "30 minutes") -> DataFrame:

@@ -12,6 +12,7 @@ from glue_parquet_splitter_spark.queries import load_all_modules  # noqa: E402
 FAMILIES = OrderedDict([
     ("relational", "Relational core (scans, filters, joins, aggregation, set ops, subqueries)"),
     ("tpch_q", "TPC-H-style headline queries"),
+    ("tpch2_q", "TPC-H wave 2 (correlated subqueries, distributions, min-cost matching)"),
     ("functions_q", "Scalar function library (string / regexp / date / json / array / math / hash)"),
     ("window_q", "Window functions"),
     ("events_q", "Event-time windows & Structured Streaming"),
