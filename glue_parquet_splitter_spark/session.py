@@ -25,6 +25,10 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Local fixtures are small single files; a smaller split size keeps
+    # all cores busy on scans (cluster deployments override via env).
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
 }
 
 

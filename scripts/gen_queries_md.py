@@ -35,6 +35,29 @@ def main():
         mod = spec.fn.__module__.rsplit(".", 1)[-1]
         by_mod.setdefault(mod, []).append(spec)
 
+    O_MAP = """## Reference operator map (SURVEY.md §2, O1–O20)
+
+| Ref op | Implementation | Verified by |
+|---|---|---|
+| O1 argument/config scan | `__main__.get_arg` (argv/env) | `tests/test_formats_compact.py::test_cli_entry` |
+| O2 catalog listing | `pipeline.incremental.list_files` (Hadoop FS, any scheme) | splitter/golden tests |
+| O3/O4 filename→date extraction | `pipeline.incremental.extract_dates`; relationally: `filename_date_extract` | query oracle + unit test |
+| O5 set-difference scheduler | `run_incremental` anti-join; relationally: `incremental_missing_days`, `join_anti` | idempotence test + oracles |
+| O6 counts | summary dict; `agg_stats` etc. | oracles |
+| O7 parquet scan | `catalog.load_table` / `spark.read.parquet` | everywhere |
+| O8 missing-source guard | batch-read fallback + warning | unreadable-input path |
+| O9 empty-relation guard | `split_day` isEmpty skip | `test_empty_and_missing_column` |
+| O10 schema assertion | `splitter.require_columns` | same test |
+| O11 group-by partition | `split_day` (exact layout) / `write_partitioned` (Hive) | 9/9 golden replay, property tests |
+| O12 filter-by-key | partition outputs ≡ key filter | golden + property tests |
+| O13/O14/O15 parquet sink | snappy parquet via pyarrow (parity) / Spark writer (scale) | golden replay |
+| O16 parallel writes | Spark task parallelism (no thread pool) | bench: 37k rows/s replay |
+| O17 count-distinct | `agg_count_distinct` (+ `agg_approx_distinct` at scale) | oracle |
+| O18 JSON marker | `write_marker` field-for-field; `marker_manifest_json` | marker goldens |
+| O19 per-day driver | `run_incremental` (batched one-job) | summary + idempotence tests |
+| O20 entry point | `__main__.main` CLI | CLI subprocess test |
+
+"""
     out = ["# QUERIES — declared operator inventory",
            "",
            f"{len(reg)} declared queries; "
@@ -44,7 +67,7 @@ def main():
            "",
            "Every entry is runnable via `__spark_entry__.queries()[name](spark, sf_dir)`;",
            "checkable via `python scripts/check_queries.py <sf_dir> <name>`.",
-           ""]
+           "", O_MAP]
     for mod, title in FAMILIES.items():
         specs = by_mod.get(mod, [])
         if not specs:
