@@ -59,4 +59,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import misc_q  # noqa: F401
     from . import udf_q  # noqa: F401
     from . import tpch2_q  # noqa: F401
+    from . import analytics_q  # noqa: F401
     return REGISTRY

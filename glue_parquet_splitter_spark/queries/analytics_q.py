@@ -1,0 +1,213 @@
+"""Analytics compositions: retention, conversion latency, dedup
+survivors, normalization, grouped top-k lists, streaming dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from . import register
+
+
+@register(
+    "hour_over_hour_retention",
+    oracle="""
+    WITH active AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events)
+    SELECT strftime(a.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS retained_next_hour
+    FROM active a LEFT JOIN active b
+      ON b.user_id = a.user_id AND b.h = a.h + INTERVAL '1 hour'
+    GROUP BY a.h
+    """,
+    tags=("events", "retention"),
+)
+def hour_over_hour_retention(spark, sf_dir):
+    """Hour-over-hour retention: distinct active users per hour joined
+    against themselves one bucket later."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.date_trunc("hour", "ts").alias("h")).distinct()
+    nxt = active.select(F.col("user_id").alias("u2"), F.col("h").alias("h2"))
+    return (
+        active.join(
+            nxt,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("h2") == F.col("h") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("h")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.countDistinct("u2").alias("retained_next_hour"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "active_users", "retained_next_hour",
+        )
+    )
+
+
+@register(
+    "conversion_latency_histogram",
+    oracle="""
+    WITH sign AS (SELECT user_id, MIN(ts) AS s_ts FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+      SELECT s.user_id, MIN(e.ts) AS p_ts, MIN(s.s_ts) AS s_ts
+      FROM sign s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase' AND e.ts > s.s_ts
+      GROUP BY s.user_id
+    )
+    SELECT CAST((CAST(epoch(date_trunc('second', p_ts)) AS BIGINT)
+                 - CAST(epoch(date_trunc('second', s_ts)) AS BIGINT)) // 3600 AS BIGINT)
+             AS latency_hours,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM conv GROUP BY 1
+    """,
+    tags=("events", "funnel"),
+)
+def conversion_latency_histogram(spark, sf_dir):
+    """Signup→purchase latency distribution in whole hours."""
+    ev = load_table(spark, sf_dir, "events")
+    sign = (ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min("ts").alias("s_ts")))
+    pur = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    conv = (
+        sign.join(pur, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("s_ts").alias("s_ts"))
+    )
+    secs = (F.unix_timestamp(F.date_trunc("second", "p_ts"))
+            - F.unix_timestamp(F.date_trunc("second", "s_ts")))
+    return (
+        conv.select(F.floor(secs / 3600).cast("long").alias("latency_hours"))
+        .groupBy("latency_hours").agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(array_length(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+    ), mh AS (
+      SELECT doc_id,
+             MIN(substr(md5(tok), 1, 8))  AS m0, MIN(substr(md5(tok), 9, 8))  AS m1,
+             MIN(substr(md5(tok), 17, 8)) AS m2, MIN(substr(md5(tok), 25, 8)) AS m3,
+             MIN(substr(md5('x' || tok), 1, 8))  AS m4, MIN(substr(md5('x' || tok), 9, 8))  AS m5,
+             MIN(substr(md5('x' || tok), 17, 8)) AS m6, MIN(substr(md5('x' || tok), 25, 8)) AS m7
+      FROM toks GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS sig FROM mh UNION ALL
+      SELECT doc_id, 1, md5(m2 || '|' || m3) FROM mh UNION ALL
+      SELECT doc_id, 2, md5(m4 || '|' || m5) FROM mh UNION ALL
+      SELECT doc_id, 3, md5(m6 || '|' || m7) FROM mh
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                               AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id AS doc_id, d.lang AS lang
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs)
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_survivors(spark, sf_dir):
+    """End-to-end fuzzy-dedup survivor set: drop every doc that appears
+    as the larger id of an LSH candidate pair (keep-first policy)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return d.join(losers, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@register(
+    "text_normalization",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                           ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_normalization(spark, sf_dir):
+    """Canonical text-cleaning chain: lowercase → strip non-alnum →
+    collapse whitespace → trim, fingerprinted."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+@register(
+    "grouped_topk_list",
+    oracle="""
+    SELECT lang,
+           array_to_string((list_sort(list(DISTINCT source)))[1:3], ',') AS top_sources
+    FROM documents GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def grouped_topk_list(spark, sf_dir):
+    """First-k of a sorted distinct collection per group (bounded
+    collect — the safe pattern vs unbounded collect_list at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.concat_ws(",", F.slice(F.array_sort(F.collect_set("source")), 1, 3)).alias("top_sources")
+    )
+
+
+@register(
+    "streaming_dedup_ids",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+    tags=("events", "streaming", "dedup"),
+)
+def streaming_dedup_ids(spark, sf_dir):
+    """Streaming exactly-once dedup: ``dropDuplicates`` with a
+    watermark over the drained source; unique count equals the batch
+    distinct (state bounded by the watermark in production)."""
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import _events_stream
+
+    stream = (
+        _events_stream(spark, f"{sf_dir}/events.parquet")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+    )
+    name = "dedup_" + uuid.uuid4().hex[:10]
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dd_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n = spark.table(name).collect()[0].n
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.lit(n).cast("long").alias("n_unique"),
+        F.count("*").alias("n_rows"),
+    )

@@ -73,14 +73,14 @@ def sliding_window_counts(spark, sf_dir):
     "session_window_agg",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        < INTERVAL '10 minutes'
                   THEN 0 ELSE 1 END AS new_s
       FROM events
     ), sess AS (
       SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     )

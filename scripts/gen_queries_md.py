@@ -25,6 +25,7 @@ FAMILIES = OrderedDict([
     ("scale_q", "Scale techniques (salting, sampling, generators, iterative)"),
     ("misc_q", "Maps, null-safe joins, rolling fingerprints, pandas UDFs"),
     ("udf_q", "UDF / UDAF / UDTF APIs + IVF search"),
+    ("analytics_q", "Analytics compositions (retention, conversion, dedup survivors, normalization)"),
 ])
 
 
