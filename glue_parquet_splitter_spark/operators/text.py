@@ -76,12 +76,15 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def tf_idf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     toks = token_table(docs)
-    n_docs = docs.count()  # scalar dimension, broadcast into the plan
+    # corpus size stays IN the plan as a broadcast 1-row dimension —
+    # no driver-side count()/collect in the operator path
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = toks.distinct().groupBy("tok").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df_, "tok")
-        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (
