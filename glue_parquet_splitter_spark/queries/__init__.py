@@ -60,4 +60,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import udf_q  # noqa: F401
     from . import tpch2_q  # noqa: F401
     from . import analytics_q  # noqa: F401
+    from . import tpch3_q  # noqa: F401
     return REGISTRY

@@ -13,6 +13,7 @@ FAMILIES = OrderedDict([
     ("relational", "Relational core (scans, filters, joins, aggregation, set ops, subqueries)"),
     ("tpch_q", "TPC-H-style headline queries"),
     ("tpch2_q", "TPC-H wave 2 (correlated subqueries, distributions, min-cost matching)"),
+    ("tpch3_q", "TPC-H wave 3 (market share, thresholds, multi-EXISTS)"),
     ("functions_q", "Scalar function library (string / regexp / date / json / array / math / hash)"),
     ("window_q", "Window functions"),
     ("events_q", "Event-time windows & Structured Streaming"),
