@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "asof_join",
+    "ivf_topk_search",
+    "streaming_tumbling_counts",
 ]
 
 
