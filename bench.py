@@ -92,7 +92,10 @@ def bench_split_replay(spark, tmp_root: str) -> tuple[float, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.0  # non-standard dir name; don't lose the run's output
     reg = load_all_modules()
     spark = get_spark("bench")
 
@@ -117,7 +120,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf),
+        "sf": sf,
         "split_replay_rows_per_sec": round(rows_per_s),
     }))
 

@@ -17,7 +17,10 @@ def get_arg(name: str, default=None):
     """``--NAME value`` argv override, else env var, else default —
     the reference's Glue-style config scan (parquet-splitter.py:14-17)."""
     if f"--{name}" in sys.argv:
-        return sys.argv[sys.argv.index(f"--{name}") + 1]
+        i = sys.argv.index(f"--{name}") + 1
+        if i >= len(sys.argv):
+            raise SystemExit(f"--{name} requires a value")
+        return sys.argv[i]
     return os.environ.get(name, default)
 
 

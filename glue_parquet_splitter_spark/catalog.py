@@ -26,8 +26,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos epoch → µs-truncated timestamp (same value DuckDB reads)
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # nanos epoch → µs-truncated timestamp (same value DuckDB reads).
+        # Integer `div`, NOT float division: double ulp at 1.7e18 is
+        # 256 ns, which mis-truncates ~13% of values by 1 µs.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

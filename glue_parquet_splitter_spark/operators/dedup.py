@@ -62,10 +62,15 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     """
     # multiset shingles suffice: MIN is insensitive to duplicates, so
     # we skip the (doc, shingle) distinct — one less full shuffle.
+    # Each salted md5 yields four 8-hex chunks; more hashes → more salts.
     toks = shingles(docs)
-    h1, h2 = F.md5("tok"), F.md5(F.concat(F.lit("x"), F.col("tok")))
-    chunks = [F.substring(h1, 1 + 8 * i, 8).alias(f"c{i}") for i in range(4)]
-    chunks += [F.substring(h2, 1 + 8 * i, 8).alias(f"c{i + 4}") for i in range(4)]
+    n_md5 = -(-num_hashes // 4)  # ceil
+    salts = [F.md5("tok") if s == 0 else F.md5(F.concat(F.lit("x" * s), F.col("tok")))
+             for s in range(n_md5)]
+    chunks = [
+        F.substring(salts[i // 4], 1 + 8 * (i % 4), 8).alias(f"c{i}")
+        for i in range(num_hashes)
+    ]
     return (
         toks.select("doc_id", *chunks)
         .groupBy("doc_id")

@@ -54,8 +54,12 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row count {len(sp)} vs oracle {len(oracle_df)}"
     if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, oracle_df.columns)):
         return False, f"columns {sorted(sp.columns)} vs oracle {sorted(oracle_df.columns)}"
-    a, b = _canon(sp), _canon(oracle_df.rename(columns=dict(zip(oracle_df.columns, oracle_df.columns))))
-    b.columns = a.columns  # align case
+    # align oracle column case to Spark's BEFORE canonical sorting —
+    # sorting case-sensitive names independently could pair up wrong
+    # columns when cases differ
+    case_map = {c.lower(): c for c in sp.columns}
+    oracle_df = oracle_df.rename(columns={c: case_map[c.lower()] for c in oracle_df.columns})
+    a, b = _canon(sp), _canon(oracle_df)
     if a.equals(b):
         return True, "ok"
     diff = (a != b)

@@ -86,31 +86,14 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
     if missing_dates and exact_layout:
         processed = _process_batched(spark, kind, in_dir, out_dir, marker_dir,
                                      missing_dates, key)
+        if processed is None:  # batch read failed → day-by-day (skips bad days)
+            processed = _process_day_by_day(spark, kind, in_dir, out_dir,
+                                            marker_dir, missing_dates, key,
+                                            exact_layout)
     else:
-        for date in missing_dates:
-            in_path = f"{in_dir.rstrip('/')}/{date}.parquet"
-            try:
-                df = spark.read.parquet(in_path)
-            except Exception as e:  # missing/corrupt input → skip+warn
-                log.warning("[%s] unreadable: %s (%s)", kind, in_path, e)
-                continue
-            if df.isEmpty():
-                log.info("[%s] empty: %s", kind, in_path)
-                continue
-            require_columns(df, [key])
-
-            outputs = split_day(df, out_dir, date, key=key, exact_layout=exact_layout)
-            marker_path = f"{marker_dir.rstrip('/')}/{date}.json"
-            write_marker(marker_path, {
-                "kind": kind,
-                "date": date,
-                "input_key": in_path,
-                "outputs": outputs,
-                "output_count": len(outputs),
-                "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-            })
-            log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
-            processed += 1
+        processed = _process_day_by_day(spark, kind, in_dir, out_dir,
+                                        marker_dir, missing_dates, key,
+                                        exact_layout)
 
     return {
         "kind": kind,
@@ -121,8 +104,44 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
     }
 
 
+def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
+                        out_dir: str, marker_dir: str,
+                        missing_dates: list[str], key: str,
+                        exact_layout: bool) -> int:
+    """One day per Spark job — the resilient path (a bad file skips
+    only its own day, matching the reference's error taxonomy)."""
+    processed = 0
+    for date in missing_dates:
+        in_path = f"{in_dir.rstrip('/')}/{date}.parquet"
+        try:
+            df = spark.read.parquet(in_path)
+            empty = df.isEmpty()  # corrupt files surface here, not at read()
+        except Exception as e:  # missing/corrupt input → skip+warn
+            log.warning("[%s] unreadable: %s (%s)", kind, in_path, e)
+            continue
+        if empty:
+            log.info("[%s] empty: %s", kind, in_path)
+            continue
+        require_columns(df, [key])  # write failures below still propagate
+
+        outputs = split_day(df, out_dir, date, key=key, exact_layout=exact_layout)
+        marker_path = f"{marker_dir.rstrip('/')}/{date}.json"
+        write_marker(marker_path, {
+            "kind": kind,
+            "date": date,
+            "input_key": in_path,
+            "outputs": outputs,
+            "output_count": len(outputs),
+            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        })
+        log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
+        processed += 1
+    return processed
+
+
 def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
-                     marker_dir: str, missing_dates: list[str], key: str) -> int:
+                     marker_dir: str, missing_dates: list[str],
+                     key: str) -> int | None:
     """Process ALL missing days in one Spark job.
 
     The reference loops day-by-day (parquet-splitter.py:144); on Spark
@@ -150,7 +169,7 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         df = spark.read.parquet(*paths)
     except Exception as e:
         log.warning("[%s] batch read failed (%s); falling back day-by-day", kind, e)
-        return 0
+        return None  # caller runs the per-day loop, which skips bad days
     require_columns(df, [key])
     # null-key rows dropped (reference parity — pandas groupby dropna)
     df = df.filter(F.col(key).isNotNull())
@@ -158,7 +177,13 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         df.withColumn(ORDER_COL, F.monotonically_increasing_id())
         .withColumn(
             "__date",
-            F.element_at(F.split(F.input_file_name(), "/"), -1).substr(F.lit(1), F.lit(8)),
+            # basename minus '.parquet' — must mirror extract_dates, or
+            # non-8-char date keys would mis-name outputs/markers and
+            # reprocess forever
+            F.regexp_replace(
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+                r"\.parquet$", "",
+            ),
         )
     )
 
@@ -171,11 +196,19 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
             .to_parquet(path, engine="pyarrow", compression="snappy", index=False))
         return pd.DataFrame({"date": [date], "out_path": [path]})
 
-    manifest = (
-        tagged.groupBy(key, "__date")
-        .applyInPandas(_write_group, schema="date string, out_path string")
-        .collect()  # one row per (key, day) output object
-    )
+    try:
+        manifest = (
+            tagged.groupBy(key, "__date")
+            .applyInPandas(_write_group, schema="date string, out_path string")
+            .collect()  # one row per (key, day) output object
+        )
+    except Exception as e:
+        # a corrupt/unreadable file fails at EXECUTION, not at the lazy
+        # read above — fall back day-by-day so good days still process.
+        # No markers were written; partial outputs are overwrite-safe.
+        log.warning("[%s] batch job failed (%s); falling back day-by-day",
+                    kind, str(e)[:200])
+        return None
     by_date: dict[str, list[str]] = {}
     for r in manifest:
         by_date.setdefault(r.date, []).append(r.out_path)

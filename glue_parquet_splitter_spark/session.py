@@ -46,9 +46,12 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
     import zipfile
 
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), "glue_parquet_splitter_spark.zip")
-    if not os.path.exists(zpath):
+    try:
+        # fresh per-process zip: a fixed /tmp path would re-ship stale
+        # code after source edits (and collide across users)
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(tempfile.mkdtemp(prefix="gps_pkg_"),
+                             "glue_parquet_splitter_spark.zip")
         with zipfile.ZipFile(zpath, "w") as z:
             for root, _dirs, files in os.walk(pkg_dir):
                 for f in files:
@@ -56,7 +59,6 @@ def _ship_package(spark: SparkSession) -> None:
                         full = os.path.join(root, f)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         z.write(full, rel)
-    try:
         spark.sparkContext.addPyFile(zpath)
     except Exception:
         pass  # e.g. connect-only sessions; closures must then be self-contained

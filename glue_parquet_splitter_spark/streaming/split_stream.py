@@ -44,15 +44,21 @@ def run_split_stream(spark: SparkSession, in_dir: str, out_dir: str,
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        inputs = [r[0] for r in batch_df.select("__src").distinct().collect()]
-        data = batch_df.drop("__src")
-        write_partitioned(data, f"{out_dir}/batch={batch_id}", key=key)
+        batch_df = batch_df.persist()  # read source files once, not 3×
+        try:
+            # one aggregate covers emptiness, inputs, and row count
+            src_counts = batch_df.groupBy("__src").count().collect()
+            if not src_counts:
+                return
+            inputs = sorted(r["__src"] for r in src_counts)
+            n_rows = sum(r["count"] for r in src_counts)
+            write_partitioned(batch_df.drop("__src"), f"{out_dir}/batch={batch_id}", key=key)
+        finally:
+            batch_df.unpersist()
         doc = {
             "batch_id": batch_id,
-            "inputs": sorted(inputs),
-            "rows": data.count(),
+            "inputs": inputs,
+            "rows": n_rows,
             "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         os.makedirs(marker_dir, exist_ok=True)

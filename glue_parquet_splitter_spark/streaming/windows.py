@@ -34,7 +34,8 @@ def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     else:
         stream = reader.parquet(events_path)
     if dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+        # integer div — see catalog.load_table (float division loses µs)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
 
 
