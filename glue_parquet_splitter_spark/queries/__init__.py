@@ -61,4 +61,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import tpch2_q  # noqa: F401
     from . import analytics_q  # noqa: F401
     from . import tpch3_q  # noqa: F401
+    from . import timeseries_q  # noqa: F401
     return REGISTRY

@@ -27,6 +27,7 @@ FAMILIES = OrderedDict([
     ("misc_q", "Maps, null-safe joins, rolling fingerprints, pandas UDFs"),
     ("udf_q", "UDF / UDAF / UDTF APIs + IVF search"),
     ("analytics_q", "Analytics compositions (retention, conversion, dedup survivors, normalization)"),
+    ("timeseries_q", "Time-series ops (LOCF gap-fill, resampling, gap detection, cumulative)"),
 ])
 
 
