@@ -62,4 +62,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import analytics_q  # noqa: F401
     from . import tpch3_q  # noqa: F401
     from . import timeseries_q  # noqa: F401
+    from . import misc2_q  # noqa: F401
     return REGISTRY

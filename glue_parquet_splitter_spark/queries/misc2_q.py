@@ -1,0 +1,110 @@
+"""Final coverage batch: whole-row argmax, regexp backreferences,
+edit-distance pairs, ordered event-path pattern matching."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=("events", "window"),
+)
+def latest_event_per_user(spark, sf_dir):
+    """DISTINCT ON-style whole-row argmax: each user's latest event."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+    )
+
+
+@register(
+    "regexp_backrefs",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1') AS name_swapped,
+           regexp_replace(p_brand, 'Brand#(\\d+)', 'B\\1')    AS brand_short
+    FROM part
+    """,
+    tags=("scalar", "regexp"),
+)
+def regexp_backrefs(spark, sf_dir):
+    """Capture-group backreferences (Spark ``$n``, DuckDB ``\\n`` —
+    different syntax, same rewrite)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", r"(\w+) (\w+)", r"$2 $1").alias("name_swapped"),
+        F.regexp_replace("p_brand", r"Brand#(\d+)", r"B$1").alias("brand_short"),
+    )
+
+
+@register(
+    "levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("dedup", "string"),
+)
+def levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs over short strings (the string-
+    level complement of shingle Jaccard; O(n²) — bucket by length or
+    prefix at scale)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("na", "nb").cast("long"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+@register(
+    "event_path_pattern",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, path,
+           regexp_matches(path, 's.*p') AS signup_then_purchase
+    FROM paths
+    """,
+    tags=("events", "sequence", "regexp"),
+)
+def event_path_pattern(spark, sf_dir):
+    """Ordered event-path strings per user (first letter per event in
+    time order) + regex pattern detection — sequence mining on one
+    aggregate instead of multi-way self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id",
+                                                   F.substring("event_type", 1, 1).alias("c"))))
+    path = F.concat_ws("", F.transform(ordered, lambda s: s["c"]))
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .select("user_id", "path", F.col("path").rlike("s.*p").alias("signup_then_purchase"))
+    )

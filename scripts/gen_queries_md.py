@@ -28,6 +28,7 @@ FAMILIES = OrderedDict([
     ("udf_q", "UDF / UDAF / UDTF APIs + IVF search"),
     ("analytics_q", "Analytics compositions (retention, conversion, dedup survivors, normalization)"),
     ("timeseries_q", "Time-series ops (LOCF gap-fill, resampling, gap detection, cumulative)"),
+    ("misc2_q", "Whole-row argmax, regexp backrefs, edit distance, event paths"),
 ])
 
 
