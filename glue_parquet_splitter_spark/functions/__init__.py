@@ -9,19 +9,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import lsh_bands, minhash_signatures, shingles, simhash16
-from ..operators.similarity import cosine, signbit_bucket, with_norm
-
-
-def l2_norm(vec) -> F.Column:
-    """||v||₂ over an array<double> column (deterministic left fold)."""
-    v = vec if not isinstance(vec, str) else F.col(vec)
-    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-
-
-def dot(a, b) -> F.Column:
-    """Dot product of two array<double> columns."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
+from ..operators.similarity import (
+    cosine, dot, l2_norm, signbit_bucket, with_norm,
+)
 
 
 def tokens_of(text_col) -> F.Column:
@@ -32,9 +22,14 @@ def tokens_of(text_col) -> F.Column:
 def content_sample_pred(cols: list, rate_hex: str = "1999") -> F.Column:
     """Deterministic sampling predicate: md5-prefix of the key columns
     below a hex threshold (~rate_hex/0xffff of rows). Stable across
-    engines, runs and partitionings — see query ``deterministic_sample``."""
-    key = F.concat_ws("-", *[F.col(c).cast("string") for c in cols])
-    return F.substring(F.md5(key), 1, len(rate_hex)) < rate_hex
+    engines, runs and partitionings — used by ``deterministic_sample``.
+    NULL-propagating concat ('-' separated), matching SQL ``||``."""
+    parts: list = []
+    for c in cols:
+        if parts:
+            parts.append(F.lit("-"))
+        parts.append(F.col(c).cast("string"))
+    return F.substring(F.md5(F.concat(*parts)), 1, len(rate_hex)) < rate_hex
 
 
 __all__ = ["cosine", "dot", "l2_norm", "with_norm", "signbit_bucket",

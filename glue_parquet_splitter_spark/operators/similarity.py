@@ -19,20 +19,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dot(a, b) -> F.Column:
+    """Dot product of two array<double> columns (deterministic left
+    fold over zip_with — fixed element order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(v) -> F.Column:
+    """||v||₂ over an array<double> column."""
+    v = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    v = F.col(vec).cast("array<double>")
-    return df.withColumn(
-        "_norm", F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    )
+    return df.withColumn("_norm", l2_norm(F.col(vec).cast("array<double>")))
 
 
 def cosine(a, b):
-    """Cosine similarity between two array<double> columns (fold over
-    zip_with — element order fixed, so the result is deterministic)."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    """Cosine similarity between two array<double> columns."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3) -> DataFrame:

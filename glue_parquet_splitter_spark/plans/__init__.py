@@ -31,9 +31,14 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def pushed_filters(df: DataFrame) -> str:
+    """The scan's PushedFilters clause (to end-of-line — filters like
+    ``In(a, [1, 2])`` contain brackets, so no bracket matching)."""
     plan = physical_plan(df)
     i = plan.find("PushedFilters: [")
-    return "" if i < 0 else plan[i:plan.index("]", i) + 1]
+    if i < 0:
+        return ""
+    end = plan.find("\n", i)
+    return plan[i:end if end > 0 else len(plan)]
 
 
 __all__ = ["physical_plan", "formatted_plan", "final_plan",

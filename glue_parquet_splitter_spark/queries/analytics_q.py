@@ -187,10 +187,10 @@ def streaming_dedup_ids(spark, sf_dir):
     import tempfile
     import uuid
 
-    from ..streaming.windows import _events_stream
+    from ..streaming.windows import events_stream
 
     stream = (
-        _events_stream(spark, f"{sf_dir}/events.parquet")
+        events_stream(spark, f"{sf_dir}/events.parquet")
         .withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])
         .groupBy()

@@ -38,15 +38,16 @@ def latest_event_per_user(spark, sf_dir):
     "regexp_backrefs",
     oracle="""
     SELECT p_partkey,
-           regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1') AS name_swapped,
-           regexp_replace(p_brand, 'Brand#(\\d+)', 'B\\1')    AS brand_short
+           regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1', 'g') AS name_swapped,
+           regexp_replace(p_brand, 'Brand#(\\d+)', 'B\\1', 'g')    AS brand_short
     FROM part
     """,
     tags=("scalar", "regexp"),
 )
 def regexp_backrefs(spark, sf_dir):
-    """Capture-group backreferences (Spark ``$n``, DuckDB ``\\n`` —
-    different syntax, same rewrite)."""
+    """Capture-group backreferences (Spark ``$n`` replaces globally;
+    DuckDB needs ``\\n`` syntax plus the explicit ``'g'`` flag for the
+    same all-matches rewrite)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

@@ -54,10 +54,11 @@ def deterministic_sample(spark, sf_dir):
     '1999' ≈ 0x1999/0xffff ≈ 10%). Unlike ``TABLESAMPLE``, the picked
     set is stable across engines, runs, and partitionings — the
     reproducibility property a training-data pipeline needs."""
+    from ..functions import content_sample_pred
+
     li = load_table(spark, sf_dir, "lineitem")
-    h = F.md5(F.concat(F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")))
     return (
-        li.filter(F.substring(h, 1, 4) < "1999")
+        li.filter(content_sample_pred(["l_orderkey", "l_linenumber"]))
         .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
     )
 

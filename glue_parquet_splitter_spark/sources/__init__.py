@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import TABLES, load_all, load_table, register_views
-from ..streaming.windows import _events_stream as read_events_stream
+from ..streaming.windows import events_stream as read_events_stream
 
 
 def read_binary_dir(spark: SparkSession, directory: str,

@@ -47,9 +47,9 @@ def _update_user(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
 def run_user_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """Drain the events source once, maintaining per-user running
     (count, total_value) state; emits the final per-user totals."""
-    from .windows import _events_stream
+    from .windows import events_stream
 
-    stream = _events_stream(spark, events_path).select("user_id", "value")
+    stream = events_stream(spark, events_path).select("user_id", "value")
     out = stream.groupBy("user_id").applyInPandasWithState(
         _update_user,
         outputStructType=OUTPUT_SCHEMA,

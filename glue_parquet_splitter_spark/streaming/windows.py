@@ -20,7 +20,7 @@ from ..catalog import load_table
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def _events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """File-source stream over the events parquet (ns ts → µs).
 
     The file source wants a directory; when handed a single file we
@@ -48,7 +48,7 @@ def run_tumbling_count_stream(spark: SparkSession, events_path: str,
     result (equals the batch aggregation). The watermark is declared so
     the same query runs unbounded in production with bounded state.
     """
-    stream = _events_stream(spark, events_path)
+    stream = events_stream(spark, events_path)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window))
@@ -72,11 +72,11 @@ def run_stream_stream_join(spark: SparkSession, events_path: str) -> DataFrame:
     60 s, both sides watermarked so the join state is bounded. Drained
     with availableNow the emitted matches equal the batch range join —
     so the batch SQL is still the oracle."""
-    a = _events_stream(spark, events_path).select(
+    a = events_stream(spark, events_path).select(
         F.col("event_id").alias("event_a"), F.col("user_id").alias("u_a"),
         F.col("ts").alias("ts_a"),
     ).withWatermark("ts_a", "10 minutes")
-    b = _events_stream(spark, events_path).select(
+    b = events_stream(spark, events_path).select(
         F.col("event_id").alias("event_b"), F.col("user_id").alias("u_b"),
         F.col("ts").alias("ts_b"),
     ).withWatermark("ts_b", "10 minutes")
@@ -107,7 +107,7 @@ def run_late_data_stream(spark: SparkSession, events_path: str,
     """Append-mode variant: only windows finalized by the watermark are
     emitted — demonstrates late-data discard semantics. Rows-only check
     (the unfinalized tail is intentionally absent)."""
-    stream = _events_stream(spark, events_path)
+    stream = events_stream(spark, events_path)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")

@@ -9,14 +9,14 @@ the hot path.
 
 import pytest
 
+from glue_parquet_splitter_spark.plans import final_plan, physical_plan
 from glue_parquet_splitter_spark.queries import load_all_modules
 
 REG = load_all_modules()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = REG[name].fn(spark, sf_dir)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(REG[name].fn(spark, sf_dir))
 
 
 def test_broadcast_join_in_flagship(spark, sf_dir):
@@ -53,9 +53,8 @@ def test_partial_aggregation(spark, sf_dir):
 
 
 def test_whole_stage_codegen(spark, sf_dir):
-    df = REG["q1_pricing_summary"].fn(spark, sf_dir)
-    df.collect()  # AQE finalizes the plan (and codegen markers) on execution
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE finalizes the plan (and codegen markers) on execution
+    plan = final_plan(REG["q1_pricing_summary"].fn(spark, sf_dir))
     assert "WholeStageCodegen" in plan or "*(" in plan
 
 

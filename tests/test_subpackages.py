@@ -33,4 +33,5 @@ def test_plans(spark, sf_dir):
     assert P.uses_broadcast_join(j)
     f = S.load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10).select("l_orderkey")
     assert "l_quantity" in P.pushed_filters(f)
-    assert "WholeStageCodegen" in P.final_plan(j) or "*(" in P.final_plan(j)
+    final = P.final_plan(j)
+    assert "WholeStageCodegen" in final or "*(" in final
