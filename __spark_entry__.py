@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from glue_parquet_splitter_spark.queries import load_all_modules  # noqa: E402
+from glue_parquet_splitter_spark.queries import load_all_modules, ordered_registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,12 +30,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    reg = load_all_modules()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without a green row in any committed
+    CORRECTNESS_r*.json come first — the driver grades a capped prefix,
+    and rotation gets every query a hard correctness row across rounds.
+    """
+    reg = ordered_registry()
     return {name: spec.fn for name, spec in reg.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
-    reg = load_all_modules()
+    reg = ordered_registry()
     return {name: spec.oracle for name, spec in reg.items() if spec.oracle is not None}

@@ -59,6 +59,20 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
     # columns when cases differ
     case_map = {c.lower(): c for c in sp.columns}
     oracle_df = oracle_df.rename(columns={c: case_map[c.lower()] for c in oracle_df.columns})
+    # Type-kind check BEFORE canonicalization: the driver's hash is
+    # type-sensitive (5.0 vs 5 differ), while _canon collapses integral
+    # floats — so an int/float divergence (e.g. DuckDB FLOOR→DOUBLE vs
+    # Spark floor→LONG) must fail here too. Columns with nulls are
+    # exempt: pandas upcasts nullable ints to float64 on either side.
+    for c in sp.columns:
+        ka, kb = sp[c].dtype.kind, oracle_df[c].dtype.kind
+        if {ka, kb} <= {"f", "i", "u"} and ("f" in (ka, kb)) != (ka == kb == "f"):
+            if not (sp[c].isna().any() or oracle_df[c].isna().any()):
+                return False, (
+                    f"type-kind mismatch on column {c!r}: spark dtype "
+                    f"{sp[c].dtype} vs oracle {oracle_df[c].dtype} "
+                    "(int vs float — driver hash would fail)"
+                )
     a, b = _canon(sp), _canon(oracle_df)
     if a.equals(b):
         return True, "ok"

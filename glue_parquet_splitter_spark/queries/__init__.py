@@ -42,6 +42,50 @@ def register(name: str, oracle: str | None = None, tags: tuple = ()):  # decorat
     return deco
 
 
+def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]:
+    """Registry reordered so every driver-graded slot earns new signal.
+
+    The verification driver writes at most ~50 CORRECTNESS_r{N}.json rows
+    in ``queries()`` iteration order, so iteration order decides which
+    queries get a hard correctness row each round.  Rotation: queries with
+    no green row in any committed ``CORRECTNESS_r*.json`` come first
+    (oracled before rows-only, so every capped slot is hash-verifiable),
+    already-verified queries last.  Within each group, registry
+    (module-import) order is kept, so the rotation is deterministic.
+    """
+    import glob
+    import json
+    import os
+
+    reg = load_all_modules()
+    if correctness_dir is None:
+        correctness_dir = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                green.add(name)  # hard hash-verified
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(name)  # rows-only query got its (weaker) check
+
+    def group(item: tuple[str, QuerySpec]) -> int:
+        name, spec = item
+        if name in green:
+            return 2
+        return 0 if spec.oracle is not None else 1
+
+    return dict(sorted(reg.items(), key=group))
+
+
 def load_all_modules() -> dict[str, QuerySpec]:
     """Import every query module (side effect: fills REGISTRY)."""
     from . import relational  # noqa: F401

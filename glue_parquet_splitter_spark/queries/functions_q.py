@@ -285,8 +285,8 @@ def array_explode_agg(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            ROUND(abs(l_extendedprice - 30000), 2)   AS abs_diff,
-           FLOOR(l_quantity)                        AS qty_floor,
-           CEIL(l_discount * 100)                   AS disc_pct_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)        AS qty_floor,
+           CAST(CEIL(l_discount * 100) AS BIGINT)   AS disc_pct_ceil,
            ROUND(sqrt(l_extendedprice), 4)          AS price_sqrt,
            ROUND(ln(l_extendedprice + 1), 4)        AS price_ln,
            ROUND(log10(l_extendedprice + 1), 4)     AS price_log10,
