@@ -30,28 +30,54 @@ from . import register
 )
 def asof_join(spark, sf_dir):
     """As-of join: each event matched to the user's most recent order
-    day at event time. Spark lacks a native ASOF — composed as an
-    inequality join + per-event row_number top-1 (orders pre-aggregated
-    per (cust, day) so the as-of pick is unique & deterministic). At
-    scale the right side is bucketed by key and the window stays
-    key-local, so the only wide exchange is the join itself."""
+    day at event time. Spark lacks a native ASOF — composed scale-safe
+    as a union + running last-value fill: tag order-day rows and event
+    rows, union them, and within each user take the running
+    last-non-null order attributes in time order (order rows sort
+    before events at equal timestamps, so the `>=` bound is inclusive).
+    One shuffle on the key, zero row explosion — unlike the
+    inequality-join + top-1 form, whose intermediate is |events| × (all
+    earlier order days of that user) and whose broadcast side grows
+    with the fact table.  Orders are pre-aggregated per (cust, day) so
+    the as-of pick is unique & deterministic."""
     ev = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
     od = o.groupBy("o_custkey", "o_orderdate").agg(
         F.count("*").alias("n_orders"),
         F.max("o_orderkey").alias("last_orderkey"),
     )
-    joined = ev.join(
-        F.broadcast(od),
-        (ev.user_id == od.o_custkey) & (ev.ts >= od.o_orderdate),
+    right = od.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderdate", "n_orders", "last_orderkey",
     )
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"))
+    left = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("date").alias("o_orderdate"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("long").alias("last_orderkey"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = right.unionByName(left).select(
+        "is_event", "event_id",
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("asof_date"),
+        F.last("n_orders", ignorenulls=True).over(w).alias("n_orders"),
+        F.last("last_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
+    )
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        filled.filter((F.col("is_event") == 1) & F.col("asof_date").isNotNull())
         .select(
             "event_id",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_order_date"),
+            F.date_format("asof_date", "yyyy-MM-dd").alias("asof_order_date"),
             "n_orders", "last_orderkey",
         )
     )
@@ -113,13 +139,28 @@ def percentile_stats(spark, sf_dir):
     )
 
 
-@register("approx_percentile_stats", oracle=None, tags=("agg", "stats", "approx"))
+@register(
+    "approx_percentile_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(median(o_totalprice), 4) AS p50_exact,
+           TRUE AS approx_within_1pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "stats", "approx"),
+)
 def approx_percentile_stats(spark, sf_dir):
     """Sketch-based percentiles — single-pass, mergeable, the scale
-    path. Estimates are engine-specific → rows-only check."""
+    path.  Estimates are engine-specific, so the oracled contract is a
+    tolerance band: the approx_percentile (accuracy 10000) must land
+    within ±1 % of the exact interpolated median, returned as a
+    deterministic boolean next to the exact value."""
     o = load_table(spark, sf_dir, "orders")
+    exact = F.percentile("o_totalprice", F.lit(0.5))
+    est = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
     return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.round(exact, 4).alias("p50_exact"),
+        (F.abs(est - exact) <= 0.01 * exact).alias("approx_within_1pct"),
     )
 
 

@@ -59,23 +59,45 @@ def regexp_backrefs(spark, sf_dir):
 @register(
     "levenshtein_pairs",
     oracle="""
+    WITH p2 AS (
+      SELECT p_partkey, p_name,
+             CAST(length(p_name) // 4 AS BIGINT) AS band
+      FROM part
+    ), a AS (
+      SELECT p_partkey, p_name, band + d AS jband
+      FROM p2, UNNEST([-1, 0, 1]) AS t(d)
+    )
     SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    FROM a JOIN p2 b ON b.band = a.jband AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+      AND levenshtein(a.p_name, b.p_name) <= 3
     """,
     tags=("dedup", "string"),
 )
 def levenshtein_pairs(spark, sf_dir):
-    """Edit-distance near-dup pairs over short strings (the string-
-    level complement of shingle Jaccard; O(n²) — bucket by length or
-    prefix at scale)."""
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"))
-    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"))
+    """Edit-distance near-dup pairs via length-band blocking — exact,
+    no cartesian: edit distance ≤ 3 bounds the length delta to ≤ 3, so
+    every qualifying pair lands in the same or an adjacent
+    ``length // 4`` band.  One side explodes to its three candidate
+    bands (3× row fan-out), then an equi hash join on the band replaces
+    the O(n²) cross join; a length-delta pre-filter drops non-candidates
+    before the levenshtein evaluation.  Band deltas are distinct per
+    row, so no pair matches twice — the result set is identical to the
+    all-pairs baseline."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", F.expr("length(p_name) div 4").alias("band")
+    )
+    a = p.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"),
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)).alias("jband"),
+    )
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"),
+                 F.col("band").alias("jband"))
     return (
-        a.crossJoin(b)
+        a.join(b, "jband")
         .filter(F.col("key_a") < F.col("key_b"))
+        .filter(F.abs(F.length("na") - F.length("nb")) <= 3)
         .withColumn("edit_dist", F.levenshtein("na", "nb").cast("long"))
         .filter(F.col("edit_dist") <= 3)
         .select("key_a", "key_b", "edit_dist")

@@ -418,14 +418,29 @@ def agg_count_distinct(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct", oracle=None, tags=("agg", "approx"))
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp_exact,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx"),
+)
 def agg_approx_distinct(spark, sf_dir):
     """HLL-sketch count-distinct — the 100 TB path (no exact shuffle of
-    every key). No DuckDB oracle: sketch estimates are engine-specific;
-    driver records rows-only."""
+    every key).  Sketch estimates are engine-specific, so the oracled
+    contract is a tolerance band: the HLL estimate (rsd = 0.01) must
+    land within ±5 % of the exact count, returned as a deterministic
+    boolean next to the exact value (the oracle's side is
+    ``TRUE`` by construction)."""
     li = _t(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_suppkey")
+    est = F.approx_count_distinct("l_suppkey", rsd=0.01)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_supp_approx"),
+        exact.alias("n_supp_exact"),
+        (F.abs(est - exact) <= 0.05 * exact).alias("approx_within_5pct"),
     )
 
 

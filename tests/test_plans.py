@@ -74,3 +74,29 @@ def test_topk_no_global_sort_of_input(spark, sf_dir):
     full global sort."""
     plan = plan_of(spark, sf_dir, "sort_limit")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_neardup_no_cartesian(spark, sf_dir):
+    """LSH-bucket blocking must make the near-dup self-join an equi
+    hash join — never an all-pairs cartesian."""
+    plan = plan_of(spark, sf_dir, "cosine_neardup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_levenshtein_no_cartesian(spark, sf_dir):
+    """Length-band blocking must carry the edit-distance pair join as
+    an equi join on the band."""
+    plan = plan_of(spark, sf_dir, "levenshtein_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_no_join_explosion(spark, sf_dir):
+    """The as-of is a union + per-key running fill: no join node at
+    all, hence no broadcast of a fact-derived side and no per-row
+    BNLJ/cartesian."""
+    plan = plan_of(spark, sf_dir, "asof_join")
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BroadcastHashJoin", "SortMergeJoin"):
+        assert node not in plan

@@ -1,0 +1,73 @@
+"""LSH-bucketed near-dup detection vs the brute-force baseline.
+
+The registered ``cosine_neardup_pairs`` blocks candidate pairs by
+sign-bit bucket before exact verification.  These tests keep the
+all-pairs brute force as the ground truth on a seeded corpus with
+planted near-duplicates: blocking must never invent a pair
+(precision 1.0 — pairs are exact-cosine-verified) and must find the
+planted ones (sign patterns of near-identical vectors agree unless a
+blocked dimension sits at ~0)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from glue_parquet_splitter_spark.operators import similarity as S
+
+N_BASE = 60
+N_DUPS = 15
+DIM = 32
+THRESHOLD = 0.9
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(N_BASE, DIM))
+    dups = base[:N_DUPS] + rng.normal(scale=0.01, size=(N_DUPS, DIM))
+    vecs = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def _pairs(df):
+    return {(r.vec_a, r.vec_b) for r in df.collect()}
+
+
+def brute_force_pairs(corpus):
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= THRESHOLD)
+    )
+
+
+def lsh_pairs(corpus):
+    bk = corpus.select(
+        "vec_id", F.col("embedding").alias("v"),
+        S.signbit_bucket(F.col("embedding"), dims=(1, 9, 17, 25)).alias("bucket"),
+    )
+    a = bk.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= THRESHOLD)
+    )
+
+
+def test_lsh_subset_of_brute_force(spark, corpus):
+    """Exact verification on candidates → no false positives ever."""
+    assert _pairs(lsh_pairs(corpus)) <= _pairs(brute_force_pairs(corpus))
+
+
+def test_lsh_finds_planted_duplicates(spark, corpus):
+    truth = _pairs(brute_force_pairs(corpus))
+    found = _pairs(lsh_pairs(corpus))
+    assert len(truth) >= N_DUPS  # the planted near-dups are in the truth set
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
