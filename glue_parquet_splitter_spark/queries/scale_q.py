@@ -211,3 +211,38 @@ def kmeans_assign_step(spark, sf_dir):
         .groupBy(F.col("cid").alias("centroid_id"))
         .agg(F.count("*").alias("n_assigned"))
     )
+
+
+@register(
+    "bloom_join_pruning",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+    GROUP BY l_returnflag
+    """,
+    tags=("scale", "join", "bloom"),
+)
+def bloom_join_pruning(spark, sf_dir):
+    """Selective fact⋈dim join — the shape Spark's runtime Bloom filter
+    prunes: the dim filter (p_brand) survives ~1/25 of part, so the
+    optimizer can build a Bloom filter on the surviving p_partkey set
+    and push a might_contain() predicate into the lineitem scan,
+    skipping fact rows before the shuffle.  Injection is governed by
+    size thresholds (`spark.sql.optimizer.runtime.bloomFilter.*`, on by
+    default at 10 GiB app-side) — at bench scale the join broadcasts
+    instead; `tests/test_bloom_filter.py` lowers the thresholds and
+    asserts the bloom_filter_agg/might_contain plan nodes appear.  The
+    answer is plan-independent, which is what the oracle checks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )

@@ -1,0 +1,60 @@
+"""Cloud conf profile + execution-metrics observability."""
+
+import pytest
+
+from glue_parquet_splitter_spark.cloud import S3A_PROFILE, apply_s3a_profile, s3a_profile
+from glue_parquet_splitter_spark.observability import metrics_df, run_with_metrics
+from glue_parquet_splitter_spark.queries import load_all_modules
+
+REG = load_all_modules()
+
+
+def test_s3a_profile_applies_to_hadoop_conf(spark):
+    apply_s3a_profile(spark)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.attempts.maximum") == "10"       # boto3 retries=10
+    assert hconf.get("fs.s3a.connection.maximum") == "64"     # pool=64
+    assert hconf.get("fs.s3a.connection.timeout") == "120000"  # read_timeout=120s
+    assert hconf.get("fs.s3a.committer.name") == "magic"      # zero-rename commit
+
+
+def test_s3a_profile_is_a_copy():
+    prof = s3a_profile()
+    prof["spark.hadoop.fs.s3a.attempts.maximum"] = "1"
+    assert S3A_PROFILE["spark.hadoop.fs.s3a.attempts.maximum"] == "10"
+
+
+def test_run_with_metrics_flagship(spark, sf_dir):
+    """q5: metrics must show pushdown + partial agg doing their job —
+    the scans read more rows than ever cross the wire."""
+    df = REG["q5_region_revenue"].fn(spark, sf_dir)
+    rows, m = run_with_metrics(df)
+    assert m["output_rows"] == len(rows) > 0
+    assert m["scan_output_rows"] > 0
+    assert m["scan_files_read"] > 0
+    assert m["shuffle_records_written"] > 0
+    # partial aggregation: the single wide exchange carries only the
+    # pre-aggregated groups, a tiny fraction of the scanned rows
+    assert m["shuffle_records_written"] < m["scan_output_rows"] / 10
+    assert m["spill_bytes"] == 0
+
+
+def test_metrics_df_shape(spark, sf_dir):
+    df = REG["filter_project"].fn(spark, sf_dir)
+    mdf = metrics_df(spark, df)
+    assert mdf.columns == ["op_id", "node", "metric", "value"]
+    names = {r.metric for r in mdf.collect()}
+    assert "numOutputRows" in names
+
+
+def test_avro_format_documented_absence(spark, tmp_path):
+    """spark-avro is an external module; this container has no jar and
+    no network, so Avro I/O is documented-unavailable.  If a deployment
+    adds the package (--packages org.apache.spark:spark-avro), this
+    test flips to a live round-trip automatically."""
+    try:
+        spark.range(3).write.format("avro").save(str(tmp_path / "a"))
+    except Exception as e:
+        assert "Failed to find data source: avro" in str(e).split("\n")[0]
+        pytest.skip("spark-avro jar not present in this environment (documented)")
+    assert spark.read.format("avro").load(str(tmp_path / "a")).count() == 3
