@@ -78,6 +78,15 @@ def apply_s3a_profile(spark: SparkSession) -> SparkSession:
         else:
             try:
                 spark.conf.set(k, v)
-            except Exception:
-                pass  # static conf on this build — must be set at builder time
+            except Exception as e:  # noqa: BLE001 — classified below
+                msg = str(e)
+                if "CANNOT_MODIFY" in msg or "static" in msg.lower():
+                    # documented limitation: committer confs are static on
+                    # some builds — must be set at builder time instead
+                    pass
+                else:
+                    import warnings
+
+                    warnings.warn(f"apply_s3a_profile: could not set {k}: {e}",
+                                  stacklevel=2)
     return spark

@@ -56,12 +56,20 @@ def plan_metrics(df: DataFrame) -> list[dict[str, Any]]:
     return out
 
 
-def _sum_metric(nodes: list[dict], metric: str, node_contains: str | None = None) -> int:
-    return sum(
-        n["metrics"].get(metric, 0)
-        for n in nodes
-        if node_contains is None or node_contains in n["node"]
-    )
+def _sum_metric(nodes: list[dict], *metrics: str, node_contains: str | None = None) -> int:
+    """Sum a metric over matching nodes.  When several alias names are
+    given (different Spark scan operators expose different names for the
+    same quantity), only the FIRST name present on each node counts, so
+    an operator exposing both aliases is not double-counted."""
+    total = 0
+    for n in nodes:
+        if node_contains is not None and node_contains not in n["node"]:
+            continue
+        for m in metrics:
+            if m in n["metrics"]:
+                total += n["metrics"][m]
+                break
+    return total
 
 
 def run_with_metrics(df: DataFrame) -> tuple[list, dict[str, int]]:
@@ -78,13 +86,14 @@ def run_with_metrics(df: DataFrame) -> tuple[list, dict[str, int]]:
     nodes = plan_metrics(df)
     summary = {
         "output_rows": len(rows),
-        "scan_output_rows": _sum_metric(nodes, "numOutputRows", "Scan"),
-        "scan_files_read": _sum_metric(nodes, "filesNum", "Scan")
-        + _sum_metric(nodes, "numFiles", "Scan"),
-        "scan_bytes_read": _sum_metric(nodes, "filesSize", "Scan")
-        + _sum_metric(nodes, "bytesRead", "Scan"),
+        "scan_output_rows": _sum_metric(nodes, "numOutputRows", node_contains="Scan"),
+        "scan_files_read": _sum_metric(nodes, "filesNum", "numFiles", node_contains="Scan"),
+        "scan_bytes_read": _sum_metric(nodes, "filesSize", "bytesRead", node_contains="Scan"),
         "shuffle_records_written": _sum_metric(nodes, "shuffleRecordsWritten"),
         "shuffle_bytes_written": _sum_metric(nodes, "shuffleBytesWritten"),
+        # spill aliases per node: spillSize (sort/agg) vs the pair of
+        # memory/disk totals; memoryBytesSpilled+diskBytesSpilled are
+        # complementary (not aliases), so they sum with each other.
         "spill_bytes": _sum_metric(nodes, "spillSize")
         + _sum_metric(nodes, "memoryBytesSpilled")
         + _sum_metric(nodes, "diskBytesSpilled"),

@@ -75,7 +75,12 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
             if row.get("hash_match") is True:
                 green.add(name)  # hard hash-verified
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
-                green.add(name)  # rows-only query got its (weaker) check
+                # rows-only credit only while the spec STILL has no oracle;
+                # a query that later gained an oracle must rotate back to
+                # the front so its new contract gets a driver hash row.
+                spec = reg.get(name)
+                if spec is not None and spec.oracle is None:
+                    green.add(name)
 
     def group(item: tuple[str, QuerySpec]) -> int:
         name, spec = item
@@ -107,4 +112,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import tpch3_q  # noqa: F401
     from . import timeseries_q  # noqa: F401
     from . import misc2_q  # noqa: F401
+    from . import misc3_q  # noqa: F401  # keep last: rotation is import-ordered
     return REGISTRY

@@ -205,9 +205,12 @@ def streaming_dedup_ids(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    n = spark.table(name).collect()[0].n
+    # splice the drained 1-row stream result in-plan (broadcast) instead
+    # of a driver-side collect — same convention as operators/text.py.
+    unique = spark.table(name).select(F.col("n").cast("long").alias("n_unique"))
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.lit(n).cast("long").alias("n_unique"),
-        F.count("*").alias("n_rows"),
+    return (
+        ev.agg(F.count("*").alias("n_rows"))
+        .crossJoin(F.broadcast(unique))
+        .select("n_unique", "n_rows")
     )

@@ -429,12 +429,16 @@ def agg_count_distinct(spark, sf_dir):
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark, sf_dir):
-    """HLL-sketch count-distinct — the 100 TB path (no exact shuffle of
-    every key).  Sketch estimates are engine-specific, so the oracled
-    contract is a tolerance band: the HLL estimate (rsd = 0.01) must
-    land within ±5 % of the exact count, returned as a deterministic
-    boolean next to the exact value (the oracle's side is
-    ``TRUE`` by construction)."""
+    """HLL-sketch count-distinct with a tolerance-band oracle: the HLL
+    estimate (rsd = 0.01) must land within ±5 % of the exact count,
+    returned as a deterministic boolean next to the exact value (the
+    oracle's side is ``TRUE`` by construction).
+
+    NOTE: the exact ``countDistinct`` here exists ONLY to make the
+    sketch verifiable — it dominates this query's cost, so this row
+    does NOT demonstrate the sketch-only 100 TB path.  That path (no
+    exact shuffle of every distinct key) is the separately registered
+    ``agg_approx_distinct_only``, which is what the bench times."""
     li = _t(spark, sf_dir, "lineitem")
     exact = F.countDistinct("l_suppkey")
     est = F.approx_count_distinct("l_suppkey", rsd=0.01)
