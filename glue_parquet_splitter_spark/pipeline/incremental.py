@@ -58,11 +58,13 @@ def extract_dates(keys: list[str], suffix: str) -> set[str]:
 
 
 def write_marker(marker_path: str, doc: dict) -> None:
-    import os
+    """Commit a JSON marker (driver-side; any pyarrow-supported FS)."""
+    from .splitter import resolve_fs
 
-    os.makedirs(os.path.dirname(marker_path), exist_ok=True)
-    with open(marker_path, "w", encoding="utf-8") as f:
-        json.dump(doc, f, ensure_ascii=False)
+    filesystem, fs_path = resolve_fs(marker_path)
+    filesystem.create_dir(fs_path.rsplit("/", 1)[0], recursive=True)
+    with filesystem.open_output_stream(fs_path) as f:
+        f.write(json.dumps(doc, ensure_ascii=False).encode("utf-8"))
 
 
 def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
@@ -154,8 +156,7 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
     the re-run redoes those days (output overwrite keeps that safe —
     same recovery contract as the reference, :159-160 in SURVEY.md).
     """
-    from .splitter import ORDER_COL
-    import os
+    from .splitter import ORDER_COL, write_parquet_object
 
     import pandas as pd
     from pyspark.sql import functions as F
@@ -191,9 +192,7 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         pdf = pdf.sort_values(ORDER_COL)
         k, date = pdf[key].iloc[0], pdf["__date"].iloc[0]
         path = f"{out_dir}/{k}/{date}.parquet"
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        (pdf.drop(columns=[ORDER_COL, "__date"])
-            .to_parquet(path, engine="pyarrow", compression="snappy", index=False))
+        write_parquet_object(pdf.drop(columns=[ORDER_COL, "__date"]), path)
         return pd.DataFrame({"date": [date], "out_path": [path]})
 
     try:

@@ -17,14 +17,14 @@ Two writers:
 - :func:`split_day` with ``exact_layout=True`` — parity mode
   reproducing the reference's ``<k>/<d>.parquet`` layout and row order
   via ``repartition(key).applyInPandas`` (one Arrow batch per key,
-  order restored from a pre-shuffle row-id). Output paths must be on a
-  filesystem reachable from executors (local FS in tests; fsspec URI on
-  a cluster).
+  order restored from a pre-shuffle row-id). Group files are written
+  through pyarrow.fs (:func:`write_parquet_object`), so output paths
+  may be plain local paths or ``file://``/``s3://``/``s3a://``/
+  ``gs://``/``hdfs://`` URIs — no extra executor dependencies.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Iterable
 
 import pandas as pd
@@ -32,6 +32,39 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 ORDER_COL = "__row_order"
+
+
+def resolve_fs(path: str):
+    """(pyarrow filesystem, in-fs path) for a plain path or URI.
+
+    Executor-side parity writes go through pyarrow.fs — built into the
+    pyarrow wheel Spark already requires, so local, ``file://``,
+    ``s3://``/``s3a://``, ``gs://`` and ``hdfs://`` all work without
+    fsspec/s3fs on the workers.  Hadoop's ``s3a``/``s3n`` scheme names
+    map onto pyarrow's S3 implementation.
+    """
+    from pyarrow import fs as pafs
+
+    if path.startswith(("s3a://", "s3n://")):
+        path = "s3://" + path.split("://", 1)[1]
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def write_parquet_object(pdf: pd.DataFrame, path: str) -> None:
+    """Write one pandas frame as a single parquet object at ``path``
+    (any pyarrow-supported filesystem; parent dirs created)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    filesystem, fs_path = resolve_fs(path)
+    parent = fs_path.rsplit("/", 1)[0]
+    filesystem.create_dir(parent, recursive=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        fs_path, filesystem=filesystem, compression="snappy",
+    )
 
 
 def require_columns(df: DataFrame, cols: Iterable[str]) -> None:
@@ -85,8 +118,7 @@ def split_day(df: DataFrame, out_dir: str, date: str, key: str = "item_id",
         pdf = pdf.sort_values(ORDER_COL).drop(columns=[ORDER_COL])
         k = pdf[key].iloc[0]
         path = f"{out_dir}/{k}/{date}.parquet"
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        pdf.to_parquet(path, engine="pyarrow", compression="snappy", index=False)
+        write_parquet_object(pdf, path)
         return pd.DataFrame({"out_path": [path], "rows": [len(pdf)]})
 
     manifest = (
