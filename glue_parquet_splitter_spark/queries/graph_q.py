@@ -1,0 +1,200 @@
+"""Dedup clustering (connected components), incremental history dedup,
+and Z-order layout keys.
+
+These close the loop from "find duplicate pairs" to "ship a deduped
+corpus": pairs → transitive clusters → survivor policy, plus the
+incremental variant (dedup a new batch against an already-ingested
+history) and the multi-dimension clustering key a 100 TB layout wants.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators.graph import connected_components
+from . import register
+from .dedup_q import _MINHASH_ORACLE_CTE
+
+# The recursive closure needs the RECURSIVE keyword on the WITH list.
+_MINHASH_RECURSIVE_CTE = _MINHASH_ORACLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_MINHASH_RECURSIVE_CTE + """
+    , sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.doc_a
+      JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+      GROUP BY p.doc_a, p.doc_b
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4) >= 0.5
+    ), und AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified
+    ), reach AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.v
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id,
+           CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+    FROM reach GROUP BY u
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_connected_components(spark, sf_dir):
+    """Duplicate CLUSTERS from duplicate PAIRS: MinHash/LSH candidates
+    → exact-Jaccard verify (≥ 0.5) → connected components (iterative
+    min-label propagation, :mod:`..operators.graph`).  One row per doc
+    that has at least one verified duplicate; ``component`` (= min
+    doc_id in the cluster) is the survivor the keep-policy retains.
+    The oracle re-derives the closure with a recursive CTE — the
+    algorithms differ, the fixpoint must not."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = D.shingles(d, distinct=True)
+    pairs = D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
+    verified = (
+        D.jaccard(pairs, toks)
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    comp = connected_components(verified, "doc_a", "doc_b")
+    return comp.select(F.col("vertex").alias("doc_id"), "component")
+
+
+@register(
+    "dedup_against_history",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8
+    ), incoming AS (
+      SELECT doc_id + 1000000 AS doc_id, lang, md5(text) AS h
+      FROM documents WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id, lang, md5(text) AS h
+      FROM documents WHERE doc_id % 10 >= 8
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN hist.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_history,
+           CAST(SUM(CASE WHEN hist.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)     AS n_ingested
+    FROM incoming LEFT JOIN hist ON incoming.h = hist.h
+    GROUP BY lang
+    """,
+    tags=("dedup", "incremental"),
+)
+def dedup_against_history(spark, sf_dir):
+    """Incremental-ingest dedup: a new batch is checked against the
+    content-hash set of the already-ingested history (docs with
+    ``doc_id % 10 < 8``; the batch = re-ingested copies of every 25th
+    history doc + the genuinely-new tail).  The check is a left join
+    on the 32-byte hash — at 100 TB the history side is a hash-only
+    column (no text shuffled), and when the daily batch is small
+    relative to history the same plan runs as a Bloom-filter
+    pre-prune + shuffled join on survivors (``bloom_join_pruning``
+    shows that variant)."""
+    d = load_table(spark, sf_dir, "documents")
+    hist = (
+        d.filter(F.col("doc_id") % 10 < 8)
+        .select(F.md5("text").alias("h")).distinct()
+    )
+    incoming = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "lang",
+                F.md5("text").alias("h"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 >= 8)
+            .select("doc_id", "lang", F.md5("text").alias("h"))
+        )
+    )
+    joined = incoming.join(
+        hist.withColumn("_dup", F.lit(1)), "h", "left"
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_incoming"),
+        F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias("n_dup_vs_history"),
+        F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0)).alias("n_ingested"),
+    )
+
+
+def z_value(x_col, y_col, bits: int = 16):
+    """Morton/Z-order interleave of two ``bits``-wide bucket ids
+    (JVM-side integer expressions only).  Sorting or range-partitioning
+    by the z-value co-clusters BOTH dimensions, so per-file min/max
+    stats prune point/box queries on either column — the layout trick
+    Delta/Iceberg OPTIMIZE ZORDER applies, expressed as a plain
+    column.  Inputs must already be normalized to ``[0, 2^bits)``:
+    interleaving RAW values whose ranges differ by orders of magnitude
+    degenerates to a sort on the wide dimension (its high bits own
+    every significant z-bit), which is why real z-order
+    implementations bucketize per-column first."""
+    terms = [
+        (F.shiftright(x_col, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i)))
+        for i in range(bits)
+    ] + [
+        (F.shiftright(y_col, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1)))
+        for i in range(bits)
+    ]
+    return reduce(lambda a, b: a + b, terms)
+
+
+_Z_BITS = 8
+# SQL form of the 8-bit interleave, generated once so Spark and DuckDB
+# share identical bit arithmetic: bit i of x -> bit 2i, of y -> 2i+1.
+_Z_SQL = " + ".join(
+    [f"((x >> {i}) & 1) * {1 << (2 * i)}" for i in range(_Z_BITS)]
+    + [f"((y >> {i}) & 1) * {1 << (2 * i + 1)}" for i in range(_Z_BITS)]
+)
+
+
+@register(
+    "zorder_interleave",
+    oracle=f"""
+    SELECT o_orderkey, {_Z_SQL} AS zval
+    FROM (
+      SELECT o_orderkey,
+             CAST(FLOOR(CAST(o_custkey AS DOUBLE) * 256 / (ck_max + 1)) AS BIGINT) AS x,
+             CAST(FLOOR(CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS DOUBLE)
+                        * 256 / (day_max + 1)) AS BIGINT) AS y
+      FROM orders CROSS JOIN (
+        SELECT MAX(o_custkey) AS ck_max,
+               MAX(date_diff('day', DATE '1992-01-01', o_orderdate)) AS day_max
+        FROM orders)
+    )
+    """,
+    tags=("scale", "layout"),
+)
+def zorder_interleave(spark, sf_dir):
+    """Z-order clustering key over orders(o_custkey, o_orderdate):
+    each dimension is first normalized into 256 equal-width buckets
+    over its observed range (1-row global-max dim, broadcast and kept
+    in-plan — no collect), then Morton-interleaved to a 16-bit zval.
+    The normalization is the load-bearing step: custkey and epoch-day
+    spans differ by orders of magnitude, and interleaving raw values
+    would let the wide dimension own every significant bit.  The write
+    path pairs this with ``repartitionByRange(zval)`` so each output
+    file covers a small rectangle of (customer, date) space —
+    ``tests/test_zorder.py`` measures the min/max pruning win on both
+    dimensions vs a single-column sort."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1992-01-01"))
+    bounds = o.agg(F.max("o_custkey").alias("ck_max"),
+                   F.max(day).alias("day_max"))
+    x = F.floor(F.col("o_custkey").cast("double") * 256 / (F.col("ck_max") + 1))
+    y = F.floor(day.cast("double") * 256 / (F.col("day_max") + 1))
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select("o_orderkey", z_value(x, y, bits=_Z_BITS).alias("zval"))
+    )
