@@ -1,0 +1,139 @@
+"""Retrieval-style ranking and corpus-model scoring, plus the
+stream-static enrichment topology.
+
+``bm25_doc_ranking`` and ``unigram_logprob_quality`` extend the text
+surface from counting (``text_q``) to scoring: BM25 is the standard
+lexical-retrieval ranker, and mean unigram log-probability is the
+simplest corpus-language-model quality signal (the shape of the
+KenLM-perplexity filter most open LLM-data pipelines run, with the
+n-gram order at 1 so it stays exactly SQL-expressible and
+oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+_TERMS = ("spark", "table", "fast")
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _TERMS)
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM toks WHERE tok IN ({_TERMS_SQL}) GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM toks WHERE tok IN ({_TERMS_SQL}) GROUP BY tok
+    )
+    SELECT tf.doc_id,
+           ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                     * tf * ({_K1} + 1)
+                     / (tf + {_K1} * (1 - {_B} + {_B} * dl.dl / avgdl))), 4) AS bm25
+    FROM tf
+    JOIN df ON df.tok = tf.tok
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+    tags=("text", "ranking"),
+)
+def bm25_doc_ranking(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75, Lucene idf) of every document against a
+    fixed 3-term query.  Plan shape for 100 TB: one token shuffle
+    builds tf/dl; the term-df table (3 rows) and the corpus stats
+    (1 row) stay in-plan as broadcasts; the tf⋈dl join is co-keyed on
+    doc_id.  Nothing driver-side, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = dl.agg(F.count("*").cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    matched = toks.filter(F.col("tok").isin(*_TERMS))
+    tf = matched.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("double").alias("tf"))
+    df_ = matched.select("doc_id", "tok").distinct().groupBy("tok").agg(
+        F.count("*").cast("double").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * F.col("tf") * (_K1 + 1) / denom), 4).alias("bm25"))
+    )
+
+
+@register(
+    "unigram_logprob_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok
+    ), total AS (
+      SELECT SUM(c) AS total FROM freq
+    )
+    SELECT doc_id, ROUND(AVG(ln(c / total)), 4) AS avg_logprob
+    FROM toks JOIN freq ON freq.tok = toks.tok CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "ranking"),
+)
+def unigram_logprob_quality(spark, sf_dir):
+    """Mean unigram log-probability per document under the corpus's
+    own unigram model — the order-1 form of the perplexity filter
+    LLM-data pipelines run (low score = gibberish / out-of-model
+    text).  The vocabulary (tok → corpus count) is broadcast back
+    onto the token stream: at 100 TB the vocab is still millions of
+    rows, not billions, so the enrich join never shuffles the corpus;
+    the 1-row total rides along in-plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c") / F.col("total"))), 4)
+             .alias("avg_logprob"))
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: the event stream micro-batch-joins a
+    broadcast customer dimension (stream never shuffled for the join),
+    aggregates per nation, drains with availableNow in complete mode —
+    equal to the batch join+agg, which is the oracle.  See
+    :func:`..streaming.windows.run_static_enrich_stream`."""
+    from ..streaming.windows import run_static_enrich_stream
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    out = run_static_enrich_stream(spark, f"{sf_dir}/events.parquet", dim)
+    return out.select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                      "n_events", "total_value")

@@ -124,3 +124,32 @@ def run_late_data_stream(spark: SparkSession, events_path: str,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_static_enrich_stream(spark: SparkSession, events_path: str,
+                             dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch inner-joins the
+    event stream against a static (batch) dimension — the standard
+    "enrich the firehose with reference data" topology.  The dim side
+    is broadcast, so the stream is never shuffled for the join, and
+    Spark re-resolves the static side per micro-batch.  Aggregated in
+    complete mode and drained with availableNow, the result equals the
+    batch join + aggregation, which stays the oracle."""
+    stream = events_stream(spark, events_path)
+    joined = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    )
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_enrich_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -100,3 +100,43 @@ def test_asof_join_no_join_explosion(spark, sf_dir):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BroadcastHashJoin", "SortMergeJoin"):
         assert node not in plan
+
+
+def test_history_dedup_hash_join_on_hash_key(spark, sf_dir):
+    """The history check must be an equi hash join on the md5 key —
+    no cartesian, no nested loop (text never compared pairwise)."""
+    plan = plan_of(spark, sf_dir, "dedup_against_history")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_filter_partial_aggregation(spark, sf_dir):
+    """The token count must partial-aggregate map-side; no cartesian
+    anywhere in the signal join."""
+    plan = plan_of(spark, sf_dir, "gopher_quality_filter")
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark, sf_dir):
+    """The 3-row term-df dim and the 1-row stats row must broadcast;
+    the token stream is never sort-merge-joined against them."""
+    plan = plan_of(spark, sf_dir, "bm25_doc_ranking")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_vocab_broadcast(spark, sf_dir):
+    """Vocabulary enrich join: freq table broadcast onto the token
+    stream (the corpus side is never shuffled for the join)."""
+    plan = plan_of(spark, sf_dir, "unigram_logprob_quality")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_key_stays_in_scan_stage(spark, sf_dir):
+    """zval must be computed in the scan projection with the 1-row
+    bounds broadcast — no shuffle before the key exists, so a
+    repartitionByRange(zval) write is the FIRST exchange."""
+    plan = plan_of(spark, sf_dir, "zorder_interleave")
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan
