@@ -115,5 +115,6 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import misc3_q  # noqa: F401
     from . import graph_q  # noqa: F401
     from . import quality_q  # noqa: F401
-    from . import ranking_q  # noqa: F401  # new modules last: rotation is import-ordered
+    from . import ranking_q  # noqa: F401
+    from . import similarity2_q  # noqa: F401  # new modules last: rotation is import-ordered
     return REGISTRY

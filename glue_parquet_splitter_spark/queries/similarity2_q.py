@@ -1,0 +1,188 @@
+"""ANN scale techniques round 3: int8 quantization and multi-probe LSH.
+
+Two levers a 100 TB vector corpus actually pulls:
+
+- **Quantization** — store/scan int8 codes instead of float32 (4×
+  less I/O and cache footprint).  Per-vector symmetric max-abs
+  scaling; the scales cancel in cosine, so quantized cosine is just
+  the cosine of the integer code vectors.
+- **Multi-probe** — instead of widening buckets (which re-inflates
+  every query), probe the query's bucket PLUS its Hamming-distance-1
+  neighbors: sign-bit LSH loses exactly the near-dups that straddle
+  one hyperplane, and those land in a 1-bit-flipped bucket.  Probes
+  multiply only the (tiny) query side of the join; the corpus layout
+  and scan stay identical to single-probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import similarity as S
+from . import register
+
+# long-format base + per-vector max-abs + floor-int8 codes (mirrors the
+# Spark array expressions bit for bit: floor() is identical in both
+# engines, unlike round/cast whose tie and truncation rules differ)
+_QUANT_CTE = """
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), sc AS (
+      SELECT vec_id, GREATEST(MAX(ABS(x)), 1e-12) AS maxabs FROM v GROUP BY vec_id
+    ), q8 AS (
+      SELECT v.vec_id, i, CAST(FLOOR(x * 127 / maxabs) AS DOUBLE) AS q
+      FROM v JOIN sc ON sc.vec_id = v.vec_id
+    ), qn AS (
+      SELECT vec_id, SQRT(SUM(q * q)) AS nrm FROM q8 GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "ann_topk_quantized",
+    oracle=_QUANT_CTE + """
+    , qry AS (SELECT vec_id, i, q FROM q8 WHERE vec_id < 5),
+    scored AS (
+      SELECT qry.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(SUM(qry.q * c.q) / (MIN(nq.nrm) * MIN(nc.nrm)), 6) AS cos_q8
+      FROM qry JOIN q8 c ON c.i = qry.i AND c.vec_id <> qry.vec_id
+      JOIN qn nq ON nq.vec_id = qry.vec_id
+      JOIN qn nc ON nc.vec_id = c.vec_id
+      GROUP BY qry.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_q8, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_q8 DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("similarity", "quantization"),
+)
+def ann_topk_quantized(spark, sf_dir):
+    """Top-3 neighbors by INT8-QUANTIZED cosine: per-vector max-abs
+    scale, codes = floor(x·127/maxabs), and since symmetric scales
+    cancel in cosine the score is the cosine of the code vectors.
+    At 100 TB the codes column is what's stored and scanned — 4×
+    smaller than float32; ``tests/test_similarity_recall.py`` shows
+    the quantized top-1 matches the exact top-1.  floor (not
+    round/cast) keeps the codes bit-identical across engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v")
+    maxabs = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-12),
+    )
+    codes = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("maxabs", maxabs)
+        .select(
+            "vec_id",
+            F.transform(v, lambda x: F.floor(x * 127 / F.col("maxabs"))
+                        .cast("double")).alias("q"),
+        )
+    )
+    qry = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
+    scored = (
+        codes.crossJoin(F.broadcast(qry))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(S.cosine(F.col("qv"), F.col("q")), 6).alias("cos_q8"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_q8"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_q8",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_COS_CTE = """
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), norms AS (
+      SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), bk AS (
+      SELECT vec_id,
+             CAST(SUM((CASE WHEN i = 1  AND x > 0 THEN 8 ELSE 0 END)
+                    + (CASE WHEN i = 9  AND x > 0 THEN 4 ELSE 0 END)
+                    + (CASE WHEN i = 17 AND x > 0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN i = 25 AND x > 0 THEN 1 ELSE 0 END)) AS INT) AS bucket
+      FROM v WHERE i IN (1, 9, 17, 25) GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=_COS_CTE + """
+    , q AS (SELECT vec_id, bucket FROM bk WHERE vec_id < 20),
+    probes AS (
+      SELECT vec_id, bucket AS probe FROM q
+      UNION ALL SELECT vec_id, xor(bucket, 8) FROM q
+      UNION ALL SELECT vec_id, xor(bucket, 4) FROM q
+      UNION ALL SELECT vec_id, xor(bucket, 2) FROM q
+      UNION ALL SELECT vec_id, xor(bucket, 1) FROM q
+    ), cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN bk c ON c.bucket = p.probe AND c.vec_id <> p.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(SUM(a.x * b.x) / (MIN(na.nrm) * MIN(nb.nrm)), 6) AS cos_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = cand.query_id
+      JOIN norms nb ON nb.vec_id = cand.neighbor_id
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 2
+    """,
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe sign-bit LSH: each query (vec_id < 20) probes its
+    own bucket plus the 4 buckets one sign-flip away, recovering the
+    neighbors single-probe loses when a near-dup straddles one
+    hyperplane.  The probe explosion multiplies only the broadcast
+    query side (5 rows per query); the corpus scan, bucket layout and
+    join shape are identical to ``ann_lsh_bucketed``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bk = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        S.signbit_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = bk.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket")
+    probes = q.select(
+        "query_id", "qv",
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(m) for m in (8, 4, 2, 1)],
+        )).alias("bucket"),
+    )
+    cand = (
+        bk.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select("query_id", "neighbor_id", "cos_sim",
+                F.col("rank").cast("long").alias("rank"))
+    )

@@ -71,3 +71,75 @@ def test_lsh_finds_planted_duplicates(spark, corpus):
     assert len(truth) >= N_DUPS  # the planted near-dups are in the truth set
     recall = len(found & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def _multiprobe_pairs(corpus):
+    """Query side probes its bucket + the 4 Hamming-1 buckets (same
+    expansion as the registered ann_lsh_multiprobe, in pair form)."""
+    bk = corpus.select(
+        "vec_id", F.col("embedding").alias("v"),
+        S.signbit_bucket(F.col("embedding"), dims=(1, 9, 17, 25)).alias("bucket"),
+    )
+    a = bk.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.explode(F.array(
+            F.col("bucket"), *[F.col("bucket").bitwiseXOR(m) for m in (8, 4, 2, 1)]
+        )).alias("bucket"),
+    )
+    b = bk.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", S.cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= THRESHOLD)
+    )
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, corpus):
+    """Probing Hamming-1 buckets can only ADD candidates (still
+    exact-verified → precision stays 1.0), and must recover any
+    planted pair single-probe lost to one straddled hyperplane."""
+    truth = _pairs(brute_force_pairs(corpus))
+    single = _pairs(lsh_pairs(corpus))
+    multi = _pairs(_multiprobe_pairs(corpus))
+    assert single <= multi <= truth
+    recall = len(multi & truth) / len(truth)
+    assert recall >= len(single & truth) / len(truth)
+    assert recall >= 0.95, f"multiprobe recall {recall:.2f}"
+
+
+def test_quantized_top1_matches_exact(spark, corpus):
+    """INT8 floor-quantization must preserve the nearest neighbor for
+    (almost) every query on a well-separated corpus: the planted dup
+    of each base vector stays its top-1 under quantized cosine."""
+    v = F.col("embedding")
+    maxabs = F.greatest(
+        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-12),
+    )
+    codes = (
+        corpus.withColumn("m", maxabs)
+        .select("vec_id",
+                F.transform(v, lambda x: F.floor(x * 127 / F.col("m"))
+                            .cast("double")).alias("q"))
+    )
+
+    def top1(df, vec_col):
+        a = df.select(F.col("vec_id").alias("qid"), F.col(vec_col).alias("qa"))
+        b = df.select(F.col("vec_id").alias("nid"), F.col(vec_col).alias("qb"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("qid").orderBy(F.desc("cs"), "nid")
+        return {
+            r.qid: r.nid
+            for r in a.crossJoin(b).filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", S.cosine(F.col("qa"), F.col("qb")).alias("cs"))
+            .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+            .collect()
+        }
+
+    exact = top1(corpus.select("vec_id", "embedding"), "embedding")
+    quant = top1(codes, "q")
+    # every planted dup (ids N_BASE..) must keep its base as top-1
+    agree = sum(1 for k in exact if exact[k] == quant[k])
+    assert agree / len(exact) >= 0.95, f"top-1 agreement {agree}/{len(exact)}"
