@@ -51,16 +51,47 @@ S3A_PROFILE: dict[str, str] = {
     # job commit completes the multiparts; no O(files) rename storm
     "spark.hadoop.fs.s3a.committer.name": "magic",
     "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+}
+
+#: binding the magic committer into the SQL write path needs the
+#: ``spark-hadoop-cloud`` module (present on EMR/Dataproc/Databricks and
+#: any ``-Phadoop-cloud`` build; ABSENT from pip-installed pyspark).
+#: Kept separate because configuring the class when the jar is missing
+#: does not fail fast: session initialization wedges on the first conf
+#: access (observed on pyspark 4.1, local mode) — so these keys must
+#: only be applied where the class is known to resolve.
+S3A_COMMITTER_BINDING: dict[str, str] = {
     "spark.sql.sources.commitProtocolClass":
         "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
     "spark.sql.parquet.output.committer.class":
         "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
 }
 
+_CLOUD_COMMIT_CLASS = "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
 
-def s3a_profile() -> dict[str, str]:
-    """A copy of the S3A conf profile (safe to mutate/extend)."""
-    return dict(S3A_PROFILE)
+
+def cloud_committer_available(spark: SparkSession) -> bool:
+    """True iff the spark-hadoop-cloud committer classes resolve in the
+    session's JVM (i.e. the distribution shipped the hadoop-cloud module)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(_CLOUD_COMMIT_CLASS)
+        return True
+    except Exception:
+        return False
+
+
+def s3a_profile(committer_binding: bool = True) -> dict[str, str]:
+    """A copy of the S3A conf profile (safe to mutate/extend).
+
+    ``committer_binding=True`` (the cluster default) includes the
+    PathOutputCommitProtocol SQL confs — require the spark-hadoop-cloud
+    module on the classpath.  Pass ``False`` on pip/local builds (see
+    ``S3A_COMMITTER_BINDING``); the fs.s3a.* tuning is always safe.
+    """
+    prof = dict(S3A_PROFILE)
+    if committer_binding:
+        prof.update(S3A_COMMITTER_BINDING)
+    return prof
 
 
 def apply_s3a_profile(spark: SparkSession) -> SparkSession:
@@ -72,7 +103,8 @@ def apply_s3a_profile(spark: SparkSession) -> SparkSession:
     preferred for a production job.
     """
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    for k, v in S3A_PROFILE.items():
+    profile = s3a_profile(committer_binding=cloud_committer_available(spark))
+    for k, v in profile.items():
         if k.startswith("spark.hadoop."):
             hconf.set(k[len("spark.hadoop."):], v)
         else:

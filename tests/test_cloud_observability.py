@@ -18,6 +18,70 @@ def test_s3a_profile_applies_to_hadoop_conf(spark):
     assert hconf.get("fs.s3a.committer.name") == "magic"      # zero-rename commit
 
 
+def test_s3a_profile_builder_time_subprocess():
+    """Builder-time application — the production path (`cloud.py` usage
+    doc): confs passed via ``SparkSession.builder.config`` must land in
+    the Hadoop configuration of the fresh JVM.  Runs in a subprocess
+    because the suite's shared session already owns this JVM.
+
+    Uses ``committer_binding=False`` — pip-installed pyspark lacks the
+    spark-hadoop-cloud module, and configuring PathOutputCommitProtocol
+    without the jar wedges session init (first conf access hangs); see
+    ``cloud.S3A_COMMITTER_BINDING``."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+from glue_parquet_splitter_spark.cloud import s3a_profile
+
+builder = (SparkSession.builder.master("local[1]")
+           .appName("s3a-builder-probe")
+           .config("spark.ui.enabled", "false"))
+for k, v in s3a_profile(committer_binding=False).items():
+    builder = builder.config(k, v)
+spark = builder.getOrCreate()
+hconf = spark.sparkContext._jsc.hadoopConfiguration()
+assert hconf.get("fs.s3a.attempts.maximum") == "10", hconf.get("fs.s3a.attempts.maximum")
+assert hconf.get("fs.s3a.connection.maximum") == "64"
+assert hconf.get("fs.s3a.committer.name") == "magic"
+assert hconf.get("fs.s3a.fast.upload.buffer") == "disk"
+spark.stop()
+print("BUILDER_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "BUILDER_OK" in out.stdout
+
+
+def test_cloud_committer_binding_gating(spark):
+    """The full profile carries the PathOutputCommitProtocol binding; the
+    portable profile omits it; the availability probe answers honestly
+    for this JVM (pip pyspark ships no spark-hadoop-cloud jar, but a
+    cluster distribution would flip it to True with no code change)."""
+    from glue_parquet_splitter_spark.cloud import (
+        S3A_COMMITTER_BINDING,
+        cloud_committer_available,
+    )
+
+    full = s3a_profile()
+    portable = s3a_profile(committer_binding=False)
+    for k in S3A_COMMITTER_BINDING:
+        assert k in full
+        assert k not in portable
+    available = cloud_committer_available(spark)
+    assert available is False  # documented environment fact for pip pyspark
+    # and apply_s3a_profile must therefore have skipped the binding keys
+    apply_s3a_profile(spark)
+    assert spark.conf.get("spark.sql.sources.commitProtocolClass", None) in (
+        None,
+        "org.apache.spark.sql.execution.datasources.SQLHadoopMapReduceCommitProtocol",
+    )
+
+
 def test_s3a_profile_is_a_copy():
     prof = s3a_profile()
     prof["spark.hadoop.fs.s3a.attempts.maximum"] = "1"
