@@ -116,5 +116,6 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import graph_q  # noqa: F401
     from . import quality_q  # noqa: F401
     from . import ranking_q  # noqa: F401
-    from . import similarity2_q  # noqa: F401  # new modules last: rotation is import-ordered
+    from . import similarity2_q  # noqa: F401
+    from . import warehouse_q  # noqa: F401  # new modules last: rotation is import-ordered
     return REGISTRY

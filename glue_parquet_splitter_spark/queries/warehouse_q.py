@@ -1,0 +1,295 @@
+"""Warehouse-maintenance operators the reference's users reach for
+next: CDC MERGE (upsert/delete apply), SCD2 interval builds, batch
+sessionization, column profiling, and Markov transition counts.
+
+All are pure DataFrame compositions — one hash-partitioned shuffle on
+the natural key each, no driver-side loops — so they hold at 100 TB:
+MERGE is a single full-outer hash join on the primary key; SCD2 /
+sessionization are per-entity window scans (one shuffle on the entity
+key); profiling is a single-pass aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "merge_upsert_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ), changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END AS op,
+             ROUND(o_totalprice + 100.0, 2) AS new_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+           CASE WHEN c.op = 'U' THEN c.new_totalprice
+                ELSE b.o_totalprice END AS total_price,
+           CASE WHEN c.op = 'U' AND b.o_orderkey IS NOT NULL THEN 'updated'
+                WHEN c.op = 'U' THEN 'inserted'
+                ELSE 'kept' END AS merge_action
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE NOT (c.op = 'D' AND b.o_orderkey IS NOT NULL)  -- delete applied
+      AND NOT (c.op = 'D' AND b.o_orderkey IS NULL)      -- delete of absent: no-op
+    """,
+    tags=("warehouse", "merge", "join"),
+)
+def merge_upsert_apply(spark, sf_dir):
+    """MERGE INTO semantics without a table format: apply a CDC change
+    set (upserts + deletes) onto a base snapshot as one full-outer hash
+    join on the primary key.  WHEN MATCHED AND op='U' → update; WHEN NOT
+    MATCHED AND op='U' → insert; WHEN MATCHED AND op='D' → delete.
+
+    Scale: both sides shuffle once on ``o_orderkey``; with the base
+    bucketed by key (``write_partitioned``) the join is co-located and
+    only the (small) change set moves.  The change set is derived
+    deterministically from ``orders`` so the oracle is SQL-expressible.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 4 != 3).select(
+        "o_orderkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    changes = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 8 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("o_totalprice") + 100.0, 2).alias("new_totalprice"),
+    )
+    j = base.alias("b").join(
+        changes.alias("c"), F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer"
+    )
+    matched = F.col("b.o_orderkey").isNotNull()
+    return (
+        j.where(~((F.col("c.op") == "D") & matched))
+        .where(~((F.col("c.op") == "D") & ~matched))
+        .select(
+            F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
+            F.when(F.col("c.op") == "U", F.col("c.new_totalprice"))
+            .otherwise(F.col("b.o_totalprice")).alias("total_price"),
+            F.when((F.col("c.op") == "U") & matched, F.lit("updated"))
+            .when(F.col("c.op") == "U", F.lit("inserted"))
+            .otherwise(F.lit("kept")).alias("merge_action"),
+        )
+    )
+
+
+@register(
+    "scd2_event_type_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts), '%Y-%m-%d %H:%M:%S'),
+             '9999-12-31 00:00:00') AS valid_to
+    FROM changes
+    """,
+    tags=("warehouse", "scd2", "window"),
+)
+def scd2_event_type_intervals(spark, sf_dir):
+    """SCD type-2 history build: collapse each user's event-type stream
+    into validity intervals ``[valid_from, valid_to)`` — a change row
+    opens an interval, the next change closes it, the current state gets
+    the open-ended 9999-12-31 sentinel.
+
+    Scale: two window passes over the same ``user_id`` partitioning —
+    one shuffle total (Spark reuses the partitioning for the second
+    window), no joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", TS_FMT).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w2), TS_FMT),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL '30 minutes' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_idx
+      FROM gaps
+    )
+    SELECT user_id, session_idx,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    tags=("warehouse", "session", "window"),
+)
+def sessionize_events(spark, sf_dir):
+    """Batch sessionization with a 30-minute inactivity timeout: the
+    lag-gap → flag → running-sum idiom assigns stable per-user session
+    indexes, then one aggregate summarizes each session.  Complements
+    ``session_window_agg`` (the built-in session_window) by exposing the
+    session *identity*, which downstream joins need.
+
+    Scale: the window and the groupBy share the ``user_id`` hash
+    partitioning — one shuffle, then map-side-combinable agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_idx", F.sum("is_new").over(run))
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "dq_profile_summary",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           COUNT(*) - COUNT(o_custkey) AS null_count,
+           COUNT(DISTINCT o_custkey) AS distinct_count,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+           COUNT(DISTINCT o_orderdate),
+           strftime(MIN(o_orderdate), '%Y-%m-%d'), strftime(MAX(o_orderdate), '%Y-%m-%d')
+    FROM orders
+    """,
+    tags=("warehouse", "quality", "profile"),
+)
+def dq_profile_summary(spark, sf_dir):
+    """Data-quality column profile (null count, distinct count, min/max
+    as strings) for a fixed column set — the expectations-suite input.
+
+    Scale: ONE pass over the table computing every per-column statistic
+    in a single aggregate (not one scan per column as the naive UNION
+    oracle spells it); the result unpivots driver-free via ``stack``.
+    Distinct counts are exact here to stay oracle-checkable —
+    ``agg_approx_distinct_only`` demonstrates the sketch path to use
+    when a ±2 % answer is acceptable at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    agg = orders.agg(
+        (n - F.count("o_custkey")).alias("nc_custkey"),
+        F.countDistinct("o_custkey").alias("dc_custkey"),
+        F.min("o_custkey").cast("string").alias("min_custkey"),
+        F.max("o_custkey").cast("string").alias("max_custkey"),
+        (n - F.count("o_orderstatus")).alias("nc_status"),
+        F.countDistinct("o_orderstatus").alias("dc_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        (n - F.count("o_totalprice")).alias("nc_price"),
+        F.countDistinct("o_totalprice").alias("dc_price"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("max_price"),
+        (n - F.count("o_orderdate")).alias("nc_date"),
+        F.countDistinct("o_orderdate").alias("dc_date"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("max_date"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, "
+            "'o_custkey',     nc_custkey, dc_custkey, min_custkey, max_custkey, "
+            "'o_orderstatus', nc_status,  dc_status,  min_status,  max_status, "
+            "'o_totalprice',  nc_price,   dc_price,   min_price,   max_price, "
+            "'o_orderdate',   nc_date,    dc_date,    min_date,    max_date) "
+            "AS (col_name, null_count, distinct_count, min_value, max_value)"
+        )
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, COUNT(*) AS n_transitions
+    FROM steps WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tags=("warehouse", "sequence", "window"),
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over per-user event streams
+    (the from→to matrix behind funnel and next-action models).
+
+    Scale: one ``user_id`` window shuffle, then a tiny (|types|²-row)
+    map-side-combined aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        steps.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -140,3 +140,36 @@ def test_zorder_key_stays_in_scan_stage(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "zorder_interleave")
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_merge_upsert_single_join(spark, sf_dir):
+    """MERGE apply is exactly one join on the primary key — no extra
+    shuffle, no cartesian, delete/update/insert all resolved in the
+    join's projection."""
+    plan = plan_of(spark, sf_dir, "merge_upsert_apply")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin")
+    assert joins == 1, f"expected exactly 1 join, plan:\n{plan[:2000]}"
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """Both window passes share the user_id partitioning: one exchange."""
+    plan = plan_of(spark, sf_dir, "scd2_event_type_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Window + groupBy share the user_id hash partitioning: one
+    exchange, and the session aggregate partial-aggregates map-side."""
+    plan = plan_of(spark, sf_dir, "sessionize_events")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "partial_" in plan
+
+
+def test_dq_profile_single_scan(spark, sf_dir):
+    """The column profile is one pass: a single orders scan computes
+    every per-column statistic (the UNION-ALL oracle shape would scan
+    four times)."""
+    plan = plan_of(spark, sf_dir, "dq_profile_summary")
+    assert plan.count("Scan parquet") == 1, plan[:2000]
