@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "asof_join",
     "ivf_topk_search",
     "streaming_tumbling_counts",
+    "merge_upsert_apply",
+    "sessionize_events",
 ]
 
 

@@ -1,0 +1,74 @@
+"""Streaming wave 2: gap sessionization and windowed top-k as real
+Structured Streaming jobs (availableNow drain ⇒ batch-equal results,
+so plain SQL stays the oracle — same contract as the other streaming
+queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "streaming_session_window_agg",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       < INTERVAL '10 minutes'
+                  THEN 0 ELSE 1 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session"),
+)
+def streaming_session_window_agg(spark, sf_dir):
+    """Gap-based sessionization on a live stream: ``session_window``
+    merges per-user session state across micro-batches, watermark
+    bounds the state.  Batch twin: ``session_window_agg`` (same
+    oracle).  See :func:`..streaming.windows.run_session_window_stream`.
+    """
+    load_table(spark, sf_dir, "events")  # ns-ts session conf side effect
+    from ..streaming.windows import run_session_window_stream
+
+    return run_session_window_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_windowed_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT window_start, event_type, n FROM ranked WHERE rk = 1
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def streaming_windowed_topk(spark, sf_dir):
+    """Top event type per hour over a stream: watermarked streaming
+    counts (the unbounded half), rank-within-window applied after the
+    drain where every window is final — Structured Streaming's
+    documented two-phase top-k topology.  See
+    :func:`..streaming.windows.run_windowed_topk_stream`."""
+    load_table(spark, sf_dir, "events")  # ns-ts session conf side effect
+    from ..streaming.windows import run_windowed_topk_stream
+
+    return run_windowed_topk_stream(spark, f"{sf_dir}/events.parquet")

@@ -153,3 +153,72 @@ def run_static_enrich_stream(spark: SparkSession, events_path: str,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_session_window_stream(spark: SparkSession, events_path: str,
+                              gap: str = "10 minutes",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-sessionization: ``session_window`` merges a user's
+    events into variable-length sessions as they arrive; the watermark
+    bounds the merge state (a session older than max-event-time −
+    watermark can never grow again and its state is dropped in append
+    mode).  Drained complete with availableNow, the finalized sessions
+    equal batch sessionization, so the batch gaps-and-islands SQL stays
+    the oracle."""
+    stream = events_stream(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("second", "session_window.start"),
+                          TS_FMT).alias("session_start"),
+            "n_events", "session_value",
+        )
+    )
+    name = "stream_sess_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_windowed_topk_stream(spark: SparkSession, events_path: str,
+                             window: str = "1 hour",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Streaming windowed top-k: the unbounded half (per-window
+    per-type counts) runs as a watermarked streaming aggregation; the
+    rank-within-window finishing step is applied to the drained result,
+    where each window is final.  This is the standard two-phase split —
+    Structured Streaming forbids window functions on a live stream, so
+    the rank belongs in the finishing/serving layer."""
+    from pyspark.sql import Window as W
+
+    stream = events_stream(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", TS_FMT).alias("window_start"),
+                "event_type", "n")
+    )
+    name = "stream_topk_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_topk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    drained = spark.table(name)
+    rk = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (drained.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") == 1).drop("rk"))
