@@ -116,7 +116,13 @@ def main() -> None:
         timings[name] = round(best, 3)
         # one extra metrics pass (not timed): shuffle volume is stable
         # across runs, so it is the regression signal wall-time is not
-        # on a noisy shared host.
+        # on a noisy shared host.  Streaming entries are excluded: their
+        # fn() runs the stream eagerly and returns the drained memory
+        # sink, whose plan has no exchange — the metrics would measure
+        # the sink read (~0 bytes), not the streaming job, while paying
+        # a full extra stream run.
+        if "streaming" in reg[name].tags:
+            continue
         try:
             _, summary = run_with_metrics(reg[name].fn(spark, sf_dir))
             shuffle_bytes[name] = summary["shuffle_bytes_written"]

@@ -72,6 +72,20 @@ def _sum_metric(nodes: list[dict], *metrics: str, node_contains: str | None = No
     return total
 
 
+def _spill_bytes(nodes: list[dict]) -> int:
+    """Per-node spill: ``spillSize`` where exposed, else the
+    memory+disk pair — an operator exposing both forms is not
+    double-counted."""
+    total = 0
+    for n in nodes:
+        m = n["metrics"]
+        if "spillSize" in m:
+            total += m["spillSize"]
+        else:
+            total += m.get("memoryBytesSpilled", 0) + m.get("diskBytesSpilled", 0)
+    return total
+
+
 def run_with_metrics(df: DataFrame) -> tuple[list, dict[str, int]]:
     """Execute ``df`` and return (rows, summary metrics).
 
@@ -91,12 +105,11 @@ def run_with_metrics(df: DataFrame) -> tuple[list, dict[str, int]]:
         "scan_bytes_read": _sum_metric(nodes, "filesSize", "bytesRead", node_contains="Scan"),
         "shuffle_records_written": _sum_metric(nodes, "shuffleRecordsWritten"),
         "shuffle_bytes_written": _sum_metric(nodes, "shuffleBytesWritten"),
-        # spill aliases per node: spillSize (sort/agg) vs the pair of
-        # memory/disk totals; memoryBytesSpilled+diskBytesSpilled are
-        # complementary (not aliases), so they sum with each other.
-        "spill_bytes": _sum_metric(nodes, "spillSize")
-        + _sum_metric(nodes, "memoryBytesSpilled")
-        + _sum_metric(nodes, "diskBytesSpilled"),
+        # per node: spillSize (sort/agg) is an alias for the same spill
+        # the memory/disk pair reports — take whichever form the node
+        # exposes, never both (the pair itself sums: memory+disk are
+        # complementary halves, not aliases of each other)
+        "spill_bytes": _spill_bytes(nodes),
     }
     return rows, summary
 

@@ -44,6 +44,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .localCheckpoint()  # reused every round; cut provenance once
     )
     comp = und.select("u").distinct().withColumn("comp", F.col("u"))
+    changed = 1
     for _ in range(max_iter):
         nb_min = (
             und.join(comp.withColumnRenamed("u", "v"), "v")
@@ -63,4 +64,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         comp = new
         if changed == 0:
             break
+    if changed != 0:
+        # labels were still moving on the last round: returning them
+        # would silently split long chains into multiple components
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter — "
+            "min-label propagation needs ~diameter rounds"
+        )
     return comp.select(F.col("u").alias("vertex"), F.col("comp").alias("component"))

@@ -175,6 +175,7 @@ def gopher_quality_filter(spark, sf_dir):
 
 _LANG_RATE_HEX = {"en": "cccc", "es": "8000", "de": "4000", "fr": "2000",
                   "ja": "1000"}  # ≈ 80/50/25/12.5/6.25 %
+_DEFAULT_RATE_HEX = "1000"  # any language not in the map (oracle ELSE)
 
 
 @register(
@@ -196,10 +197,11 @@ def stratified_sample_by_lang(spark, sf_dir):
     across engines, runs and partitionings, and the filter is a scan-
     local expression: no shuffle, no driver-side state."""
     d = _docs(spark, sf_dir)
-    rate = F.when(F.col("lang") == "en", "cccc")
-    for lg, hx in list(_LANG_RATE_HEX.items())[1:-1]:
-        rate = rate.when(F.col("lang") == lg, hx)
-    rate = rate.otherwise("1000")
+    rate = None
+    for lg, hx in _LANG_RATE_HEX.items():
+        rate = F.when(F.col("lang") == lg, hx) if rate is None else rate.when(
+            F.col("lang") == lg, hx)
+    rate = rate.otherwise(_DEFAULT_RATE_HEX)
     pred = F.substring(
         F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 4
     ) < rate

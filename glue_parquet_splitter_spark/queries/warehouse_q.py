@@ -28,9 +28,9 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
       FROM orders WHERE o_orderkey % 4 <> 3
     ), changes AS (
       SELECT o_orderkey,
-             CASE WHEN o_orderkey % 8 = 0 THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN o_orderkey % 9 = 0 THEN 'D' ELSE 'U' END AS op,
              ROUND(o_totalprice + 100.0, 2) AS new_totalprice
-      FROM orders WHERE o_orderkey % 2 = 0
+      FROM orders WHERE o_orderkey % 3 = 0
     )
     SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
            CASE WHEN c.op = 'U' THEN c.new_totalprice
@@ -38,9 +38,11 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
            CASE WHEN c.op = 'U' AND b.o_orderkey IS NOT NULL THEN 'updated'
                 WHEN c.op = 'U' THEN 'inserted'
                 ELSE 'kept' END AS merge_action
+    -- COALESCE keeps NULL-extended base-only rows out of the 'D' test:
+    -- a bare  NOT (c.op = 'D')  is NULL for them and would drop every
+    -- unchanged base row under three-valued logic
     FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
-    WHERE NOT (c.op = 'D' AND b.o_orderkey IS NOT NULL)  -- delete applied
-      AND NOT (c.op = 'D' AND b.o_orderkey IS NULL)      -- delete of absent: no-op
+    WHERE COALESCE(c.op, '') <> 'D'  -- matched delete applied; absent delete no-op
     """,
     tags=("warehouse", "merge", "join"),
 )
@@ -53,16 +55,23 @@ def merge_upsert_apply(spark, sf_dir):
     Scale: both sides shuffle once on ``o_orderkey``; with the base
     bucketed by key (``write_partitioned``) the join is co-located and
     only the (small) change set moves.  The change set is derived
-    deterministically from ``orders`` so the oracle is SQL-expressible.
+    deterministically from ``orders`` so the oracle is SQL-expressible,
+    and the %4/%3/%9 slices guarantee every branch fires: matched
+    update, unmatched insert (keys ≡3 mod 4 are not in base), matched
+    delete, absent delete, and untouched base rows.
+
+    The keep-filter must COALESCE the change op before comparing: on a
+    NULL-extended base-only row ``op = 'D'`` is NULL, and a bare
+    ``NOT (op = 'D')`` would silently drop every unchanged base row.
     """
     orders = load_table(spark, sf_dir, "orders")
     base = orders.where(F.col("o_orderkey") % 4 != 3).select(
         "o_orderkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),
     )
-    changes = orders.where(F.col("o_orderkey") % 2 == 0).select(
+    changes = orders.where(F.col("o_orderkey") % 3 == 0).select(
         "o_orderkey",
-        F.when(F.col("o_orderkey") % 8 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.when(F.col("o_orderkey") % 9 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
         F.round(F.col("o_totalprice") + 100.0, 2).alias("new_totalprice"),
     )
     j = base.alias("b").join(
@@ -70,8 +79,7 @@ def merge_upsert_apply(spark, sf_dir):
     )
     matched = F.col("b.o_orderkey").isNotNull()
     return (
-        j.where(~((F.col("c.op") == "D") & matched))
-        .where(~((F.col("c.op") == "D") & ~matched))
+        j.where(F.coalesce(F.col("c.op"), F.lit("")) != "D")
         .select(
             F.coalesce(F.col("b.o_orderkey"), F.col("c.o_orderkey")).alias("o_orderkey"),
             F.when(F.col("c.op") == "U", F.col("c.new_totalprice"))

@@ -28,12 +28,14 @@ def test_s3a_profile_builder_time_subprocess():
     spark-hadoop-cloud module, and configuring PathOutputCommitProtocol
     without the jar wedges session init (first conf access hangs); see
     ``cloud.S3A_COMMITTER_BINDING``."""
+    import os
     import subprocess
     import sys
 
-    code = """
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = f"""
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, {repo_root!r})
 from pyspark.sql import SparkSession
 from glue_parquet_splitter_spark.cloud import s3a_profile
 
@@ -72,9 +74,12 @@ def test_cloud_committer_binding_gating(spark):
     for k in S3A_COMMITTER_BINDING:
         assert k in full
         assert k not in portable
-    available = cloud_committer_available(spark)
-    assert available is False  # documented environment fact for pip pyspark
-    # and apply_s3a_profile must therefore have skipped the binding keys
+    if cloud_committer_available(spark):
+        # a distribution that ships spark-hadoop-cloud: the profile may
+        # bind the committer — nothing further to assert here
+        apply_s3a_profile(spark)
+        return
+    # pip pyspark: no jar — apply must have skipped the binding keys
     apply_s3a_profile(spark)
     assert spark.conf.get("spark.sql.sources.commitProtocolClass", None) in (
         None,

@@ -48,3 +48,18 @@ def test_random_graph_matches_union_find(spark):
     rng = random.Random(42)
     edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
     _run(spark, edges)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter hops must raise, not silently
+    return split components."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)
+    # and with enough rounds the same chain is one component
+    comp = connected_components(edges, max_iter=10).collect()
+    assert len({r.component for r in comp}) == 1
