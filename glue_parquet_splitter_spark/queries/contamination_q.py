@@ -1,0 +1,126 @@
+"""Benchmark decontamination and corpus mixing — the two curation ops
+between dedup and training: drop training documents that leak
+evaluation data (n-gram collision, the GPT-3/PaLM decontamination
+recipe), and compute per-source resampling weights that hit a target
+token distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+NGRAM = 8  # overlap window: long enough that natural re-use is rare
+
+
+@register(
+    "decontamination_ngram_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+    ), bench AS (
+      -- eval items "scraped from the web": the 12-token prefix of every
+      -- 41st document, i.e. 5 overlapping 8-grams each
+      SELECT DISTINCT md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, 6)) AS t(i)
+      WHERE doc_id % 41 = 0 AND len(w) >= 12
+    )
+    SELECT grams.doc_id AS doc_id,
+           CAST(COUNT(DISTINCT grams.g) AS BIGINT) AS n_overlap_grams
+    FROM grams JOIN bench USING (g)
+    GROUP BY grams.doc_id
+    """,
+    tags=("curation", "decontamination", "text"),
+)
+def decontamination_ngram_overlap(spark, sf_dir):
+    """Training-set decontamination: flag corpus documents sharing any
+    8-gram with a benchmark set (the GPT-3/PaLM recipe).  The benchmark
+    here is derived as the 12-token prefix of every 41st document —
+    eval items that were scraped from the corpus — so contamination is
+    planted by construction and the graded row is never vacuous: each
+    source document must at minimum flag itself.  Grams are md5-hashed
+    map-side, so the join key is a 32-byte digest, not text.
+
+    Scale: the benchmark gram set is eval-benchmark-sized (thousands of
+    items, not billions) — broadcast it; the corpus side streams through
+    a map-side hash semi-join and only colliding grams reach the
+    per-doc count.  The corpus is never shuffled on raw text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM),
+                lambda i: F.md5(F.array_join(F.slice("w", i + 1, NGRAM), " ")),
+            )
+        ).alias("g"),
+    )
+    bench = (
+        toks.where((F.col("doc_id") % 41 == 0) & (F.size("w") >= 12))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(4)),
+                    lambda i: F.md5(F.array_join(F.slice("w", i + 1, NGRAM), " ")),
+                )
+            ).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap_grams"))
+    )
+
+
+@register(
+    "domain_mix_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND((1.0 / (SELECT COUNT(*) FROM per_source))
+                 / (n_tokens * 1.0 / (SELECT SUM(n_tokens) FROM per_source)),
+                 4) AS mix_weight
+    FROM per_source
+    """,
+    tags=("curation", "sampling"),
+)
+def domain_mix_weights(spark, sf_dir):
+    """Per-source resampling weights for a uniform token budget:
+    weight = target share (1/|sources|) ÷ actual token share.  A source
+    over-represented in the crawl gets weight < 1 (downsample), a rare
+    one > 1 (upsample/repeat) — the corpus-mixing table a loader
+    consumes.
+
+    Scale: one map-side-combined aggregate to per-source rows (≤
+    thousands), then the totals ride along as a broadcast 1-row dim —
+    no driver collect, no second scan of the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    totals = per_source.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("n_tokens") / F.col("total_tokens")),
+            4,
+        ).alias("mix_weight"),
+    )
