@@ -29,6 +29,14 @@ FAMILIES = OrderedDict([
     ("analytics_q", "Analytics compositions (retention, conversion, dedup survivors, normalization)"),
     ("timeseries_q", "Time-series ops (LOCF gap-fill, resampling, gap detection, cumulative)"),
     ("misc2_q", "Whole-row argmax, regexp backrefs, edit distance, event paths"),
+    ("misc3_q", "Planted-fixture dedup/near-dup variants, approx-only sketches"),
+    ("graph_q", "Graph ops (connected-component dedup clustering, history dedup)"),
+    ("quality_q", "Corpus curation (Gopher-style filters, repetition, sampling, packing, PII)"),
+    ("ranking_q", "Ranking & LM quality (BM25, unigram log-prob, stream-static enrich)"),
+    ("similarity2_q", "ANN wave 2 (INT8-quantized cosine, multi-probe LSH)"),
+    ("warehouse_q", "Warehouse maintenance (CDC MERGE, SCD2, sessionization, profiling)"),
+    ("streaming2_q", "Streaming wave 2 (session windows, windowed top-k)"),
+    ("contamination_q", "Benchmark decontamination & domain mixing"),
 ])
 
 
