@@ -119,5 +119,6 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import similarity2_q  # noqa: F401
     from . import warehouse_q  # noqa: F401
     from . import streaming2_q  # noqa: F401
-    from . import contamination_q  # noqa: F401  # new modules last: rotation is import-ordered
+    from . import contamination_q  # noqa: F401
+    from . import scale2_q  # noqa: F401  # new modules last: rotation is import-ordered
     return REGISTRY

@@ -1,0 +1,127 @@
+"""Scale patterns wave 2: mergeable sketches (the pre-aggregation
+contract that makes 100 TB distinct-counting incremental), algebraic
+partial-state merge (incremental view maintenance), and fixed-size
+per-group reservoir sampling."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "hll_union_daily",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
+           TRUE AS sketch_within_5pct
+    FROM orders GROUP BY 1
+    """,
+    tags=("scale", "approx", "sketch"),
+)
+def hll_union_daily(spark, sf_dir):
+    """Incremental distinct via mergeable HLL sketches: build one
+    sketch per (month, day) — the granularity a daily pipeline would
+    persist — then ``hll_union_agg`` merges the day sketches into the
+    month estimate WITHOUT rescanning history.  That merge step is the
+    100 TB pattern: each new day touches only its own data, and a
+    month/quarter/lifetime rollup is a union of kilobyte sketches.
+
+    The exact count exists ONLY to make the sketch verifiable (oracle
+    band ±5 %); the sketch path alone is what a production rollup runs.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    daily = o.groupBy(month, F.col("o_orderdate").alias("day")).agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    monthly_est = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.groupBy(month).agg(F.countDistinct("o_custkey").alias("n_cust_exact"))
+    return exact.join(monthly_est, "month").select(
+        "month",
+        "n_cust_exact",
+        (F.abs(F.col("est") - F.col("n_cust_exact"))
+         <= 0.05 * F.col("n_cust_exact")).alias("sketch_within_5pct"),
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    -- exact decimal states only (count/sum/max): a divided-out AVG is
+    -- engine-boundary-flaky (DuckDB division is DOUBLE), and the merge
+    -- contract is about the states anyway — the consumer divides
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("scale", "incremental"),
+)
+def incremental_agg_merge(spark, sf_dir):
+    """Incremental view maintenance with algebraic states: AVG is not
+    mergeable, but its (sum, count) state is — so the daily job
+    persists per-(key, day) states, the serving rollup merges states
+    instead of rescanning raw history, and the consumer divides at read
+    time.  Modeled here as the two-level aggregation over exact decimal
+    states; at 100 TB level 1 is the only scan of the day's data and
+    level 2 touches |keys|-sized state.
+
+    Scale: both levels partial-aggregate map-side; level 2 shuffles
+    pre-reduced (custkey, day) states, a fraction of the raw rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily_state = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # decimal state: exact merge, no float accumulation-order drift
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sm"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    return daily_state.groupBy("o_custkey").agg(
+        F.sum("cnt").alias("n_orders"),
+        F.sum("sm").cast("double").alias("total_price"),
+        F.round(F.max("mx"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "reservoir_per_group",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+    tags=("scale", "sampling"),
+)
+def reservoir_per_group(spark, sf_dir):
+    """Fixed-size per-stratum sample (k = 5 docs per language) — the
+    companion to rate-based ``stratified_sample_by_lang`` when the
+    contract is "exactly k per group" (eval slices, spot-check packs).
+    Ordering by a salted hash makes the pick uniform, deterministic
+    across engines/partitionings, and stable round over round.
+
+    Scale: rank-within-group is one shuffle on ``lang``; with heavy
+    skew (one giant language) pre-filter each partition to its local
+    top-k first via the same hash bound, or use the salted two-level
+    top-k in ``topk_per_group``'s docstring.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "lang")
+    )

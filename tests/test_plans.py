@@ -173,3 +173,21 @@ def test_dq_profile_single_scan(spark, sf_dir):
     four times)."""
     plan = plan_of(spark, sf_dir, "dq_profile_summary")
     assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_hll_union_merges_sketches_not_rows(spark, sf_dir):
+    """The month rollup must aggregate day sketches (hll_union_agg),
+    never rescan raw rows for the estimate side."""
+    plan = plan_of(spark, sf_dir, "hll_union_daily")
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
+
+
+def test_incremental_merge_two_level_partial(spark, sf_dir):
+    """Both aggregation levels partial-aggregate before their exchange."""
+    plan = plan_of(spark, sf_dir, "incremental_agg_merge")
+    assert plan.count("partial_sum") >= 2
+
+
+def test_reservoir_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "reservoir_per_group")
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
