@@ -120,5 +120,6 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import warehouse_q  # noqa: F401
     from . import streaming2_q  # noqa: F401
     from . import contamination_q  # noqa: F401
-    from . import scale2_q  # noqa: F401  # new modules last: rotation is import-ordered
+    from . import scale2_q  # noqa: F401
+    from . import functions2_q  # noqa: F401  # new modules last: rotation is import-ordered
     return REGISTRY
