@@ -1,0 +1,70 @@
+"""Streaming CDC apply: foreachBatch upsert sink (M3 × warehouse).
+
+Structured Streaming has no built-in MERGE sink without a table format,
+but the standard topology is: reduce each micro-batch to one row per
+key, then inside ``foreachBatch`` apply it onto the keyed target with
+dynamic partition overwrite — only the key-partitions present in the
+batch are rewritten, and re-running a batch rewrites the same
+partitions with the same content (idempotent, so checkpoint replay
+after a crash is safe: exactly-once state, at-least-once effects).
+
+Scale: the target is partitioned by a bounded key bucket (not the raw
+key — billions of tiny dirs would break any object store listing); a
+micro-batch touching k buckets rewrites only those bucket files.  The
+read-modify-write joins the batch against ONLY those buckets via
+partition pruning on the bucket column.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_BUCKETS = 16
+
+
+def _latest_per_key(df: DataFrame, key: str, order: str) -> DataFrame:
+    w = Window.partitionBy(key).orderBy(F.desc(order))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def run_upsert_stream(spark: SparkSession, in_path: str, target_dir: str,
+                      key: str = "user_id", order: str = "ts",
+                      checkpoint_dir: str | None = None) -> None:
+    """Drain ``in_path`` (availableNow), maintaining ``target_dir`` as
+    the latest-row-per-key table, partitioned by a 16-way key bucket."""
+    from .windows import events_stream
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_")
+    stream = events_stream(spark, in_path)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        batch = _latest_per_key(batch_df, key, order)
+        batch = batch.withColumn("__bucket", F.pmod(F.hash(key), N_BUCKETS))
+        try:
+            current = spark.read.parquet(target_dir)
+            buckets = [r["__bucket"] for r in
+                       batch.select("__bucket").distinct().collect()]
+            # partition pruning: only the touched buckets are read back
+            current = current.where(F.col("__bucket").isin(buckets))
+            merged = _latest_per_key(
+                current.unionByName(batch), key, order
+            )
+        except AnalysisException:  # first batch: no target yet
+            merged = batch
+        # materialize before overwriting the path we just read from —
+        # a lazy plan would scan files the write is deleting
+        merged = merged.localCheckpoint(eager=True)
+        (merged.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__bucket").parquet(target_dir))
+
+    q = (stream.writeStream.foreachBatch(apply_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
