@@ -6,6 +6,7 @@ token distribution."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -124,3 +125,77 @@ def domain_mix_weights(spark, sf_dir):
             4,
         ).alias("mix_weight"),
     )
+
+
+@register(
+    "winsorize_prices",
+    oracle="""
+    WITH bounds AS (
+      SELECT o_orderstatus,
+             ROUND(quantile_cont(o_totalprice, 0.01), 2) AS lo,
+             ROUND(quantile_cont(o_totalprice, 0.99), 2) AS hi
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderkey, o.o_orderstatus AS o_orderstatus,
+           ROUND(LEAST(GREATEST(o_totalprice, lo), hi), 2) AS clipped_price
+    FROM orders o JOIN bounds USING (o_orderstatus)
+    """,
+    tags=("curation", "outliers", "agg"),
+)
+def winsorize_prices(spark, sf_dir):
+    """Winsorization (outlier clipping at the per-group p01/p99 band) —
+    the numeric-feature analogue of quality filtering: cap the tails
+    instead of dropping rows.
+
+    Scale: the bounds table is |groups|-sized — broadcast back onto the
+    fact scan, so the clip is one pass; the exact percentile itself
+    shuffles only (group, price) pairs.  At 100 TB swap ``percentile``
+    for ``approx_percentile`` and the bounds pass becomes sketch-merge
+    (the oracle band pattern of ``hll_union_daily`` applies).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.01)), 2).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("hi"),
+    )
+    return o.join(F.broadcast(bounds), "o_orderstatus").select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.least(F.greatest(F.col("o_totalprice"), F.col("lo")),
+                        F.col("hi")), 2).alias("clipped_price"),
+    )
+
+
+@register(
+    "train_mix_interleave",
+    oracle="""
+    WITH seqd AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
+      FROM documents
+    ), topk AS (
+      SELECT * FROM seqd ORDER BY seq, source, doc_id LIMIT 500
+    )
+    SELECT doc_id, source, seq,
+           row_number() OVER (ORDER BY seq, source, doc_id) AS position
+    FROM topk
+    """,
+    tags=("curation", "sampling", "topk"),
+)
+def train_mix_interleave(spark, sf_dir):
+    """Deterministic round-robin interleave of sources into a training
+    order: document i of every source comes before document i+1 of any
+    source — the loader sees a stable source-balanced stream, not one
+    giant source followed by another.
+
+    Scale: per-source sequence is one window shuffle on ``source``;
+    the global order is materialized only for the requested prefix via
+    top-k (TakeOrdered — no full sort of the corpus), which is how a
+    loader pages through the mix.  The final position numbering runs on
+    the ≤500-row prefix.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    seqd = d.select("doc_id", "source", F.row_number().over(w).alias("seq"))
+    topk = seqd.orderBy("seq", "source", "doc_id").limit(500)
+    wg = Window.orderBy("seq", "source", "doc_id")
+    return topk.withColumn("position", F.row_number().over(wg))
