@@ -74,3 +74,59 @@ def signbit_bucket(vec, dims: tuple = (1, 9, 17, 25)) -> F.Column:
     for d in dims:
         b = b * 2 + F.when(F.element_at(vec, d) > 0, 1).otherwise(0)
     return b.cast("int")
+
+
+def pq_adc_topk(emb: DataFrame, query_id: int, m: int = 4, dsub: int = 16,
+                nc: int = 8, stride: int = 5, k: int = 10) -> DataFrame:
+    """Product-quantization top-k via asymmetric distance computation.
+
+    ``emb``: (vec_id, e: array<double>), dim = m·dsub.  Codebook =
+    corpus vectors {0, stride, …, (nc−1)·stride} sliced per subspace
+    (a deterministic sample standing in for per-subspace k-means).
+    Encoding: nearest centroid per (vector, subspace) via a 
+    broadcast fan-out (m·nc small rows) + argmin — one corpus scan, no
+    corpus shuffle.  Query: sum of ADC table lookups over the codes.
+
+    Estimated distances round before the sum and the rank so the
+    result is stable across engines' float accumulation orders.
+    """
+    s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
+    sub = emb.select("vec_id", "e", s_col).select(
+        "vec_id", "s", F.slice("e", F.col("s") * dsub + 1, dsub).alias("sv")
+    )
+    cent = (
+        emb.where((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * nc))
+        .select((F.col("vec_id") / stride).cast("long").alias("j"), "e", s_col)
+        .select("j", "s", F.slice("e", F.col("s") * dsub + 1, dsub).alias("cv"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "j")
+    assign = (
+        sub.join(F.broadcast(cent), "s")
+        .select("vec_id", "s", "j", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "j")
+    )
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("e").alias("qe"))
+    qd2 = F.aggregate(
+        F.zip_with(
+            F.slice("qe", F.col("s") * dsub + 1, dsub), F.col("cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    qdist = cent.crossJoin(F.broadcast(q)).select(
+        "s", "j", F.round(qd2, 6).alias("qd2")
+    )
+    return (
+        assign.join(F.broadcast(qdist), ["s", "j"])
+        .where(F.col("vec_id") != query_id)
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 4).alias("est_dist2"))
+        .orderBy("est_dist2", "vec_id")
+        .limit(k)
+    )

@@ -186,3 +186,65 @@ def ann_lsh_multiprobe(spark, sf_dir):
         .select("query_id", "neighbor_id", "cos_sim",
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), sub AS (  -- corpus subvectors: 4 subspaces x 16 dims
+      SELECT vec_id, s, e[CAST(s*16+1 AS BIGINT):CAST(s*16+16 AS BIGINT)] AS sv
+      FROM v, UNNEST([0, 1, 2, 3]) AS t(s)
+    ), cent AS (  -- codebook: 8 sampled corpus vectors per subspace
+      SELECT CAST(v.vec_id / 5 AS BIGINT) AS j, s,
+             e[CAST(s*16+1 AS BIGINT):CAST(s*16+16 AS BIGINT)] AS cv
+      FROM v, UNNEST([0, 1, 2, 3]) AS t(s)
+      WHERE v.vec_id % 5 = 0 AND v.vec_id < 40
+    ), assign AS (  -- encode: nearest centroid per (vector, subspace)
+      SELECT vec_id, s, j FROM (
+        SELECT sub.vec_id, sub.s, cent.j,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY list_reduce(list_transform(list_zip(sv, cv),
+                            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a+b),
+                          cent.j) AS rn
+        FROM sub JOIN cent USING (s)
+      ) WHERE rn = 1
+    ), qdist AS (  -- ADC table: query subvector -> each centroid
+      SELECT cent.s AS s, cent.j AS j,
+             ROUND(list_reduce(list_transform(list_zip(
+                     q.e[CAST(cent.s*16+1 AS BIGINT):CAST(cent.s*16+16 AS BIGINT)], cv),
+                   p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a+b), 6) AS qd2
+      FROM cent, (SELECT e FROM v WHERE vec_id = 1) q
+    )
+    SELECT vec_id, ROUND(SUM(qd2), 4) AS est_dist2
+    FROM assign JOIN qdist USING (s, j)
+    WHERE vec_id <> 1
+    GROUP BY vec_id
+    ORDER BY est_dist2, vec_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "pq"),
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """Product quantization with asymmetric distance computation (the
+    IVF-PQ memory layout): split 64-dim vectors into 4×16-dim
+    subspaces, encode each subvector as its nearest of 8 codebook
+    centroids (here a deterministic corpus sample; production trains
+    per-subspace k-means — ``kmeans_assign_step`` is that step), then
+    answer queries from a 4×8-entry distance table — the scan reads
+    4-byte codes, never the float vectors.
+
+    Scale: the codebook (32 subvectors) broadcasts; encoding is a
+    32-way broadcast fan-out + per-(vector, subspace) argmin — one
+    corpus scan, no corpus shuffle (codes would be written once at
+    ingest).  The query side touches only the 32-entry ADC table and
+    the code column.  Estimated distances are rounded before the sum
+    and the rank (cross-engine float-accumulation guard); exact-recall
+    proof vs brute force lives in tests/test_similarity_recall.py.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    return S.pq_adc_topk(emb, query_id=1, m=4, dsub=16, nc=8, stride=5, k=10)
