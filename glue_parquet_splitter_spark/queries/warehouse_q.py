@@ -301,3 +301,66 @@ def event_transition_matrix(spark, sf_dir):
         .groupBy("from_type", "to_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "snapshot_diff_cdf",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+      FROM orders WHERE o_orderkey % 4 <> 3
+    ), snap_b AS (
+      SELECT o_orderkey,
+             ROUND(o_totalprice + CASE WHEN o_orderkey % 6 = 0 THEN 50.0 ELSE 0.0 END,
+                   2) AS price
+      FROM orders WHERE o_orderkey % 4 <> 1
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                WHEN b.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS action,
+           b.price AS new_price
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL OR a.price <> b.price
+    """,
+    tags=("warehouse", "cdf", "join"),
+)
+def snapshot_diff_cdf(spark, sf_dir):
+    """Change-data-feed generation: diff two table snapshots into the
+    insert/update/delete stream that ``merge_upsert_apply`` consumes —
+    the bridge between full-refresh sources and incremental pipelines.
+    Unchanged rows (key in both, equal payload) are excluded.
+
+    Scale: one full-outer hash join on the key; with both snapshots
+    bucketed by key it is co-located.  Payload comparison happens in
+    the join projection — at wide schemas compare a precomputed
+    ``hash(*)`` fingerprint column instead of each field (the
+    ``dedup_exact_hash`` trick), which this query's price compare
+    stands in for.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    snap_a = orders.where(F.col("o_orderkey") % 4 != 3).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+    snap_b = orders.where(F.col("o_orderkey") % 4 != 1).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 6 == 0, 50.0).otherwise(0.0),
+            2,
+        ).alias("price"),
+    )
+    j = snap_a.alias("a").join(
+        snap_b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    a_key, b_key = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    return (
+        j.where(a_key.isNull() | b_key.isNull() | (F.col("a.price") != F.col("b.price")))
+        .select(
+            F.coalesce(a_key, b_key).alias("o_orderkey"),
+            F.when(a_key.isNull(), F.lit("insert"))
+            .when(b_key.isNull(), F.lit("delete"))
+            .otherwise(F.lit("update")).alias("action"),
+            F.col("b.price").alias("new_price"),
+        )
+    )
