@@ -62,8 +62,10 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
         correctness_dir = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json"))):
+    green: dict[str, int] = {}  # name -> round of most recent green row
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -73,22 +75,25 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
             if not isinstance(row, dict):
                 continue
             if row.get("hash_match") is True:
-                green.add(name)  # hard hash-verified
+                green[name] = rnd  # hard hash-verified
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # rows-only credit only while the spec STILL has no oracle;
                 # a query that later gained an oracle must rotate back to
                 # the front so its new contract gets a driver hash row.
                 spec = reg.get(name)
                 if spec is not None and spec.oracle is None:
-                    green.add(name)
+                    green[name] = rnd
 
-    def group(item: tuple[str, QuerySpec]) -> int:
+    def key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, spec = item
         if name in green:
-            return 2
-        return 0 if spec.oracle is not None else 1
+            # verified: stalest green first, so any slots left after the
+            # unverified front re-grade the queries whose driver row is
+            # oldest (regression re-check slice)
+            return (2, green[name])
+        return (0 if spec.oracle is not None else 1, 0)
 
-    return dict(sorted(reg.items(), key=group))
+    return dict(sorted(reg.items(), key=key))
 
 
 def load_all_modules() -> dict[str, QuerySpec]:
