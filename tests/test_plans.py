@@ -191,3 +191,26 @@ def test_incremental_merge_two_level_partial(spark, sf_dir):
 def test_reservoir_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "reservoir_per_group")
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_decontamination_broadcasts_bench_grams(spark, sf_dir):
+    """The benchmark gram set must broadcast; the corpus gram stream is
+    never sort-merge-shuffled on the digest."""
+    plan = plan_of(spark, sf_dir, "decontamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_snapshot_diff_single_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "snapshot_diff_cdf")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count(
+        "BroadcastHashJoin")
+    assert joins == 1, plan[:2000]
+
+
+def test_interleave_prefix_is_topk_not_global_sort(spark, sf_dir):
+    """The 500-row prefix must come from TakeOrdered, not a full sort
+    of the corpus."""
+    plan = plan_of(spark, sf_dir, "train_mix_interleave")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
