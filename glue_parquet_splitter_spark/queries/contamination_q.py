@@ -51,29 +51,26 @@ def decontamination_ngram_overlap(spark, sf_dir):
     a map-side hash semi-join and only colliding grams reach the
     per-doc count.  The corpus is never shuffled on raw text.
     """
+    from ..operators.dedup import shingles
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("w"))
-    grams = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - NGRAM),
-                lambda i: F.md5(F.array_join(F.slice("w", i + 1, NGRAM), " ")),
-            )
-        ).alias("g"),
+    # shingles() guards docs shorter than NGRAM tokens (empty gram set,
+    # matching the oracle's empty range) — a raw sequence(0, size-8)
+    # would go descending and crash slice() with start=0
+    grams = shingles(d.select("doc_id", "text"), NGRAM).select(
+        "doc_id", F.md5("tok").alias("g")
     )
-    bench = (
-        toks.where((F.col("doc_id") % 41 == 0) & (F.size("w") >= 12))
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(4)),
-                    lambda i: F.md5(F.array_join(F.slice("w", i + 1, NGRAM), " ")),
-                )
-            ).alias("g")
+    prefix = (
+        d.where(
+            (F.col("doc_id") % 41 == 0)
+            & (F.size(F.split("text", " ")) >= 12)
         )
-        .distinct()
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text"),
+        )
     )
+    bench = shingles(prefix, NGRAM).select(F.md5("tok").alias("g")).distinct()
     return (
         grams.join(F.broadcast(bench), "g")
         .groupBy("doc_id")

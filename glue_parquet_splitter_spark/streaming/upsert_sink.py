@@ -25,44 +25,59 @@ from pyspark.sql import functions as F
 N_BUCKETS = 16
 
 
-def _latest_per_key(df: DataFrame, key: str, order: str) -> DataFrame:
-    w = Window.partitionBy(key).orderBy(F.desc(order))
+def _latest_per_key(df: DataFrame, key: str, order: str, tie: str) -> DataFrame:
+    # the tie column makes same-timestamp winners deterministic — the
+    # idempotent-replay contract needs identical content on re-run
+    w = Window.partitionBy(key).orderBy(F.desc(order), F.desc(tie))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
 def run_upsert_stream(spark: SparkSession, in_path: str, target_dir: str,
                       key: str = "user_id", order: str = "ts",
+                      tie: str = "event_id",
                       checkpoint_dir: str | None = None) -> None:
     """Drain ``in_path`` (availableNow), maintaining ``target_dir`` as
     the latest-row-per-key table, partitioned by a 16-way key bucket."""
+    from pyspark.errors import AnalysisException
+
     from .windows import events_stream
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_")
     stream = events_stream(spark, in_path)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        batch = _latest_per_key(batch_df, key, order)
+        batch = _latest_per_key(batch_df, key, order, tie)
         batch = batch.withColumn("__bucket", F.pmod(F.hash(key), N_BUCKETS))
+        # the batch feeds two actions (bucket list + merge): persist so
+        # the dedup window runs once per micro-batch, not twice
+        batch = batch.persist()
         try:
-            current = spark.read.parquet(target_dir)
-            buckets = [r["__bucket"] for r in
-                       batch.select("__bucket").distinct().collect()]
-            # partition pruning: only the touched buckets are read back
-            current = current.where(F.col("__bucket").isin(buckets))
-            merged = _latest_per_key(
-                current.unionByName(batch), key, order
-            )
-        except AnalysisException:  # first batch: no target yet
-            merged = batch
-        # materialize before overwriting the path we just read from —
-        # a lazy plan would scan files the write is deleting
-        merged = merged.localCheckpoint(eager=True)
-        (merged.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("__bucket").parquet(target_dir))
+            try:
+                current = spark.read.parquet(target_dir)
+            except AnalysisException as e:
+                # ONLY a missing target means "first batch" — any other
+                # analysis failure (schema drift, missing __bucket) must
+                # surface, not silently drop the stored keys
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                merged = batch
+            else:
+                buckets = [r["__bucket"] for r in
+                           batch.select("__bucket").distinct().collect()]
+                # partition pruning: only the touched buckets are read back
+                current = current.where(F.col("__bucket").isin(buckets))
+                merged = _latest_per_key(
+                    current.unionByName(batch), key, order, tie
+                )
+            # materialize before overwriting the path we just read from —
+            # a lazy plan would scan files the write is deleting
+            merged = merged.localCheckpoint(eager=True)
+            (merged.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__bucket").parquet(target_dir))
+        finally:
+            batch.unpersist()
 
     q = (stream.writeStream.foreachBatch(apply_batch)
          .option("checkpointLocation", checkpoint_dir)

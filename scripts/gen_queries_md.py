@@ -36,7 +36,9 @@ FAMILIES = OrderedDict([
     ("similarity2_q", "ANN wave 2 (INT8-quantized cosine, multi-probe LSH)"),
     ("warehouse_q", "Warehouse maintenance (CDC MERGE, SCD2, sessionization, profiling)"),
     ("streaming2_q", "Streaming wave 2 (session windows, windowed top-k)"),
-    ("contamination_q", "Benchmark decontamination & domain mixing"),
+    ("contamination_q", "Benchmark decontamination, mixing, winsorization, interleave"),
+    ("scale2_q", "Scale patterns 2 (HLL sketch rollup, state merge, reservoir)"),
+    ("functions2_q", "Array set algebra & higher-order map transforms"),
 ])
 
 
@@ -80,6 +82,9 @@ def main():
            "Every entry is runnable via `__spark_entry__.queries()[name](spark, sf_dir)`;",
            "checkable via `python scripts/check_queries.py <sf_dir> <name>`.",
            "", O_MAP]
+    missing = set(by_mod) - set(FAMILIES)
+    if missing:  # a module absent from FAMILIES would silently vanish
+        raise SystemExit(f"gen_queries_md: modules not in FAMILIES: {sorted(missing)}")
     for mod, title in FAMILIES.items():
         specs = by_mod.get(mod, [])
         if not specs:

@@ -71,3 +71,15 @@ def test_upsert_incremental_and_idempotent(spark, events_dir, tmp_path):
     final = spark.read.parquet(target)
     assert final.count() == n_first  # still one row per user
     assert final.where(F.col("event_type") == "upsert").count() == n_first
+
+
+def test_upsert_raises_on_foreign_target(spark, events_dir, tmp_path):
+    """A target that exists but isn't this sink's layout (no __bucket
+    partition column) must fail loudly — treating it as 'first batch'
+    would overwrite stored data with batch-only rows."""
+    target = str(tmp_path / "target")
+    spark.range(5).write.parquet(target)  # foreign table at the path
+    with pytest.raises(Exception) as ei:
+        run_upsert_stream(spark, events_dir, target,
+                          checkpoint_dir=str(tmp_path / "ckpt"))
+    assert "PATH_NOT_FOUND" not in str(ei.value)
