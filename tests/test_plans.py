@@ -214,3 +214,25 @@ def test_interleave_prefix_is_topk_not_global_sort(spark, sf_dir):
     of the corpus."""
     plan = plan_of(spark, sf_dir, "train_mix_interleave")
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_no_accidental_cartesian_in_any_registered_plan(spark, sf_dir):
+    """Registry-wide sweep: no registered query may plan a
+    CartesianProduct — the one scale-killer a green oracle row can't
+    see (it's correct, just O(N²)).  ``join_cross`` is the deliberate
+    cross-join demonstration; streaming and pipeline queries execute
+    eagerly (side effects) and are asserted by their own tests."""
+    allow = {"join_cross"}
+    skipped_tags = {"streaming", "pipeline"}
+    offenders = []
+    for name, spec in REG.items():
+        if name in allow or skipped_tags & set(spec.tags):
+            continue
+        try:
+            plan = physical_plan(spec.fn(spark, sf_dir))
+        except Exception as e:  # a plan that can't build is its own bug
+            offenders.append(f"{name}: EXPLAIN failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
