@@ -30,6 +30,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer `div`, NOT float division: double ulp at 1.7e18 is
         # 256 ns, which mis-truncates ~13% of values by 1 µs.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ntz(df)
+
+
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (instant).
+
+    Fixture parquet written with naive (non-UTC-adjusted) timestamps is
+    read by Spark 3.4+ as TIMESTAMP_NTZ, which cannot be a watermark
+    column and rejects ``cast(bigint)``.  Casting to TimestampType
+    preserves the wall-clock fields (the session timezone is applied on
+    the way in and again by ``date_format``/``to_date`` on the way out),
+    so results match what DuckDB computes on the same naive values.
+    """
+    ntz_cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

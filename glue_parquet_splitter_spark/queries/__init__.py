@@ -56,6 +56,7 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
     import glob
     import json
     import os
+    import re
 
     reg = load_all_modules()
     if correctness_dir is None:
@@ -63,9 +64,19 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
     green: dict[str, int] = {}  # name -> round of most recent green row
-    for rnd, path in enumerate(
-        sorted(glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json")))
+
+    def round_no(path: str) -> int:
+        # parse the round number numerically — a lexicographic filename
+        # sort would missort r100 (or an unpadded r3) and re-grade the
+        # wrong "stalest" slice
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json")),
+        key=round_no,
     ):
+        rnd = round_no(path)
         try:
             with open(path) as f:
                 data = json.load(f)

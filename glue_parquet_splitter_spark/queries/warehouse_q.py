@@ -100,14 +100,15 @@ def merge_upsert_apply(spark, sf_dir):
                AS prev_type
       FROM events
     ), changes AS (
-      SELECT user_id, event_type, ts
+      SELECT user_id, event_type, ts, event_id
       FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type AS state,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
            COALESCE(strftime(lead(ts) OVER (
-             PARTITION BY user_id ORDER BY ts), '%Y-%m-%d %H:%M:%S'),
+             PARTITION BY user_id ORDER BY ts, event_id),
+             '%Y-%m-%d %H:%M:%S'),
              '9999-12-31 00:00:00') AS valid_to
     FROM changes
     """,
@@ -129,7 +130,10 @@ def scd2_event_type_intervals(spark, sf_dir):
         ev.withColumn("prev_type", F.lag("event_type").over(w))
         .where(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tiebreaker keeps valid_to deterministic when two change
+    # rows for one user share a timestamp (same ordering as the change
+    # detection window above, and as the oracle).
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return changes.select(
         "user_id",
         F.col("event_type").alias("state"),

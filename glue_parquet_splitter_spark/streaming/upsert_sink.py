@@ -58,11 +58,27 @@ def run_upsert_stream(spark: SparkSession, in_path: str, target_dir: str,
             except AnalysisException as e:
                 # ONLY a missing target means "first batch" — any other
                 # analysis failure (schema drift, missing __bucket) must
-                # surface, not silently drop the stored keys
-                if "PATH_NOT_FOUND" not in str(e):
+                # surface, not silently drop the stored keys.  Match the
+                # error class where the API exposes it (PySpark 3.4+ /
+                # 4.x), with a message-substring fallback for older
+                # distributions whose message is "Path does not exist".
+                klass = None
+                for getter in ("getCondition", "getErrorClass"):
+                    try:
+                        klass = getattr(e, getter)()
+                    except Exception:
+                        klass = None
+                    if klass:
+                        break
+                missing = (klass == "PATH_NOT_FOUND" if klass else
+                           ("PATH_NOT_FOUND" in str(e)
+                            or "Path does not exist" in str(e)))
+                if not missing:
                     raise
                 merged = batch
             else:
+                # driver-side list is bounded by N_BUCKETS ids (ints),
+                # never by batch row count — safe at any batch size
                 buckets = [r["__bucket"] for r in
                            batch.select("__bucket").distinct().collect()]
                 # partition pruning: only the touched buckets are read back

@@ -33,9 +33,13 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
         stream = reader.option("pathGlobFilter", base).parquet(parent)
     else:
         stream = reader.parquet(events_path)
-    if dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts") == "bigint":
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in batch_schema).get("ts")
+    if ts_type == "bigint":
         # integer div — see catalog.load_table (float division loses µs)
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # naive parquet ts → instant; NTZ cannot be a watermark column
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -159,12 +163,17 @@ def run_session_window_stream(spark: SparkSession, events_path: str,
                               gap: str = "10 minutes",
                               watermark: str = "2 hours") -> DataFrame:
     """Streaming gap-sessionization: ``session_window`` merges a user's
-    events into variable-length sessions as they arrive; the watermark
-    bounds the merge state (a session older than max-event-time −
-    watermark can never grow again and its state is dropped in append
-    mode).  Drained complete with availableNow, the finalized sessions
-    equal batch sessionization, so the batch gaps-and-islands SQL stays
-    the oracle."""
+    events into variable-length sessions as they arrive.
+
+    NOTE on modes: this runner uses ``outputMode("complete")`` so the
+    memory sink holds the full final result of an availableNow drain —
+    in complete mode the watermark does NOT evict state, so this exact
+    query is only suitable for bounded backlogs.  For a long-running
+    unbounded job, switch to ``outputMode("append")``: finalized
+    sessions (older than max-event-time − watermark) are emitted once
+    and their state dropped, which is the production configuration.
+    Drained over a bounded backlog, both modes yield the same finalized
+    sessions, so the batch gaps-and-islands SQL stays the oracle."""
     stream = events_stream(spark, events_path)
     agg = (
         stream.withWatermark("ts", watermark)
