@@ -49,6 +49,11 @@ BENCH_QUERIES = [
     "streaming_tumbling_counts",
     "merge_upsert_apply",
     "sessionize_events",
+    # round-4 breadth: one per LLM-pipeline family (ranking, sketch
+    # rollup, decontamination) so perf tracking covers that surface
+    "bm25_doc_ranking",
+    "hll_union_daily",
+    "decontamination_ngram_overlap",
 ]
 
 
@@ -139,12 +144,20 @@ def main() -> None:
     timings[f"split_replay_{N_REPLAY_DAYS}x10k"] = round(best_sec, 3)
 
     total = round(sum(timings.values()), 3)
+    # streaming queries carry fixed micro-batch overhead that is noise
+    # relative to batch plan changes — report them in a separate
+    # sub-total so batch regressions aren't masked (VERDICT r3 #8)
+    streaming_names = {n for n in timings
+                       if n in reg and "streaming" in reg[n].tags}
+    streaming_sec = round(sum(timings[n] for n in streaming_names), 3)
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "batch_suite_sec": round(total - streaming_sec, 3),
+        "streaming_suite_sec": streaming_sec,
         "split_replay_rows_per_sec": round(best_rate),
         "shuffle_bytes_written": shuffle_bytes,
     }))

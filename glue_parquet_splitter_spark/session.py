@@ -26,9 +26,11 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Local fixtures are small single files; a smaller split size keeps
-    # all cores busy on scans (cluster deployments override via env).
+    # all cores busy on scans (cluster deployments override via env —
+    # use 128m+ on a real cluster; 16m left the 10.8 MB sf0.1 lineitem
+    # in 3 splits and q1 ~70% slower than at 4m, BENCH_r03 drift).
     "spark.sql.files.maxPartitionBytes": os.environ.get(
-        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
 }
 
 
