@@ -69,9 +69,24 @@ def write_marker(marker_path: str, doc: dict) -> None:
 
 def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
                     marker_dir: str, key: str = "item_id",
-                    exact_layout: bool = True) -> dict:
+                    exact_layout: bool = True,
+                    manifest: str = "outputs") -> dict:
     """Process every not-yet-marked day; returns the summary dict the
-    reference's ``process_kind`` returns (parquet-splitter.py:190-196)."""
+    reference's ``process_kind`` returns (parquet-splitter.py:190-196).
+
+    ``manifest`` selects how the per-day marker records its outputs:
+
+    - ``"outputs"`` (default, reference parity): the marker embeds the
+      full sorted output-path list.  The list is collected to the
+      driver — fine at reference shape (tens of keys/day), the wrong
+      thing at millions of keys/day.
+    - ``"counts"``: executors write per-day manifest files (JSON lines,
+      ``<marker_dir>/_manifests/date=<d>/``) as part of the split job
+      itself; the driver aggregates only one count row per day in-plan
+      and the marker stores ``outputs_manifest`` (the manifest
+      directory) + ``output_count``.  No driver-side per-key list at
+      any scale.  All other marker fields are identical.
+    """
     t0 = time.perf_counter()
     in_keys = list_files(spark, in_dir, ".parquet")
     marker_keys = list_files(spark, marker_dir, ".json")
@@ -87,7 +102,7 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
     processed = 0
     if missing_dates and exact_layout:
         processed = _process_batched(spark, kind, in_dir, out_dir, marker_dir,
-                                     missing_dates, key)
+                                     missing_dates, key, manifest=manifest)
         if processed is None:  # batch read failed → day-by-day (skips bad days)
             processed = _process_day_by_day(spark, kind, in_dir, out_dir,
                                             marker_dir, missing_dates, key,
@@ -143,7 +158,7 @@ def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
 
 def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
                      marker_dir: str, missing_dates: list[str],
-                     key: str) -> int | None:
+                     key: str, manifest: str = "outputs") -> int | None:
     """Process ALL missing days in one Spark job.
 
     The reference loops day-by-day (parquet-splitter.py:144); on Spark
@@ -195,12 +210,58 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         write_parquet_object(pdf.drop(columns=[ORDER_COL, "__date"]), path)
         return pd.DataFrame({"date": [date], "out_path": [path]})
 
+    manifest_df = tagged.groupBy(key, "__date").applyInPandas(
+        _write_group, schema="date string, out_path string")
+
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    if manifest == "counts":
+        # Scale mode: the manifest itself is data — write it from the
+        # executors (one job: the applyInPandas fan-out feeds the JSON
+        # manifest write directly), then aggregate ONE count row per
+        # day in-plan.  The driver never holds a per-key list.  The
+        # manifest dir is run-scoped so the read-back below is bounded
+        # by THIS backlog, not by all history; a day's manifest stays
+        # immutable once its marker references it.
+        import uuid as _uuid
+
+        run_dir = (f"{marker_dir.rstrip('/')}/_manifests/"
+                   f"run-{_uuid.uuid4().hex[:12]}")
+        try:
+            (manifest_df.repartition("date")
+             .write.mode("overwrite").partitionBy("date").json(run_dir))
+        except Exception as e:
+            log.warning("[%s] batch job failed (%s); falling back day-by-day",
+                        kind, str(e)[:200])
+            return None
+        # partition-column inference would re-type date=20250101 as a
+        # long (and 2025-01-01 as a DATE), corrupting the marker key —
+        # read the partition column verbatim
+        infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(infer_key, "true")
+        spark.conf.set(infer_key, "false")
+        try:
+            counts = (
+                spark.read.json(run_dir)
+                .groupBy("date").count().collect()  # one row per day
+            )
+        finally:
+            spark.conf.set(infer_key, prev)
+        for row in sorted(counts, key=lambda r: r["date"]):
+            date = row["date"]
+            write_marker(f"{marker_dir.rstrip('/')}/{date}.json", {
+                "kind": kind,
+                "date": date,
+                "input_key": f"{base}/{date}.parquet",
+                "outputs_manifest": f"{run_dir}/date={date}",
+                "output_count": row["count"],
+                "generated_at": stamp,
+            })
+            log.info("[OK] %s %s: %d outputs (manifest mode)",
+                     kind, date, row["count"])
+        return len(counts)
+
     try:
-        manifest = (
-            tagged.groupBy(key, "__date")
-            .applyInPandas(_write_group, schema="date string, out_path string")
-            .collect()  # one row per (key, day) output object
-        )
+        rows = manifest_df.collect()  # one row per (key, day) output object
     except Exception as e:
         # a corrupt/unreadable file fails at EXECUTION, not at the lazy
         # read above — fall back day-by-day so good days still process.
@@ -209,10 +270,9 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
                     kind, str(e)[:200])
         return None
     by_date: dict[str, list[str]] = {}
-    for r in manifest:
+    for r in rows:
         by_date.setdefault(r.date, []).append(r.out_path)
 
-    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     for date in sorted(by_date):
         outputs = sorted(by_date[date])
         write_marker(f"{marker_dir.rstrip('/')}/{date}.json", {

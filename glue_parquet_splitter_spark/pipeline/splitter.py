@@ -98,6 +98,12 @@ def split_day(df: DataFrame, out_dir: str, date: str, key: str = "item_id",
     output equals input order (pandas-groupby semantics the reference's
     golden files exhibit), restored from a monotonic row id captured
     before the shuffle.
+
+    The returned list is collected to the driver — one row per key,
+    fine at reference shape.  At millions of keys/day use
+    ``run_incremental(..., manifest="counts")`` (executor-written
+    manifests, in-plan counts, no driver-side per-key list) or
+    :func:`write_partitioned`.
     """
     require_columns(df, [key])
     # Reference parity: pandas groupby silently drops NaN keys
