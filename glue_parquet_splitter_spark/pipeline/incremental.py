@@ -33,17 +33,27 @@ log = logging.getLogger(__name__)
 
 def list_files(spark: SparkSession, directory: str, suffix: str) -> list[str]:
     """List files under ``directory`` with ``suffix`` (Hadoop FS — any scheme)."""
+    return sorted(list_file_status(spark, directory, suffix))
+
+
+def list_file_status(spark: SparkSession, directory: str,
+                     suffix: str) -> dict[str, str]:
+    """Map path → content fingerprint (``<length>:<mtimeMs>``) for files
+    under ``directory`` with ``suffix`` — one Hadoop FS listing, no data
+    read.  Size+mtime is the same change signal object stores expose
+    cheaply (S3 ETag semantics without a GET per object)."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(directory)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
-        return []
-    out: list[str] = []
+        return {}
+    out: dict[str, str] = {}
     it = fs.listFiles(hpath, False)
     while it.hasNext():
-        p = it.next().getPath().toString()
+        st = it.next()
+        p = st.getPath().toString()
         if p.endswith(suffix):
-            out.append(p)
+            out[p] = f"{st.getLen()}:{st.getModificationTime()}"
     return out
 
 
@@ -55,6 +65,36 @@ def extract_dates(keys: list[str], suffix: str) -> set[str]:
         if base.endswith(suffix):
             dates.add(base[: -len(suffix)])
     return dates
+
+
+def _changed_days(in_status: dict[str, str], marker_keys: list[str],
+                  candidate_dates: set[str]) -> set[str]:
+    """Marked days whose input fingerprint no longer matches the marker.
+
+    Reads one small JSON per *marked* day (metadata scale, same order
+    as the listing itself).  A marker without ``input_fingerprint``
+    (pre-feature history) is treated as current.
+    """
+    from .splitter import resolve_fs
+
+    fp_by_date = {k.rsplit("/", 1)[-1][: -len(".parquet")]: v
+                  for k, v in in_status.items()}
+    changed: set[str] = set()
+    for mk in marker_keys:
+        date = mk.rsplit("/", 1)[-1][: -len(".json")]
+        if date not in candidate_dates:
+            continue
+        try:
+            filesystem, fs_path = resolve_fs(mk)
+            with filesystem.open_input_stream(fs_path) as f:
+                doc = json.loads(f.read().decode("utf-8"))
+        except Exception as e:  # unreadable marker → leave the day alone
+            log.warning("unreadable marker %s (%s)", mk, e)
+            continue
+        recorded = doc.get("input_fingerprint")
+        if recorded is not None and recorded != fp_by_date.get(date):
+            changed.add(date)
+    return changed
 
 
 def write_marker(marker_path: str, doc: dict) -> None:
@@ -70,7 +110,8 @@ def write_marker(marker_path: str, doc: dict) -> None:
 def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
                     marker_dir: str, key: str = "item_id",
                     exact_layout: bool = True,
-                    manifest: str = "outputs") -> dict:
+                    manifest: str = "outputs",
+                    reprocess_changed: bool = False) -> dict:
     """Process every not-yet-marked day; returns the summary dict the
     reference's ``process_kind`` returns (parquet-splitter.py:190-196).
 
@@ -86,31 +127,51 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
       and the marker stores ``outputs_manifest`` (the manifest
       directory) + ``output_count``.  No driver-side per-key list at
       any scale.  All other marker fields are identical.
+
+    ``reprocess_changed``: the reference reprocesses a late row only if
+    its whole day-file reappears unmarked (SURVEY §2); with this flag a
+    *marked* day is reopened when its input file's fingerprint
+    (size:mtime, recorded in the marker at commit time) no longer
+    matches the listing — the late-data answer for the batch pipeline.
+    Markers written before fingerprints existed are treated as current
+    (no reprocessing storm on historic days).
     """
     t0 = time.perf_counter()
-    in_keys = list_files(spark, in_dir, ".parquet")
+    in_status = list_file_status(spark, in_dir, ".parquet")
+    in_keys = sorted(in_status)
     marker_keys = list_files(spark, marker_dir, ".json")
     log.info("[list] inputs=%d markers=%d elapsed=%.2fs",
              len(in_keys), len(marker_keys), time.perf_counter() - t0)
 
     input_dates = extract_dates(in_keys, ".parquet")
     done_dates = extract_dates(marker_keys, ".json")
-    missing_dates = sorted(input_dates - done_dates)
+    missing = input_dates - done_dates
+    if reprocess_changed:
+        changed = _changed_days(in_status, marker_keys,
+                                input_dates & done_dates)
+        if changed:
+            log.info("[%s] reopening %d changed day(s): %s", kind,
+                     len(changed), sorted(changed)[:10])
+        missing |= changed
+    missing_dates = sorted(missing)
     log.info("[%s] input=%d done=%d missing=%d", kind,
              len(input_dates), len(done_dates), len(missing_dates))
 
+    fp_by_date = {p.rsplit("/", 1)[-1][: -len(".parquet")]: v
+                  for p, v in in_status.items()}
     processed = 0
     if missing_dates and exact_layout:
         processed = _process_batched(spark, kind, in_dir, out_dir, marker_dir,
-                                     missing_dates, key, manifest=manifest)
+                                     missing_dates, key, manifest=manifest,
+                                     fingerprints=fp_by_date)
         if processed is None:  # batch read failed → day-by-day (skips bad days)
             processed = _process_day_by_day(spark, kind, in_dir, out_dir,
                                             marker_dir, missing_dates, key,
-                                            exact_layout)
+                                            exact_layout, fp_by_date)
     else:
         processed = _process_day_by_day(spark, kind, in_dir, out_dir,
                                         marker_dir, missing_dates, key,
-                                        exact_layout)
+                                        exact_layout, fp_by_date)
 
     return {
         "kind": kind,
@@ -124,9 +185,11 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
 def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
                         out_dir: str, marker_dir: str,
                         missing_dates: list[str], key: str,
-                        exact_layout: bool) -> int:
+                        exact_layout: bool,
+                        fingerprints: dict[str, str] | None = None) -> int:
     """One day per Spark job — the resilient path (a bad file skips
     only its own day, matching the reference's error taxonomy)."""
+    fingerprints = fingerprints or {}
     processed = 0
     for date in missing_dates:
         in_path = f"{in_dir.rstrip('/')}/{date}.parquet"
@@ -147,6 +210,7 @@ def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
             "kind": kind,
             "date": date,
             "input_key": in_path,
+            "input_fingerprint": fingerprints.get(date),
             "outputs": outputs,
             "output_count": len(outputs),
             "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -158,7 +222,8 @@ def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
 
 def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
                      marker_dir: str, missing_dates: list[str],
-                     key: str, manifest: str = "outputs") -> int | None:
+                     key: str, manifest: str = "outputs",
+                     fingerprints: dict[str, str] | None = None) -> int | None:
     """Process ALL missing days in one Spark job.
 
     The reference loops day-by-day (parquet-splitter.py:144); on Spark
@@ -252,6 +317,7 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
                 "kind": kind,
                 "date": date,
                 "input_key": f"{base}/{date}.parquet",
+                "input_fingerprint": (fingerprints or {}).get(date),
                 "outputs_manifest": f"{run_dir}/date={date}",
                 "output_count": row["count"],
                 "generated_at": stamp,
@@ -279,6 +345,7 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
             "kind": kind,
             "date": date,
             "input_key": f"{base}/{date}.parquet",
+            "input_fingerprint": (fingerprints or {}).get(date),
             "outputs": outputs,
             "output_count": len(outputs),
             "generated_at": stamp,

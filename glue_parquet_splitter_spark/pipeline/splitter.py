@@ -47,6 +47,10 @@ def resolve_fs(path: str):
 
     if path.startswith(("s3a://", "s3n://")):
         path = "s3://" + path.split("://", 1)[1]
+    if path.startswith("file:"):
+        # Hadoop renders local URIs as file:/x (single slash); pyarrow
+        # only accepts file:///x — normalize both to a plain path
+        return pafs.LocalFileSystem(), "/" + path[5:].lstrip("/")
     if "://" in path:
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path

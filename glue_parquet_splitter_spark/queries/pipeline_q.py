@@ -59,6 +59,59 @@ def incremental_missing_days(spark, sf_dir):
 
 
 @register(
+    "incremental_reopen_changed",
+    oracle="""
+    WITH inp AS (
+      SELECT strftime(o_orderdate, '%Y%m%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS fp
+      FROM orders GROUP BY 1
+    ), done AS (
+      SELECT strftime(l_shipdate, '%Y%m%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS fp
+      FROM lineitem GROUP BY 1
+    )
+    SELECT day, reason FROM (
+      SELECT i.day AS day, 'missing' AS reason
+      FROM inp i LEFT JOIN done d ON i.day = d.day WHERE d.day IS NULL
+      UNION ALL
+      SELECT i.day AS day, 'changed' AS reason
+      FROM inp i JOIN done d ON i.day = d.day WHERE i.fp <> d.fp
+    )
+    """,
+    tags=("pipeline", "parity", "late-data"),
+)
+def incremental_reopen_changed(spark, sf_dir):
+    """The ``reprocess_changed`` scheduler as a relational plan: work
+    set = (input days with no marker) ∪ (marked days whose recorded
+    fingerprint differs from the listing) — an anti-join plus a
+    fingerprint-compare inner join, exactly
+    ``pipeline/incremental.py`` ``run_incremental``/``_changed_days``.
+
+    Modeled on the fixtures: "input listing" = orders per order-day
+    (fingerprint = row count), "markers" = lineitem per ship-day.
+    Scale: two partial aggs then two hash joins on the same short day
+    key; both sides of each join are day-cardinality (thousands).
+    """
+    inp = load_table(spark, sf_dir, "orders").groupBy(
+        F.date_format("o_orderdate", "yyyyMMdd").alias("day")
+    ).agg(F.count("*").alias("fp"))
+    done = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.date_format("l_shipdate", "yyyyMMdd").alias("day")
+    ).agg(F.count("*").alias("fp"))
+    missing = (
+        inp.join(done, "day", "left_anti")
+        .select("day", F.lit("missing").alias("reason"))
+    )
+    changed = (
+        inp.alias("i")
+        .join(done.alias("d"), "day")
+        .where(F.col("i.fp") != F.col("d.fp"))
+        .select("day", F.lit("changed").alias("reason"))
+    )
+    return missing.unionByName(changed)
+
+
+@register(
     "marker_manifest_json",
     oracle="""
     SELECT '{"date":"' || file_date || '","output_count":' || n || '}' AS marker_json
