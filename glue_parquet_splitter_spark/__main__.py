@@ -38,13 +38,18 @@ def main() -> None:
     marker_dir = get_arg("MARKER_DIR")
     key = get_arg("KEY", "item_id")
     exact = get_arg("EXACT_LAYOUT", "1") not in ("0", "false", "False")
+    manifest = get_arg("MANIFEST", "outputs")
+    reopen = get_arg("REPROCESS_CHANGED", "0") in ("1", "true", "True")
     if not (in_dir and out_dir and marker_dir):
         raise SystemExit("required: --IN_DIR, --OUT_DIR, --MARKER_DIR")
+    if manifest not in ("outputs", "counts"):
+        raise SystemExit("--MANIFEST must be 'outputs' or 'counts'")
 
     log.info("engine invoked: kind=%s", kind)
     spark = get_spark(f"split-{kind}")
     result = run_incremental(spark, kind, in_dir, out_dir, marker_dir,
-                             key=key, exact_layout=exact)
+                             key=key, exact_layout=exact, manifest=manifest,
+                             reprocess_changed=reopen)
     log.info("%s", result)
 
 

@@ -45,6 +45,19 @@ def _ship_package(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _PYFILE_SESSIONS:
         return
+    try:
+        # spark-submit --py-files already delivered the package: adding
+        # our own zip of the same basename makes executor file-fetch
+        # fail on content mismatch — the deployed artifact wins
+        sconf = spark.sparkContext.getConf()
+        shipped = ",".join(
+            sconf.get(k, "") or ""
+            for k in ("spark.submit.pyFiles", "spark.files", "spark.archives"))
+        if "glue_parquet_splitter_spark" in shipped:
+            _PYFILE_SESSIONS.add(key)
+            return
+    except Exception:
+        pass
     import tempfile
     import zipfile
 
