@@ -137,5 +137,9 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import streaming2_q  # noqa: F401
     from . import contamination_q  # noqa: F401
     from . import scale2_q  # noqa: F401
-    from . import functions2_q  # noqa: F401  # new modules last: rotation is import-ordered
+    from . import functions2_q  # noqa: F401
+    from . import curation2_q  # noqa: F401
+    from . import timeseries2_q  # noqa: F401
+    from . import geo_q  # noqa: F401
+    from . import sketch2_q  # noqa: F401  # new modules last: rotation is import-ordered
     return REGISTRY

@@ -1,0 +1,146 @@
+"""Curation wave 2: the chunk/cap/mix operators a training-data build
+runs after filtering — all JVM-side (no Python in the hot path), all
+deterministic so reruns and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+CHUNK = 100   # tokens per training chunk
+STRIDE = 80   # 20-token overlap between consecutive chunks
+
+
+@register(
+    "doc_chunk_overlap_sql",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tokens
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, tokens, UNNEST(range(0, len(tokens), {STRIDE})) AS start
+      FROM toks
+    )
+    SELECT doc_id, CAST(start AS BIGINT) AS start,
+           CAST(LEAST(len(tokens) - start, {CHUNK}) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(tokens[start + 1 : start + {CHUNK}], ' '))
+             AS chunk_hash
+    FROM starts
+    """,
+    tags=("curation", "chunking", "generator"),
+)
+def doc_chunk_overlap_sql(spark, sf_dir):
+    """Sliding-window chunking for LLM training: each document yields
+    ``ceil(n_tokens / stride)`` chunks of ≤100 tokens with 20-token
+    overlap.  Pure generator + slice expressions — the JVM/codegen
+    counterpart of the Python-UDTF chunker (``python_udtf_chunks``),
+    and the form that survives 100 TB: ``explode(sequence(...))`` is
+    map-side only, no shuffle, no Python.  Chunk text is returned as a
+    hash (the identity a dedup/pack stage joins on), not as a second
+    copy of the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    starts = toks.select(
+        "doc_id", "tokens",
+        F.explode(
+            F.sequence(F.lit(0),
+                       F.greatest(F.size("tokens") - 1, F.lit(0)),
+                       F.lit(STRIDE))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.least(F.size("tokens") - F.col("start"), F.lit(CHUNK))
+         .cast("long").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.slice("tokens", F.col("start") + 1, CHUNK)))
+         .alias("chunk_hash"),
+    )
+
+
+@register(
+    "domain_cap_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 50
+    """,
+    tags=("curation", "sampling", "window"),
+)
+def domain_cap_sample(spark, sf_dir):
+    """Per-domain document cap (the Common-Crawl "max N pages per
+    domain" rule): rank each source's docs by a salted hash — a
+    deterministic shuffle, so the sample is stable across reruns and
+    machines — and keep the first 50.
+
+    Scale: one hash-partition by ``source`` + in-partition top-N; no
+    global sort, no driver state.  Skewed mega-domains are exactly the
+    rows the cap discards, so the skew bounds itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "source",
+                    F.row_number().over(w).cast("long").alias("rnk"))
+        .where(F.col("rnk") <= 50)
+    )
+
+
+@register(
+    "quality_decile_mix",
+    oracle="""
+    WITH dec AS (
+      SELECT n_chars,
+             ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           ROUND(SUM(n_chars) / SUM(SUM(n_chars)) OVER (), 4) AS char_share
+    FROM dec GROUP BY decile
+    """,
+    tags=("curation", "sampling", "window"),
+)
+def quality_decile_mix(spark, sf_dir):
+    """Quality-stratified mixing table: bucket the corpus into size
+    deciles (``ntile`` with a total order — doc_id tiebreak keeps the
+    bucket assignment deterministic) and report each decile's share of
+    total characters — the weights a curriculum/mixture sampler
+    consumes.
+
+    Scale note: ``ntile`` over a global ORDER BY is a single-partition
+    sort — fine for the decile *table* (output is 10 rows) but the
+    ranking input at 100 TB should be pre-aggregated or approximated
+    via ``approx_percentile`` cutpoints; this query is the exact
+    small-side oracle of that pattern.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dec = docs.select(
+        "n_chars",
+        F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+    return agg.select(
+        F.col("decile").cast("int"),
+        "n_docs",
+        F.col("chars_total").cast("long"),
+        F.round(F.col("chars_total") / F.sum("chars_total").over(Window.partitionBy()),
+                4).alias("char_share"),
+    )

@@ -1,0 +1,109 @@
+"""Time-series wave 2: smoothing and anomaly scoring, expressed as
+closed-form window algebra so the recursive definitions stay JVM-side
+(no iterative loop, no UDF) and the DuckDB oracle can replay them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+ALPHA = 0.1  # EWMA smoothing factor
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ), acc AS (
+      SELECT user_id, rn,
+             SUM(value * power(1 - {ALPHA}, -rn)) OVER w AS num,
+             SUM(power(1 - {ALPHA}, -rn)) OVER w AS den
+      FROM ordered
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events,
+           ROUND(MAX_BY(num / den, rn), 4) AS ewma_value
+    FROM acc GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "smoothing"),
+)
+def ewma_user_value(spark, sf_dir):
+    """Exponentially-weighted moving average of each user's event
+    values (α=0.1, pandas ``adjust=True`` form), reported at the last
+    event.  The recursion ``s_n = αx_n + (1-α)s_{n-1}`` is rewritten as
+    a ratio of two running sums with weights ``(1-α)^(-k)`` — one
+    window pass, whole-stage codegen, no iterative driver loop.  The
+    factor ``(1-α)^(-k)`` stays ≤ e^(0.105·n) and per-user event counts
+    are bounded (~100 here); for unbounded keys, re-base the exponent
+    per session window.
+
+    Scale: one shuffle on ``user_id``; the final per-user reduce reuses
+    the same partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+    ordered = ev.select("user_id", "value", rn.alias("rn"))
+    w = (Window.partitionBy("user_id").orderBy("rn")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    decay = F.pow(F.lit(1 - ALPHA), -F.col("rn"))
+    acc = ordered.select(
+        "user_id", "rn",
+        F.sum(F.col("value") * decay).over(w).alias("num"),
+        F.sum(decay).over(w).alias("den"),
+    )
+    return acc.groupBy("user_id").agg(
+        F.max("rn").cast("long").alias("n_events"),
+        F.round(F.max_by(F.col("num") / F.col("den"), F.col("rn")), 4)
+         .alias("ewma_value"),
+    )
+
+
+@register(
+    "zscore_daily_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, day, n,
+             (n - AVG(n) OVER (PARTITION BY event_type))
+               / stddev_samp(n) OVER (PARTITION BY event_type) AS z
+      FROM daily
+    )
+    SELECT event_type, day, n, ROUND(z, 3) AS zscore
+    FROM scored WHERE abs(z) > 1.5
+    """,
+    tags=("timeseries", "anomaly", "window"),
+)
+def zscore_daily_anomaly(spark, sf_dir):
+    """Volume-anomaly detection: daily event counts per type, z-scored
+    against that type's own mean/stddev; days beyond ±1.5σ surface.
+    The monitoring query a pipeline runs over its own ingest counts.
+
+    Scale: the daily pre-aggregation shrinks the input to
+    (types × days) rows before the window — the stats pass never sees
+    raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type")
+    scored = daily.select(
+        "event_type", "day", "n",
+        ((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w))
+        .alias("z"),
+    )
+    return (scored.where(F.abs("z") > 1.5)
+            .select("event_type", "day", "n", F.round("z", 3).alias("zscore")))
