@@ -73,3 +73,82 @@ def collection_funcs2(spark, sf_dir):
             F.map_zip_with(m1, m1, lambda _k, v1, v2: v1 + v2), F.lit("k1")
         ).alias("mzw_val"),
     )
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max,
+           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 3) AS k_avg
+    FROM events GROUP BY event_type
+    """,
+    tags=("functions", "variant", "json"),
+)
+def variant_props_extract(spark, sf_dir):
+    """Semi-structured props via the Spark 4 VARIANT type:
+    ``parse_json`` once in the scan projection, then typed
+    ``variant_get`` paths — the engine keeps the binary variant
+    encoding (no re-parsing per field access), which is the
+    100 TB answer to JSON columns: parse cost is paid once per row,
+    field access is an O(1) encoded lookup, and the aggregation stays
+    whole-stage-codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        F.round(F.avg("k"), 3).alias("k_avg"),
+    )
+
+
+@register(
+    "try_arithmetic_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(100 * CAST(l_extendedprice AS DECIMAL(18,4))
+                      / NULLIF(CAST(l_quantity - 25 AS DECIMAL(18,4)), 0))
+                AS BIGINT) AS price_per_excess_cents,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                    THEN CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+                    ELSE l_returnflag END AS INT) AS instr_num,
+           CAST(l_quantity AS BIGINT) * 1000000000000 AS big_product
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+    tags=("functions", "ansi", "null"),
+)
+def try_arithmetic_funcs(spark, sf_dir):
+    """Error-safe arithmetic under ANSI mode (Spark 4 default):
+    ``try_divide`` returns NULL where ANSI ``/`` would raise
+    (division by zero when quantity == 25), ``try_cast`` nulls
+    non-numeric strings, and widened multiplication avoids overflow —
+    the idioms that keep a 100 TB job from dying at row 3 trillion on
+    one bad record.  The DuckDB oracle mirrors each with its own
+    NULL-semantics forms (NULLIF-guarded divide, TRY_CAST).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 50 == 0)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        # decimal division + FLOOR of cents, not double ROUND: floor on
+        # an exact decimal quotient has no half-way boundary, so both
+        # engines agree bit-for-bit (ROUND tie-breaking differs)
+        F.floor(F.try_divide(
+            (F.col("l_extendedprice").cast("decimal(18,4)") * 100),
+            (F.col("l_quantity") - 25).cast("decimal(18,4)")))
+        .cast("long").alias("price_per_excess_cents"),
+        F.when(F.col("l_linenumber") % 2 == 0,
+               F.col("l_quantity").cast("long").cast("string"))
+        .otherwise(F.col("l_returnflag"))
+        .try_cast("int").alias("instr_num"),
+        (F.col("l_quantity").cast("long") * F.lit(1000000000000).cast("long"))
+        .alias("big_product"),
+    )
