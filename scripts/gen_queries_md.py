@@ -43,6 +43,7 @@ FAMILIES = OrderedDict([
     ("timeseries2_q", "Time-series wave 2 (closed-form EWMA, z-score volume anomalies)"),
     ("geo_q", "Geospatial (grid-bucketed proximity join, haversine)"),
     ("sketch2_q", "Sketches 2 & SCD2 serving (count-min heavy hitters, current snapshot)"),
+    ("api2_q", "Spark 4 API surface (applyInArrow, LATERAL, unpivot/melt)"),
 ])
 
 
