@@ -144,3 +144,72 @@ def quality_decile_mix(spark, sf_dir):
         F.round(F.col("chars_total") / F.sum("chars_total").over(Window.partitionBy()),
                 4).alias("char_share"),
     )
+
+
+@register(
+    "linechunk_dedup_rebuild",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, t, UNNEST(range(0, len(t), 10)) AS start FROM toks
+    ), named AS (
+      SELECT doc_id, CAST(start AS BIGINT) AS start,
+             array_to_string(t[start + 1 : start + 10], ' ') AS chunk
+      FROM chunks
+    ), ranked AS (
+      SELECT doc_id, start, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, start) AS rnk
+      FROM named
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rnk = 1 THEN chunk END,
+                                   ' ' ORDER BY start), '')) AS rebuilt_hash
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("curation", "dedup", "text"),
+)
+def linechunk_dedup_rebuild(spark, sf_dir):
+    """Span-level dedup with document rebuild (the C4/RefinedWeb "line
+    dedup" rule at 10-token granularity): a span repeated anywhere in
+    the corpus survives only at its first occurrence (lowest doc_id,
+    then position); every document is then reassembled from its kept
+    spans, returned as a hash plus kept/total counts.
+
+    Scale: one shuffle on the span hash (short md5 key) for the global
+    first-occurrence rank, one shuffle on doc_id for the rebuild —
+    never materializes pairs, never compares documents directly
+    (contrast ``minhash_lsh_candidates``, which targets whole-doc
+    near-duplication; this kills boilerplate spans inside otherwise
+    unique docs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0),
+                             F.greatest(F.size("t") - 1, F.lit(0)),
+                             F.lit(10))).alias("start"),
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.concat_ws(" ", F.slice("t", F.col("start") + 1, 10)).alias("chunk"),
+    )
+    ranked = chunks.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "start")),
+    )
+    kept_struct = F.when(F.col("rnk") == 1, F.struct("start", "chunk"))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["chunk"]),
+            " ")).alias("rebuilt_hash"),
+    )

@@ -72,3 +72,32 @@ def streaming_windowed_topk(spark, sf_dir):
     from ..streaming.windows import run_windowed_topk_stream
 
     return run_windowed_topk_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_left_outer_interval",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS ts_a_s
+    FROM events a
+    LEFT JOIN events b
+      ON b.user_id = a.user_id AND b.event_id <> a.event_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 seconds'
+    CROSS JOIN mx
+    WHERE strftime(a.ts, '%Y-%m-%d %H:%M:%S')
+          < strftime(mx.mx - INTERVAL '11 minutes', '%Y-%m-%d %H:%M:%S')
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_left_outer_interval(spark, sf_dir):
+    """Left-outer stream-stream interval join, drained availableNow and
+    restricted to the watermark-finalized region where streaming output
+    provably equals the batch left range join (the oracle).  See
+    ``streaming.windows.run_left_outer_interval_stream`` for the state
+    eviction / NULL-emission mechanics.
+    """
+    from ..streaming.windows import run_left_outer_interval_stream
+
+    load_table(spark, sf_dir, "events")  # session conf side effect
+    return run_left_outer_interval_stream(spark, f"{sf_dir}/events.parquet")

@@ -105,6 +105,62 @@ def run_stream_stream_join(spark: SparkSession, events_path: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_left_outer_interval_stream(spark: SparkSession,
+                                   events_path: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every event emits — once
+    per same-user event within the following 60 s, or with NULLs once
+    the watermark proves no match can arrive.  The semantics inner
+    joins cannot give: "did a follow-up happen?" per event.
+
+    Drain caveat (and why the result is filtered): an availableNow
+    drain's final watermark stops at max(event_time) − watermark, so
+    left rows whose 60 s match-window is not yet past that point never
+    get their NULL verdict.  Both this runner and the batch oracle
+    therefore restrict to rows with ``ts_a < max_ts − (10 min + 60 s)``
+    — the region where streaming output provably equals the batch left
+    range join.
+    """
+    a = events_stream(spark, events_path).select(
+        F.col("event_id").alias("event_a"), F.col("user_id").alias("u_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "10 minutes")
+    b = events_stream(spark, events_path).select(
+        F.col("event_id").alias("event_b"), F.col("user_id").alias("u_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    joined = a.join(
+        b,
+        F.expr("""u_a = u_b AND event_b <> event_a AND ts_b > ts_a
+                  AND ts_b <= ts_a + INTERVAL 60 SECONDS"""),
+        "leftOuter",
+    ).select(
+        "event_a", "event_b",
+        F.date_format(F.date_trunc("second", "ts_a"),
+                      TS_FMT).alias("ts_a_s"),
+    )
+    name = "stream_loj_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_loj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    batch = spark.read.parquet(events_path) if not events_path.endswith(
+        ".parquet") else spark.read.parquet(events_path)
+    from ..catalog import normalize_ntz
+
+    mx = normalize_ntz(batch).agg(F.max("ts").alias("mx"))
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .where(F.col("ts_a_s") < F.date_format(
+            F.col("mx") - F.expr("INTERVAL 11 MINUTES"), TS_FMT))
+        .select("event_a", "event_b", "ts_a_s")
+    )
+
+
 def run_late_data_stream(spark: SparkSession, events_path: str,
                          window: str = "1 hour",
                          watermark: str = "30 minutes") -> DataFrame:
