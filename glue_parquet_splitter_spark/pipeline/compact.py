@@ -23,11 +23,32 @@ restore — the same conservative commit order as the marker protocol
 
 from __future__ import annotations
 
+import contextlib
 import logging
 
 from pyspark.sql import SparkSession
 
 log = logging.getLogger(__name__)
+
+_INFER_KEY = "spark.sql.sources.partitionColumnTypeInference.enabled"
+
+
+@contextlib.contextmanager
+def _verbatim_partition_values(spark: SparkSession):
+    """Read hive partition values as strings, not inferred types.
+
+    The split layout's partition values are zero-padded strings
+    (``item_id=0000000005``); default inference would re-type them as
+    long ``5`` and the compacted rewrite would silently corrupt every
+    partition key.  Same guard as the counts-mode manifest read in
+    ``incremental.py``.
+    """
+    prev = spark.conf.get(_INFER_KEY, "true")
+    spark.conf.set(_INFER_KEY, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_INFER_KEY, prev)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -74,19 +95,21 @@ def compact_dataset(spark: SparkSession, directory: str,
                 f"refusing to compact: leftover {stale.toString()} exists "
                 "(restore or delete it first)")
 
-    df = spark.read.parquet(src)
-    files_before = count_data_files(spark, src)
-    n_src = df.count()
+    with _verbatim_partition_values(spark):
+        df = spark.read.parquet(src)
+        files_before = count_data_files(spark, src)
+        n_src = df.count()
 
-    writer = (df.repartition(*partition_by) if partition_by else df.coalesce(
-        max(1, spark.sparkContext.defaultParallelism))
-    ).write.mode("overwrite").option(
-        "maxRecordsPerFile", str(max_records_per_file))
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+        writer = (df.repartition(*partition_by) if partition_by
+                  else df.coalesce(
+                      max(1, spark.sparkContext.defaultParallelism))
+                  ).write.mode("overwrite").option(
+                      "maxRecordsPerFile", str(max_records_per_file))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
 
-    n_tmp = spark.read.parquet(tmp).count()
+        n_tmp = spark.read.parquet(tmp).count()
     if n_tmp != n_src:
         fs.delete(tmp_path, True)
         raise RuntimeError(

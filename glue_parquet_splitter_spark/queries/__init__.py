@@ -10,7 +10,11 @@ Conventions (driver hash-compare is order-insensitive but name/value
 exact):
 - alias every computed column identically in Spark and SQL;
 - round doubles (``F.round`` / ``ROUND``) before returning;
-- never return raw timestamps — cast to DATE or format to string.
+- never return raw timestamps — cast to DATE or format to string;
+- never return array-typed columns — the driver canonicalizer sorts
+  rows via pandas and dies on unhashable numpy arrays; serialize with
+  ``F.array_join(F.transform(a, x -> cast(x as string)), ',')`` /
+  DuckDB ``array_to_string(a, ',')``.
 """
 
 from __future__ import annotations

@@ -213,3 +213,69 @@ def linechunk_dedup_rebuild(spark, sf_dir):
                         lambda x: x["chunk"]),
             " ")).alias("rebuilt_hash"),
     )
+
+
+@register(
+    "quality_decile_mix_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+    ), cum AS (
+      SELECT n_chars, cnt,
+             SUM(cnt) OVER (ORDER BY n_chars) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM c
+    )
+    SELECT CAST((10 * cum + n - 1) // n AS INT) AS decile,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars * cnt) AS BIGINT) AS chars_total,
+           ROUND(SUM(n_chars * cnt)
+                 / SUM(SUM(n_chars * cnt)) OVER (), 4) AS char_share
+    FROM cum GROUP BY decile
+    """,
+    tags=("curation", "sampling", "histogram"),
+)
+def quality_decile_mix_histogram(spark, sf_dir):
+    """The 100 TB-safe companion to ``quality_decile_mix``: decile
+    mixing weights WITHOUT a global row sort.
+
+    Plan shape: (1) hash-aggregate the corpus to one row per distinct
+    ``n_chars`` value — the only full-data pass, a map-side-combinable
+    groupBy; (2) cumulative counts over the tiny aggregated histogram
+    (a window sort over distinct VALUES, not rows — bounded by the
+    value domain, not the corpus); (3) assign each value its decile by
+    integer ceiling-division of its cumulative rank — pure arithmetic,
+    no floating-point boundary jitter, bit-identical in any engine.
+    Ties share a decile (value-granular buckets), which is exactly what
+    a mixture sampler wants: a document's bucket never depends on
+    which shard it sat in.
+
+    This is the same pattern as approx_percentile cutpoints + bucket
+    join, but exact whenever the value domain is boundable — and
+    deterministic, so it hash-matches a DuckDB oracle instead of
+    needing a tolerance gate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    cum = c.select(
+        "n_chars", "cnt",
+        F.sum("cnt").over(
+            Window.orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    dec = cum.select(
+        "n_chars", "cnt",
+        F.expr("(10 * cum + n - 1) div n").cast("int").alias("decile"),
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.sum(F.col("n_chars") * F.col("cnt")).alias("chars_total"),
+    )
+    return agg.select(
+        "decile", "n_docs",
+        F.col("chars_total").cast("long").alias("chars_total"),
+        F.round(F.col("chars_total")
+                / F.sum("chars_total").over(Window.partitionBy()),
+                4).alias("char_share"),
+    )

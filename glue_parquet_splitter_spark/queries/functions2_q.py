@@ -25,10 +25,16 @@ from . import register
       FROM orders WHERE o_orderkey % 20 = 0
     )
     SELECT o_orderkey,
-           list_sort(list_distinct(list_intersect(a1, a2))) AS inter_sorted,
-           list_sort(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x))))
+           -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's is ''
+           COALESCE(array_to_string(
+             list_sort(list_distinct(list_intersect(a1, a2))), ','), '')
+             AS inter_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a1, x -> NOT list_contains(a2, x)))), ','), '')
              AS except_sorted,
-           list_sort(list_distinct(a1 || a2)) AS union_sorted,
+           COALESCE(array_to_string(
+             list_sort(list_distinct(a1 || a2)), ','), '')
+             AS union_sorted,
            len(list_intersect(a1, a2)) > 0 AS overlaps,
            (o_orderkey % 7) * (o_orderkey % 3)
              + (o_custkey % 7) * (o_custkey % 3) AS zip_dot,
@@ -50,11 +56,18 @@ def collection_funcs2(spark, sf_dir):
     a1 = F.array(ok % 7, ck % 7, ok % 5)
     a2 = F.array(ck % 7, ok % 3)
     m1 = F.create_map(F.lit("k1"), ok % 10, F.lit("k2"), ck % 10)
+
+    def joined(arr):
+        # array columns are banned in registry output (the driver's
+        # canonicalizer can't sort them) — serialize to a csv string
+        return F.array_join(
+            F.transform(F.sort_array(arr), lambda x: x.cast("string")), ",")
+
     return o.select(
         "o_orderkey",
-        F.sort_array(F.array_intersect(a1, a2)).alias("inter_sorted"),
-        F.sort_array(F.array_except(a1, a2)).alias("except_sorted"),
-        F.sort_array(F.array_distinct(F.array_union(a1, a2))).alias("union_sorted"),
+        joined(F.array_intersect(a1, a2)).alias("inter_sorted"),
+        joined(F.array_except(a1, a2)).alias("except_sorted"),
+        joined(F.array_distinct(F.array_union(a1, a2))).alias("union_sorted"),
         F.arrays_overlap(a1, a2).alias("overlaps"),
         # zip_with product-sum over the 2-element prefixes
         F.aggregate(

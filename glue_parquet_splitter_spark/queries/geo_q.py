@@ -22,6 +22,26 @@ def _coords_sql(key: str) -> tuple[str, str]:
     return lat, lon
 
 
+def _cells(spark, sf_dir):
+    """Customer points with deterministic coords and 10° grid cell ids."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 1800) / 10.0 - 90).alias("lat"),
+        ((F.col("c_custkey") * 73 % 3600) / 10.0 - 180).alias("lon"),
+    ).withColumns({
+        "cell_lat": F.floor(F.col("lat") / 10),
+        "cell_lon": F.floor(F.col("lon") / 10),
+    })
+
+
+def _haversine(a_lat, a_lon, b_lat, b_lon):
+    return 2 * EARTH_KM * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(b_lat - a_lat) / 2), 2)
+        + F.cos(F.radians(a_lat)) * F.cos(F.radians(b_lat))
+        * F.pow(F.sin(F.radians(b_lon - a_lon) / 2), 2)))
+
+
 @register(
     "geo_grid_neighbor_pairs",
     oracle=f"""
@@ -64,15 +84,7 @@ def geo_grid_neighbor_pairs(spark, sf_dir):
     neighbor-cell replication, which multiplies candidates by a
     constant ≤9 and changes nothing structurally.)
     """
-    cust = load_table(spark, sf_dir, "customer")
-    pts = cust.select(
-        "c_custkey",
-        ((F.col("c_custkey") * 37 % 1800) / 10.0 - 90).alias("lat"),
-        ((F.col("c_custkey") * 73 % 3600) / 10.0 - 180).alias("lon"),
-    ).withColumns({
-        "cell_lat": F.floor(F.col("lat") / 10),
-        "cell_lon": F.floor(F.col("lon") / 10),
-    })
+    pts = _cells(spark, sf_dir)
     a, b = pts.alias("a"), pts.alias("b")
     hav = (
         2 * EARTH_KM * F.asin(F.sqrt(
@@ -84,6 +96,86 @@ def geo_grid_neighbor_pairs(spark, sf_dir):
     return (
         a.join(b, on=[F.col("a.cell_lat") == F.col("b.cell_lat"),
                       F.col("a.cell_lon") == F.col("b.cell_lon"),
+                      F.col("a.c_custkey") < F.col("b.c_custkey")])
+        .where(hav <= RADIUS_KM)
+        .select(F.col("a.c_custkey").alias("custkey_a"),
+                F.col("b.c_custkey").alias("custkey_b"),
+                F.round(hav, 2).alias("dist_km"))
+    )
+
+
+_HAV_SQL = (
+    f"2 * {EARTH_KM} * asin(sqrt("
+    "pow(sin(radians(b.lat - a.lat) / 2), 2)"
+    " + cos(radians(a.lat)) * cos(radians(b.lat))"
+    " * pow(sin(radians(b.lon - a.lon) / 2), 2)))"
+)
+
+
+@register(
+    "geo_grid_neighbor_pairs_ring",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_coords_sql('c_custkey')[0]} AS lat,
+             {_coords_sql('c_custkey')[1]} AS lon
+      FROM customer
+    ), cells AS (
+      SELECT c_custkey, lat, lon,
+             CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+             CAST(floor(lon / 10) AS BIGINT) AS cell_lon
+      FROM pts
+    ), repl AS (
+      SELECT c_custkey, lat, lon,
+             cell_lat + dlat.x AS rcell_lat,
+             ((cell_lon + 18 + dlon.x) % 36 + 36) % 36 - 18 AS rcell_lon
+      FROM cells, range(-1, 2) AS dlat(x), range(-1, 2) AS dlon(x)
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           ROUND({_HAV_SQL}, 2) AS dist_km
+    FROM repl a JOIN cells b
+      ON a.rcell_lat = b.cell_lat AND a.rcell_lon = b.cell_lon
+     AND a.c_custkey < b.c_custkey
+    WHERE {_HAV_SQL} <= {RADIUS_KM}
+    """,
+    tags=("geo", "join", "bucketed"),
+)
+def geo_grid_neighbor_pairs_ring(spark, sf_dir):
+    """Proximity join with 3x3 neighbor-cell replication — the recall
+    fix for ``geo_grid_neighbor_pairs``'s same-cell-only limitation.
+
+    One side (the probe) is replicated into its cell's 3x3 ring via a
+    9-element ``explode`` in the scan projection (a map-side generator:
+    no shuffle, x9 rows); the other side keeps its single home cell.
+    Each qualifying pair is therefore found EXACTLY once — the build
+    point's home cell is unique, and the probe's 9 replicated cells are
+    distinct (longitude wraps mod 36 cells; latitude over/underflow
+    cells simply match nothing) — so no dedup pass is needed.  The join
+    is still one hash shuffle on a short (cell_lat, cell_lon) key;
+    candidates grow by a constant factor <= 9, which is the documented
+    price of boundary-complete recall.
+
+    At 100 TB the same plan holds: replication factor is constant, the
+    per-cell population bounds the quadratic term, and with S2/H3 cells
+    the ring ids come from the cell library instead of arithmetic.
+    """
+    pts = _cells(spark, sf_dir)
+    ring = F.array(*[
+        F.struct(F.lit(i).alias("dlat"), F.lit(j).alias("dlon"))
+        for i in (-1, 0, 1) for j in (-1, 0, 1)
+    ])
+    repl = pts.withColumn("d", F.explode(ring)).select(
+        "c_custkey", "lat", "lon",
+        (F.col("cell_lat") + F.col("d.dlat")).alias("rcell_lat"),
+        (((F.col("cell_lon") + 18 + F.col("d.dlon")) % 36 + 36) % 36 - 18)
+        .alias("rcell_lon"),
+    )
+    a, b = repl.alias("a"), _cells(spark, sf_dir).alias("b")
+    hav = _haversine(F.col("a.lat"), F.col("a.lon"),
+                     F.col("b.lat"), F.col("b.lon"))
+    return (
+        a.join(b, on=[F.col("a.rcell_lat") == F.col("b.cell_lat"),
+                      F.col("a.rcell_lon") == F.col("b.cell_lon"),
                       F.col("a.c_custkey") < F.col("b.c_custkey")])
         .where(hav <= RADIUS_KM)
         .select(F.col("a.c_custkey").alias("custkey_a"),

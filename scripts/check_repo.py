@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Cheap pre-commit gate: catches stale imports and registry breakage
+without running Spark.
+
+Checks (all must pass; exits non-zero otherwise):
+1. ``pytest --collect-only`` over tests/ — a renamed API with a stale
+   test import fails HERE, not at the next full suite run (this exact
+   breakage shipped in round 4: ``compact_partitions`` →
+   ``compact_dataset`` left ``tests/test_formats_compact.py`` dead and
+   killed collection of the whole suite).
+2. The query registry imports and every spec is well-formed (callable
+   fn, str-or-None oracle, unique names enforced at register time).
+3. ``__spark_entry__`` exposes entry/queries/oracle_sql and the
+   oracle_sql keys are a subset of queries().
+
+Run before every commit: ``python scripts/check_repo.py``
+"""
+
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def fail(msg):
+    print(f"CHECK FAILED: {msg}")
+    sys.exit(1)
+
+
+def main():
+    # 1. pytest collection
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "--no-header", "-p", "no:cacheprovider"],
+        cwd="/root/repo", capture_output=True, text=True, timeout=300)
+    tail = (r.stdout + r.stderr).strip().splitlines()[-3:]
+    if r.returncode != 0:
+        fail("pytest collection is red:\n" + "\n".join(tail))
+    print("ok: pytest collection —", tail[-1] if tail else "")
+
+    # 2. registry load + spec shape
+    from glue_parquet_splitter_spark.queries import load_all_modules
+    reg = load_all_modules()
+    for name, spec in reg.items():
+        if not callable(spec.fn):
+            fail(f"registry spec {name} has non-callable fn")
+        if spec.oracle is not None and not isinstance(spec.oracle, str):
+            fail(f"registry spec {name} has non-str oracle")
+    n_oracled = sum(1 for s in reg.values() if s.oracle)
+    print(f"ok: registry — {len(reg)} queries, {n_oracled} oracled")
+
+    # 3. driver entry contract
+    import __spark_entry__ as entry_mod
+    for attr in ("entry", "queries", "oracle_sql"):
+        if not callable(getattr(entry_mod, attr, None)):
+            fail(f"__spark_entry__.{attr} missing or not callable")
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    extra = set(os_) - set(qs)
+    if extra:
+        fail(f"oracle_sql keys not in queries(): {sorted(extra)[:5]}")
+    print(f"ok: __spark_entry__ — {len(qs)} queries, {len(os_)} oracles")
+    print("ALL CHECKS PASS")
+
+
+if __name__ == "__main__":
+    main()

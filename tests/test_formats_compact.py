@@ -8,8 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from glue_parquet_splitter_spark.catalog import load_table
-from glue_parquet_splitter_spark.pipeline.compact import compact_partitions
-from glue_parquet_splitter_spark.pipeline.splitter import write_partitioned
+from glue_parquet_splitter_spark.pipeline.compact import compact_dataset
 
 SAMPLE = "/root/reference/sample-data/data"
 
@@ -42,20 +41,40 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert merged.filter(F.col("v2").isNull()).count() == 5
 
 
-def test_compaction(spark, tmp_path):
-    """Fan-out layout → bounded files per partition, same rows."""
+def test_compaction_preserves_partition_values(spark, tmp_path):
+    """Fan-out layout → bounded files per partition, same rows, and the
+    zero-padded partition dir names/values survive verbatim (type
+    inference would rewrite ``item_id=0000000005`` as ``item_id=5``)."""
     df = spark.read.parquet(f"{SAMPLE}/input/20251107.parquet")
     src = str(tmp_path / "fanout")
     # simulate a small-file layout: many files per partition
     df.repartition(16).write.partitionBy("item_id").parquet(src)
-    n_small = sum(len([f for f in files if f.endswith(".parquet")])
-                  for _, _, files in os.walk(src))
-    dst = str(tmp_path / "compacted")
-    stats = compact_partitions(spark, src, dst, partition_col="item_id")
-    n_big = sum(len([f for f in files if f.endswith(".parquet")])
-                for _, _, files in os.walk(dst))
-    assert stats["rows"] == 10_000 and stats["partitions"] == 30
-    assert n_big == 30 < n_small  # exactly one file per partition
+
+    def part_dirs():
+        return sorted(d for d in os.listdir(src) if d.startswith("item_id="))
+
+    def n_files():
+        return sum(len([f for f in files if f.endswith(".parquet")])
+                   for _, _, files in os.walk(src))
+
+    dirs_before, files_before = part_dirs(), n_files()
+    assert len(dirs_before) == 30
+    assert any("=0" in d for d in dirs_before)  # zero-padded keys present
+
+    stats = compact_dataset(spark, src, partition_by=["item_id"])
+    assert stats["rows"] == 10_000
+    assert part_dirs() == dirs_before  # dir names byte-identical
+    assert stats["files_after"] == n_files() == 30 < files_before
+
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        back = spark.read.parquet(src)
+        keys = {r.item_id for r in back.select("item_id").distinct().collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    assert keys == {d.split("=", 1)[1] for d in dirs_before}
 
 
 def test_cli_entry(tmp_path):
