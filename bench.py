@@ -98,6 +98,32 @@ def bench_split_replay(spark, tmp_root: str) -> tuple[float, float]:
     return dt, N_REPLAY_DAYS * 10_000 / dt
 
 
+def bench_compact_replay(spark, tmp_root: str) -> tuple[float, dict]:
+    """Maintenance-path benchmark: compact a fragmented hive-layout
+    dataset (10 daily appends × 10k rows × 30 keys — the small-file
+    state a month of ``write_partitioned`` dailies leaves behind).
+    Returns (sec, summary with files_before/files_after)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from glue_parquet_splitter_spark.pipeline.compact import compact_dataset
+
+    data = f"{tmp_root}/data"
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    for day in range(N_REPLAY_DAYS):
+        df = spark.range(10_000).select(
+            F.lpad((F.col("id") % 30).cast("string"), 10, "0").alias("item_id"),
+            (F.col("id") + day * 10_000).alias("row_id"),
+            (F.col("id") % 101).alias("sales_figures"),
+        )
+        (df.repartition(4).write.mode("append")
+         .partitionBy("item_id").parquet(data))
+    t0 = time.perf_counter()
+    summary = compact_dataset(spark, data, partition_by=["item_id"])
+    return time.perf_counter() - t0, summary
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -143,6 +169,13 @@ def main() -> None:
             best_sec, best_rate = sec, rate
     timings[f"split_replay_{N_REPLAY_DAYS}x10k"] = round(best_sec, 3)
 
+    compact_sec, compact_summary = float("inf"), {}
+    for i in range(2):
+        sec, summary = bench_compact_replay(spark, f"/tmp/bench_compact{i}")
+        if sec < compact_sec:
+            compact_sec, compact_summary = sec, summary
+    timings[f"compact_replay_{N_REPLAY_DAYS}x10k"] = round(compact_sec, 3)
+
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
     # relative to batch plan changes — report them in a separate
@@ -159,6 +192,8 @@ def main() -> None:
         "batch_suite_sec": round(total - streaming_sec, 3),
         "streaming_suite_sec": streaming_sec,
         "split_replay_rows_per_sec": round(best_rate),
+        "compact_files_before": compact_summary.get("files_before"),
+        "compact_files_after": compact_summary.get("files_after"),
         "shuffle_bytes_written": shuffle_bytes,
     }))
 

@@ -97,6 +97,67 @@ def _changed_days(in_status: dict[str, str], marker_keys: list[str],
     return changed
 
 
+def gc_manifest_runs(spark: SparkSession, marker_dir: str) -> int:
+    """Delete counts-mode manifest run dirs no current marker references.
+
+    Every counts-mode backlog run writes ``_manifests/run-<id>/`` and a
+    reopened day re-points its marker at a NEW run dir — without
+    collection the old dirs accrue forever (unbounded metadata growth).
+    A run dir survives iff at least one marker's ``outputs_manifest``
+    points inside it; everything else under ``_manifests/`` is dropped.
+
+    Metadata-scale work: one listing of run dirs + one small JSON read
+    per marker (the same order as the scheduler's own listing).  Safe
+    to run after every backlog pass — a marker is committed before the
+    pass returns, so a referenced dir can never look orphaned.  Assumes
+    the single-writer driver model the marker protocol already requires
+    (a concurrent writer's un-marked run could be swept; don't run two
+    drivers against one marker_dir).
+    """
+    from .splitter import resolve_fs
+
+    base = f"{marker_dir.rstrip('/')}/_manifests"
+    jvm = spark._jvm
+    base_path = jvm.org.apache.hadoop.fs.Path(base)
+    fs = base_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base_path):
+        return 0
+    run_dirs = {
+        st.getPath().toString()
+        for st in fs.listStatus(base_path)
+        if st.isDirectory() and st.getPath().getName().startswith("run-")
+    }
+    if not run_dirs:
+        return 0
+    referenced: set[str] = set()
+    for mk in list_files(spark, marker_dir, ".json"):
+        try:
+            filesystem, fs_path = resolve_fs(mk)
+            with filesystem.open_input_stream(fs_path) as f:
+                doc = json.loads(f.read().decode("utf-8"))
+        except Exception as e:  # unreadable marker → keep its runs
+            log.warning("gc: unreadable marker %s (%s); skipping gc", mk, e)
+            return 0
+        om = doc.get("outputs_manifest")
+        if om:
+            # outputs_manifest = <run_dir>/date=<d> — keep the run dir.
+            # Qualify through the same FS so a scheme-less marker path
+            # ("/tmp/…") matches the listing's qualified form
+            # ("file:/tmp/…") — an unqualified compare would sweep
+            # every live run dir.
+            run = om.rstrip("/").rsplit("/", 1)[0]
+            referenced.add(
+                fs.makeQualified(jvm.org.apache.hadoop.fs.Path(run))
+                .toString())
+    removed = 0
+    for d in sorted(run_dirs - referenced):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        removed += 1
+    if removed:
+        log.info("gc: removed %d orphaned manifest run dir(s)", removed)
+    return removed
+
+
 def write_marker(marker_path: str, doc: dict) -> None:
     """Commit a JSON marker (driver-side; any pyarrow-supported FS)."""
     from .splitter import resolve_fs
@@ -167,11 +228,17 @@ def run_incremental(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         if processed is None:  # batch read failed → day-by-day (skips bad days)
             processed = _process_day_by_day(spark, kind, in_dir, out_dir,
                                             marker_dir, missing_dates, key,
-                                            exact_layout, fp_by_date)
+                                            exact_layout, fp_by_date,
+                                            manifest=manifest)
     else:
         processed = _process_day_by_day(spark, kind, in_dir, out_dir,
                                         marker_dir, missing_dates, key,
-                                        exact_layout, fp_by_date)
+                                        exact_layout, fp_by_date,
+                                        manifest=manifest)
+
+    if manifest == "counts":
+        # reclaim run dirs orphaned by reopened days / historic runs
+        gc_manifest_runs(spark, marker_dir)
 
     return {
         "kind": kind,
@@ -186,10 +253,30 @@ def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
                         out_dir: str, marker_dir: str,
                         missing_dates: list[str], key: str,
                         exact_layout: bool,
-                        fingerprints: dict[str, str] | None = None) -> int:
+                        fingerprints: dict[str, str] | None = None,
+                        manifest: str = "outputs") -> int:
     """One day per Spark job — the resilient path (a bad file skips
-    only its own day, matching the reference's error taxonomy)."""
+    only its own day, matching the reference's error taxonomy).
+
+    ``manifest="counts"`` keeps the scale guarantee here too: each
+    day's per-key manifest is written from the executors and only ONE
+    count crosses to the driver — a batch-read failure no longer
+    silently degrades a counts-mode run to driver-side output lists
+    (and marker schemas stay uniform across days).
+    """
     fingerprints = fingerprints or {}
+    counts_mode = manifest == "counts" and exact_layout
+    if manifest == "counts" and not exact_layout:
+        # hive-layout days emit ONE output dir per day — nothing to
+        # keep off the driver; the marker still uses the counts schema
+        log.info("[%s] manifest='counts' with exact_layout=False: "
+                 "single-dir outputs, no per-key manifest needed", kind)
+    run_dir = None
+    if counts_mode:
+        import uuid as _uuid
+
+        run_dir = (f"{marker_dir.rstrip('/')}/_manifests/"
+                   f"run-{_uuid.uuid4().hex[:12]}")
     processed = 0
     for date in missing_dates:
         in_path = f"{in_dir.rstrip('/')}/{date}.parquet"
@@ -204,18 +291,45 @@ def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
             continue
         require_columns(df, [key])  # write failures below still propagate
 
-        outputs = split_day(df, out_dir, date, key=key, exact_layout=exact_layout)
+        stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         marker_path = f"{marker_dir.rstrip('/')}/{date}.json"
-        write_marker(marker_path, {
-            "kind": kind,
-            "date": date,
-            "input_key": in_path,
-            "input_fingerprint": fingerprints.get(date),
-            "outputs": outputs,
-            "output_count": len(outputs),
-            "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        })
-        log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
+        if counts_mode:
+            from pyspark.sql import functions as F
+
+            from .splitter import split_day_manifest
+
+            day_dir = f"{run_dir}/date={date}"
+            clean = df.filter(F.col(key).isNotNull())
+            (split_day_manifest(clean, out_dir, date, key=key)
+             .write.mode("overwrite").json(day_dir))
+            n = spark.read.json(day_dir).count()  # one number to driver
+            write_marker(marker_path, {
+                "kind": kind,
+                "date": date,
+                "input_key": in_path,
+                "input_fingerprint": fingerprints.get(date),
+                "outputs_manifest": day_dir,
+                "output_count": n,
+                "generated_at": stamp,
+            })
+            log.info("[OK] %s %s: %d outputs (manifest mode)", kind, date, n)
+        else:
+            outputs = split_day(df, out_dir, date, key=key,
+                                exact_layout=exact_layout)
+            marker = {
+                "kind": kind,
+                "date": date,
+                "input_key": in_path,
+                "input_fingerprint": fingerprints.get(date),
+                "outputs": outputs,
+                "output_count": len(outputs),
+                "generated_at": stamp,
+            }
+            if manifest == "counts":  # non-exact layout: uniform schema
+                marker["outputs_manifest"] = None
+                del marker["outputs"]
+            write_marker(marker_path, marker)
+            log.info("[OK] %s %s: %d outputs", kind, date, len(outputs))
         processed += 1
     return processed
 

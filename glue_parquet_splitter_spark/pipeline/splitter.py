@@ -121,7 +121,21 @@ def split_day(df: DataFrame, out_dir: str, date: str, key: str = "item_id",
         write_partitioned(df, day_dir, key)
         return [day_dir]
 
-    data_cols = df.columns
+    manifest = (
+        split_day_manifest(df, out_dir, date, key=key)
+        .collect()  # manifest only: one row per key, not per data row
+    )
+    return sorted(r.out_path for r in manifest)
+
+
+def split_day_manifest(df: DataFrame, out_dir: str, date: str,
+                       key: str = "item_id") -> DataFrame:
+    """One day's exact-layout fan-out as a LAZY manifest DataFrame
+    (``out_path``, ``rows`` — one row per key).  The per-key parquet
+    writes happen when the returned frame is consumed, so a caller can
+    aggregate counts or sink the manifest from executors without the
+    driver ever holding the per-key list (the ``manifest="counts"``
+    scale path of ``run_incremental``)."""
     ordered = df.withColumn(ORDER_COL, F.monotonically_increasing_id())
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -131,13 +145,8 @@ def split_day(df: DataFrame, out_dir: str, date: str, key: str = "item_id",
         write_parquet_object(pdf, path)
         return pd.DataFrame({"out_path": [path], "rows": [len(pdf)]})
 
-    manifest = (
-        ordered.groupBy(key)
-        .applyInPandas(_write_group, schema="out_path string, rows long")
-        .collect()  # manifest only: one row per key, not per data row
-    )
-    _ = data_cols
-    return sorted(r.out_path for r in manifest)
+    return ordered.groupBy(key).applyInPandas(
+        _write_group, schema="out_path string, rows long")
 
 
 def split_counts(df: DataFrame, key: str = "item_id") -> DataFrame:

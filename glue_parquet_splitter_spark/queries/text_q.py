@@ -174,3 +174,80 @@ def doc_fingerprint_bag(spark, sf_dir):
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))).alias("bag_fingerprint"),
     )
+
+
+@register(
+    "url_domain_rollup",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             'https://www.' || source || '-cdn' || CAST(doc_id % 3 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+               || '?ref=' || CAST(doc_id % 5 AS VARCHAR) AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path
+      FROM urls
+    )
+    SELECT regexp_replace(host, '^www\\.', '') AS host_norm,
+           regexp_extract(regexp_replace(host, '^www\\.', ''),
+                          '([^.]+\\.[^.]+)$', 1) AS registered_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+           CAST(SUM(CASE WHEN path LIKE '/p/%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_p_paths
+    FROM parsed
+    GROUP BY host_norm, registered_domain
+    """,
+    tags=("text", "curation", "url"),
+)
+def url_domain_rollup(spark, sf_dir):
+    """URL normalization + per-domain rollup — the curation step that
+    precedes domain capping/mixing in a crawl pipeline: parse host and
+    path (``F.parse_url``, JVM-side), strip the ``www.`` prefix,
+    reduce to the registered domain, and aggregate doc/char counts per
+    domain.  URLs are synthesized deterministically from (source,
+    doc_id) because the fixture carries none — the derivation is plain
+    string concat, so the DuckDB oracle (regexp-based parsing: it has
+    no parse_url) reproduces it exactly.
+
+    Scale: parsing is a scan-side projection (whole-stage codegen, no
+    UDF); the rollup is one map-side-combinable groupBy on the domain —
+    the same plan at any corpus size.  Real-world registered-domain
+    extraction needs the public-suffix list (broadcast it as a small
+    dim and join on the host suffix); the last-two-labels rule here
+    keeps the fixture self-contained.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", "n_chars",
+        F.concat(
+            F.lit("https://www."), F.col("source"), F.lit("-cdn"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.lit("?ref="), (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+    )
+    parsed = urls.select(
+        "doc_id", "n_chars",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+    )
+    host_norm = F.regexp_replace("host", r"^www\.", "")
+    return (
+        parsed.select(
+            "n_chars", "path",
+            host_norm.alias("host_norm"),
+            F.regexp_extract(host_norm, r"([^.]+\.[^.]+)$", 1)
+            .alias("registered_domain"),
+        )
+        .groupBy("host_norm", "registered_domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("path").startswith("/p/"), 1).otherwise(0))
+            .cast("long").alias("n_p_paths"),
+        )
+    )

@@ -25,13 +25,27 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Local fixtures are small single files; a smaller split size keeps
-    # all cores busy on scans (cluster deployments override via env —
-    # use 128m+ on a real cluster; 16m left the 10.8 MB sf0.1 lineitem
-    # in 3 splits and q1 ~70% slower than at 4m, BENCH_r03 drift).
-    "spark.sql.files.maxPartitionBytes": os.environ.get(
-        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
 }
+
+# Local fixtures are small single files; a smaller split size keeps
+# all cores busy on scans (16m left the 10.8 MB sf0.1 lineitem in 3
+# splits and q1 ~70% slower than at 4m, BENCH_r03 drift).  Applied ONLY
+# on local[*] masters: at 100 TB a 4 MB split size would mean ~25M scan
+# tasks, so cluster sessions keep Spark's 128 MB default unless
+# SPARK_GRAFT_MAX_PARTITION_BYTES explicitly overrides it (the submit
+# package's cluster profile sets 128m for the same reason).
+_LOCAL_ONLY_DEFAULTS = {
+    "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+}
+
+
+def _split_size_confs(master: str | None) -> dict:
+    override = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if override:
+        return {"spark.sql.files.maxPartitionBytes": override}
+    if master is not None and master.startswith("local"):
+        return dict(_LOCAL_ONLY_DEFAULTS)
+    return {}
 
 
 _PYFILE_SESSIONS: set = set()
@@ -82,7 +96,12 @@ def _ship_package(spark: SparkSession) -> None:
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set the confs this engine relies on onto an existing session."""
-    for k, v in _RUNTIME_CONFS.items():
+    try:
+        master = spark.sparkContext.master
+    except Exception:  # e.g. connect sessions expose no sparkContext
+        master = None
+    confs = {**_RUNTIME_CONFS, **_split_size_confs(master)}
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -114,7 +133,7 @@ def get_spark(app_name: str = "glue_parquet_splitter_spark",
         # local mode: the driver JVM is the whole cluster — give it room
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
-    for k, v in _RUNTIME_CONFS.items():
+    for k, v in {**_RUNTIME_CONFS, **_split_size_confs(master)}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -148,8 +148,7 @@ def run_left_outer_interval_stream(spark: SparkSession,
     )
     q.awaitTermination()
     out = spark.table(name)
-    batch = spark.read.parquet(events_path) if not events_path.endswith(
-        ".parquet") else spark.read.parquet(events_path)
+    batch = spark.read.parquet(events_path)
     from ..catalog import normalize_ntz
 
     mx = normalize_ntz(batch).agg(F.max("ts").alias("mx"))

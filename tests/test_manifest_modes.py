@@ -132,3 +132,65 @@ def test_manifest_count_aggregation_stays_in_plan_at_1e6_keys(spark, tmp_path):
     assert len(counts) == 3  # driver materializes 3 rows, not 1e6
     assert sorted((r["date"], r["count"]) for r in counts) == [
         ("20250301", 333334), ("20250302", 333333), ("20250303", 333333)]
+
+
+def test_day_by_day_fallback_honors_counts_mode(spark, tmp_path):
+    """A counts-mode run forced down the day-by-day path (corrupt file
+    in the backlog breaks the batch job) must still write counts-schema
+    markers for the good days — not silently degrade to driver-side
+    output lists (mixed marker schemas)."""
+    tmp = str(tmp_path)
+    in_dir = f"{tmp}/input"
+    _make_input(spark, tmp, in_dir)
+    with open(f"{in_dir}/20250204.parquet", "wb") as f:
+        f.write(b"not a parquet file")  # poisons the batch read
+    summary = run_incremental(spark, "t", in_dir, f"{tmp}/out",
+                              f"{tmp}/markers_fb", manifest="counts")
+    assert summary["processed_days"] == N_DAYS  # bad day skipped, rest ok
+    docs = _markers(tmp, "fb")
+    assert set(docs) == {f"202502{d:02d}" for d in range(1, N_DAYS + 1)}
+    for date, doc in docs.items():
+        assert "outputs" not in doc, f"{date}: fallback wrote outputs list"
+        assert doc["output_count"] == N_KEYS
+        rows = []
+        for mp in glob.glob(f"{doc['outputs_manifest']}/*.json"):
+            with open(mp) as f:
+                rows += [json.loads(line) for line in f if line.strip()]
+        assert len(rows) == N_KEYS
+        assert all(os.path.exists(r["out_path"]) for r in rows)
+
+
+def test_gc_reclaims_orphaned_manifest_runs(spark, tmp_path):
+    """Reopening a day re-points its marker at a new run dir; the old
+    run dir is orphaned and the end-of-run GC removes it."""
+    from glue_parquet_splitter_spark.pipeline.incremental import (
+        gc_manifest_runs,
+    )
+
+    tmp = str(tmp_path)
+    in_dir = f"{tmp}/input"
+    _make_input(spark, tmp, in_dir)
+    marker_dir = f"{tmp}/markers"
+    run_incremental(spark, "t", in_dir, f"{tmp}/out", marker_dir,
+                    manifest="counts")
+    runs = lambda: sorted(  # noqa: E731
+        os.listdir(f"{marker_dir}/_manifests"))
+    assert len(runs()) == 1
+    live = runs()[0]
+
+    # orphan: a crashed/abandoned run no marker references
+    os.makedirs(f"{marker_dir}/_manifests/run-deadbeef0000/date=20250201")
+    assert len(runs()) == 2
+    removed = gc_manifest_runs(spark, marker_dir)
+    assert removed == 1 and runs() == [live]
+
+    # reopen one day (touch its input so the fingerprint changes):
+    # its marker re-points at a NEW run dir; the next counts-mode run's
+    # GC keeps both dirs that still back some marker, drops none extra
+    os.utime(f"{in_dir}/20250202.parquet", (1e9, 1e9))
+    again = run_incremental(spark, "t", in_dir, f"{tmp}/out", marker_dir,
+                            manifest="counts", reprocess_changed=True)
+    assert again["processed_days"] == 1
+    assert len(runs()) == 2  # old run still backs 2 markers, new backs 1
+    with open(f"{marker_dir}/20250202.json") as f:
+        assert live not in json.load(f)["outputs_manifest"]

@@ -37,3 +37,29 @@ def test_rotation_no_files_is_registry_order(tmp_path):
     oracled = [n for n in reg if reg[n].oracle is not None]
     rows_only = [n for n in reg if reg[n].oracle is None]
     assert ordered == oracled + rows_only
+
+
+def test_rotation_regrades_stalest_green_first(tmp_path):
+    """Verified queries re-grade oldest-green first: code under an
+    r1-green query may have changed since, so its driver row must
+    refresh before re-confirming queries greened last round."""
+    reg = load_all_modules()
+    names = list(reg)
+    r1 = {n: {"hash_match": True, "err": None, "spark_rows": 1}
+          for n in names[:5]}
+    r2 = {n: {"hash_match": True, "err": None, "spark_rows": 1}
+          for n in names[5:10]}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+
+    ordered = list(ordered_registry(str(tmp_path)))
+    tail = ordered[-10:]  # the verified block sits at the back
+    assert set(tail) == set(names[:10])
+    assert set(tail[:5]) == set(r1)   # r1-era rows re-grade first
+    assert set(tail[5:]) == set(r2)
+    # a query green in BOTH rounds counts as r2-fresh
+    both = dict(r2)
+    both[names[0]] = {"hash_match": True, "err": None, "spark_rows": 1}
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(both))
+    ordered = list(ordered_registry(str(tmp_path)))
+    assert ordered[-10:][:4] == names[1:5]  # names[0] moved to the r2 group
