@@ -101,3 +101,60 @@ def streaming_left_outer_interval(spark, sf_dir):
 
     load_table(spark, sf_dir, "events")  # session conf side effect
     return run_left_outer_interval_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_arrived
+    FROM events
+    """,
+    tags=("streaming", "dedup", "watermark"),
+)
+def streaming_dedup_within_watermark(spark, sf_dir):
+    """``dropDuplicatesWithinWatermark``: exactly-once dedup whose
+    state is TTL'd by the watermark instead of kept forever —
+    the 100 TB streaming-dedup answer (plain streaming
+    ``dropDuplicates`` holds every key seen, unbounded state; the
+    within-watermark form guarantees dedup only for duplicates arriving
+    inside the delay and evicts the rest).
+
+    Duplicates are PLANTED by unioning the file stream with itself —
+    every event arrives exactly twice, the copies trivially inside the
+    watermark — so the assertion is real: 2N arrivals collapse to N
+    distinct survivors (vs the fixture's COUNT(DISTINCT), plus the
+    arrival count as a second checked column).
+    """
+    import tempfile
+    import uuid
+
+    from ..streaming.windows import events_stream
+
+    load_table(spark, sf_dir, "events")  # session conf side effect
+    path = f"{sf_dir}/events.parquet"
+    arrivals = events_stream(spark, path).unionAll(events_stream(spark, path))
+    deduped = (
+        arrivals.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .agg(F.count("*").alias("n_unique"))
+    )
+    name = "ddww_" + uuid.uuid4().hex[:10]
+    q = (
+        deduped.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ddww_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_arrived = (
+        spark.read.parquet(path).groupBy()
+        .agg((F.count("*") * 2).cast("long").alias("n_arrived"))
+    )
+    return (
+        spark.table(name)
+        .select(F.col("n_unique").cast("long").alias("n_unique"))
+        .crossJoin(F.broadcast(n_arrived))
+    )
