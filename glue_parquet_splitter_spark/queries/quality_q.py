@@ -297,3 +297,78 @@ def pii_redact_planted(spark, sf_dir):
          + F.regexp_count(planted, F.lit(_PHONE_RE))).cast("long").alias("n_redacted"),
         F.md5(redacted).alias("redacted_hash"),
     )
+
+
+@register(
+    "psi_feature_drift",
+    oracle="""
+    WITH bucketed AS (
+      SELECT event_type,
+             LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS ref
+      FROM events
+    ), counts AS (
+      SELECT event_type, bucket,
+             SUM(ref) AS na, SUM(1 - ref) AS nb
+      FROM bucketed GROUP BY event_type, bucket
+    ), shares AS (
+      SELECT event_type, bucket, na, nb,
+             SUM(na) OVER (PARTITION BY event_type) AS ta,
+             SUM(nb) OVER (PARTITION BY event_type) AS tb
+      FROM counts
+    )
+    SELECT event_type,
+           CAST(MAX(ta) AS BIGINT) AS n_ref,
+           CAST(MAX(tb) AS BIGINT) AS n_cur,
+           CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_buckets_used,
+           ROUND(SUM(CASE WHEN na > 0 AND nb > 0
+                     THEN (na / ta - nb / tb) * ln((na / ta) / (nb / tb))
+                     ELSE 0 END), 4) AS psi
+    FROM shares GROUP BY event_type
+    """,
+    tags=("quality", "drift", "monitoring"),
+)
+def psi_feature_drift(spark, sf_dir):
+    """Population stability index of the ``value`` feature, reference
+    week (before 2024-01-08) vs the rest, per event type — the drift
+    gate a training pipeline runs between ingest periods before
+    retraining on new data (PSI > 0.2 conventionally blocks the batch).
+
+    Fixed-width buckets (50-unit, capped at 10) keep the binning
+    deterministic and engine-independent; zero-in-either-period buckets
+    are excluded (the standard convention — reported via
+    ``n_buckets_used`` so a collapsed distribution is visible).
+
+    Scale: one map-side-combinable groupBy on (type, bucket) — the
+    window + final reduce run on ≤ types×10 rows.  No quantile pass,
+    no per-row state; the same plan at any event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bucket"),
+        F.when(F.col("ts") < F.lit("2024-01-08").cast("timestamp"), 1)
+        .otherwise(0).alias("ref"),
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum("ref").alias("na"),
+        F.sum(1 - F.col("ref")).alias("nb"),
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type")
+    shares = counts.select(
+        "event_type", "bucket", "na", "nb",
+        F.sum("na").over(w).alias("ta"),
+        F.sum("nb").over(w).alias("tb"),
+    )
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
+    p, q = F.col("na") / F.col("ta"), F.col("nb") / F.col("tb")
+    return shares.groupBy("event_type").agg(
+        F.max("ta").cast("long").alias("n_ref"),
+        F.max("tb").cast("long").alias("n_cur"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long")
+        .alias("n_buckets_used"),
+        F.round(F.sum(F.when(both, (p - q) * F.log(p / q)).otherwise(0.0)), 4)
+        .alias("psi"),
+    )

@@ -158,3 +158,38 @@ def streaming_dedup_within_watermark(spark, sf_dir):
         .select(F.col("n_unique").cast("long").alias("n_unique"))
         .crossJoin(F.broadcast(n_arrived))
     )
+
+
+@register(
+    "streaming_full_outer_interval",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS mx FROM events),
+    j AS (
+      SELECT a.event_id AS event_a, b.event_id AS event_b,
+             a.ts AS ts_a, b.ts AS ts_b
+      FROM events a
+      FULL JOIN events b
+        ON b.user_id = a.user_id AND b.event_id <> a.event_id
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '60 seconds'
+    )
+    SELECT event_a, event_b,
+           strftime(ts_a, '%Y-%m-%d %H:%M:%S') AS ts_a_s,
+           strftime(ts_b, '%Y-%m-%d %H:%M:%S') AS ts_b_s
+    FROM j CROSS JOIN mx
+    WHERE strftime(COALESCE(ts_a, ts_b), '%Y-%m-%d %H:%M:%S')
+          < strftime(mx.mx - INTERVAL '11 minutes', '%Y-%m-%d %H:%M:%S')
+    """,
+    tags=("streaming", "join", "outer"),
+)
+def streaming_full_outer_interval(spark, sf_dir):
+    """Full-outer stream-stream interval join (the complete streaming
+    join matrix: inner + left-outer + full-outer), drained availableNow
+    and restricted to the watermark-finalized region where streaming
+    output provably equals the batch full outer range join (the
+    oracle).  See ``streaming.windows.run_full_outer_interval_stream``
+    for the two-sided state-eviction mechanics.
+    """
+    from ..streaming.windows import run_full_outer_interval_stream
+
+    load_table(spark, sf_dir, "events")  # session conf side effect
+    return run_full_outer_interval_stream(spark, f"{sf_dir}/events.parquet")

@@ -286,3 +286,65 @@ def run_windowed_topk_stream(spark: SparkSession, events_path: str,
     rk = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
     return (drained.withColumn("rk", F.row_number().over(rk))
             .where(F.col("rk") == 1).drop("rk"))
+
+
+def run_full_outer_interval_stream(spark: SparkSession,
+                                   events_path: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last cell of the
+    streaming join matrix (inner / left-outer / full-outer): matched
+    pairs emit immediately; an UNMATCHED row on either side emits with
+    NULLs once the watermark proves its counterpart cannot arrive.
+
+    Evictability: the interval condition bounds both event times
+    (``ts_a < ts_b <= ts_a + 60 s``), so the a-side NULL verdict lands
+    when the watermark passes ``ts_a + 60 s`` and the b-side verdict
+    when it passes ``ts_b`` — both sides' state is dropped then, which
+    is what makes this runnable forever at 100 TB/day (an unbounded
+    full-outer join without the interval would hold both streams'
+    entire history).
+
+    Same drain caveat as the left-outer runner: availableNow's final
+    watermark is ``max(event_time) − 10 min``, so output is restricted
+    to the finalized region — per side, anchor ts < max − 11 min —
+    where streaming output provably equals the batch full outer range
+    join (the oracle applies the identical two-sided filter).
+    """
+    a = events_stream(spark, events_path).select(
+        F.col("event_id").alias("event_a"), F.col("user_id").alias("u_a"),
+        F.col("ts").alias("ts_a"),
+    ).withWatermark("ts_a", "10 minutes")
+    b = events_stream(spark, events_path).select(
+        F.col("event_id").alias("event_b"), F.col("user_id").alias("u_b"),
+        F.col("ts").alias("ts_b"),
+    ).withWatermark("ts_b", "10 minutes")
+    joined = a.join(
+        b,
+        F.expr("""u_a = u_b AND event_b <> event_a AND ts_b > ts_a
+                  AND ts_b <= ts_a + INTERVAL 60 SECONDS"""),
+        "fullOuter",
+    ).select(
+        "event_a", "event_b",
+        F.date_format(F.date_trunc("second", "ts_a"), TS_FMT).alias("ts_a_s"),
+        F.date_format(F.date_trunc("second", "ts_b"), TS_FMT).alias("ts_b_s"),
+    )
+    name = "stream_foj_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_foj_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    batch = spark.read.parquet(events_path)
+    from ..catalog import normalize_ntz
+
+    mx = normalize_ntz(batch).agg(F.max("ts").alias("mx"))
+    cutoff = F.date_format(F.col("mx") - F.expr("INTERVAL 11 MINUTES"), TS_FMT)
+    anchor = F.coalesce(F.col("ts_a_s"), F.col("ts_b_s"))
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .where(anchor < cutoff)
+        .select("event_a", "event_b", "ts_a_s", "ts_b_s")
+    )
