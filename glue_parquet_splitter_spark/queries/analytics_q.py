@@ -214,3 +214,95 @@ def streaming_dedup_ids(spark, sf_dir):
         .crossJoin(F.broadcast(unique))
         .select("n_unique", "n_rows")
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+      GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=("analytics", "retention", "cohort"),
+)
+def cohort_retention_matrix(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, active
+    user counts at each day offset 0..7 — the (cohort × offset) grid a
+    growth dashboard renders.
+
+    Scale shape: one shuffle to find each user's first day (map-side-
+    combinable MIN), a key-colocated join back (both sides hashed on
+    user_id — AQE turns it into one co-partitioned exchange), and a
+    distinct + count over (user, cohort, offset), which is day-granular:
+    the final aggregate's cardinality is users × ≤8, never raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        days.join(firsts, "user_id")
+        .select("user_id", "cohort_day",
+                F.datediff("day", "cohort_day").alias("day_offset"))
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+    ).agg(F.count("*").alias("n_active"))
+
+
+@register(
+    "rolling_7day_active_users",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM day_users)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN day_users u
+      ON u.day BETWEEN d.day - INTERVAL '6 days' AND d.day
+    GROUP BY d.day
+    """,
+    tags=("analytics", "window", "distinct"),
+)
+def rolling_7day_active_users(spark, sf_dir):
+    """Rolling 7-day distinct active users (WAU) per day.  COUNT
+    DISTINCT over a sliding window has no partial-aggregate form, so
+    the scale answer is granularity reduction THEN replication: dedup
+    raw events to (day, user) rows — the only pass over full data, one
+    map-side-combinable shuffle — and replicate each such row to the ≤7
+    window-end days it serves via an ``explode`` in the projection (no
+    join, no per-row state).  The final distinct count runs on
+    days × users rows, independent of event volume.  (The same shape
+    with HLL sketches per day — ``hll_union_daily`` — drops the
+    distinct entirely when estimates suffice.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_users = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    n_days = day_users.select("day").distinct()
+    served = day_users.select(
+        "user_id", "day",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    ).select(
+        "user_id",
+        F.date_add("day", F.col("k")).alias("window_end"),
+    )
+    return (
+        served.join(n_days, served.window_end == n_days.day, "inner")
+        .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
