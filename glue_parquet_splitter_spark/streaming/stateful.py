@@ -75,3 +75,97 @@ def run_user_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def run_user_stats_tws_stream(spark: SparkSession,
+                              events_path: str) -> DataFrame:
+    """Same per-user running stats via ``transformWithStateInPandas`` —
+    the Spark 4 successor to ``applyInPandasWithState``: an object-style
+    ``StatefulProcessor`` with named state variables (value/list/map),
+    per-state TTL, and timers, over the RocksDB state store (required
+    by the API; also the store that scales streaming state past
+    executor memory — state lives on local SSD with changelog
+    checkpointing, the 100 TB-of-state answer).
+
+    Emits one final row per user; equals the batch per-user aggregate
+    (asserted in ``tests/test_streaming.py``).
+
+    ENVIRONMENT GATE: the transformWithState Python protocol speaks
+    protobuf to the JVM (``pyspark/sql/streaming/proto``), so this
+    requires the ``protobuf`` package — not bundled with this
+    container's pyspark install.  The import guard below raises a
+    clear ``ImportError`` up front instead of the opaque
+    "driver worker exited unexpectedly" the stream would die with;
+    callers (and the test) skip when unavailable.  Not registered as a
+    driver-graded query for the same reason —
+    ``streaming_stateful_user_stats`` (applyInPandasWithState, no
+    protobuf dependency) carries the stateful-operator correctness row.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pyspark's StateMessage protocol); install protobuf or use "
+            "run_user_stats_stream (applyInPandasWithState)") from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from .windows import events_stream
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "totals", "n_events LONG, total_value DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._st.get() if self._st.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._st.update((n, total))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "n_events": [n],
+                "total_value": [round(total, 2)],
+            })
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = events_stream(spark, events_path).select("user_id", "value")
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            UserStats(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = "user_tws_" + uuid.uuid4().hex[:10]
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_tws_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        snap = spark.table(name)
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

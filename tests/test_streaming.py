@@ -5,6 +5,7 @@ import os
 import shutil
 
 import pandas as pd
+import pytest
 
 from glue_parquet_splitter_spark.streaming.split_stream import run_split_stream
 
@@ -50,3 +51,21 @@ def test_split_stream_markers(tmp_path, spark):
     assert len(m) >= 1
     files = os.listdir(markers)
     assert all(f.startswith("batch-") and f.endswith(".json") for f in files)
+
+
+def test_transform_with_state_user_stats(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas parity with the
+    applyInPandasWithState runner (skips where pyspark's protobuf
+    state protocol has no protobuf package to speak it)."""
+    pytest.importorskip("google.protobuf")
+    from glue_parquet_splitter_spark.streaming.stateful import (
+        run_user_stats_stream,
+        run_user_stats_tws_stream,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    a = {r.user_id: (r.n_events, r.total_value)
+         for r in run_user_stats_stream(spark, path).collect()}
+    b = {r.user_id: (r.n_events, r.total_value)
+         for r in run_user_stats_tws_stream(spark, path).collect()}
+    assert a == b
