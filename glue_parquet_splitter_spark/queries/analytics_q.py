@@ -241,11 +241,14 @@ def cohort_retention_matrix(spark, sf_dir):
     user counts at each day offset 0..7 — the (cohort × offset) grid a
     growth dashboard renders.
 
-    Scale shape: one shuffle to find each user's first day (map-side-
-    combinable MIN), a key-colocated join back (both sides hashed on
-    user_id — AQE turns it into one co-partitioned exchange), and a
-    distinct + count over (user, cohort, offset), which is day-granular:
-    the final aggregate's cardinality is users × ≤8, never raw events.
+    Scale shape (verified in the executed plan): the per-user MIN
+    aggregates map-side before its one small shuffle, then joins BACK
+    as the broadcast side — raw events are never shuffled for the
+    join.  The distinct + count run over (user, cohort, offset) rows,
+    day-granular: cardinality is users × ≤8, never raw events.  When
+    the user dimension itself outgrows broadcast, AQE falls back to a
+    sort-merge join — the window-min alternative would shuffle raw
+    events unconditionally, so this form dominates either way.
     """
     ev = load_table(spark, sf_dir, "events")
     days = ev.select("user_id", F.col("ts").cast("date").alias("day"))
