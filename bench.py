@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "bm25_doc_ranking",
     "hll_union_daily",
     "decontamination_ngram_overlap",
+    # round-5 breadth: monitoring (PSI drift) and sliding-window
+    # distinct (rolling WAU) representatives
+    "psi_feature_drift",
+    "rolling_7day_active_users",
 ]
 
 

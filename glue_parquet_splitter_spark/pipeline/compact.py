@@ -90,6 +90,27 @@ def count_data_files(spark: SparkSession, directory: str,
     return sum(1 for i in infos if i.base_name.endswith(suffix))
 
 
+def content_fingerprint_cols(df):
+    """(count, fingerprint) aggregate columns for an order-insensitive
+    content check: per-row ``xxhash64`` over ALL columns (sorted by
+    name, so write-time and read-back column orders agree), summed as
+    ``decimal(38,0)`` — commutative, so file/partition order is
+    irrelevant, and 38 digits absorbs 10^12 rows of 64-bit hashes
+    without ANSI overflow.  A row-count tie with a fingerprint mismatch
+    means VALUE corruption (e.g. a re-typed partition key), which a
+    count-only verify cannot see.
+    """
+    from pyspark.sql import functions as F
+
+    cols = sorted(df.columns)
+    return (
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)")).alias("fp"),
+    )
+
+
 def compact_dataset(spark: SparkSession, directory: str,
                     partition_by: list[str] | None = None,
                     max_records_per_file: int = 5_000_000,
@@ -99,8 +120,9 @@ def compact_dataset(spark: SparkSession, directory: str,
 
     ``partition_by`` must name the dataset's physical partition columns
     (e.g. ``["item_id"]`` for the scale split layout); ``None`` for an
-    unpartitioned dataset.  Row-count equality is verified before the
-    swap; any mismatch aborts with the source untouched.
+    unpartitioned dataset.  Row count AND an order-insensitive content
+    fingerprint (see :func:`content_fingerprint_cols`) are verified
+    before the swap; any mismatch aborts with the source untouched.
     """
     partition_by = list(partition_by or [])
     src = directory.rstrip("/")
@@ -121,11 +143,11 @@ def compact_dataset(spark: SparkSession, directory: str,
         df = spark.read.parquet(src)
         files_before = count_data_files(spark, src)
 
-        # source row count observed DURING the rewrite job — a separate
-        # df.count() would be a second full scan of exactly the
-        # many-small-files layout compaction exists to fix
+        # source count + content fingerprint observed DURING the rewrite
+        # job — a separate aggregation would be a second full scan of
+        # exactly the many-small-files layout compaction exists to fix
         obs = Observation("compact_src_rows")
-        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        observed = df.observe(obs, *content_fingerprint_cols(df))
         writer = (observed.repartition(*partition_by) if partition_by
                   else observed.coalesce(
                       max(1, spark.sparkContext.defaultParallelism))
@@ -134,15 +156,17 @@ def compact_dataset(spark: SparkSession, directory: str,
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp)
-        n_src = obs.get["n"]
+        n_src, fp_src = obs.get["n"], obs.get["fp"]
 
         # independent read-back of the copy: the verify half of the swap
-        n_tmp = spark.read.parquet(tmp).count()
-    if n_tmp != n_src:
+        tmp_df = spark.read.parquet(tmp)
+        row = tmp_df.agg(*content_fingerprint_cols(tmp_df)).collect()[0]
+        n_tmp, fp_tmp = row["n"], row["fp"]
+    if (n_tmp, fp_tmp) != (n_src, fp_src):
         fs.delete(tmp_path, True)
         raise RuntimeError(
-            f"compaction row-count mismatch ({n_src} -> {n_tmp}); aborted, "
-            "source untouched")
+            f"compaction verify mismatch (rows {n_src} -> {n_tmp}, "
+            f"fingerprint {fp_src} -> {fp_tmp}); aborted, source untouched")
 
     if not fs.rename(src_path, backup_path):
         fs.delete(tmp_path, True)

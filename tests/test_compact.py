@@ -81,3 +81,33 @@ def test_compact_unpartitioned(spark, tmp_path):
     assert summary["files_after"] < before
     n = duckdb.sql(f"SELECT COUNT(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == 1000
+
+
+def test_content_fingerprint_detects_value_corruption(spark):
+    """Equal row counts, one corrupted value → different fingerprint
+    (the case a count-only verify waves through); order/partitioning
+    of rows does not affect it."""
+    from pyspark.sql import functions as F
+
+    from glue_parquet_splitter_spark.pipeline.compact import (
+        content_fingerprint_cols,
+    )
+
+    def fp(df):
+        return df.agg(*content_fingerprint_cols(df)).collect()[0]
+
+    base = spark.range(10_000).select(
+        F.lpad((F.col("id") % 8).cast("string"), 10, "0").alias("item_id"),
+        F.col("id").alias("v"))
+    a, b = fp(base), fp(base.orderBy(F.desc("v")).repartition(13))
+    assert (a.n, a.fp) == (b.n, b.fp)  # order/layout-insensitive
+
+    corrupted = base.withColumn(
+        "v", F.when(F.col("v") == 4321, F.lit(-1)).otherwise(F.col("v")))
+    c = fp(corrupted)
+    assert c.n == a.n and c.fp != a.fp
+
+    # the ADVICE scenario: a re-typed partition key (string '0000000005'
+    # -> int 5) changes the fingerprint even though counts match
+    retyped = base.withColumn("item_id", F.col("item_id").cast("long"))
+    assert fp(retyped).fp != fp(base).fp
