@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..catalog import TABLES, load_all, load_table, register_views
 from ..streaming.windows import events_stream as read_events_stream
+from .markers import read_markers, register_marker_source
 
 
 def read_binary_dir(spark: SparkSession, directory: str,
@@ -27,4 +28,5 @@ def read_binary_dir(spark: SparkSession, directory: str,
 
 
 __all__ = ["TABLES", "load_table", "load_all", "register_views",
-           "read_events_stream", "read_binary_dir"]
+           "read_events_stream", "read_binary_dir", "read_markers",
+           "register_marker_source"]

@@ -1,0 +1,110 @@
+"""Custom Python data source: the split pipeline's marker protocol as
+a queryable table.
+
+``spark.read.format("split_markers").load(marker_dir)`` turns the
+per-day commit markers (reference parquet-splitter.py:107-114 marker
+JSON, one small object per processed day) into rows — the input to an
+operations dashboard: backlog lag, per-day output counts, fingerprint
+drift, manifest pointers.  Built on the Spark 4 Python DataSource API
+(``pyspark.sql.datasource``) — the extension point for sources Spark
+has no built-in reader for; demonstrated here on the engine's own
+metadata protocol.
+
+Scale shape: the driver only LISTS the marker dir (metadata, same
+order as the scheduler's own listing) and hands each executor a chunk
+of marker paths; the JSON parsing runs distributed in ``read``.  Both
+marker schemas are normalized: ``outputs`` mode yields its embedded
+list's length, ``counts`` mode the recorded count + manifest pointer.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+SCHEMA = ("kind string, date string, input_key string, "
+          "input_fingerprint string, output_count bigint, "
+          "outputs_manifest string, generated_at string")
+
+_FILES_PER_PARTITION = 64
+
+
+class _MarkerPartition(InputPartition):
+    def __init__(self, paths: list[str]):
+        self.paths = paths
+
+
+class MarkerDataSource(DataSource):
+    """``format("split_markers")`` — marker dir → one row per day."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "split_markers"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "MarkerReader":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("split_markers requires a path: "
+                             ".load('<marker_dir>')")
+        return MarkerReader(path)
+
+
+class MarkerReader(DataSourceReader):
+    def __init__(self, marker_dir: str):
+        self.marker_dir = marker_dir
+
+    def partitions(self) -> list[_MarkerPartition]:
+        # driver-side metadata listing only — file CONTENT is read on
+        # executors, chunked so a million marked days still fan out
+        from pyarrow.fs import FileSelector
+
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, fs_path = resolve_fs(self.marker_dir)
+        infos = filesystem.get_file_info(
+            FileSelector(fs_path, recursive=False, allow_not_found=True))
+        paths = sorted(i.path for i in infos
+                       if i.base_name.endswith(".json"))
+        chunks = [paths[i:i + _FILES_PER_PARTITION]
+                  for i in range(0, len(paths), _FILES_PER_PARTITION)]
+        return [_MarkerPartition(c) for c in chunks] or [_MarkerPartition([])]
+
+    def read(self, partition: _MarkerPartition):
+        from ..pipeline.splitter import resolve_fs
+
+        for p in partition.paths:
+            filesystem, fs_path = resolve_fs(p)
+            with filesystem.open_input_stream(fs_path) as f:
+                doc = json.loads(f.read().decode("utf-8"))
+            outputs = doc.get("outputs")
+            count = doc.get("output_count")
+            if count is None and outputs is not None:
+                count = len(outputs)
+            yield (
+                doc.get("kind"),
+                doc.get("date"),
+                doc.get("input_key"),
+                doc.get("input_fingerprint"),
+                count,
+                doc.get("outputs_manifest"),
+                doc.get("generated_at"),
+            )
+
+
+def register_marker_source(spark) -> None:
+    """Idempotently register ``split_markers`` on this session."""
+    spark.dataSource.register(MarkerDataSource)
+
+
+def read_markers(spark, marker_dir: str):
+    """Marker dir → DataFrame (one row per committed day)."""
+    register_marker_source(spark)
+    return spark.read.format("split_markers").load(marker_dir)

@@ -46,3 +46,45 @@ def test_binary_file_ingestion(spark):
     for r in rows:
         real = os.path.getsize(r.path.replace("file:", ""))
         assert r.length == real == len(r.content)
+
+
+def test_python_datasource_marker_table(spark, tmp_path):
+    """Spark 4 Python DataSource API: the marker protocol as a table —
+    one row per committed day, both marker schemas normalized, parsing
+    distributed (driver lists paths only)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from glue_parquet_splitter_spark.pipeline import run_incremental
+    from glue_parquet_splitter_spark.sources.markers import read_markers
+
+    tmp = str(tmp_path)
+    in_dir = f"{tmp}/input"
+    os.makedirs(in_dir)
+    for i, date in enumerate(("20250601", "20250602", "20250603")):
+        df = spark.range(200).select(
+            F.lpad((F.col("id") % 5).cast("string"), 10, "0").alias("item_id"),
+            F.col("id").alias("v"))
+        stage = f"{tmp}/stage{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+        os.rename(f"{stage}/{part}", f"{in_dir}/{date}.parquet")
+
+    run_incremental(spark, "fmt", in_dir, f"{tmp}/out_o", f"{tmp}/mk_o")
+    run_incremental(spark, "fmt", in_dir, f"{tmp}/out_c", f"{tmp}/mk_c",
+                    manifest="counts")
+
+    for mk, has_manifest in ((f"{tmp}/mk_o", False), (f"{tmp}/mk_c", True)):
+        rows = {r.date: r for r in read_markers(spark, mk).collect()}
+        assert sorted(rows) == ["20250601", "20250602", "20250603"]
+        for date, r in rows.items():
+            assert r.kind == "fmt" and r.output_count == 5
+            assert r.input_key.endswith(f"{date}.parquet")
+            assert (r.outputs_manifest is not None) == has_manifest
+    # SQL over the custom source composes like any table
+    read_markers(spark, f"{tmp}/mk_o").createOrReplaceTempView("mk")
+    lag = spark.sql(
+        "SELECT COUNT(*) AS days, SUM(output_count) AS outs FROM mk"
+    ).collect()[0]
+    assert (lag.days, lag.outs) == (3, 15)
