@@ -49,6 +49,34 @@ def main():
     n_oracled = sum(1 for s in reg.values() if s.oracle)
     print(f"ok: registry — {len(reg)} queries, {n_oracled} oracled")
 
+    # 2b. every oracle EXPLAINs in DuckDB (catches SQL typos without
+    # running a single Spark job; values are still gated by
+    # check_queries / the driver)
+    import os
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(sf_dir):
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+        bad = []
+        for name, spec in reg.items():
+            if not spec.oracle:
+                continue
+            try:
+                con.sql(f"EXPLAIN {spec.oracle}")
+            except Exception as e:
+                bad.append(f"{name}: {str(e)[:120]}")
+        if bad:
+            fail("oracle SQL does not parse:\n" + "\n".join(bad[:5]))
+        print(f"ok: oracles — {n_oracled} EXPLAIN clean")
+    else:
+        print("skip: oracle EXPLAIN (no sf0.001 fixtures)")
+
     # 3. driver entry contract
     import __spark_entry__ as entry_mod
     for attr in ("entry", "queries", "oracle_sql"):
