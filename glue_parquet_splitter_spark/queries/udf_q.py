@@ -149,3 +149,63 @@ def ivf_topk_search(spark, sf_dir):
         .filter(F.col("rank") <= 2)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+@register(
+    "embedding_norms_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 4) AS l2_norm,
+           label
+    FROM embeddings
+    """,
+    tags=("udf", "arrow", "similarity"),
+)
+def embedding_norms_map_in_arrow(spark, sf_dir):
+    """``mapInArrow`` coverage (the zero-copy sibling of
+    ``mapInPandas``): L2 norms computed straight from the Arrow list
+    buffers — flat values + offsets → one vectorized
+    ``np.add.reduceat`` per batch, no pandas conversion, no per-row
+    Python.  Same contract as the JVM-side ``embedding_norms``
+    (``F.aggregate`` fold), which remains the preferred form; this
+    entry exists because real pipelines drop to Arrow batches when the
+    per-element op ISN'T expressible in SQL (learned scorers, codecs),
+    and the batch-shape plumbing is what needs proving.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def norms(batches):
+        for b in batches:
+            col = b.column(b.schema.get_field_index("embedding"))
+            if isinstance(col, pa.ChunkedArray):  # single-chunk per batch
+                col = col.combine_chunks()
+            flat = np.asarray(col.values, dtype=np.float64)
+            offs = np.asarray(col.offsets, dtype=np.int64)
+            sq = flat * flat
+            sums = np.add.reduceat(sq, offs[:-1])
+            sums[offs[:-1] == offs[1:]] = 0.0  # empty lists
+            def plain(name, typ):
+                # decode any dictionary encoding — the Arrow eval path
+                # reads the declared schema's physical layout verbatim
+                c = b.column(b.schema.get_field_index(name))
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                if pa.types.is_dictionary(c.type):
+                    c = c.dictionary_decode()
+                return c.cast(typ)
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    plain("vec_id", pa.int64()),
+                    pa.array(np.round(np.sqrt(sums), 4),
+                             type=pa.float64()),
+                    plain("label", pa.string()),
+                ],
+                names=["vec_id", "l2_norm", "label"],
+            )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label")
+    return e.mapInArrow(norms, "vec_id long, l2_norm double, label string")
