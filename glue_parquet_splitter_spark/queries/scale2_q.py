@@ -125,3 +125,63 @@ def reservoir_per_group(spark, sf_dir):
         .where(F.col("rk") <= 5)
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "wau_hll_rolling",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM day_users)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau_exact,
+           TRUE AS sketch_within_5pct
+    FROM days d
+    JOIN day_users u
+      ON u.day BETWEEN d.day - INTERVAL '6 days' AND d.day
+    GROUP BY d.day
+    """,
+    tags=("scale", "approx", "sketch", "window"),
+)
+def wau_hll_rolling(spark, sf_dir):
+    """Rolling 7-day WAU from mergeable HLL sketches — the form that
+    replaces ``rolling_7day_active_users`` when exact distinct is too
+    expensive: ONE sketch per day (kilobytes) is all that persists;
+    each window estimate is a union of ≤7 day sketches, so a new day
+    touches only its own events and every historical window re-rolls
+    from stored sketches without rescanning anything.
+
+    The replicate-to-window-ends explode here moves kB sketch rows,
+    not (day, user) rows — at 1B users/day the shuffle is 7 sketches
+    per window instead of 7B ids.  Exact WAU is computed only to gate
+    the estimate (oracle band ±5 %), same convention as
+    ``hll_union_daily``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day_sk = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    n_days = day_sk.select("day")
+    served = day_sk.select(
+        "sk", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    ).select("sk", F.date_add("day", F.col("k")).alias("window_end"))
+    est = (
+        served.join(n_days, served.window_end == n_days.day, "inner")
+        .groupBy("window_end")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    day_users = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    exact_served = day_users.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+    ).select("user_id", F.date_add("day", F.col("k")).alias("window_end"))
+    exact = (
+        exact_served.join(n_days, exact_served.window_end == n_days.day)
+        .groupBy("window_end")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    return exact.join(est, "window_end").select(
+        F.date_format("window_end", "yyyy-MM-dd").alias("day"),
+        "wau_exact",
+        (F.abs(F.col("est") - F.col("wau_exact"))
+         <= 0.05 * F.col("wau_exact")).alias("sketch_within_5pct"),
+    )
