@@ -245,3 +245,85 @@ def conditional_distinct_agg(spark, sf_dir):
         F.countDistinct(F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))).alias("f_custs"),
         F.countDistinct(F.when(F.col("o_orderstatus") == "O", F.col("o_custkey"))).alias("o_custs"),
     )
+
+
+@register(
+    "asof_join_forward_tolerance",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(MAX(o_orderkey) AS BIGINT) AS last_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), nxt AS (
+      SELECT e.event_id, MIN(o.o_orderdate) AS d
+      FROM events e LEFT JOIN od o
+        ON o.o_custkey = e.user_id
+       AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts
+       AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts + INTERVAL '7 days'
+      GROUP BY e.event_id
+    )
+    SELECT n.event_id,
+           strftime(n.d, '%Y-%m-%d') AS next_order_date,
+           o.n_orders, o.last_orderkey
+    FROM nxt n
+    LEFT JOIN events e ON e.event_id = n.event_id
+    LEFT JOIN od o ON o.o_orderdate = n.d AND o.o_custkey = e.user_id
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def asof_join_forward_tolerance(spark, sf_dir):
+    """Forward as-of join with tolerance: each event matched to the
+    user's NEXT order day within the following 7 days, NULLs otherwise
+    (pandas ``merge_asof(direction='forward', tolerance=...)``
+    semantics — "did the signup convert within a week?").
+
+    Same scale shape as ``asof_join`` run in reverse time order: union
+    the tagged sides, one shuffle on the user key, running
+    first-upcoming-order fill via ``last(ignorenulls)`` over a
+    DESCENDING window (order rows tie-break before events so the match
+    bound is inclusive), then the tolerance applied as a NULL-out
+    projection — no row explosion, no |events| x |orders| intermediate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    od = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.count("*").alias("n_orders"),
+        F.max("o_orderkey").alias("last_orderkey"),
+    )
+    right = od.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderdate", "n_orders", "last_orderkey",
+    )
+    left = ev.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+        F.lit(None).cast("date").alias("o_orderdate"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("long").alias("last_orderkey"),
+    )
+    merged = right.unionByName(left)
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.desc("t"), F.asc("is_event"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = merged.select(
+        "event_id", "is_event", "t",
+        F.last("o_orderdate", ignorenulls=True).over(w).alias("nd"),
+        F.last("n_orders", ignorenulls=True).over(w).alias("no"),
+        F.last("last_orderkey", ignorenulls=True).over(w).alias("lo"),
+    ).where(F.col("is_event") == 1)
+    in_tol = (F.col("nd").isNotNull()
+              & (F.col("nd").cast("timestamp")
+                 <= F.col("t") + F.expr("INTERVAL 7 DAYS")))
+    return filled.select(
+        "event_id",
+        F.when(in_tol, F.date_format("nd", "yyyy-MM-dd"))
+        .alias("next_order_date"),
+        F.when(in_tol, F.col("no")).alias("n_orders"),
+        F.when(in_tol, F.col("lo")).alias("last_orderkey"),
+    )

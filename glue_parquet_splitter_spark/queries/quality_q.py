@@ -372,3 +372,51 @@ def psi_feature_drift(spark, sf_dir):
         F.round(F.sum(F.when(both, (p - q) * F.log(p / q)).otherwise(0.0)), 4)
         .alias("psi"),
     )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       < 'cccc' THEN 'train'
+                  WHEN substr(md5('split-' || CAST(doc_id AS VARCHAR)), 1, 4)
+                       < 'e666' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM assigned GROUP BY lang, split
+    """,
+    tags=("curation", "sampling", "split"),
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test assignment by salted
+    content hash (md5 prefix thresholds 0xcccc / 0xe666), reported per
+    (language, split).  Hash assignment — not random() — is the
+    property that matters for training data: a document's split never
+    changes across reruns, engines, repartitionings, or corpus
+    growth, so no eval example ever leaks into train when the pipeline
+    is re-executed.  The salt namespaces this split decision away from
+    every other sampling decision hashing the same ids.
+
+    Scale: the assignment is a scan projection; the report is one
+    map-side-combinable groupBy over ≤ langs×3 cells.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.md5(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))),
+        1, 4)
+    assigned = docs.select(
+        "lang", "n_chars",
+        F.when(prefix < "cccc", "train")
+        .when(prefix < "e666", "val")
+        .otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
