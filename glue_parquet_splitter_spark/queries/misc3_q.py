@@ -176,16 +176,41 @@ def minhash_dedup_apply(spark, sf_dir):
     )
 
 
-@register("agg_approx_distinct_only", oracle=None, tags=("agg", "approx", "bench"))
+@register(
+    "agg_approx_distinct_only",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp_exact,
+           TRUE AS supp_within_5pct,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part_exact,
+           TRUE AS part_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "approx", "bench"),
+)
 def agg_approx_distinct_only(spark, sf_dir):
-    """Sketch-ONLY approximate count-distinct — the actual 100 TB path
-    (partial HLL sketches merge map-side; no shuffle of every distinct
-    key).  Estimates are engine-specific so this is registered
-    rows-only; the tolerance-band contract vs the exact count is the
-    separately oracled ``agg_approx_distinct``.  This variant exists so
-    the bench times the sketch path, not the exact+sketch combo."""
+    """Approximate count-distinct graded by tolerance band — the
+    100 TB path is the sketch (partial HLLs merge map-side; no shuffle
+    of every distinct key).  Estimates are engine-specific, so the
+    hashable contract is the ``wau_hll_rolling`` convention (VERDICT
+    r5 #4): return the exact count plus a ``within ±5 %`` boolean on
+    the rsd=0.01 estimate — the oracle asserts TRUE, so a drifting
+    sketch flips the hash.  The exact side exists only to gate the
+    estimate; ``agg_approx_distinct`` remains the combo-plan variant.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_supp_approx"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_part_approx"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp_exact"),
+        F.count_distinct("l_partkey").alias("n_part_exact"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("sa"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("pa"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_supp_exact",
+        (F.abs(F.col("sa") - F.col("n_supp_exact"))
+         <= 0.05 * F.col("n_supp_exact")).alias("supp_within_5pct"),
+        "n_part_exact",
+        (F.abs(F.col("pa") - F.col("n_part_exact"))
+         <= 0.05 * F.col("n_part_exact")).alias("part_within_5pct"),
     )

@@ -171,7 +171,10 @@ def run_late_data_stream(spark: SparkSession, events_path: str,
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count("*").alias("n"))
-        .select(F.date_format("window.start", TS_FMT).alias("window_start"), "event_type", "n")
+        # window.end rides along (raw timestamp) so the caller can
+        # restrict to the watermark-finalized region for oracle-equality
+        .select(F.date_format("window.start", TS_FMT).alias("window_start"),
+                F.col("window.end").alias("window_end"), "event_type", "n")
     )
     name = "stream_late_" + uuid.uuid4().hex[:10]
     q = (

@@ -87,6 +87,25 @@ def main():
     if extra:
         fail(f"oracle_sql keys not in queries(): {sorted(extra)[:5]}")
     print(f"ok: __spark_entry__ — {len(qs)} queries, {len(os_)} oracles")
+
+    # 4. doc/registry consistency (VERDICT r5 #5: README said 198 while
+    # the registry had 204) — every "<N> queries"-style count in the
+    # user-facing docs must equal the live registry size
+    import re
+    for doc, pattern in (
+        ("QUERIES.md", r"^(\d+) declared queries"),
+        ("README.md", r"Every registered query \((\d+) today"),
+    ):
+        with open(f"/root/repo/{doc}") as f:
+            m = re.search(pattern, f.read(), re.M)
+        if not m:
+            fail(f"{doc}: query-count sentence not found "
+                 f"(pattern {pattern!r}) — keep the count greppable")
+        if int(m.group(1)) != len(reg):
+            fail(f"{doc} says {m.group(1)} queries but the registry has "
+                 f"{len(reg)} — regenerate (scripts/gen_queries_md.py) or "
+                 f"update the README sentence")
+    print(f"ok: docs — QUERIES.md/README.md counts match registry ({len(reg)})")
     print("ALL CHECKS PASS")
 
 
