@@ -68,11 +68,17 @@ def materialize(df) -> None:
 N_REPLAY_DAYS = 10
 
 
-def bench_split_replay(spark, tmp_root: str) -> tuple[float, float]:
+def bench_split_replay(spark, tmp_root: str, skew: bool = False) -> tuple[float, float]:
     """Reference workload shape: 10k rows/day, 30-way fan-out, marker
     protocol, over a 10-day backlog (steady-state catch-up throughput —
     the batched driver amortizes per-job overhead across the backlog).
-    Returns (sec, rows_per_sec)."""
+
+    ``skew=True`` plants the real-world ``item_id`` distribution
+    (SURVEY §4.3): one hot key holds ~50 % of every day's rows, the
+    other 29 share the rest — the shape AQE skew-split must absorb
+    (plan-level verification lives in ``tests/test_skew_aqe.py``; this
+    makes the throughput cost a tracked number).  Returns
+    (sec, rows_per_sec)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -82,12 +88,18 @@ def bench_split_replay(spark, tmp_root: str) -> tuple[float, float]:
     in_dir = f"{tmp_root}/input"
     shutil.rmtree(tmp_root, ignore_errors=True)
     os.makedirs(in_dir)
+    # uniform: id % 30.  skew: even ids → key 0 (~50 %), odd ids spread
+    # over keys 1..29 — same 30-key fan-out, same row count.
+    key = (
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id") % 29 + 1)
+        if skew else F.col("id") % 30
+    )
     for i, date in enumerate(f"202501{d:02d}" for d in range(1, N_REPLAY_DAYS + 1)):
         df = (
             spark.range(10_000)
             .select(
                 F.lit(date).alias("date"),
-                F.lpad((F.col("id") % 30).cast("string"), 10, "0").alias("item_id"),
+                F.lpad(key.cast("string"), 10, "0").alias("item_id"),
                 (F.col("id") % 101).alias("sales_figures"),
                 F.lpad((F.col("id") % 50).cast("string"), 4, "0").alias("store_id"),
             )
@@ -229,6 +241,15 @@ def main() -> None:
             best_sec, best_rate = sec, rate
     timings[f"split_replay_{N_REPLAY_DAYS}x10k"] = round(best_sec, 3)
 
+    # skewed variant: min-of-2 (it shares the uniform replay's warmed
+    # code paths, so the first run is already representative)
+    skew_sec, skew_rate = float("inf"), 0.0
+    for i in range(2):
+        sec, rate = bench_split_replay(spark, f"/tmp/bench_skew{i}", skew=True)
+        if sec < skew_sec:
+            skew_sec, skew_rate = sec, rate
+    timings[f"split_replay_skew_{N_REPLAY_DAYS}x10k"] = round(skew_sec, 3)
+
     compact_sec, compact_summary = float("inf"), {}
     for i in range(2):
         sec, summary = bench_compact_replay(spark, f"/tmp/bench_compact{i}")
@@ -256,6 +277,7 @@ def main() -> None:
         "batch_suite_sec": round(total - streaming_sec, 3),
         "streaming_suite_sec": streaming_sec,
         "split_replay_rows_per_sec": round(best_rate),
+        "split_replay_skew_rows_per_sec": round(skew_rate),
         "compact_files_before": compact_summary.get("files_before"),
         "compact_files_after": compact_summary.get("files_after"),
         "shuffle_bytes_written": shuffle_bytes,
