@@ -236,3 +236,72 @@ def test_no_accidental_cartesian_in_any_registered_plan(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+# --- round-5/6 families (VERDICT r5 #8) -------------------------------------
+
+
+def test_psi_partial_agg_bounded_exchanges(spark, sf_dir):
+    """PSI drift: the bucket histogram partial-aggregates map-side and
+    the whole plan is the (type, bucket) groupBy plus the tiny
+    reduce-over-buckets window — two hash exchanges, no join at all."""
+    plan = plan_of(spark, sf_dir, "psi_feature_drift")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_cohort_retention_broadcasts_firsts(spark, sf_dir):
+    """The per-user first-seen dim must join back as the broadcast
+    side — raw events are never shuffled for the cohort join."""
+    plan = plan_of(spark, sf_dir, "cohort_retention_matrix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wau_day_spine_broadcasts(spark, sf_dir):
+    """Rolling exact WAU: the day spine is calendar-bounded, so its
+    join onto the replicated (day, user) rows must broadcast."""
+    plan = plan_of(spark, sf_dir, "rolling_7day_active_users")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_wau_hll_merges_sketches(spark, sf_dir):
+    """Sketch WAU: window estimates come from hll_union_agg over day
+    sketches (kB rows), with every join broadcast — nothing sort-merges
+    raw ids for the estimate side."""
+    plan = plan_of(spark, sf_dir, "wau_hll_rolling")
+    assert "hll_union_agg" in plan and "hll_sketch_agg" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_geo_ring_equi_join_no_shuffle(spark, sf_dir):
+    """3x3-ring proximity join: the cell-key equi join must broadcast
+    (zero hash exchanges at fixture scale) and never fall back to an
+    all-pairs nested loop."""
+    plan = plan_of(spark, sf_dir, "geo_grid_neighbor_pairs_ring")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_forward_no_join_explosion(spark, sf_dir):
+    """Forward as-of with tolerance keeps the union+window form of
+    ``asof_join``: no join node of any kind, bounded exchanges."""
+    plan = plan_of(spark, sf_dir, "asof_join_forward_tolerance")
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BroadcastHashJoin", "SortMergeJoin"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+
+def test_salted_topk_two_level_no_join(spark, sf_dir):
+    """Salted top-k: exactly the two window exchanges —
+    (group, salt) then (group) over the k-bounded survivors — and no
+    join or cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "topk_per_group_salted")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BroadcastHashJoin", "SortMergeJoin"):
+        assert node not in plan
