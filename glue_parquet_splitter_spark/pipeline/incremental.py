@@ -123,21 +123,40 @@ def gc_manifest_runs(spark: SparkSession, marker_dir: str) -> int:
     if not fs.exists(base_path):
         return 0
     run_dirs = {
-        st.getPath().toString()
+        st.getPath().toString(): st.getModificationTime()
         for st in fs.listStatus(base_path)
         if st.isDirectory() and st.getPath().getName().startswith("run-")
     }
     if not run_dirs:
         return 0
     referenced: set[str] = set()
+    # a marker is written AFTER the run dir it references, so an
+    # unreadable (corrupt/in-flight) marker can only reference run dirs
+    # no newer than itself: keep those conservatively, keep collecting
+    # everything else.  (Previously ONE bad marker returned 0 here and
+    # silently disabled GC — the unbounded-growth problem it exists to
+    # fix — forever.)
+    bad_marker_mtime: int | None = None
+    n_unreadable = 0
     for mk in list_files(spark, marker_dir, ".json"):
         try:
             filesystem, fs_path = resolve_fs(mk)
             with filesystem.open_input_stream(fs_path) as f:
                 doc = json.loads(f.read().decode("utf-8"))
-        except Exception as e:  # unreadable marker → keep its runs
-            log.warning("gc: unreadable marker %s (%s); skipping gc", mk, e)
-            return 0
+        except Exception as e:  # unreadable marker → keep its era's runs
+            n_unreadable += 1
+            try:
+                mt = fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(mk)).getModificationTime()
+            except Exception:
+                log.warning("gc: unreadable marker %s (%s) and its mtime "
+                            "is unreadable too; skipping gc this pass",
+                            mk, e)
+                return 0
+            bad_marker_mtime = max(bad_marker_mtime or 0, mt)
+            log.warning("gc: unreadable marker %s (%s); keeping run dirs "
+                        "not newer than it", mk, e)
+            continue
         om = doc.get("outputs_manifest")
         if om:
             # outputs_manifest = <run_dir>/date=<d> — keep the run dir.
@@ -150,11 +169,15 @@ def gc_manifest_runs(spark: SparkSession, marker_dir: str) -> int:
                 fs.makeQualified(jvm.org.apache.hadoop.fs.Path(run))
                 .toString())
     removed = 0
-    for d in sorted(run_dirs - referenced):
+    for d in sorted(set(run_dirs) - referenced):
+        if bad_marker_mtime is not None and run_dirs[d] <= bad_marker_mtime:
+            continue  # possibly referenced by an unreadable marker
         fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
         removed += 1
-    if removed:
-        log.info("gc: removed %d orphaned manifest run dir(s)", removed)
+    if removed or n_unreadable:
+        log.info("gc: removed %d orphaned manifest run dir(s)"
+                 " (%d unreadable marker(s) protected older runs)",
+                 removed, n_unreadable)
     return removed
 
 
@@ -302,7 +325,13 @@ def _process_day_by_day(spark: SparkSession, kind: str, in_dir: str,
             clean = df.filter(F.col(key).isNotNull())
             (split_day_manifest(clean, out_dir, date, key=key)
              .write.mode("overwrite").json(day_dir))
-            n = spark.read.json(day_dir).count()  # one number to driver
+            # explicit schema: a day whose rows were all null-keyed
+            # leaves an EMPTY manifest dir, and schema inference would
+            # throw 'Unable to infer schema' and abort the whole run —
+            # with the schema pinned it counts as 0 and the marker
+            # still commits (parity with outputs-mode's empty list)
+            n = spark.read.schema("out_path string, rows long") \
+                .json(day_dir).count()  # one number to driver
             write_marker(marker_path, {
                 "kind": kind,
                 "date": date,
@@ -366,20 +395,31 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         log.warning("[%s] batch read failed (%s); falling back day-by-day", kind, e)
         return None  # caller runs the per-day loop, which skips bad days
     require_columns(df, [key])
+    # basename minus '.parquet' — must mirror extract_dates, or
+    # non-8-char date keys would mis-name outputs/markers and
+    # reprocess forever
+    date_expr = F.regexp_replace(
+        F.element_at(F.split(F.input_file_name(), "/"), -1),
+        r"\.parquet$", "",
+    )
+    # presence rows: one (date, out_path=NULL) per day that has ANY
+    # input rows — null-keyed rows included.  Without them a day whose
+    # rows are all null-keyed yields no manifest rows, gets no marker,
+    # and is re-batched forever (day-by-day mode commits an empty
+    # outputs list / 0 count for the same day).  Truly EMPTY days still
+    # produce nothing and stay unmarked — the O9 skip semantics.  The
+    # projection reads no data columns, so the extra scan is parquet
+    # metadata only.
+    presence_df = (
+        df.select(date_expr.alias("date"))
+        .distinct()
+        .withColumn("out_path", F.lit(None).cast("string"))
+    )
     # null-key rows dropped (reference parity — pandas groupby dropna)
-    df = df.filter(F.col(key).isNotNull())
+    clean = df.filter(F.col(key).isNotNull())
     tagged = (
-        df.withColumn(ORDER_COL, F.monotonically_increasing_id())
-        .withColumn(
-            "__date",
-            # basename minus '.parquet' — must mirror extract_dates, or
-            # non-8-char date keys would mis-name outputs/markers and
-            # reprocess forever
-            F.regexp_replace(
-                F.element_at(F.split(F.input_file_name(), "/"), -1),
-                r"\.parquet$", "",
-            ),
-        )
+        clean.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        .withColumn("__date", date_expr)
     )
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -390,7 +430,8 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         return pd.DataFrame({"date": [date], "out_path": [path]})
 
     manifest_df = tagged.groupBy(key, "__date").applyInPandas(
-        _write_group, schema="date string, out_path string")
+        _write_group, schema="date string, out_path string"
+    ).unionByName(presence_df)
 
     stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     if manifest == "counts":
@@ -414,14 +455,23 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
             return None
         # partition-column inference would re-type date=20250101 as a
         # long (and 2025-01-01 as a DATE), corrupting the marker key —
-        # read the partition column verbatim
+        # read the partition column verbatim.  The schema is pinned for
+        # the same reason as the day-by-day read: a backlog whose rows
+        # were ALL null-keyed leaves a manifest dir with no data files,
+        # and inference would abort the run.
         infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = spark.conf.get(infer_key, "true")
         spark.conf.set(infer_key, "false")
         try:
             counts = (
-                spark.read.json(run_dir)
-                .groupBy("date").count().collect()  # one row per day
+                spark.read.schema("date string, out_path string")
+                .json(run_dir)
+                # count("out_path") skips the NULL presence rows while
+                # their date still yields a row — an all-null-keyed day
+                # commits a 0-count marker instead of re-scheduling
+                # forever
+                .groupBy("date").agg(F.count("out_path").alias("count"))
+                .collect()  # one row per day
             )
         finally:
             spark.conf.set(infer_key, prev)
@@ -451,7 +501,12 @@ def _process_batched(spark: SparkSession, kind: str, in_dir: str, out_dir: str,
         return None
     by_date: dict[str, list[str]] = {}
     for r in rows:
-        by_date.setdefault(r.date, []).append(r.out_path)
+        # NULL out_path = presence row: the day had input rows but none
+        # survived the null-key filter — commit an empty outputs list
+        # (day-by-day parity) instead of leaving the day unmarked
+        lst = by_date.setdefault(r.date, [])
+        if r.out_path is not None:
+            lst.append(r.out_path)
 
     for date in sorted(by_date):
         outputs = sorted(by_date[date])

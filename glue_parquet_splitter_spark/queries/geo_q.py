@@ -158,6 +158,16 @@ def geo_grid_neighbor_pairs_ring(spark, sf_dir):
     At 100 TB the same plan holds: replication factor is constant, the
     per-cell population bounds the quadratic term, and with S2/H3 cells
     the ring ids come from the cell library instead of arithmetic.
+
+    Latitude limit (ADVICE r5): with RADIUS_KM=500 and 10-degree cells,
+    a longitude cell narrows below 500 km above ~|63| deg latitude, so
+    qualifying pairs 2+ lon cells apart near the poles are outside the
+    3x3 ring — "boundary-complete" holds for |lat| <= ~63 deg (the
+    synthetic fixture's hash-coords satisfy this pairwise-reachability
+    within the ring; the oracle shares the identical ring by
+    construction).  For true polar recall, widen the lon ring as a
+    function of cell latitude — ceil(RADIUS_KM / (111.3 km * cos(lat)))
+    cells — or use S2/H3 cells, whose neighbor sets handle convergence.
     """
     pts = _cells(spark, sf_dir)
     ring = F.array(*[

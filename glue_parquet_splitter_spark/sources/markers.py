@@ -35,8 +35,13 @@ _FILES_PER_PARTITION = 64
 
 
 class _MarkerPartition(InputPartition):
-    def __init__(self, paths: list[str]):
-        self.paths = paths
+    def __init__(self, names: list[str]):
+        # marker BASE NAMES, not listed paths: pyarrow's FileInfo.path
+        # is scheme-less (e.g. 'bucket/markers/x.json' for s3://), so a
+        # listed path re-resolved on an executor would fall back to the
+        # local filesystem.  Executors re-resolve marker_dir itself —
+        # the same string the driver resolved — and join the base name.
+        self.names = names
 
 
 class MarkerDataSource(DataSource):
@@ -71,17 +76,20 @@ class MarkerReader(DataSourceReader):
         filesystem, fs_path = resolve_fs(self.marker_dir)
         infos = filesystem.get_file_info(
             FileSelector(fs_path, recursive=False, allow_not_found=True))
-        paths = sorted(i.path for i in infos
+        names = sorted(i.base_name for i in infos
                        if i.base_name.endswith(".json"))
-        chunks = [paths[i:i + _FILES_PER_PARTITION]
-                  for i in range(0, len(paths), _FILES_PER_PARTITION)]
+        chunks = [names[i:i + _FILES_PER_PARTITION]
+                  for i in range(0, len(names), _FILES_PER_PARTITION)]
         return [_MarkerPartition(c) for c in chunks] or [_MarkerPartition([])]
 
     def read(self, partition: _MarkerPartition):
         from ..pipeline.splitter import resolve_fs
 
-        for p in partition.paths:
-            filesystem, fs_path = resolve_fs(p)
+        # one resolve per task, from the ORIGINAL scheme-carrying
+        # marker_dir — the same filesystem the driver listed with
+        filesystem, dir_path = resolve_fs(self.marker_dir)
+        for name in partition.names:
+            fs_path = f"{dir_path.rstrip('/')}/{name}"
             with filesystem.open_input_stream(fs_path) as f:
                 doc = json.loads(f.read().decode("utf-8"))
             outputs = doc.get("outputs")

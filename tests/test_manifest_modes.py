@@ -81,7 +81,12 @@ def test_marker_docs_equivalent(both_runs):
         manifest_rows = []
         for mp in glob.glob(f"{db['outputs_manifest']}/*.json"):
             with open(mp) as f:
-                manifest_rows += [json.loads(line) for line in f if line.strip()]
+                manifest_rows += [
+                    r for r in (json.loads(line) for line in f if line.strip())
+                    # skip day-presence rows (null out_path): they mark
+                    # days whose rows were all null-keyed, not outputs
+                    if r.get("out_path") is not None
+                ]
         # same output set, modulo the mode-specific output root
         rel = lambda paths, root: sorted(  # noqa: E731
             p.split(root, 1)[1] for p in paths)
@@ -194,3 +199,46 @@ def test_gc_reclaims_orphaned_manifest_runs(spark, tmp_path):
     assert len(runs()) == 2  # old run still backs 2 markers, new backs 1
     with open(f"{marker_dir}/20250202.json") as f:
         assert live not in json.load(f)["outputs_manifest"]
+
+
+def test_gc_survives_corrupt_marker(spark, tmp_path):
+    """ADVICE r5: one unreadable marker must not disable GC forever.
+    Run dirs no newer than the bad marker are kept (it might reference
+    one of them); newer orphans are still collected."""
+    import time as _time
+
+    from glue_parquet_splitter_spark.pipeline.incremental import (
+        gc_manifest_runs,
+    )
+
+    tmp = str(tmp_path)
+    in_dir = f"{tmp}/input"
+    _make_input(spark, tmp, in_dir)
+    marker_dir = f"{tmp}/markers"
+    run_incremental(spark, "t", in_dir, f"{tmp}/out", marker_dir,
+                    manifest="counts")
+    runs = lambda: sorted(  # noqa: E731
+        os.listdir(f"{marker_dir}/_manifests"))
+    live = runs()[0]
+
+    # an old orphan, then a corrupt marker NEWER than it, then a newer
+    # orphan — only the newer orphan is safely collectable
+    old_orphan = f"{marker_dir}/_manifests/run-000000000bad"
+    os.makedirs(f"{old_orphan}/date=20250201")
+    t0 = _time.time()
+    os.utime(old_orphan, (t0 - 300, t0 - 300))
+    with open(f"{marker_dir}/99999999.json", "w") as f:
+        f.write("{corrupt")
+    os.utime(f"{marker_dir}/99999999.json", (t0 - 200, t0 - 200))
+    new_orphan = f"{marker_dir}/_manifests/run-00000000cafe"
+    os.makedirs(f"{new_orphan}/date=20250202")
+    os.utime(new_orphan, (t0 - 100, t0 - 100))
+
+    removed = gc_manifest_runs(spark, marker_dir)
+    assert removed == 1
+    assert sorted(runs()) == sorted([live, "run-000000000bad"])
+
+    # once the marker is repaired (here: removed), the old orphan goes
+    os.remove(f"{marker_dir}/99999999.json")
+    assert gc_manifest_runs(spark, marker_dir) == 1
+    assert runs() == [live]

@@ -10,22 +10,26 @@ from glue_parquet_splitter_spark.queries import load_all_modules, ordered_regist
 def test_rotation_prioritizes_unverified(tmp_path):
     reg = load_all_modules()
     names = list(reg)
-    # fake a driver file: first 10 registry queries green, one rows-only checked
-    rows_only = [n for n in names if reg[n].oracle is None]
+    # fake a driver file: first 10 registry queries green, one checked
+    # rows-only (the registry has had no rows-only queries since r6 —
+    # the driver records this shape for a query whose oracle errored)
     fake = {n: {"hash_match": True, "err": None, "spark_rows": 1} for n in names[:10]}
-    fake[rows_only[0]] = {"hash_match": None, "err": "no_oracle", "spark_rows": 3}
+    # a stale rows-only credit gives NO rotation credit once the spec
+    # has an oracle — the query must rotate to the front for a hash row
+    fake[names[10]] = {"hash_match": None, "err": "no_oracle", "spark_rows": 3}
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(fake))
 
     ordered = list(ordered_registry(str(tmp_path)))
     assert len(ordered) == len(names)
-    green = set(list(fake))
+    green = set(names[:10])
     n_unverified = len(names) - len(green)
     # every green query sits after every unverified one
     assert all(n in green for n in ordered[n_unverified:])
     assert not any(n in green for n in ordered[:n_unverified])
-    # oracled unverified before rows-only unverified
-    first_rows_only = next(i for i, n in enumerate(ordered) if reg[n].oracle is None)
-    assert all(reg[n].oracle is not None for n in ordered[:first_rows_only])
+    # rows-only unverified queries (none registered today) sort behind
+    # oracled ones
+    rows_only = [n for n in ordered if reg[n].oracle is None]
+    assert rows_only == []
 
 
 def test_rotation_no_files_is_registry_order(tmp_path):
