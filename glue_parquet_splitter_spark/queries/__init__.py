@@ -146,5 +146,6 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import timeseries2_q  # noqa: F401
     from . import geo_q  # noqa: F401
     from . import sketch2_q  # noqa: F401
-    from . import api2_q  # noqa: F401  # new modules last: rotation is import-ordered
+    from . import api2_q  # noqa: F401
+    from . import curation3_q  # noqa: F401  # new modules last: rotation is import-ordered
     return REGISTRY

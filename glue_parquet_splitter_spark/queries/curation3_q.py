@@ -1,0 +1,204 @@
+"""Curation wave 3: the loader-facing tail of a training-data pipeline
+— deterministic output sharding, quality-curriculum ordering, and
+per-source repeat/upsampling.  All three follow the repo's salted-hash
+convention (``train_val_test_split``): every assignment is a pure
+function of content keys, so reruns, engine swaps, and corpus growth
+never move a document between shards/stages/epochs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "train_shard_assignment",
+    oracle="""
+    SELECT substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("curation", "sharding", "scale"),
+)
+def train_shard_assignment(spark, sf_dir):
+    """Deterministic 16-way output sharding by salted content hash —
+    the step that turns a curated corpus into the fixed shard files a
+    training loader consumes.  The first hex nibble of the salted md5
+    IS the shard id: no row_number, no global coordination, and a
+    document's shard never changes when the corpus is re-curated
+    (appends land in their shard; nothing else moves — contrast a
+    round-robin/ntile assignment, where one insertion renumbers
+    everything after it).
+
+    Scale: assignment is a scan projection; the report is one
+    map-side-combinable groupBy over 16 cells.  In production the same
+    column feeds ``.write.partitionBy("shard")`` — 16 balanced files
+    per task wave, no shuffle at all if the writer tolerates
+    task-level fan-out, one hash exchange if per-shard files must be
+    contiguous.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.substring(
+        F.md5(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))),
+        1, 1).alias("shard")
+    return docs.groupBy(shard).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+
+
+@register(
+    "curriculum_stage_order",
+    oracle="""
+    WITH bounds AS (
+      SELECT quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.50) AS q2,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents
+    ), staged AS (
+      SELECT doc_id, n_chars,
+             1 + CAST(n_chars > q1 AS INT) + CAST(n_chars > q2 AS INT)
+               + CAST(n_chars > q3 AS INT) AS stage,
+             md5('curr-' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents, bounds
+    ), topk AS (
+      SELECT * FROM staged ORDER BY stage, h, doc_id LIMIT 200
+    )
+    SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+           CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
+             AS position
+    FROM topk
+    """,
+    tags=("curation", "ordering", "topk"),
+)
+def curriculum_stage_order(spark, sf_dir):
+    """Curriculum schedule: documents staged easy→hard by length
+    quartile (the classic short-first curriculum), shuffled WITHIN each
+    stage by salted hash so the loader sees stage-ordered but
+    intra-stage-random data, and paged via top-k prefix.
+
+    Scale: the quartile bounds are a 1-row aggregate broadcast back
+    onto the scan (``winsorize_prices``'s proven percentile-parity
+    band); the stage+hash sort materializes only the requested page
+    through TakeOrdered — the corpus is never globally sorted.  The
+    hash shuffle-within-stage is deterministic, so every epoch replays
+    the identical order without storing a permutation anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.50)).alias("q2"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    staged = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        (1 + (F.col("n_chars") > F.col("q1")).cast("int")
+           + (F.col("n_chars") > F.col("q2")).cast("int")
+           + (F.col("n_chars") > F.col("q3")).cast("int")).alias("stage"),
+        F.md5(F.concat(F.lit("curr-"), F.col("doc_id").cast("string")))
+        .alias("h"),
+    )
+    topk = staged.orderBy("stage", "h", "doc_id").limit(200)
+    from pyspark.sql import Window
+    w = Window.orderBy("stage", "h", "doc_id")
+    return topk.select(
+        "doc_id",
+        F.col("stage").cast("long").alias("stage"),
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+@register(
+    "doc_repeat_upsample",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      FROM documents GROUP BY source
+    ), weighted AS (
+      SELECT source, n_docs,
+             LEAST(4.0, GREATEST(0.5,
+               (1.0 / (SELECT COUNT(*) FROM per_source))
+               / (chars_total * 1.0
+                  / (SELECT SUM(chars_total) FROM per_source)))) AS w
+      FROM per_source
+    ), repeats AS (
+      SELECT d.doc_id, d.source,
+             CAST(floor(w) AS BIGINT)
+             + CASE WHEN substr(md5('rep-' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+                         < printf('%04x', CAST(floor((w - floor(w)) * 65536)
+                                               AS INT))
+                    THEN 1 ELSE 0 END AS n_repeats
+      FROM documents d JOIN weighted USING (source)
+    )
+    SELECT source,
+           CAST(COUNT(CASE WHEN n_repeats > 0 THEN 1 END) AS BIGINT)
+             AS n_docs,
+           CAST(SUM(n_repeats) AS BIGINT) AS n_rows_out
+    FROM repeats GROUP BY source
+    """,
+    tags=("curation", "sampling", "upsample"),
+)
+def doc_repeat_upsample(spark, sf_dir):
+    """Fractional-epoch upsampling: per-source mix weights (uniform
+    token target, clamped to [0.5, 4] epochs) become integer per-doc
+    repeat counts — floor(w) copies plus one more for the
+    deterministic hash-fraction of documents, so a source weighted
+    2.3 emits every doc twice and a fixed, rerun-stable 30 % of docs a
+    third time.  The Spark side MATERIALIZES the repeated stream with
+    an ``explode(sequence())`` generator (what the loader consumes);
+    the graded per-source row counts prove the explode multiplicity
+    equals the oracle's closed-form sum.
+
+    Scale: weights are a tiny per-source aggregate broadcast onto the
+    scan; the repeat explode is map-side (no shuffle to replicate);
+    rows with ``n_repeats = 0`` (downsampled sources at w < 1) vanish
+    in the generator without a separate filter pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
+    totals = per_source.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("chars_total").alias("total_chars"),
+    )
+    weighted = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(F.lit(4.0), F.greatest(F.lit(0.5),
+            (F.lit(1.0) / F.col("n_sources"))
+            / (F.col("chars_total") / F.col("total_chars")))).alias("w"),
+    )
+    frac_hex = F.format_string(
+        "%04x", F.floor((F.col("w") - F.floor("w")) * 65536).cast("int"))
+    repeats = (
+        docs.join(F.broadcast(weighted), "source")
+        .select(
+            "doc_id", "source",
+            (F.floor("w").cast("long")
+             + F.when(
+                 F.substring(F.md5(F.concat(F.lit("rep-"),
+                                            F.col("doc_id").cast("string"))),
+                             1, 4) < frac_hex, 1)
+             .otherwise(0)).alias("n_repeats"),
+        )
+    )
+    # the loader-facing repeated stream: one output row per epoch-copy.
+    # n_repeats = 0 must yield an EMPTY array — a bare sequence(1, 0)
+    # would step DOWN and emit two phantom epochs
+    stream = repeats.select(
+        "doc_id", "source", "n_repeats",
+        F.explode(
+            F.when(F.col("n_repeats") >= 1,
+                   F.sequence(F.lit(1), F.col("n_repeats")))
+            .otherwise(F.array())).alias("epoch"),
+    )
+    return stream.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_rows_out"),
+    )

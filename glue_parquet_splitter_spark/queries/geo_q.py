@@ -165,9 +165,10 @@ def geo_grid_neighbor_pairs_ring(spark, sf_dir):
     3x3 ring — "boundary-complete" holds for |lat| <= ~63 deg (the
     synthetic fixture's hash-coords satisfy this pairwise-reachability
     within the ring; the oracle shares the identical ring by
-    construction).  For true polar recall, widen the lon ring as a
-    function of cell latitude — ceil(RADIUS_KM / (111.3 km * cos(lat)))
-    cells — or use S2/H3 cells, whose neighbor sets handle convergence.
+    construction).  For true polar recall use
+    ``geo_grid_neighbor_pairs_adaptive`` (r6), which widens the lon
+    ring per cell latitude via the exact inverse-haversine bound — or
+    S2/H3 cells, whose neighbor sets handle convergence.
     """
     pts = _cells(spark, sf_dir)
     ring = F.array(*[
@@ -179,6 +180,112 @@ def geo_grid_neighbor_pairs_ring(spark, sf_dir):
         (F.col("cell_lat") + F.col("d.dlat")).alias("rcell_lat"),
         (((F.col("cell_lon") + 18 + F.col("d.dlon")) % 36 + 36) % 36 - 18)
         .alias("rcell_lon"),
+    )
+    a, b = repl.alias("a"), _cells(spark, sf_dir).alias("b")
+    hav = _haversine(F.col("a.lat"), F.col("a.lon"),
+                     F.col("b.lat"), F.col("b.lon"))
+    return (
+        a.join(b, on=[F.col("a.rcell_lat") == F.col("b.cell_lat"),
+                      F.col("a.rcell_lon") == F.col("b.cell_lon"),
+                      F.col("a.c_custkey") < F.col("b.c_custkey")])
+        .where(hav <= RADIUS_KM)
+        .select(F.col("a.c_custkey").alias("custkey_a"),
+                F.col("b.c_custkey").alias("custkey_b"),
+                F.round(hav, 2).alias("dist_km"))
+    )
+
+
+# half the angular radius, in radians — shared by both engines so the
+# ring-width formula is bit-identical on the Spark and oracle sides
+_HALF_ANG = f"0.5 * {RADIUS_KM} / {EARTH_KM}"
+
+
+@register(
+    "geo_grid_neighbor_pairs_adaptive",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey,
+             {_coords_sql('c_custkey')[0]} AS lat,
+             {_coords_sql('c_custkey')[1]} AS lon
+      FROM customer
+    ), cells AS (
+      SELECT c_custkey, lat, lon,
+             CAST(floor(lat / 10) AS BIGINT) AS cell_lat,
+             CAST(floor(lon / 10) AS BIGINT) AS cell_lon
+      FROM pts
+    ), ringw AS (
+      SELECT *, CASE WHEN x >= 1 THEN 18
+                     ELSE LEAST(18, CAST(CEIL(DEGREES(2 * ASIN(x)) / 10)
+                                         AS BIGINT)) END AS w
+      FROM (
+        SELECT *, SIN({_HALF_ANG}) / COS(RADIANS(LEAST(89.9,
+                    GREATEST(ABS(cell_lat * 10), ABS(cell_lat * 10 + 10))
+                    + 4.5))) AS x
+        FROM cells
+      )
+    ), repl AS (
+      SELECT c_custkey, lat, lon,
+             cell_lat + dlat.v AS rcell_lat,
+             ((cell_lon + 18 + dlon.v) % 36 + 36) % 36 - 18 AS rcell_lon
+      FROM ringw, range(-1, 2) AS dlat(v), range(-18, 18) AS dlon(v)
+      WHERE dlon.v >= CASE WHEN w >= 18 THEN -18 ELSE -w END
+        AND dlon.v <= CASE WHEN w >= 18 THEN 17 ELSE w END
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           ROUND({_HAV_SQL}, 2) AS dist_km
+    FROM repl a JOIN cells b
+      ON a.rcell_lat = b.cell_lat AND a.rcell_lon = b.cell_lon
+     AND a.c_custkey < b.c_custkey
+    WHERE {_HAV_SQL} <= {RADIUS_KM}
+    """,
+    tags=("geo", "join", "bucketed", "skew"),
+)
+def geo_grid_neighbor_pairs_adaptive(spark, sf_dir):
+    """Proximity join with a LATITUDE-ADAPTIVE longitude ring — closes
+    the ``geo_grid_neighbor_pairs_ring`` recall gap above ~63 deg
+    latitude (ADVICE r5): longitude cells narrow as cos(lat), so the
+    probe's replication ring widens from the fixed 3x3 to
+    3 x (2w+1), where w comes from the exact inverse-haversine bound
+
+        w = ceil(degrees(2 * asin(sin(R/2r) / cos(phi))) / 10),
+
+    phi being the probe cell's worst-case |latitude| plus the 500-km
+    latitude drift (4.5 deg) a partner can add.  Above the latitude
+    where the bound exceeds the globe (x >= 1) the ring is the full
+    longitude circle — 36 distinct wrapped cells, never 37, so every
+    qualifying pair is still found EXACTLY once (the home cell is
+    unique and the wrapped replica cells are distinct).
+
+    Scale: replication is a map-side generator keyed off the probe's
+    own cell — no shuffle to compute the ring.  Near the equator w = 1
+    (the plan degenerates to the 3x3 ring); the expensive wide rings
+    exist only where longitude convergence makes them geometrically
+    necessary, and per-cell population at high latitude is tiny for
+    any geo-uniform corpus.  The join stays one hash shuffle on the
+    short (cell_lat, cell_lon) key.
+    """
+    pts = _cells(spark, sf_dir)
+    x = (F.sin(F.lit(0.5) * RADIUS_KM / EARTH_KM)
+         / F.cos(F.radians(F.least(
+             F.lit(89.9),
+             F.greatest(F.abs(F.col("cell_lat") * 10),
+                        F.abs(F.col("cell_lat") * 10 + 10)) + 4.5))))
+    w = (F.when(x >= 1, F.lit(18))
+         .otherwise(F.least(
+             F.lit(18),
+             F.ceil(F.degrees(2 * F.asin(x)) / 10).cast("long"))))
+    lo = F.when(F.col("w") >= 18, F.lit(-18)).otherwise(-F.col("w"))
+    hi = F.when(F.col("w") >= 18, F.lit(17)).otherwise(F.col("w"))
+    repl = (
+        pts.withColumn("w", w)
+        .withColumn("dlat", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dlon", F.explode(F.sequence(lo, hi)))
+        .select(
+            "c_custkey", "lat", "lon",
+            (F.col("cell_lat") + F.col("dlat")).alias("rcell_lat"),
+            (((F.col("cell_lon") + 18 + F.col("dlon")) % 36 + 36) % 36 - 18)
+            .alias("rcell_lon"),
+        )
     )
     a, b = repl.alias("a"), _cells(spark, sf_dir).alias("b")
     hav = _haversine(F.col("a.lat"), F.col("a.lon"),

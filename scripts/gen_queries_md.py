@@ -40,6 +40,7 @@ FAMILIES = OrderedDict([
     ("scale2_q", "Scale patterns 2 (HLL sketch rollup, state merge, reservoir)"),
     ("functions2_q", "Array set algebra & higher-order map transforms"),
     ("curation2_q", "Curation wave 2 (sliding-window chunking, per-domain caps, decile mixing)"),
+    ("curation3_q", "Curation wave 3 (hash sharding, curriculum ordering, repeat upsampling)"),
     ("timeseries2_q", "Time-series wave 2 (closed-form EWMA, z-score volume anomalies)"),
     ("geo_q", "Geospatial (grid-bucketed proximity join, haversine)"),
     ("sketch2_q", "Sketches 2 & SCD2 serving (count-min heavy hitters, current snapshot)"),
