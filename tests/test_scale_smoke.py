@@ -97,3 +97,36 @@ def test_manifest_counts_1m_keys_stays_in_plan(spark, tmp_path):
     agg = df.groupBy("item_id").agg(F.count("*").alias("rows"))
     total = agg.agg(F.count("*").alias("n")).collect()[0].n
     assert total == n_keys
+
+
+def test_salted_topk_10m_rows_hot_group(spark):
+    """topk_per_group_salted's two-level plan under real skew: 10M rows
+    where ONE group holds 50% of the data.  Level 1 bounds any single
+    task's sort to ~1/8 of the hot group; the exact global top-3 per
+    group still falls out.  Values are constructed so the expected
+    top-3 of every group is known in closed form."""
+    K, N_SALT = 3, 8
+    # group: even ids -> 'hot' (50%), odd ids spread over 9 cold groups
+    df = spark.range(N).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("g"), (F.col("id") % 18 / 2).cast("int")
+                            .cast("string"))).alias("grp"),
+        F.col("id").alias("v"),
+    )
+    salted = df.withColumn("salt", F.pmod(F.xxhash64("v"), F.lit(N_SALT)))
+    w_local = Window.partitionBy("grp", "salt").orderBy(F.desc("v"))
+    local = (salted.withColumn("rn", F.row_number().over(w_local))
+             .filter(F.col("rn") <= K).drop("rn", "salt"))
+    w_global = Window.partitionBy("grp").orderBy(F.desc("v"))
+    top = (local.withColumn("rn", F.row_number().over(w_global))
+           .filter(F.col("rn") <= K))
+    rows = {(r.grp, r.rn): r.v for r in top.collect()}  # 30 rows
+    assert len(rows) == 10 * K
+    # hot group = even ids: top-3 are N-2, N-4, N-6
+    assert [rows[("hot", i)] for i in (1, 2, 3)] == [N - 2, N - 4, N - 6]
+    # cold group g<j>: odd ids with id % 18 == 2j+1 (ids = 18t + 2j+1);
+    # top-3 descend by 18 from the largest such id below N
+    for j in range(9):
+        top1 = ((N - 1 - (2 * j + 1)) // 18) * 18 + 2 * j + 1
+        assert [rows[(f"g{j}", i)] for i in (1, 2, 3)] == [
+            top1, top1 - 18, top1 - 36]
