@@ -174,6 +174,29 @@ def streaming_interval_join(spark, sf_dir):
 
 
 @register(
+    "streaming_sliding_counts",
+    oracle="""
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT date_trunc('hour', ts) AS window_start FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL '1 hour' FROM events
+    ) GROUP BY 1
+    """,
+    tags=("events", "streaming", "window"),
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Sliding-window (2 h window / 1 h slide) event counts as a real
+    stream: each event belongs to exactly two overlapping windows, so
+    the drained complete-mode result equals the batch union of the two
+    shifted tumbling aggregations — which is the oracle."""
+    from ..streaming.windows import run_sliding_count_stream
+
+    return run_sliding_count_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
     "streaming_late_data_append",
     oracle="""
     WITH wm AS (SELECT MAX(ts) - INTERVAL '30 minutes' AS w FROM events)

@@ -71,6 +71,35 @@ def run_tumbling_count_stream(spark: SparkSession, events_path: str,
     return spark.table(name)
 
 
+def run_sliding_count_stream(spark: SparkSession, events_path: str,
+                             window: str = "2 hours",
+                             slide: str = "1 hour",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window count stream (window > slide ⇒ each event lands
+    in window/slide overlapping windows — Spark replicates the row to
+    its window set in the streaming aggregation's projection, the same
+    replicate-to-window-ends shape ``rolling_7day_active_users`` uses
+    in batch).  availableNow + complete mode ⇒ equals the batch
+    aggregation, so the two-shifted-tumbling-unions SQL is the oracle."""
+    stream = events_stream(spark, events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("window.start", TS_FMT).alias("window_start"), "n")
+    )
+    name = "stream_slide_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_slide_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_stream_stream_join(spark: SparkSession, events_path: str) -> DataFrame:
     """Stream-stream interval inner join: same-user event pairs within
     60 s, both sides watermarked so the join state is bounded. Drained
