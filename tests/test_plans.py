@@ -305,3 +305,39 @@ def test_salted_topk_two_level_no_join(spark, sf_dir):
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BroadcastHashJoin", "SortMergeJoin"):
         assert node not in plan
+
+
+def test_shard_assignment_single_exchange(spark, sf_dir):
+    """Hash sharding is a scan projection + one partial-aggregated
+    groupBy over 16 cells — nothing else."""
+    plan = plan_of(spark, sf_dir, "train_shard_assignment")
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1500]
+
+
+def test_curriculum_topk_not_global_sort(spark, sf_dir):
+    """The curriculum page must come from TakeOrdered with the 1-row
+    quartile bounds broadcast — no global sort, no hash exchange of
+    the corpus before the prefix."""
+    plan = plan_of(spark, sf_dir, "curriculum_stage_order")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan[:1500]
+
+
+def test_repeat_upsample_broadcasts_weights(spark, sf_dir):
+    """Per-source weights join back as the broadcast side; the corpus
+    is never sort-merged for the weight join and the repeat explode is
+    a generator, not a join."""
+    plan = plan_of(spark, sf_dir, "doc_repeat_upsample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan
+
+
+def test_adaptive_geo_ring_equi_join(spark, sf_dir):
+    """The adaptive ring keeps the equi hash join on the cell key —
+    variable ring width must not degrade to a nested-loop/cartesian."""
+    plan = plan_of(spark, sf_dir, "geo_grid_neighbor_pairs_adaptive")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
