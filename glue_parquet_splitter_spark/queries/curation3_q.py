@@ -202,3 +202,94 @@ def doc_repeat_upsample(spark, sf_dir):
         F.count_distinct("doc_id").alias("n_docs"),
         F.count("*").alias("n_rows_out"),
     )
+
+
+@register(
+    "curation_pipeline_end_to_end",
+    oracle="""
+    WITH deduped AS (
+      SELECT doc_id, text, n_chars
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ), quality AS (
+      SELECT doc_id, text, n_chars,
+             len(string_split(text, ' ')) AS wc
+      FROM deduped
+      WHERE len(string_split(text, ' ')) >= 50
+        AND (n_chars - len(string_split(text, ' ')) + 1.0)
+            / len(string_split(text, ' ')) BETWEEN 3 AND 10
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bench AS (
+      SELECT DISTINCT md5(array_to_string(
+               w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, 6)) AS t(i)
+      WHERE doc_id % 41 = 0 AND len(w) >= 12
+    ), contaminated AS (
+      SELECT DISTINCT q.doc_id
+      FROM quality q,
+           UNNEST(range(1, len(string_split(q.text, ' ')) - 6)) AS t(i)
+      WHERE md5(array_to_string(
+              string_split(q.text, ' ')[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)],
+              ' ')) IN (SELECT g FROM bench)
+    ), clean AS (
+      SELECT * FROM quality
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT substr(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_total
+    FROM clean GROUP BY 1
+    """,
+    tags=("curation", "pipeline", "dedup", "decontamination", "sharding"),
+)
+def curation_pipeline_end_to_end(spark, sf_dir):
+    """The whole curation tail as ONE composed lazy plan — exact dedup
+    → quality filter → benchmark decontamination → shard assignment —
+    proving the registered stages compose without materialization
+    barriers (what a production run would submit as a single job).
+
+    Stage shapes, each individually registered and hash-green
+    elsewhere: dedup is one shuffle on md5(text)
+    (``dedup_exact_hash``); the quality filter is a scan-projection
+    predicate derived from (n_chars, word count) — Gopher-style bounds
+    (``gopher_quality_filter``); decontamination drops any doc sharing
+    an 8-gram with the benchmark set via broadcast LEFT ANTI on 32-byte
+    digests (``decontamination_ngram_overlap``); sharding is the salted
+    md5 nibble (``train_shard_assignment``).  End to end the corpus
+    shuffles exactly once (dedup) — every other stage is map-side or
+    broadcast, so the composed job moves no more data than its most
+    expensive stage.
+    """
+    from ..operators.dedup import shingles
+
+    from pyspark.sql import Window
+
+    NGRAM = 8
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (docs.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1).drop("rn"))
+    wc = F.size(F.split("text", " "))
+    quality = deduped.filter(
+        (wc >= 50)
+        & ((F.col("n_chars") - wc + 1.0) / wc).between(3, 10))
+    prefix = (
+        docs.where((F.col("doc_id") % 41 == 0)
+                   & (F.size(F.split("text", " ")) >= 12))
+        .select("doc_id",
+                F.array_join(F.slice(F.split("text", " "), 1, 12), " ")
+                .alias("text"))
+    )
+    bench = shingles(prefix, NGRAM).select(F.md5("tok").alias("g")).distinct()
+    grams = shingles(quality.select("doc_id", "text"), NGRAM).select(
+        "doc_id", F.md5("tok").alias("g"))
+    contaminated = grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    clean = quality.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    shard = F.substring(
+        F.md5(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))),
+        1, 1).alias("shard")
+    return clean.groupBy(shard).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )
