@@ -260,6 +260,17 @@ def curation_pipeline_end_to_end(spark, sf_dir):
     shuffles exactly once (dedup) — every other stage is map-side or
     broadcast, so the composed job moves no more data than its most
     expensive stage.
+
+    The contaminated-id set is deliberately computed from the RAW
+    corpus, not the dedup+quality survivors: flagging a superset
+    changes nothing after the anti-join (removals outside ``clean``
+    are no-ops; the oracle scopes contamination to the survivors and
+    hashes identical), and it keeps the survivor subtree referenced
+    once — referencing it from both the grams branch and the anti-join
+    base would plan the md5(text) dedup exchange TWICE (column pruning
+    specializes the two copies, so ReuseExchange can't merge them;
+    verified in the r6 plan audit: 2 corpus shuffles before this
+    restructure, 1 after).
     """
     from ..operators.dedup import shingles
 
@@ -282,7 +293,7 @@ def curation_pipeline_end_to_end(spark, sf_dir):
                 .alias("text"))
     )
     bench = shingles(prefix, NGRAM).select(F.md5("tok").alias("g")).distinct()
-    grams = shingles(quality.select("doc_id", "text"), NGRAM).select(
+    grams = shingles(docs.select("doc_id", "text"), NGRAM).select(
         "doc_id", F.md5("tok").alias("g"))
     contaminated = grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
     clean = quality.join(F.broadcast(contaminated), "doc_id", "left_anti")

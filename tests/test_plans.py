@@ -341,3 +341,14 @@ def test_adaptive_geo_ring_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_pipeline_single_corpus_shuffle(spark, sf_dir):
+    """End-to-end curation: the md5(text) dedup window is the ONLY
+    full-corpus exchange; bench grams, contaminated ids, and the
+    16-cell shard groupBy are the other three (all tiny), every join
+    broadcasts, and nothing sort-merges or goes cartesian."""
+    plan = plan_of(spark, sf_dir, "curation_pipeline_end_to_end")
+    assert plan.count("Exchange hashpartitioning") == 4, plan[:2500]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
