@@ -58,6 +58,10 @@ BENCH_QUERIES = [
     # distinct (rolling WAU) representatives
     "psi_feature_drift",
     "rolling_7day_active_users",
+    # round-6 breadth: the skew-safe top-k pattern and the composed
+    # curation pipeline (dedup -> quality -> decontaminate -> shard)
+    "topk_per_group_salted",
+    "curation_pipeline_end_to_end",
 ]
 
 
@@ -283,6 +287,10 @@ def main() -> None:
         "shuffle_bytes_written": shuffle_bytes,
         "shuffle_baseline": prev_file,
         "shuffle_regressions": regressions,
+        # host contention at run end — context for wall-time outliers
+        # (r5 recorded a 4.83 s min-of-3 for a 0.8 s query; CPU-steal
+        # is invisible in the timings themselves)
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }))
 
 

@@ -264,7 +264,16 @@ def geo_grid_neighbor_pairs_adaptive(spark, sf_dir):
     any geo-uniform corpus.  The join stays one hash shuffle on the
     short (cell_lat, cell_lon) key.
     """
-    pts = _cells(spark, sf_dir)
+    return adaptive_ring_pairs(_cells(spark, sf_dir))
+
+
+def adaptive_ring_pairs(pts):
+    """All pairs within RADIUS_KM from a (c_custkey, lat, lon,
+    cell_lat, cell_lon) frame, via the latitude-adaptive ring join.
+    Factored out so ``tests/test_geo_recall.py`` can run the SAME plan
+    against a brute-force cross join on polar-heavy synthetic points —
+    the recall proof the hash gate structurally cannot provide when
+    the query and its oracle share the ring formula (ADVICE r5)."""
     x = (F.sin(F.lit(0.5) * RADIUS_KM / EARTH_KM)
          / F.cos(F.radians(F.least(
              F.lit(89.9),
@@ -287,7 +296,7 @@ def geo_grid_neighbor_pairs_adaptive(spark, sf_dir):
             .alias("rcell_lon"),
         )
     )
-    a, b = repl.alias("a"), _cells(spark, sf_dir).alias("b")
+    a, b = repl.alias("a"), pts.alias("b")
     hav = _haversine(F.col("a.lat"), F.col("a.lon"),
                      F.col("b.lat"), F.col("b.lon"))
     return (
