@@ -214,3 +214,88 @@ def agg_approx_distinct_only(spark, sf_dir):
         (F.abs(F.col("pa") - F.col("n_part_exact"))
          <= 0.05 * F.col("n_part_exact")).alias("part_within_5pct"),
     )
+
+
+@register(
+    "embedding_dedup_apply",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), v AS (
+      SELECT vec_id, i, x FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, i,
+             x + (CASE WHEN i = 2 THEN 0.05 ELSE 0.0 END) AS x
+      FROM base WHERE vec_id < 25
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), bk AS (
+      SELECT vec_id,
+             CAST(SUM((CASE WHEN i = 1  AND x > 0 THEN 8 ELSE 0 END)
+                    + (CASE WHEN i = 9  AND x > 0 THEN 4 ELSE 0 END)
+                    + (CASE WHEN i = 17 AND x > 0 THEN 2 ELSE 0 END)
+                    + (CASE WHEN i = 25 AND x > 0 THEN 1 ELSE 0 END)) AS INT) AS bucket
+      FROM v WHERE i IN (1, 9, 17, 25) GROUP BY vec_id
+    ), cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), pairs AS (
+      SELECT cand.vec_a, cand.vec_b, SUM(x1.x * x2.x) AS dot
+      FROM cand JOIN v x1 ON x1.vec_id = cand.vec_a
+                JOIN v x2 ON x2.vec_id = cand.vec_b AND x2.i = x1.i
+      GROUP BY cand.vec_a, cand.vec_b
+    ), verified AS (
+      SELECT vec_a, vec_b FROM pairs p
+      JOIN norms na ON na.vec_id = p.vec_a
+      JOIN norms nb ON nb.vec_id = p.vec_b
+      WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.9
+    ), removed AS (SELECT DISTINCT vec_b AS vec_id FROM verified)
+    SELECT CAST((SELECT COUNT(DISTINCT vec_id) FROM v) AS BIGINT) AS n_corpus,
+           CAST((SELECT COUNT(*) FROM removed) AS BIGINT)         AS n_removed,
+           CAST((SELECT COUNT(DISTINCT vec_id) FROM v) 
+                - (SELECT COUNT(*) FROM removed) AS BIGINT)       AS n_surviving
+    """,
+    tags=("similarity", "dedup"),
+)
+def embedding_dedup_apply(spark, sf_dir):
+    """The APPLY stage of embedding near-dup removal — the
+    ``minhash_dedup_apply`` counterpart for the cosine family (the
+    brief's third dedup modality): LSH-bucketed candidates → exact
+    cosine ≥ 0.9 verify → drop the larger-id side of every verified
+    pair (deterministic survivor policy) over the planted corpus of
+    ``cosine_neardup_planted`` (every planted copy must vanish; the
+    graded row is never vacuous).
+
+    Scale: the removal set is verified-pair-sized (≪ corpus) so the
+    anti-join broadcasts; the corpus is scanned once for blocking and
+    once for the final anti-join count — never shuffled on vectors.
+    """
+    from ..operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planted = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == F.lit(1), x + F.lit(0.05)).otherwise(x)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(planted)
+    bk = corpus.select("vec_id", "v", S.signbit_bucket(F.col("v")).alias("bucket"))
+    a = bk.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    verified = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= 0.9)
+    )
+    removed = verified.select(F.col("vec_b").alias("vec_id")).distinct()
+    surviving = corpus.join(F.broadcast(removed), "vec_id", "left_anti")
+    return (
+        corpus.agg(F.count_distinct("vec_id").alias("n_corpus"))
+        .crossJoin(F.broadcast(
+            removed.agg(F.count("*").alias("n_removed"))))
+        .crossJoin(F.broadcast(
+            surviving.agg(F.count_distinct("vec_id").alias("n_surviving"))))
+    )
