@@ -198,3 +198,92 @@ def zorder_interleave(spark, sf_dir):
         o.crossJoin(F.broadcast(bounds))
         .select("o_orderkey", z_value(x, y, bits=_Z_BITS).alias("zval"))
     )
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One chained-CTE PageRank step (the oracle's unrolled loop)."""
+    return f"""{out} AS (
+      SELECT n.node,
+             ROUND(0.15 / (SELECT n FROM meta)
+                   + 0.85 * COALESCE(x.c, 0), 10) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, SUM(r.rank / o.deg) AS c
+        FROM edges e
+        JOIN {prev} r ON r.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+      ) x ON x.dst = n.node
+    )"""
+
+
+@register(
+    "pagerank_fixed_iters",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), meta AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (
+      SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, 1.0 / (SELECT n FROM meta) AS rank FROM nodes
+    ), {_pr_iter_sql('r0', 'r1')}, {_pr_iter_sql('r1', 'r2')},
+    {_pr_iter_sql('r2', 'r3')}
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM r3 ORDER BY rank DESC, node LIMIT 20
+    """,
+    tags=("graph", "iterative", "topk"),
+)
+def pagerank_fixed_iters(spark, sf_dir):
+    """PageRank (3 fixed iterations, damping 0.85) over the bipartite
+    customer→supplier purchase graph — the iterative numeric algorithm
+    family: each iteration is a DataFrame-composed join + aggregate,
+    and the loop unrolls into ONE lazy plan the oracle mirrors as
+    chained CTEs (fixed iteration count keeps it SQL-expressible, so
+    this stays hash-verified rather than rows-only).  Ranks round to
+    10 decimals per iteration — float summation order differs between
+    engines, and re-rounding each step keeps the drift far below the
+    graded 6-decimal precision.
+
+    Scale: per iteration the rank frame shuffles once on the edge key
+    (at 100 TB: pre-partition edges and ranks on src — the join is
+    then co-located and only the per-dst contributions move); dangling
+    mass (suppliers have no out-edges) is deliberately not
+    redistributed, the standard simplified form, identical on both
+    sides.  Convergence-driven variants belong to the
+    ``dedup_connected_components`` loop-with-guard pattern.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
+        .distinct()
+    )
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node"))).distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    base = nodes.crossJoin(F.broadcast(n_nodes))
+    ranks = base.select("node", "n_nodes",
+                        (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .select("node", "n_nodes",
+                    F.round(0.15 / F.col("n_nodes")
+                            + 0.85 * F.coalesce("c", F.lit(0.0)), 10)
+                    .alias("rank"))
+        )
+    return (ranks.select("node", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), "node").limit(20))
