@@ -368,3 +368,81 @@ def snapshot_diff_cdf(spark, sf_dir):
             F.col("b.price").alias("new_price"),
         )
     )
+
+
+@register(
+    "dq_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_checked,
+        CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT)          AS null_custkey,
+        CAST(COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+                                                             AS nonpositive_price,
+        CAST(COUNT(CASE WHEN o_orderdate < DATE '1992-01-01'
+                          OR o_orderdate > DATE '1998-12-31' THEN 1 END)
+             AS BIGINT)                                      AS date_out_of_range,
+        CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)
+             AS BIGINT)                                      AS bad_status
+      FROM orders
+    ), ref AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphan_custkey
+      FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_custkey IS NULL AND o.o_custkey IS NOT NULL
+    )
+    SELECT rule, n_violations, n_checked FROM (
+      SELECT 'null_custkey' AS rule, null_custkey AS n_violations, n_checked FROM checks
+      UNION ALL
+      SELECT 'nonpositive_price', nonpositive_price, n_checked FROM checks
+      UNION ALL
+      SELECT 'date_out_of_range', date_out_of_range, n_checked FROM checks
+      UNION ALL
+      SELECT 'bad_status', bad_status, n_checked FROM checks
+      UNION ALL
+      SELECT 'orphan_custkey', orphan_custkey, n_checked FROM ref, checks
+    )
+    """,
+    tags=("warehouse", "quality", "agg"),
+)
+def dq_expectations(spark, sf_dir):
+    """Expectations suite over the orders feed: one row per rule with
+    its violation count — the CI gate a warehouse runs before
+    publishing a partition (the assert side of ``dq_profile_summary``'s
+    profile).  Rules: non-null key, positive amount, date-in-range,
+    enum membership, and referential integrity against the customer
+    dim.
+
+    Scale: the four column rules ride ONE scan as conditional counts
+    (map-side combine, 1-row output) and unpivot via ``stack`` on that
+    single row; the referential rule is a broadcast anti-join against
+    the dim, counted without materializing violations.  Total cost: one
+    fact scan + one dim broadcast regardless of violation count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    checks = o.agg(
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.count("o_custkey")).alias("null_custkey"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+        F.count(F.when((F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                       | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                       1)).alias("date_out_of_range"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1))
+        .alias("bad_status"),
+    )
+    orphans = (
+        o.where(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c.select("c_custkey")),
+              o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").alias("orphan_custkey"))
+    )
+    wide = checks.crossJoin(F.broadcast(orphans))
+    return wide.select(
+        F.expr("stack(5, "
+               "'null_custkey', null_custkey, "
+               "'nonpositive_price', nonpositive_price, "
+               "'date_out_of_range', date_out_of_range, "
+               "'bad_status', bad_status, "
+               "'orphan_custkey', orphan_custkey) AS (rule, n_violations)"),
+        "n_checked",
+    )
