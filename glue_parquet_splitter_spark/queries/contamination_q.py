@@ -205,3 +205,67 @@ def train_mix_interleave(spark, sf_dir):
     topk = seqd.orderBy("seq", "source", "doc_id").limit(500)
     wg = Window.orderBy("seq", "source", "doc_id")
     return topk.withColumn("position", F.row_number().over(wg))
+
+
+@register(
+    "cross_source_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source,
+             md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + {NGRAM - 1} AS BIGINT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(w) - {NGRAM - 2})) AS t(i)
+    ), rare AS (
+      SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g)
+      WHERE df BETWEEN 2 AND 5
+    ), src_grams AS (
+      SELECT DISTINCT source, g FROM grams WHERE g IN (SELECT g FROM rare)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM src_grams a JOIN src_grams b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("curation", "decontamination", "dedup", "text"),
+)
+def cross_source_ngram_overlap(spark, sf_dir):
+    """Cross-source content sharing: for every pair of corpus sources,
+    how many RARE 8-grams they have in common — the cross-dump overlap
+    matrix (CCNet/RefinedWeb-style) that tells a curator which crawls
+    re-serve each other's content before any cross-source dedup runs.
+
+    The rare-gram band (document frequency 2..5) is what makes this
+    scale-safe AND meaningful: df=1 grams can't be shared, while
+    high-df "stop grams" (boilerplate phrases) would both explode the
+    per-gram self-join and measure language, not provenance.  With
+    df <= 5 a gram joins at most 5 sources → <= 10 pairs, so the
+    self-join output is linearly bounded by the rare-gram count.
+
+    Scale: grams are md5 digests (short shuffle keys); the df filter
+    is one map-side-combinable groupBy; the pair join shuffles only
+    (source, gram) rows that survived the band.  The corpus text
+    itself is never shuffled.
+    """
+    from ..operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingles(d.select("doc_id", "text"), NGRAM)
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.md5("tok").alias("g"))
+        .distinct()
+    )
+    rare = (grams.groupBy("g")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df").between(2, 5))
+            .select("g"))
+    src_grams = (grams.join(rare, "g").select("source", "g").distinct())
+    a = src_grams.select(F.col("source").alias("source_a"), "g")
+    b = src_grams.select(F.col("source").alias("source_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
