@@ -32,13 +32,19 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, distinct: bool = False) -> DataFrame:
+def shingles(docs: DataFrame, n: int = 3, distinct: bool = False,
+             carry: tuple = ()) -> DataFrame:
     """(doc_id, shingle) n-word shingles. MinHash runs over shingles,
     not words: word *sets* of natural/dup-prone corpora overlap almost
     completely across unrelated docs (word-level minhash bucketed ~9.5M
     false-candidate pairs on the 5k-doc fixture); n-word shingles make
-    the element universe position-sensitive and sparse."""
-    t = docs.select("doc_id", F.split("text", " ").alias("t"))
+    the element universe position-sensitive and sparse.
+
+    ``carry`` names extra columns to ride through the explode (e.g.
+    ``("source",)``) — duplicating a short attribute per shingle
+    map-side is free, while joining it back on doc_id afterwards would
+    shuffle the whole gram stream."""
+    t = docs.select("doc_id", *carry, F.split("text", " ").alias("t"))
     expr = F.when(
         F.size("t") >= n,
         F.expr(
@@ -46,7 +52,7 @@ def shingles(docs: DataFrame, n: int = 3, distinct: bool = False) -> DataFrame:
             f"i -> concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(n))}))"
         ),
     ).otherwise(F.expr("array()"))
-    out = t.select("doc_id", F.explode(expr).alias("tok"))
+    out = t.select("doc_id", *carry, F.explode(expr).alias("tok"))
     return out.distinct() if distinct else out
 
 

