@@ -48,3 +48,13 @@ def test_reads_latest_committed_round():
     inner = doc.get("parsed", doc)
     assert prev == {k: int(v) for k, v in
                     inner["shuffle_bytes_written"].items()}
+
+
+def test_bench_queries_exist_in_registry():
+    """A typo'd or renamed bench entry should fail here, not 40 s into
+    the driver's bench run."""
+    from glue_parquet_splitter_spark.queries import load_all_modules
+
+    reg = load_all_modules()
+    missing = [n for n in bench.BENCH_QUERIES if n not in reg]
+    assert not missing, missing
