@@ -91,3 +91,45 @@ def sample_frames(decoded: DataFrame, every: int = 5) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))).alias("frame_idx"),
     )
+
+
+def byte_features(packed: DataFrame) -> DataFrame:
+    """REAL feature extraction over the binary payload (no media libs
+    needed): per-object byte histogram → distinct-byte count + Shannon
+    entropy, vectorized with numpy inside an Arrow-batched
+    ``mapInPandas``.  This is the shape of any per-object featurizer
+    (CLIP embedding, spectral stats, EXIF parse): bytes in, fixed-width
+    numeric row out, one Python process per partition."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["payload"]:
+                a = np.frombuffer(bytes(p), dtype=np.uint8)
+                counts = np.bincount(a, minlength=256)
+                nz = counts[counts > 0]
+                prob = nz / a.size
+                rows.append((int(nz.size),
+                             float(round(-(prob * np.log2(prob)).sum(), 4))))
+            out = pd.DataFrame(rows, columns=["n_distinct_bytes",
+                                              "byte_entropy"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return packed.mapInPandas(
+        _feats, schema="doc_id long, n_distinct_bytes long, byte_entropy double")
+
+
+def resize_meta(decoded: DataFrame, target: int = 256) -> DataFrame:
+    """Aspect-preserving resize plumbing: fit (width, height) into a
+    target box with pure integer arithmetic (floor), JVM-side — the
+    actual pixel resample would be a mapInPandas over the payload with
+    the same (doc_id, new_w, new_h) contract."""
+    m = F.greatest("width", "height")
+    return decoded.select(
+        "doc_id", "width", "height",
+        F.floor(F.col("width") * target / m).cast("int").alias("new_width"),
+        F.floor(F.col("height") * target / m).cast("int").alias("new_height"),
+    )

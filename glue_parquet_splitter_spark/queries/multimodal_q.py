@@ -74,3 +74,55 @@ def multimodal_frame_sample(spark, sf_dir):
     return M.sample_frames(decoded, every=5).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+@register(
+    "multimodal_byte_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS b
+      FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i)
+    ), hist AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM chars GROUP BY doc_id, b
+    ), tot AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id)
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+           ROUND(-SUM((c * 1.0 / t.n) * log2(c * 1.0 / t.n)), 4)
+             AS byte_entropy
+    FROM hist h JOIN tot t USING (doc_id)
+    GROUP BY h.doc_id
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_byte_features(spark, sf_dir):
+    """Per-object byte-histogram features (distinct bytes + Shannon
+    entropy) — REAL numpy feature extraction over the binary column,
+    Arrow-batched; the corpus is ASCII so the oracle reproduces the
+    histogram character-wise.  The stand-in for any bytes→features
+    model step (embedding, spectral stats) with the same plumbing."""
+    return M.byte_features(_packed(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(64 + (n_chars % 512) AS INT)       AS width,
+             CAST(64 + ((n_chars * 7) % 512) AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CAST(FLOOR(width  * 256.0 / GREATEST(width, height)) AS INT) AS new_width,
+           CAST(FLOOR(height * 256.0 / GREATEST(width, height)) AS INT) AS new_height
+    FROM dims
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize_meta(spark, sf_dir):
+    """Aspect-preserving fit-into-256 resize metadata over the decoded
+    dimensions — integer floor arithmetic, JVM-side; the pixel
+    resample itself would ride the same contract as a mapInPandas
+    over (payload, new_width, new_height)."""
+    decoded = M.decode_metadata(_packed(spark, sf_dir))
+    return M.resize_meta(decoded, target=256)
