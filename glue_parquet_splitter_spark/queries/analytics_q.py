@@ -319,3 +319,57 @@ def rolling_7day_active_users(spark, sf_dir):
         .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "ordered_funnel_conversion",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)     AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END)    AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_view,
+      CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      THEN 1 END) AS BIGINT)  AS n_view_then_click,
+      CAST(COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                       AND t_purchase > t_click
+                      THEN 1 END) AS BIGINT)  AS n_full_funnel
+    FROM steps
+    """,
+    tags=("analytics", "funnel", "agg"),
+)
+def ordered_funnel_conversion(spark, sf_dir):
+    """ORDER-aware funnel: users counted at each stage only if the
+    stages happened in sequence (first view before first click before
+    first purchase) — the conversion metric `event_type_funnel`'s
+    order-blind counts cannot express.  NULL semantics do the
+    step-gating: a missing step's MIN is NULL and the `>` comparison
+    is never true, so no explicit NULL checks are needed past the
+    first step.
+
+    Scale: one map-side-combinable groupBy(user) computing three
+    conditional MINs (the only full-data shuffle), then a 1-row global
+    conditional count — no joins, no windows, no per-user event
+    ordering materialized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    steps = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return steps.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("t_view").isNotNull()
+                       & (F.col("t_click") > F.col("t_view")), 1))
+        .alias("n_view_then_click"),
+        F.count(F.when(F.col("t_view").isNotNull()
+                       & (F.col("t_click") > F.col("t_view"))
+                       & (F.col("t_purchase") > F.col("t_click")), 1))
+        .alias("n_full_funnel"),
+    )
