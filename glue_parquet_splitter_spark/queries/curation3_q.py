@@ -304,3 +304,58 @@ def curation_pipeline_end_to_end(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars_total"),
     )
+
+
+@register(
+    "weighted_priority_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 1)
+               / n_chars AS pkey
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY pkey, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= 5
+    """,
+    tags=("curation", "sampling", "weighted"),
+)
+def weighted_priority_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, 5 docs per language,
+    inclusion probability ~ document length — Sequential Poisson
+    Sampling (Ohlsson): priority key = u / w with u pseudo-uniform,
+    keep the k smallest keys per group.  Longer documents draw smaller
+    keys and are proportionally more likely to survive; the classic
+    weighted-reservoir answer when "sample by quality/length, not
+    uniformly" is the curation requirement.
+
+    Determinism note: u comes from a Knuth multiplicative hash
+    ((doc_id * 2654435761) mod 2^32) — pure integer arithmetic plus
+    one IEEE division, both of which the Spark and DuckDB sides
+    compute bit-identically.  The float-transcendental A-ES form
+    (u^(1/w)) is deliberately avoided: pow() is not correctly rounded
+    and may order differently across engines at selection boundaries.
+
+    Scale: the key is a scan projection; rank-within-group is one
+    shuffle on lang (heavy skew → the ``topk_per_group_salted``
+    two-level form applies unchanged, since SPS only needs the
+    per-group minimum keys).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pkey = ((((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+             .cast("double") + 1) / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy("pkey", "doc_id")
+    return (
+        docs.select("doc_id", "lang", pkey.alias("pkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
+    )
