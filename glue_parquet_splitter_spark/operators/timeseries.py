@@ -97,3 +97,51 @@ def ewma(df: DataFrame, key_cols: list[str], order_cols: list[str],
         F.col("__cden"), F.lit(0.0))
     return joined.select(
         *key_cols, *order_cols, "rn", (num / den).alias(out_col))
+
+
+def asof_backward(left: DataFrame, right: DataFrame, on: str,
+                  by: list[str], values: list[str]) -> DataFrame:
+    """Generic backward as-of join: every ``left`` row picks up the
+    ``values`` columns from the most recent ``right`` row with
+    ``right.on <= left.on`` within the same ``by`` key (inclusive
+    bound; right rows sort before left rows at equal timestamps).
+
+    Composition (Spark has no native ASOF): tag both sides, union,
+    and take the running last-non-null of each value column per key in
+    time order — ONE shuffle on the key, zero row explosion.  The
+    inequality-join + top-1 alternative materializes |left| × (all
+    earlier right rows of the key) before pruning, which explodes on
+    long histories.  ``right`` must be unique per (by, on) — pre-
+    aggregate it (as ``asof_join`` does per (cust, day)); with
+    duplicates the pick among equal timestamps is nondeterministic.
+
+    Left rows with no earlier right row keep NULL values (the caller
+    filters or fills) — pandas ``merge_asof`` semantics, property-
+    tested against it in ``tests/test_asof_properties.py``.
+    """
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    payload = [c for c in left.columns if c not in by and c != on]
+    right_u = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        *values,
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in payload],
+    )
+    left_u = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        *[F.lit(None).cast(rdt[v]).alias(v) for v in values],
+        *payload,
+    )
+    w = (Window.partitionBy(*by).orderBy("__t", "__is_l")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = right_u.unionByName(left_u).select(
+        *by,
+        F.col("__t").alias(on),
+        "__is_l",
+        *payload,
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in values],
+    )
+    return filled.filter(F.col("__is_l") == 1).drop("__is_l")

@@ -40,6 +40,8 @@ def asof_join(spark, sf_dir):
     earlier order days of that user) and whose broadcast side grows
     with the fact table.  Orders are pre-aggregated per (cust, day) so
     the as-of pick is unique & deterministic."""
+    from ..operators.timeseries import asof_backward
+
     ev = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
     od = o.groupBy("o_custkey", "o_orderdate").agg(
@@ -49,35 +51,17 @@ def asof_join(spark, sf_dir):
     right = od.select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
         "o_orderdate", "n_orders", "last_orderkey",
     )
-    left = ev.select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        "event_id",
-        F.lit(None).cast("date").alias("o_orderdate"),
-        F.lit(None).cast("long").alias("n_orders"),
-        F.lit(None).cast("long").alias("last_orderkey"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "is_event")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = right.unionByName(left).select(
-        "is_event", "event_id",
-        F.last("o_orderdate", ignorenulls=True).over(w).alias("asof_date"),
-        F.last("n_orders", ignorenulls=True).over(w).alias("n_orders"),
-        F.last("last_orderkey", ignorenulls=True).over(w).alias("last_orderkey"),
-    )
+    left = ev.select("user_id", F.col("ts").alias("t"), "event_id")
+    matched = asof_backward(left, right, on="t", by=["user_id"],
+                            values=["o_orderdate", "n_orders",
+                                    "last_orderkey"])
     return (
-        filled.filter((F.col("is_event") == 1) & F.col("asof_date").isNotNull())
+        matched.filter(F.col("o_orderdate").isNotNull())
         .select(
             "event_id",
-            F.date_format("asof_date", "yyyy-MM-dd").alias("asof_order_date"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("asof_order_date"),
             "n_orders", "last_orderkey",
         )
     )
