@@ -145,3 +145,41 @@ def asof_backward(left: DataFrame, right: DataFrame, on: str,
         *[F.last(v, ignorenulls=True).over(w).alias(v) for v in values],
     )
     return filled.filter(F.col("__is_l") == 1).drop("__is_l")
+
+
+def asof_forward(left: DataFrame, right: DataFrame, on: str,
+                 by: list[str], values: list[str]) -> DataFrame:
+    """Forward as-of: every ``left`` row picks up ``values`` from the
+    EARLIEST ``right`` row with ``right.on >= left.on`` in the ``by``
+    key (inclusive).  Same union+running-fill composition as
+    :func:`asof_backward` with the window run in DESCENDING time order
+    (right rows still tie-break before left rows at equal timestamps).
+    A tolerance bound ("within the next 7 days") is a NULL-out
+    projection on the caller's side — see
+    ``queries.advanced_q.asof_join_forward_tolerance``."""
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    payload = [c for c in left.columns if c not in by and c != on]
+    right_u = right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        *values,
+        *[F.lit(None).cast(ldt[c]).alias(c) for c in payload],
+    )
+    left_u = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        *[F.lit(None).cast(rdt[v]).alias(v) for v in values],
+        *payload,
+    )
+    w = (Window.partitionBy(*by).orderBy(F.desc("__t"), F.asc("__is_l"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = right_u.unionByName(left_u).select(
+        *by,
+        F.col("__t").alias(on),
+        "__is_l",
+        *payload,
+        *[F.last(v, ignorenulls=True).over(w).alias(v) for v in values],
+    )
+    return filled.filter(F.col("__is_l") == 1).drop("__is_l")

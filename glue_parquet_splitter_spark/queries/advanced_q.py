@@ -269,6 +269,8 @@ def asof_join_forward_tolerance(spark, sf_dir):
     bound is inclusive), then the tolerance applied as a NULL-out
     projection — no row explosion, no |events| x |orders| intermediate.
     """
+    from ..operators.timeseries import asof_forward
+
     ev = load_table(spark, sf_dir, "events")
     o = load_table(spark, sf_dir, "orders")
     od = o.groupBy("o_custkey", "o_orderdate").agg(
@@ -278,36 +280,19 @@ def asof_join_forward_tolerance(spark, sf_dir):
     right = od.select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.lit(None).cast("long").alias("event_id"),
         "o_orderdate", "n_orders", "last_orderkey",
     )
-    left = ev.select(
-        "user_id",
-        F.col("ts").alias("t"),
-        F.lit(1).alias("is_event"),
-        "event_id",
-        F.lit(None).cast("date").alias("o_orderdate"),
-        F.lit(None).cast("long").alias("n_orders"),
-        F.lit(None).cast("long").alias("last_orderkey"),
-    )
-    merged = right.unionByName(left)
-    w = (Window.partitionBy("user_id")
-         .orderBy(F.desc("t"), F.asc("is_event"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = merged.select(
-        "event_id", "is_event", "t",
-        F.last("o_orderdate", ignorenulls=True).over(w).alias("nd"),
-        F.last("n_orders", ignorenulls=True).over(w).alias("no"),
-        F.last("last_orderkey", ignorenulls=True).over(w).alias("lo"),
-    ).where(F.col("is_event") == 1)
-    in_tol = (F.col("nd").isNotNull()
-              & (F.col("nd").cast("timestamp")
+    left = ev.select("user_id", F.col("ts").alias("t"), "event_id")
+    matched = asof_forward(left, right, on="t", by=["user_id"],
+                           values=["o_orderdate", "n_orders",
+                                   "last_orderkey"])
+    in_tol = (F.col("o_orderdate").isNotNull()
+              & (F.col("o_orderdate").cast("timestamp")
                  <= F.col("t") + F.expr("INTERVAL 7 DAYS")))
-    return filled.select(
+    return matched.select(
         "event_id",
-        F.when(in_tol, F.date_format("nd", "yyyy-MM-dd"))
+        F.when(in_tol, F.date_format("o_orderdate", "yyyy-MM-dd"))
         .alias("next_order_date"),
-        F.when(in_tol, F.col("no")).alias("n_orders"),
-        F.when(in_tol, F.col("lo")).alias("last_orderkey"),
+        F.when(in_tol, F.col("n_orders")).alias("n_orders"),
+        F.when(in_tol, F.col("last_orderkey")).alias("last_orderkey"),
     )
