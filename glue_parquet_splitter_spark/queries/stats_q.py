@@ -1,0 +1,213 @@
+"""Distribution-statistics monitoring: exact two-sample KS drift test,
+robust (median/MAD) outlier detection, and last-touch marketing
+attribution.
+
+Complements ``quality_q``'s PSI gate: PSI is the bucketed drift score a
+pipeline thresholds cheaply; the KS statistic here is the exact
+distribution-free test run when a PSI alarm needs confirmation.  The
+MAD family is the robust counterpart of ``zscore_daily_anomaly`` —
+mean/stddev move with the outliers they are supposed to find; the
+median/MAD center does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "ks_drift_test",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, round(value, 1) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS ref
+      FROM events
+    ), cnt AS (
+      SELECT event_type, v,
+             SUM(ref) AS na, SUM(1 - ref) AS nb
+      FROM pts GROUP BY event_type, v
+    ), cum AS (
+      SELECT event_type,
+             SUM(na) OVER (PARTITION BY event_type ORDER BY v) AS ca,
+             SUM(nb) OVER (PARTITION BY event_type ORDER BY v) AS cb,
+             SUM(na) OVER (PARTITION BY event_type) AS ta,
+             SUM(nb) OVER (PARTITION BY event_type) AS tb
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(MAX(ta) AS BIGINT) AS n_ref,
+           CAST(MAX(tb) AS BIGINT) AS n_cur,
+           ROUND(MAX(ABS(ca / ta - cb / tb)), 4) AS ks_stat,
+           ROUND(MAX(ABS(ca / ta - cb / tb)), 4) >
+             ROUND(1.358 * SQRT((MAX(ta) + MAX(tb)) /
+                                (MAX(ta) * MAX(tb))), 4) AS drift
+    FROM cum GROUP BY event_type
+    """,
+    tags=("quality", "drift", "stats", "window"),
+)
+def ks_drift_test(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic of ``value``,
+    reference week (before 2024-01-08) vs the rest, per event type —
+    the distribution-free confirmation test a pipeline runs when the
+    cheap bucketed gate (``psi_feature_drift``) raises an alarm.
+    ``drift`` applies the large-sample alpha=0.05 critical value
+    1.358*sqrt((n+m)/(n*m)); both sides of the comparison are rounded
+    so the boolean hashes deterministically across engines.
+
+    With ties, D = max over distinct values v of |F_a(v) - F_b(v)|
+    evaluated at the pooled support — exactly what the cumulative-sum
+    form computes.
+
+    Scale: the full-data pass is one map-side-combinable groupBy on
+    (type, quantized value); values are quantized to 0.1 so the
+    per-type support is bounded by the value domain (~5k points), not
+    by event volume, and the per-type ordered window runs on that
+    bounded support.  Same shape as ``quality_decile_mix_histogram``:
+    granularity reduction first, exact order statistics on the reduced
+    relation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.round("value", 1).alias("v"),
+        F.when(F.col("ts") < F.lit("2024-01-08").cast("timestamp"), 1)
+        .otherwise(0).alias("ref"),
+    )
+    cnt = pts.groupBy("event_type", "v").agg(
+        F.sum("ref").alias("na"),
+        F.sum(1 - F.col("ref")).alias("nb"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("v")
+    w_all = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        F.sum("na").over(w_ord).alias("ca"),
+        F.sum("nb").over(w_ord).alias("cb"),
+        F.sum("na").over(w_all).alias("ta"),
+        F.sum("nb").over(w_all).alias("tb"),
+    )
+    diff = F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb"))
+    ks = F.round(F.max(diff), 4)
+    crit = F.round(
+        1.358 * F.sqrt((F.max("ta") + F.max("tb"))
+                       / (F.max("ta") * F.max("tb"))), 4)
+    return cum.groupBy("event_type").agg(
+        F.max("ta").cast("long").alias("n_ref"),
+        F.max("tb").cast("long").alias("n_cur"),
+        ks.alias("ks_stat"),
+        (ks > crit).alias("drift"),
+    )
+
+
+@register(
+    "mad_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(MAX(d.med), 4) AS med,
+           ROUND(MAX(m.mad), 4) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("quality", "stats", "agg"),
+)
+def mad_robust_outliers(spark, sf_dir):
+    """Robust outlier counts per event type: |value - median| >
+    3 * 1.4826 * MAD (the consistency constant that makes MAD estimate
+    sigma under normality).  The robust counterpart of
+    ``zscore_daily_anomaly`` — mean/stddev are dragged by the very
+    outliers they score, the median/MAD center is not.
+
+    Scale: exact medians need rank information, so this is the
+    multi-pass exact form — three parallel scans (median, MAD, count),
+    each a map-side-combinable per-type aggregate, with the 5-row
+    median/MAD relations broadcast back.  No per-type window over raw
+    rows, so no single-partition bottleneck at any volume.  When one
+    pass matters more than exactness, swap ``median`` for
+    ``approx_percentile`` (see ``approx_percentile_stats``) — the plan
+    collapses to one scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    joined = dev.join(F.broadcast(mad), "event_type")
+    outlier = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
+    return joined.groupBy("event_type").agg(
+        F.round(F.max("med"), 4).alias("med"),
+        F.round(F.max("mad"), 4).alias("mad"),
+        F.count("*").alias("n_events"),
+        F.sum(F.when(outlier, 1).otherwise(0)).cast("long")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('view','click','signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2) AS revenue
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY COALESCE(channel, 'direct')
+    """,
+    tags=("analytics", "window", "attribution"),
+)
+def attribution_last_touch(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase credits its full
+    value to the most recent preceding touch event (view/click/signup)
+    of the same user; purchases with no prior touch fall to 'direct'.
+    The workhorse marketing query every event warehouse runs.
+
+    The strictly-preceding frame (UNBOUNDED PRECEDING .. 1 PRECEDING,
+    ordered by (ts, event_id) for a total order under timestamp ties)
+    means a touch sharing the purchase's timestamp attributes only if
+    its event_id sorts earlier — deterministic on both engines.
+
+    Scale: one shuffle on user_id for the per-user ordered window (the
+    same partitioning ``sessionize_events`` uses), then a 4-row final
+    aggregate.  Per-user event counts are human-bounded, so no skew
+    mitigation is needed on this key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("view", "click", "signup"),
+        F.col("event_type"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    seq = ev.select(
+        "user_id", "event_type", "value",
+        F.last(touch, ignorenulls=True).over(w).alias("channel"),
+    )
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("direct")).alias("channel"))
+        .agg(F.count("*").alias("n_purchases"),
+             F.round(F.sum("value"), 2).alias("revenue"))
+    )

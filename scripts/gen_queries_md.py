@@ -45,6 +45,7 @@ FAMILIES = OrderedDict([
     ("geo_q", "Geospatial (grid-bucketed proximity join, haversine)"),
     ("sketch2_q", "Sketches 2 & SCD2 serving (count-min heavy hitters, current snapshot)"),
     ("api2_q", "Spark 4 API surface (applyInArrow, LATERAL, unpivot/melt)"),
+    ("stats_q", "Distribution statistics (KS drift test, MAD outliers, attribution)"),
 ])
 
 
