@@ -149,4 +149,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import api2_q  # noqa: F401
     from . import curation3_q  # noqa: F401  # new modules last: rotation is import-ordered
     from . import stats_q  # noqa: F401
+    from . import scale3_q  # noqa: F401
     return REGISTRY

@@ -1,0 +1,184 @@
+"""Scale patterns 3: distributed global row indexing, hashing-trick
+feature buckets, and degree-ordered triangle counting.
+
+Each entry is a pattern that has a small-data form which dies at scale
+and a distributed form that does not: global ``row_number`` vs
+range-partitioned offsets; an exact vocabulary vs fixed hash buckets;
+all-wedges triangle enumeration vs degree-ordered orientation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.indexing import global_row_index
+from . import register
+
+
+@register(
+    "stable_row_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_idx
+    FROM documents
+    QUALIFY row_idx % 97 = 0
+    """,
+    tags=("scale", "window", "indexing"),
+)
+def stable_row_index(spark, sf_dir):
+    """Contiguous 0-based global row index over documents in doc_id
+    order — the "assign every training example a stable ordinal"
+    primitive (shard-stable shuffling, resumable dataloaders, joining
+    back to an external labeling run all want it).
+
+    The oracle is ``ROW_NUMBER() OVER (ORDER BY doc_id)`` — which on
+    Spark would sort the entire relation in ONE task.  The engine form
+    (:func:`..operators.indexing.global_row_index`) gets the identical
+    answer from a range-partitioned parallel sort plus per-partition
+    prefix offsets (metadata-sized count job, Arrow-batched counter) —
+    no single-partition stage at any volume.  Output sampled to every
+    97th index so the graded result stays small while still covering
+    every partition boundary.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    indexed = global_row_index(docs, ["doc_id"])
+    return indexed.where(F.col("row_idx") % 97 == 0)
+
+
+@register(
+    "feature_hashing_vectorize",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashed AS (
+      SELECT tok,
+             (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+             + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1
+               AS bucket
+      FROM toks WHERE tok <> ''
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_terms
+    FROM hashed GROUP BY bucket
+    """,
+    tags=("text", "scale", "agg"),
+)
+def feature_hashing_vectorize(spark, sf_dir):
+    """Hashing-trick vectorization: every token maps to one of 256
+    fixed buckets via two hex digits of its md5 — the feature-hashing
+    scheme (Weinberger et al.) that replaces an unbounded vocabulary
+    with a fixed-width vector, so the feature space never needs a
+    fitted dictionary or a driver-side vocab broadcast.  Reports load
+    per bucket (token occurrences + distinct terms — the collision
+    pressure a dimensionality choice trades off).
+
+    Scale: tokenize → hash → one map-side-combinable groupBy on a key
+    with 256 distinct values; count-distinct expands to (bucket, term)
+    pairs, bounded by vocabulary, not corpus size.  No fitted state —
+    the property that makes the hashing trick THE streaming/true-OOV
+    featurizer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")).where(F.col("tok") != "")
+    nib1 = F.expr("locate(substr(md5(tok),1,1), '0123456789abcdef') - 1")
+    nib2 = F.expr("locate(substr(md5(tok),2,1), '0123456789abcdef') - 1")
+    hashed = toks.select((nib1 * 16 + nib2).alias("bucket"), "tok")
+    return hashed.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("tok").alias("n_terms"),
+    )
+
+
+@register(
+    "triangle_count_degree_ordered",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT COUNT(*) AS n FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles
+    """,
+    tags=("graph", "join", "scale"),
+)
+def triangle_count_degree_ordered(spark, sf_dir):
+    """Triangle count of the part co-purchase graph (parts linked when
+    they ship in the same order), plus the wedge count that turns it
+    into a global clustering coefficient (3T / W).
+
+    The scale story is the EDGE ORIENTATION.  Counting triangles joins
+    wedges against edges; with edges oriented arbitrarily a
+    high-degree hub generates deg² wedges — the quadratic hot key that
+    kills co-occurrence graphs.  Orienting every edge from its
+    lower-(degree, id) endpoint to the higher caps any node's
+    out-degree at O(sqrt(E)), bounding the wedge join (Suri &
+    Vassilvitskii's MR triangle counting).  Every orientation counts
+    each triangle exactly once — the oracle uses the simpler id-order
+    orientation and must agree on the total.
+
+    Plan: distinct pairs-in-order self-join (order sizes are small and
+    bounded), degree aggregate joined back to re-orient, one wedge
+    join + one closing edge semi-equality join — all hash joins on
+    node keys.
+    """
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = li.alias("a"), li.alias("b")
+    und = (  # undirected edge set, one row per unordered pair
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+        .select(F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d"))
+    )
+    # orient low-(degree, id) -> high-(degree, id)
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    oriented = (
+        und.join(du, "u").join(dv, "v")
+        .select(
+            F.when((F.col("du") < F.col("dv"))
+                   | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                   F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when((F.col("du") < F.col("dv"))
+                   | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                   F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+        .join(e3, (F.col("e3.s") == F.col("e1.s"))
+              & (F.col("e3.t") == F.col("e2.t")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    summary = (
+        deg.agg(F.count("*").alias("n_nodes"),
+                F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"))
+        .crossJoin(F.broadcast(und.agg(F.count("*").alias("n_edges"))))
+        .crossJoin(F.broadcast(tri))
+    )
+    return summary.select(
+        "n_nodes", "n_edges", "n_wedges",
+        F.col("n_triangles").cast("long").alias("n_triangles"))

@@ -46,6 +46,7 @@ FAMILIES = OrderedDict([
     ("sketch2_q", "Sketches 2 & SCD2 serving (count-min heavy hitters, current snapshot)"),
     ("api2_q", "Spark 4 API surface (applyInArrow, LATERAL, unpivot/melt)"),
     ("stats_q", "Distribution statistics (KS drift test, MAD outliers, attribution)"),
+    ("scale3_q", "Scale patterns 3 (global row index, feature hashing, triangle counting)"),
 ])
 
 

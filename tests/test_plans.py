@@ -352,3 +352,51 @@ def test_curation_pipeline_single_corpus_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 4, plan[:2500]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_stable_row_index_no_global_sort(spark, sf_dir):
+    """The whole point of global_row_index: a range exchange feeding
+    per-partition sorts — never a single-partition global Sort and no
+    window over one partition."""
+    plan = plan_of(spark, sf_dir, "stable_row_index")
+    assert "rangepartitioning" in plan.lower()
+    assert "Exchange SinglePartition" not in plan, plan[:1500]
+    assert "Window" not in plan  # offsets come from mapInPandas, not a window
+
+
+def test_ks_drift_single_fulldata_exchange(spark, sf_dir):
+    """KS: the only full-data exchange is the (type, value) groupBy;
+    the ordered cumulative window runs on the reduced support."""
+    plan = plan_of(spark, sf_dir, "ks_drift_test")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_broadcasts_medians(spark, sf_dir):
+    """The 5-row median/MAD relations must broadcast back — raw events
+    never shuffle for those joins."""
+    plan = plan_of(spark, sf_dir, "mad_robust_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_orientation_hash_joins(spark, sf_dir):
+    """Degree-ordered triangle counting: wedge and closing joins stay
+    equi hash joins on node keys — no cartesian, no nested loop."""
+    plan = plan_of(spark, sf_dir, "triangle_count_degree_ordered")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the 1-row summary combines
+    import re
+    data_bnlj = [ln for ln in plan.splitlines()
+                 if "BroadcastNestedLoopJoin" in ln
+                 and not re.search(r"Cross\s*$", ln.strip())]
+    assert not data_bnlj, data_bnlj
+    # the wedge/closing joins are equi joins on node keys
+    assert re.search(r"Join \[(s|t)#", plan) or "SortMergeJoin [s#" in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Last-touch attribution: one hash exchange on user_id for the
+    ordered window, then the tiny channel aggregate."""
+    plan = plan_of(spark, sf_dir, "attribution_last_touch")
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
