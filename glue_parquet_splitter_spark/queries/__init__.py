@@ -150,4 +150,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import curation3_q  # noqa: F401  # new modules last: rotation is import-ordered
     from . import stats_q  # noqa: F401
     from . import scale3_q  # noqa: F401
+    from . import streaming3_q  # noqa: F401
     return REGISTRY

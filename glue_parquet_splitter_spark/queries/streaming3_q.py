@@ -1,0 +1,73 @@
+"""Streaming wave 3: the left-semi cell of the stream-stream join
+matrix and chained (multi-stateful-operator) windowed aggregation.
+
+Same verification contract as the other streaming families: the job
+runs as real Structured Streaming (watermarks, state eviction,
+availableNow drain); a plain-SQL oracle grades the drained result —
+restricted to the watermark-finalized region where stream == batch
+when append-mode emission requires it.
+"""
+
+from __future__ import annotations
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "streaming_semi_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(date_trunc('second', p.ts), '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 60 SECONDS)
+    """,
+    tags=("streaming", "join", "semi"),
+)
+def streaming_semi_interval_join(spark, sf_dir):
+    """Purchases followed by a same-user click within 60 s, as a
+    stream-stream LEFT SEMI interval join — each purchase emits at
+    most once and leaves state on its first match.  See
+    :func:`..streaming.windows.run_semi_interval_stream` for the
+    eviction analysis; the batch EXISTS subquery is the oracle.
+    """
+    load_table(spark, sf_dir, "events")  # ns-ts session conf side effect
+    from ..streaming.windows import run_semi_interval_stream
+
+    return run_semi_interval_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_chained_window_agg",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY date_trunc('hour', ts)
+    )
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+           CAST(MAX(n) AS BIGINT) AS max_hourly,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM hourly, mx
+    GROUP BY date_trunc('day', h), m
+    HAVING date_trunc('day', h) + INTERVAL '1 day' <= m - INTERVAL '2 hours'
+    """,
+    tags=("streaming", "window", "agg"),
+)
+def streaming_chained_window_agg(spark, sf_dir):
+    """Per-day peak hourly rate and total, computed as CHAINED
+    streaming window aggregations (hour window re-windowed to day in
+    the same query — Spark 3.4+ multiple stateful operators).  Output
+    restricted to watermark-finalized days; the equivalent two-level
+    batch rollup is the oracle.  See
+    :func:`..streaming.windows.run_chained_windows_stream`.
+    """
+    load_table(spark, sf_dir, "events")  # ns-ts session conf side effect
+    from ..streaming.windows import run_chained_windows_stream
+
+    return run_chained_windows_stream(spark, f"{sf_dir}/events.parquet")

@@ -380,3 +380,97 @@ def run_full_outer_interval_stream(spark: SparkSession,
         .where(anchor < cutoff)
         .select("event_a", "event_b", "ts_a_s", "ts_b_s")
     )
+
+
+def run_semi_interval_stream(spark: SparkSession,
+                             events_path: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: each purchase emits (at
+    most once) iff a same-user click follows within 60 s — the
+    existence-check cell of the streaming join matrix.  Semi is the
+    right form when the right side is only a predicate: no match
+    columns are carried, and the left row leaves state on its FIRST
+    match instead of waiting to pair with every one.
+
+    Both sides are watermarked and the interval bounds both event
+    times, so state is evicted once the watermark passes
+    ``ts_p + 60 s`` — runnable unbounded.  Drained with availableNow
+    the emitted set equals the batch EXISTS subquery, which stays the
+    oracle.
+    """
+    p = events_stream(spark, events_path).where(
+        F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("u_p"), F.col("ts").alias("ts_p"),
+    ).withWatermark("ts_p", "10 minutes")
+    c = events_stream(spark, events_path).where(
+        F.col("event_type") == "click").select(
+        F.col("user_id").alias("u_c"), F.col("ts").alias("ts_c"),
+    ).withWatermark("ts_c", "10 minutes")
+    joined = p.join(
+        c,
+        F.expr("""u_p = u_c AND ts_c > ts_p
+                  AND ts_c <= ts_p + INTERVAL 60 SECONDS"""),
+        "leftSemi",
+    ).select(
+        "purchase_id", F.col("u_p").alias("user_id"),
+        F.date_format(F.date_trunc("second", "ts_p"), TS_FMT).alias("ts_s"),
+    )
+    name = "stream_semi_" + uuid.uuid4().hex[:10]
+    q = (
+        joined.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_semi_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_chained_windows_stream(spark: SparkSession,
+                               events_path: str) -> DataFrame:
+    """CHAINED streaming aggregation (Spark 3.4+ multiple stateful
+    operators): hourly event counts re-aggregated into per-day
+    peak/total INSIDE one streaming query — ``window()`` applied to
+    the upstream window column.  Pre-3.4 this took two jobs with an
+    intermediate sink; chaining keeps it one job, one checkpoint.
+
+    In append mode a day only emits once the watermark passes its end,
+    so an availableNow drain (final watermark = max ts − 2 h) never
+    finalizes the last partial day.  Output and oracle are therefore
+    restricted to days wholly ≤ max ts − 2 h — the finalized region
+    where stream equals batch (same contract as the outer-join
+    runners).
+    """
+    stream = events_stream(spark, events_path)
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.col("window"), "1 day"))
+        .agg(F.max("n").alias("max_hourly"), F.sum("n").alias("n_events"))
+        .select(F.date_format("window.start", "yyyy-MM-dd").alias("day"),
+                F.col("window.end").alias("day_end"),
+                "max_hourly", "n_events")
+    )
+    name = "stream_chain_" + uuid.uuid4().hex[:10]
+    q = (
+        daily.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_chain_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    batch = spark.read.parquet(events_path)
+    from ..catalog import normalize_ntz
+
+    mx = normalize_ntz(batch).agg(F.max("ts").alias("mx"))
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .where(F.col("day_end") <= F.col("mx") - F.expr("INTERVAL 2 HOURS"))
+        .select("day", "max_hourly", F.col("n_events").cast("long").alias("n_events"))
+    )

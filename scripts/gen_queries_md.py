@@ -47,6 +47,7 @@ FAMILIES = OrderedDict([
     ("api2_q", "Spark 4 API surface (applyInArrow, LATERAL, unpivot/melt)"),
     ("stats_q", "Distribution statistics (KS drift test, MAD outliers, attribution)"),
     ("scale3_q", "Scale patterns 3 (global row index, feature hashing, triangle counting)"),
+    ("streaming3_q", "Streaming wave 3 (left-semi interval join, chained window aggregation)"),
 ])
 
 
