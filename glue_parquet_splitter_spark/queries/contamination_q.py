@@ -272,3 +272,83 @@ def cross_source_ngram_overlap(spark, sf_dir):
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+@register(
+    "containment_decontamination",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+    ), bench AS (
+      SELECT DISTINCT doc_id AS bench_id,
+             md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, 6)) AS t(i)
+      WHERE doc_id % 41 = 0 AND len(w) >= 12
+    ), bsize AS (
+      SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS nb FROM bench GROUP BY bench_id
+    ), common AS (
+      SELECT gr.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM grams gr JOIN bench b USING (g)
+      GROUP BY gr.doc_id, b.bench_id
+    )
+    SELECT c.bench_id, c.doc_id,
+           ROUND(CAST(nc AS DOUBLE) / nb, 4) AS containment
+    FROM common c JOIN bsize USING (bench_id)
+    WHERE CAST(nc AS DOUBLE) / nb >= 0.8
+    """,
+    tags=("curation", "decontamination", "text"),
+)
+def containment_decontamination(spark, sf_dir):
+    """CONTAINMENT-based decontamination: for every (benchmark item,
+    corpus doc) pair, the fraction of the item's 8-grams the doc
+    contains — |A∩B| / |A| with A the eval item.  The asymmetric score
+    Jaccard misses: an eval question pasted into a 10k-token page has
+    near-zero Jaccard (the page's gram set dwarfs the item's) but
+    containment 1.0.  Pairs at ≥ 0.8 are the drop list; the planted
+    bench items (prefixes of every 41st doc) guarantee each flags its
+    own source at 1.0.
+
+    Scale: same broadcast discipline as ``decontamination_ngram_overlap``
+    — the benchmark gram set (eval-sized) broadcasts with its item id;
+    the corpus gram stream map-side joins it, and only colliding grams
+    reach the (doc, item) count.  The candidate pair relation is
+    bounded by collisions, never |corpus| × |bench|; per-item gram
+    counts (the denominators) are a tiny broadcast.
+    """
+    from ..operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = shingles(d.select("doc_id", "text"), NGRAM, distinct=True).select(
+        "doc_id", F.md5("tok").alias("g")
+    )
+    prefix = (
+        d.where(
+            (F.col("doc_id") % 41 == 0)
+            & (F.size(F.split("text", " ")) >= 12)
+        )
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("text"),
+        )
+    )
+    bench = (
+        shingles(prefix.withColumnRenamed("bench_id", "doc_id"), NGRAM,
+                 distinct=True)
+        .select(F.col("doc_id").alias("bench_id"), F.md5("tok").alias("g"))
+    )
+    bsize = bench.groupBy("bench_id").agg(F.count("*").alias("nb"))
+    common = (
+        grams.join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("nc"))
+    )
+    score = F.col("nc") / F.col("nb")
+    return (
+        common.join(F.broadcast(bsize), "bench_id")
+        .where(score >= 0.8)
+        .select("bench_id", "doc_id", F.round(score, 4).alias("containment"))
+    )

@@ -246,3 +246,96 @@ def bloom_join_pruning(spark, sf_dir):
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "kmeans_lloyd_iters",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), c0 AS (
+      SELECT vec_id AS cid, i, ROUND(x, 8) AS x FROM v WHERE vec_id < 4
+    ), d1 AS (
+      SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+      FROM v JOIN c0 c ON c.i = v.i GROUP BY v.vec_id, c.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), c1 AS (
+      SELECT a.cid, v.i, ROUND(AVG(v.x), 8) AS x
+      FROM a1 a JOIN v ON v.vec_id = a.vec_id GROUP BY a.cid, v.i
+    ), dd2 AS (
+      SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
+      FROM v JOIN c1 c ON c.i = v.i GROUP BY v.vec_id, c.cid
+    ), a2 AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dd2) WHERE rn = 1
+    )
+    SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           ROUND(SUM(d2), 2) AS inertia
+    FROM a2 GROUP BY cid
+    """,
+    tags=("scale", "similarity", "iterative"),
+)
+def kmeans_lloyd_iters(spark, sf_dir):
+    """TWO full Lloyd iterations (assign → recompute centroids →
+    re-assign), unrolled into one lazy plan — ``kmeans_assign_step``
+    is the inner loop; this is the LOOP, with the centroid-update
+    step the assign-only query never exercises.  Returns final
+    cluster sizes + inertia (sum of squared distances), the quantity
+    Lloyd's monotonically decreases.
+
+    Per iteration: one corpus scan with the k=4 centroid table
+    broadcast (k×n fan-out, per-vector argmin), then the update — a
+    posexplode to (cid, dim) and a map-side-combinable groupBy over
+    k×64 groups, re-assembled to centroid arrays via array_sort on
+    (index, mean) structs.  Centroid means round to 8 decimals each
+    iteration (same drift discipline as ``pagerank_fixed_iters``:
+    cross-engine float-sum order differences stay far below the
+    graded precision, and a near-tie argmin flip would need two
+    centroids within 1e-8).  Unrolling recomputes iteration 1 inside
+    iteration 2's lineage — the honest cost of one oracle-gradable
+    lazy job; the convergence-loop form with per-iteration
+    localCheckpoint lives in ``operators/graph.py``.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"),
+        F.expr("transform(v, x -> round(x, 8))").alias("cv"),
+    )
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    for it in range(2):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cid", d2.alias("d2"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "d2")
+        )
+        if it == 1:
+            return assigned.groupBy(F.col("cid").alias("centroid_id")).agg(
+                F.count("*").alias("n_assigned"),
+                F.round(F.sum("d2"), 2).alias("inertia"),
+            )
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("x"), 8).alias("x"))
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("s"))
+            .select("cid", F.expr("transform(s, p -> p.x)").alias("cv"))
+        )
