@@ -6,6 +6,7 @@ salted-md5 hash family."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -223,3 +224,95 @@ def ngram_jaccard_pairs(spark, sf_dir):
         .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
     )
     return j.filter(F.col("jaccard") >= 0.3).select("doc_a", "doc_b", "jaccard")
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               UNNEST(list_transform(range(1, GREATEST(array_length(t) - 1, 1)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+        FROM toks)
+    ), sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+                  JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.5
+    """,
+    tags=("dedup", "ngram", "scale"),
+)
+def jaccard_prefix_filter_pairs(spark, sf_dir):
+    """EXACT Jaccard ≥ 0.5 pair search via PREFIX FILTERING (the
+    PPJoin family) — the deterministic counterpart of MinHash/LSH:
+    no false negatives by construction, no signatures to tune.
+
+    Order every document's shingles canonically (ascending document
+    frequency, then shingle — rarest first).  If J(A,B) ≥ t then
+    |A∩B| ≥ t·|A|, so A's first ``|A| − ceil(t·|A|) + 1`` ordered
+    shingles must hit the intersection: a qualifying pair SHARES a
+    token in both PREFIXES.  Candidates therefore come from joining
+    only prefix tokens — the frequency ordering puts the RAREST
+    shingles in the prefix, so the candidate join is far sparser than
+    the all-token join (``ngram_jaccard_pairs``), and the exact
+    verify runs only on candidates.
+
+    The oracle is the naive all-pairs-by-token form at the same
+    threshold; the hash gate proves the filter lossless.  Scale: df
+    counts and prefix ranks are one groupBy + one per-doc window over
+    already-deduped (doc, shingle) rows; candidate generation joins
+    the prefix relation to itself on the shingle key.
+    """
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    shingle_expr = F.when(
+        F.size("t") >= 3,
+        F.expr("transform(sequence(0, size(t) - 3), "
+               "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
+    ).otherwise(F.expr("array()"))
+    sh = t.select("doc_id", F.explode(shingle_expr).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n_sh") - F.ceil(0.5 * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    # exact verify on candidates only
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b_id"),
+                     F.col("shingle").alias("shingle_b"))
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("b_id"))
+              & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+    )
+    return j.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")

@@ -248,3 +248,85 @@ def ann_pq_adc_topk(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     return S.pq_adc_topk(emb, query_id=1, m=4, dsub=16, nc=8, stride=5, k=10)
+
+
+@register(
+    "mips_norm_bound_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), q AS (SELECT vec_id, i, x FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(SUM(q.x * c.x), 4) AS dot_score
+      FROM q JOIN v c ON c.i = q.i AND c.vec_id <> q.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, dot_score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY dot_score DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("similarity", "topk", "scale"),
+)
+def mips_norm_bound_topk(spark, sf_dir):
+    """EXACT maximum-inner-product top-3 with Cauchy-Schwarz pruning —
+    the retrieval scoring (un-normalized dot product) where cosine LSH
+    does not apply.  Two phases, provably complete:
+
+    1. Seed bound: score only the 32 highest-norm vectors (a
+       TakeOrdered, never a global sort) — the k-th best seed dot is a
+       LOWER bound L on each query's true k-th score.
+    2. Prune: any vector with ``|q|·|v| < L`` cannot beat L
+       (Cauchy-Schwarz), so the exact pass scores only survivors.
+       The margin 1e-3 on the threshold covers the output rounding
+       granularity (1e-4), so even rounded-score ties at the k-th rank
+       see every contender the brute-force oracle sees.
+
+    Norms are one map-side pass; queries, seeds, and bounds are all
+    tiny broadcasts; the corpus is scanned, never shuffled.  On
+    real embedding distributions (norms concentrated, scores spread)
+    the norm filter drops most of the corpus; the oracle is the full
+    brute-force MIPS, so the hash gate proves the pruning lossless.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    nrm = F.sqrt(F.aggregate(
+        F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
+    corpus = vecs.select("vec_id", "v", nrm.alias("nrm"))
+    queries = (corpus.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"), F.col("nrm").alias("qnrm")))
+    seeds = (corpus.orderBy(F.col("nrm").desc(), "vec_id").limit(32)
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("v").alias("cv")))
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    bounds = (
+        queries.join(F.broadcast(seeds),
+                     F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", dot.alias("d"))
+        .groupBy("query_id")
+        .agg(F.expr("sort_array(collect_list(d), false)[2]").alias("kth"))
+        .select("query_id", (F.col("kth") - 1e-3).alias("lb"))
+    )
+    qb = queries.join(F.broadcast(bounds), "query_id")
+    cand = corpus.join(
+        F.broadcast(qb),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("nrm") * F.col("qnrm") >= F.col("lb")),
+    ).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x), 4).alias("dot_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot_score").desc(), "neighbor_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "neighbor_id", "dot_score",
+                    F.col("rank").cast("long").alias("rank")))

@@ -400,3 +400,20 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     ordered window, then the tiny channel aggregate."""
     plan = plan_of(spark, sf_dir, "attribution_last_touch")
     assert plan.count("Exchange hashpartitioning") == 2, plan[:1500]
+
+
+def test_jaccard_prefix_filter_no_cartesian(spark, sf_dir):
+    """Prefix filtering must stay an equi join on the shingle key —
+    candidates from shared prefix tokens, never an all-pairs form."""
+    plan = plan_of(spark, sf_dir, "jaccard_prefix_filter_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mips_corpus_single_scan_broadcasts(spark, sf_dir):
+    """MIPS pruning: queries/seeds/bounds broadcast; the corpus is
+    scanned (broadcast-NLJ against 5 query rows is the intended shape)
+    but never shuffled on a join key."""
+    plan = plan_of(spark, sf_dir, "mips_norm_bound_topk")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
