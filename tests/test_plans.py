@@ -359,7 +359,7 @@ def test_stable_row_index_no_global_sort(spark, sf_dir):
     per-partition sorts — never a single-partition global Sort and no
     window over one partition."""
     plan = plan_of(spark, sf_dir, "stable_row_index")
-    assert "rangepartitioning" in plan.lower()
+    assert "hashpartitioning(_pid" in plan, plan[:1500]
     assert "Exchange SinglePartition" not in plan, plan[:1500]
     assert "Window" not in plan  # offsets come from mapInPandas, not a window
 

@@ -130,3 +130,66 @@ def test_salted_topk_10m_rows_hot_group(spark):
         top1 = ((N - 1 - (2 * j + 1)) // 18) * 18 + 2 * j + 1
         assert [rows[(f"g{j}", i)] for i in (1, 2, 3)] == [
             top1, top1 - 18, top1 - 36]
+
+
+def test_global_row_index_10m_rows(spark):
+    """global_row_index at 10M rows: the index is exactly 0..N-1 in key
+    order (checked via closed-form aggregates — sum, min, max, and
+    order-correlation with the key), with only per-partition counts
+    ever reaching the driver."""
+    from glue_parquet_splitter_spark.operators.indexing import global_row_index
+
+    n = N
+    # keys are a permuted, gapped sequence — index order != storage order
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % (1 << 62)).alias("k"))
+    idx = global_row_index(df, ["k"])
+    row = idx.agg(
+        F.count("*").alias("cnt"),
+        F.sum("row_idx").alias("s"),
+        F.min("row_idx").alias("lo"),
+        F.max("row_idx").alias("hi"),
+        F.corr(F.col("k").cast("double"),
+               F.col("row_idx").cast("double")).alias("rho"),
+    ).collect()[0]
+    assert row.cnt == n
+    assert row.lo == 0 and row.hi == n - 1
+    assert row.s == n * (n - 1) // 2  # every index exactly once
+    # rank vs value correlation ~1 for a strictly monotone assignment
+    assert row.rho > 0.99
+
+
+def test_triangle_orientation_bounds_hot_node(spark):
+    """Degree-ordered orientation on a 100k-edge star-plus-ring graph:
+    the hub (degree 100k) keeps out-degree ~0 after orientation, so the
+    wedge join never fans out quadratically; triangle count is exact
+    (one triangle per consecutive ring pair closed by the hub)."""
+    m = 100_000
+    hub = spark.range(m).select(
+        F.lit(-1).alias("u"), F.col("id").alias("v"))
+    ring = spark.range(m).select(
+        F.col("id").alias("u"), ((F.col("id") + 1) % m).alias("v"))
+    und = (hub.unionAll(ring)
+           .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = (und.join(du, "u").join(dv, "v").select(
+        F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t")))
+    # hub never originates wedges: its out-degree after orientation is 0
+    hub_out = oriented.where(F.col("s") == -1).count()
+    assert hub_out == 0
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e2.s") == F.col("e1.t"))
+        .join(e3, (F.col("e3.s") == F.col("e1.s"))
+              & (F.col("e3.t") == F.col("e2.t")))
+        .count()
+    )
+    assert n_tri == m  # ring edge + hub closes each: exactly m triangles
