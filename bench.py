@@ -62,6 +62,16 @@ BENCH_QUERIES = [
     # curation pipeline (dedup -> quality -> decontaminate -> shard)
     "topk_per_group_salted",
     "curation_pipeline_end_to_end",
+    # round-6 wave 2: exact-KS drift confirmation, the distributed
+    # zipWithIndex, pruned exact MIPS, and the Lloyd's k-means loop.
+    # (triangle_count_degree_ordered is deliberately NOT here: its
+    # cost is a real Ω(Σ out-deg²) intersection — ~83M element checks
+    # at sf0.1 — which would read as an outlier, not a regression
+    # signal; its scale behavior is pinned by test_scale_smoke.py)
+    "ks_drift_test",
+    "stable_row_index",
+    "mips_norm_bound_topk",
+    "kmeans_lloyd_iters",
 ]
 
 
