@@ -96,6 +96,29 @@ SHOWCASE = {
         "bound), the variable-length replication is a sequence+explode "
         "generator, and the join stays an equi hash join on the cell key."
     ),
+    "stable_row_index": (
+        "Distributed zipWithIndex: bucket id is a pure function of the key "
+        "(quantile boundaries), so the count job and the index job agree by "
+        "construction; one hash exchange on the bucket, per-partition sort, "
+        "Arrow-batched offset add — no single-partition Sort, no Window."
+    ),
+    "ks_drift_test": (
+        "Exact two-sample KS: the only full-data exchange is the map-side-"
+        "combinable (type, quantized value) groupBy; both cumulative CDFs "
+        "come from one ordered window over the bounded support."
+    ),
+    "mips_norm_bound_topk": (
+        "Exact MIPS with Cauchy-Schwarz pruning: norms are scan "
+        "projections; seeds (TakeOrdered 32), bounds, and queries are all "
+        "broadcast — the corpus is scanned once and never shuffled."
+    ),
+    "triangle_count_degree_ordered": (
+        "Degree-ordered triangle counting: orientation bounds out-degree at "
+        "O(sqrt E); triangles come from array_intersect over out-neighbor "
+        "lists — equi joins on node keys only, wedges never materialize as "
+        "rows, and the oriented edge list is checkpointed once for its "
+        "three consumers."
+    ),
 }
 
 
