@@ -420,3 +420,44 @@ def train_val_test_split(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars_total"),
     )
+
+
+@register(
+    "stratified_fixed_n_sample",
+    oracle="""
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fs-' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 10
+    """,
+    tags=("curation", "sampling", "topk"),
+)
+def stratified_fixed_n_sample(spark, sf_dir):
+    """EXACT-size stratified sample: precisely 10 documents per
+    language, chosen by salted-hash order — the "give me exactly N
+    per stratum, reproducibly" request that rate-based sampling
+    (``stratified_sample_by_lang``, Bernoulli per row) cannot satisfy:
+    a rate yields a binomial count, not N.
+
+    Hash order makes the sample deterministic across engines, runs,
+    AND growing data (a new document only displaces a sampled one if
+    its hash sorts earlier — no reshuffle of the whole sample).  Plan:
+    one shuffle on the stratum key, per-stratum bounded sort emitting
+    the first 10 (rank window).  For strata hot enough to skew a
+    task, the salted two-level form (``topk_per_group_salted``) is
+    the same algebra with a pre-aggregation level.
+    """
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("fs-"), F.col("doc_id").cast("string"))),
+        "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 10)
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )

@@ -193,3 +193,79 @@ def triangle_count_degree_ordered(spark, sf_dir):
         "n_nodes", "n_edges", "n_wedges",
         F.coalesce(F.col("n_triangles"), F.lit(0))
         .cast("long").alias("n_triangles"))
+
+
+@register(
+    "frequent_itemset_pairs",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), isup AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup FROM li
+      GROUP BY l_partkey
+    ), freq AS (SELECT l_partkey, sup FROM isup WHERE sup >= 2),
+    baskets AS (
+      SELECT li.l_orderkey, li.l_partkey FROM li
+      JOIN freq ON freq.l_partkey = li.l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2
+    ), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li)
+    SELECT item_a, item_b, support,
+           ROUND(CAST(support AS DOUBLE) * n.n_orders
+                 / (fa.sup * fb.sup), 4) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = pairs.item_a
+    JOIN freq fb ON fb.l_partkey = pairs.item_b
+    CROSS JOIN n
+    """,
+    tags=("scale", "agg", "join", "itemset"),
+)
+def frequent_itemset_pairs(spark, sf_dir):
+    """Frequent co-purchased part PAIRS (support ≥ 2 orders) with
+    lift — market-basket mining's first a-priori level.
+
+    The scale move is the A-PRIORI PRUNE: an infrequent ITEM cannot
+    appear in a frequent PAIR, so baskets are semi-filtered to
+    frequent items BEFORE the pair self-join — on long-tail catalogs
+    that removes most of the basket stream and every pair the join
+    would have counted only to discard.  The item-support relation
+    broadcasts (catalog-sized, not order-volume-sized); the pair
+    count is a map-side-combinable groupBy on the (a, b) key; lift
+    re-joins the same broadcast supports plus the 1-row order count.
+    """
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    isup = li.groupBy("l_partkey").agg(F.count("*").alias("sup"))
+    freq = isup.where(F.col("sup") >= 2)
+    baskets = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    a = baskets.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_partkey").alias("item_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok"),
+                       F.col("l_partkey").alias("item_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    fa = freq.select(F.col("l_partkey").alias("item_a"),
+                     F.col("sup").alias("sup_a"))
+    fb = freq.select(F.col("l_partkey").alias("item_b"),
+                     F.col("sup").alias("sup_b"))
+    return (
+        pairs.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a", "item_b", "support",
+            F.round(F.col("support") * F.col("n_orders")
+                    / (F.col("sup_a") * F.col("sup_b")), 4).alias("lift"),
+        )
+    )
