@@ -151,4 +151,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import stats_q  # noqa: F401
     from . import scale3_q  # noqa: F401
     from . import streaming3_q  # noqa: F401
+    from . import api3_q  # noqa: F401
     return REGISTRY

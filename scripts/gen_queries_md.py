@@ -48,6 +48,7 @@ FAMILIES = OrderedDict([
     ("stats_q", "Distribution statistics (KS drift test, MAD outliers, attribution)"),
     ("scale3_q", "Scale patterns 3 (global row index, feature hashing, triangle counting)"),
     ("streaming3_q", "Streaming wave 3 (left-semi interval join, chained window aggregation)"),
+    ("api3_q", "Spark 4 SQL surface 2 (recursive CTE, SQL scripting, parameters, NOT IN nulls)"),
 ])
 
 
