@@ -446,3 +446,78 @@ def dq_expectations(spark, sf_dir):
                "'orphan_custkey', orphan_custkey) AS (rule, n_violations)"),
         "n_checked",
     )
+
+
+@register(
+    "scd2_temporal_fact_join",
+    oracle="""
+    WITH dim_ev AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type <> 'purchase'
+    ), ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM dim_ev
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ), dim AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31') AS valid_to
+      FROM changes
+    )
+    SELECT d.state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(p.value), 2) AS revenue
+    FROM events p
+    JOIN dim d ON d.user_id = p.user_id
+             AND d.valid_from <= p.ts AND p.ts < d.valid_to
+    WHERE p.event_type = 'purchase'
+    GROUP BY d.state
+    """,
+    tags=("warehouse", "scd2", "join", "range"),
+)
+def scd2_temporal_fact_join(spark, sf_dir):
+    """POINT-IN-TIME (temporal) fact join — the canonical SCD2 lookup:
+    each purchase joins the dimension VERSION that was valid at the
+    purchase's own event time (``valid_from <= ts < valid_to``), never
+    the current one — revenue attributed to the user's state *as it
+    was*.  This is the join every warehouse with versioned dimensions
+    runs on every fact load, and the reason SCD2 keeps intervals
+    instead of overwriting.
+
+    The dimension is built in-plan from the non-purchase event stream
+    (``scd2_event_type_intervals`` algebra); empty intervals produced
+    by same-timestamp change pairs match nothing on either engine
+    (half-open semantics).  Scale: the interval build is one user_id
+    window shuffle; the temporal join is an EQUI join on user_id with
+    the interval predicate evaluated inside the matched bucket — never
+    a cartesian; per-user version counts are human-bounded, so the
+    bucket product stays linear.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim_ev = ev.where(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        dim_ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull()
+               | (F.col("event_type") != F.col("prev_type")))
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(F.lead("ts").over(w),
+                   F.lit("9999-12-31").cast("timestamp")).alias("valid_to"),
+    )
+    p = ev.where(F.col("event_type") == "purchase")
+    return (
+        p.join(dim, (p.user_id == dim.d_user)
+               & (dim.valid_from <= p.ts) & (p.ts < dim.valid_to))
+        .groupBy("state")
+        .agg(F.count("*").alias("n_purchases"),
+             F.round(F.sum("value"), 2).alias("revenue"))
+    )
