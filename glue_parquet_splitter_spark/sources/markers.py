@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql.datasource import (
+    SimpleDataSourceStreamReader,
     DataSource,
     DataSourceReader,
     InputPartition,
@@ -116,3 +117,117 @@ def read_markers(spark, marker_dir: str):
     """Marker dir → DataFrame (one row per committed day)."""
     register_marker_source(spark)
     return spark.read.format("split_markers").load(marker_dir)
+
+
+# ---------------------------------------------------------------- streaming
+
+class _NullWriter:  # pragma: no cover - trivial
+    pass
+
+
+class MarkerStreamDataSource(DataSource):
+    """``readStream.format("split_markers_stream")`` — the marker dir
+    as an UNBOUNDED source: each micro-batch serves the marker files
+    that appeared since the last committed offset, so a downstream
+    dashboard (or the reprocess scheduler itself) reacts to day
+    completions as they commit instead of re-listing the world.
+
+    Offset = the high-watermark marker base name.  Marker names embed
+    the day (``<prefix>_<yyyymmdd>.json``) so lexicographic order is
+    commit order for the incremental driver; a REOPENED day rewrites
+    its existing marker in place (same name) and is deliberately a
+    batch-source concern (`read_markers`), not a stream event —
+    matching the reference scheduler, which reacts to reopened days by
+    fingerprint comparison, not by listing order.
+
+    Built on ``SimpleDataSourceStreamReader`` — the driver-side prefetch
+    variant of the Spark 4 Python streaming source API, the right
+    trade for a METADATA-sized stream (one tiny JSON per day; listing
+    is already driver-side in the batch source).  A data-volume source
+    would implement partition-based ``DataSourceStreamReader`` instead.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "split_markers_stream"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema) -> "MarkerSimpleStreamReader":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("split_markers_stream requires a path: "
+                             ".load('<marker_dir>')")
+        return MarkerSimpleStreamReader(path)
+
+
+class MarkerSimpleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, marker_dir: str):
+        self.marker_dir = marker_dir
+
+    # -- listing / parsing helpers (same FS discipline as the batch
+    #    reader: resolve the scheme-carrying dir, join base names)
+
+    def _names(self) -> list[str]:
+        from pyarrow.fs import FileSelector
+
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, fs_path = resolve_fs(self.marker_dir)
+        infos = filesystem.get_file_info(
+            FileSelector(fs_path, recursive=False, allow_not_found=True))
+        return sorted(i.base_name for i in infos
+                      if i.base_name.endswith(".json"))
+
+    def _rows(self, names: list[str]):
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, dir_path = resolve_fs(self.marker_dir)
+        for name in names:
+            with filesystem.open_input_stream(
+                    f"{dir_path.rstrip('/')}/{name}") as f:
+                doc = json.loads(f.read().decode("utf-8"))
+            outputs = doc.get("outputs")
+            count = doc.get("output_count")
+            if count is None and outputs is not None:
+                count = len(outputs)
+            yield (
+                doc.get("kind"),
+                doc.get("date"),
+                doc.get("input_key"),
+                doc.get("input_fingerprint"),
+                count,
+                doc.get("outputs_manifest"),
+                doc.get("generated_at"),
+            )
+
+    # -- SimpleDataSourceStreamReader contract
+
+    def initialOffset(self) -> dict:
+        return {"watermark": ""}
+
+    def read(self, start: dict):
+        wm = start.get("watermark", "")
+        fresh = [n for n in self._names() if n > wm]
+        end = {"watermark": fresh[-1]} if fresh else dict(start)
+        return iter(list(self._rows(fresh))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        lo, hi = start.get("watermark", ""), end.get("watermark", "")
+        replay = [n for n in self._names() if lo < n <= hi]
+        return iter(list(self._rows(replay)))
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream's checkpoint, nothing to GC
+
+
+def register_marker_stream_source(spark) -> None:
+    """Idempotently register ``split_markers_stream`` on this session."""
+    spark.dataSource.register(MarkerStreamDataSource)
+
+
+def read_marker_stream(spark, marker_dir: str):
+    """Marker dir → streaming DataFrame (one row per NEW marker)."""
+    register_marker_stream_source(spark)
+    return spark.readStream.format("split_markers_stream").load(marker_dir)
