@@ -156,3 +156,60 @@ def simhash16(docs: DataFrame) -> DataFrame:
     for j in range(16):
         sim = sim + F.when(F.col(f"s{j}") > 0, F.lit(2 ** (15 - j))).otherwise(F.lit(0))
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard ≥ ``threshold`` pairs over a distinct
+    ``(doc_id, shingle)`` relation via PPJoin-style prefix filtering.
+
+    Canonical element order = ascending document frequency, then
+    shingle (rarest first).  If J(A,B) ≥ t then |A∩B| ≥ t·|A|, so the
+    first ``|A| − ceil(t·|A|) + 1`` ordered elements of A must hit the
+    intersection — a qualifying pair shares an element in both
+    prefixes, and joining only prefix elements is a lossless candidate
+    filter (property-tested against brute force in
+    ``tests/test_prefix_filter_properties.py``).  The exact verify
+    join runs only on candidate pairs.
+    """
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(df_counts, "shingle")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n_sh")
+        - F.ceil(threshold * F.col("n_sh")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("b_id"),
+                     F.col("shingle").alias("shingle_b"))
+    common = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, (F.col("doc_b") == F.col("b_id"))
+              & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
+    )
+    j = (
+        common
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}),
+              "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}),
+              "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
+    )
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))

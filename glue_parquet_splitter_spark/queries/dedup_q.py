@@ -6,7 +6,6 @@ salted-md5 hash family."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -279,40 +278,4 @@ def jaccard_prefix_filter_pairs(spark, sf_dir):
                "i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"),
     ).otherwise(F.expr("array()"))
     sh = t.select("doc_id", F.explode(shingle_expr).alias("shingle")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        sh.join(df_counts, "shingle")
-        .withColumn("pos", F.row_number().over(w_doc))
-        .join(sizes, "doc_id")
-    )
-    prefix = ranked.where(
-        F.col("pos") <= F.col("n_sh") - F.ceil(0.5 * F.col("n_sh")) + 1
-    ).select("doc_id", "shingle")
-    cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"),
-              "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
-    )
-    # exact verify on candidates only
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("b_id"),
-                     F.col("shingle").alias("shingle_b"))
-    common = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, (F.col("doc_b") == F.col("b_id"))
-              & (F.col("shingle") == F.col("shingle_b")))
-        .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
-    )
-    j = (
-        common
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
-        .withColumn("jaccard", F.round(
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4))
-    )
-    return j.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
+    return D.prefix_filtered_jaccard_pairs(sh, threshold=0.5)
