@@ -170,16 +170,23 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     filter (property-tested against brute force in
     ``tests/test_prefix_filter_properties.py``).  The exact verify
     join runs only on candidate pairs.
+
+    Plan shape: the element relation is ``localCheckpoint``-ed — five
+    consumers (ranking, both candidate sides, both verify sides) share
+    one computation; document frequency and set size come from window
+    counts over the stream's own two shuffles (by element, then by
+    doc) instead of separate groupBy+join round trips.
     """
     from pyspark.sql import Window
 
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
-        sh.join(df_counts, "shingle")
+        sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))
         .withColumn("pos", F.row_number().over(w_doc))
-        .join(sizes, "doc_id")
+        .withColumn("n_sh",
+                    F.count("*").over(Window.partitionBy("doc_id")))
     )
     prefix = ranked.where(
         F.col("pos") <= F.col("n_sh")
