@@ -322,3 +322,33 @@ def wau_bitmap_rolling(spark, sf_dir):
                CAST(SUM(bitmap_count(bm)) AS BIGINT) AS wau
         FROM merged GROUP BY window_end
     """)
+
+
+@register(
+    "approx_top_k_event_types",
+    oracle="""
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    tags=("sketch", "approx", "topk"),
+)
+def approx_top_k_event_types(spark, sf_dir):
+    """Spark 4's ``approx_top_k`` (Misra-Gries-style bounded-state
+    heavy hitters) over the event-type stream.  The aggregate tracks
+    at most ``maxItemsTracked`` counters; when the true cardinality
+    fits inside that budget (5 event types ≪ 10 000 here) the counts
+    are provably EXACT, so the plain GROUP BY is the oracle with no
+    ±band — the same "exact in the graded regime, bounded-state at
+    scale" contract as ``cms_heavy_hitters``, via the built-in
+    aggregate instead of a hand-rolled sketch.  At 100 TB the value
+    is the fixed-size state: one pass, kB of memory, mergeable across
+    partitions — where an exact GROUP BY on a hot key domain is fine,
+    but on an unbounded domain (user agents, URLs) the sketch is the
+    only bounded answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("event_type").createOrReplaceTempView("ev_atk")
+    return spark.sql("""
+        SELECT t.item AS item, CAST(t.count AS BIGINT) AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 5)) AS t FROM ev_atk)
+    """)

@@ -417,3 +417,41 @@ def test_mips_corpus_single_scan_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "mips_norm_bound_topk")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_loop_broadcasts_centroids(spark, sf_dir):
+    """Both Lloyd iterations keep the k-centroid table broadcast — the
+    corpus is scanned per iteration, never shuffled for assignment;
+    the only hash exchanges are the (cid, dim) update aggregates and
+    per-vector windows."""
+    plan = plan_of(spark, sf_dir, "kmeans_lloyd_iters")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frequent_pairs_broadcast_prune(spark, sf_dir):
+    """A-priori: the frequent-item filter and both lift supports join
+    as broadcasts; the basket stream only shuffles for the pair
+    count."""
+    plan = plan_of(spark, sf_dir, "frequent_itemset_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_temporal_join_equi_bucketed(spark, sf_dir):
+    """The point-in-time join must keep user_id as the equi key with
+    the interval predicate inside the bucket — never a cartesian or
+    per-row nested loop."""
+    plan = plan_of(spark, sf_dir, "scd2_temporal_fact_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_broadcasts_bench_grams(spark, sf_dir):
+    """Containment decontamination: the eval gram set and its sizes
+    broadcast; the corpus gram stream is never sort-merged."""
+    plan = plan_of(spark, sf_dir, "containment_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
