@@ -152,4 +152,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import scale3_q  # noqa: F401
     from . import streaming3_q  # noqa: F401
     from . import api3_q  # noqa: F401
+    from . import functions3_q  # noqa: F401
     return REGISTRY
