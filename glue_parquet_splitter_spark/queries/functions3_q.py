@@ -208,3 +208,50 @@ def deterministic_mode_agg(spark, sf_dir):
         (modes.event_type == per_user.event_type)
         & (modes.top_user == per_user.user_id),
     ).select(modes.event_type, "top_user", "n_events")
+
+
+@register(
+    "xml_funcs_roundtrip",
+    oracle="""
+    WITH xml AS (
+      SELECT event_id,
+             '<e><t>' || event_type || '</t><v>' ||
+             CAST(ROUND(value, 2) AS VARCHAR) || '</v></e>' AS doc
+      FROM events
+    ), parsed AS (
+      SELECT regexp_extract(doc, '<t>(.*?)</t>', 1) AS t,
+             CAST(regexp_extract(doc, '<v>(.*?)</v>', 1) AS DOUBLE) AS v
+      FROM xml
+    )
+    SELECT t AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(v), 2) AS total
+    FROM parsed GROUP BY t
+    """,
+    tags=("functions", "xml", "string"),
+)
+def xml_funcs_roundtrip(spark, sf_dir):
+    """XML ingestion surface (Spark 4 built-in ``from_xml``): events
+    serialized to XML documents, schema-parsed back, and aggregated —
+    the feed-ingestion shape for the XML world (sitemaps, RSS, SOAP
+    exports) that previously needed spark-xml.  The oracle parses the
+    identical documents with regexes — the contract is the recovered
+    values, not the parser.  Parsing is a JVM scan-stage projection;
+    the only exchange is the final rollup.
+
+    The ``ROUND(value, 2)`` INSIDE the serialized document pins the
+    string form cross-engine (DuckDB and Spark format full-precision
+    doubles differently).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    xml = ev.select(
+        F.concat(F.lit("<e><t>"), F.col("event_type"), F.lit("</t><v>"),
+                 F.round("value", 2).cast("string"),
+                 F.lit("</v></e>")).alias("doc"))
+    parsed = xml.select(
+        F.from_xml("doc", "t string, v double").alias("x"))
+    return (
+        parsed.groupBy(F.col("x.t").alias("event_type"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("x.v"), 2).alias("total"))
+    )
