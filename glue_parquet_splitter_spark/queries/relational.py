@@ -743,3 +743,68 @@ def in_subquery(spark, sf_dir):
         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
     """)
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "relational", "hint"),
+)
+def join_shuffle_hash_hint(spark, sf_dir):
+    """Join-strategy HINT surface: ``hint("SHUFFLE_HASH")`` forces a
+    shuffled hash join where the planner would default to sort-merge —
+    the right call when one side comfortably fits a per-task hash map
+    but is too big to broadcast (hash build beats sorting BOTH sides).
+    Values are strategy-independent, so the plain join is the oracle;
+    the plan shape itself is pinned by
+    ``tests/test_plans.py::test_shuffle_hash_hint_honored``.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = (load_table(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F").hint("SHUFFLE_HASH"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "distribute_sort_within_partitions",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "api", "layout"),
+)
+def distribute_sort_within_partitions(spark, sf_dir):
+    """``DISTRIBUTE BY … SORT BY`` (repartition + sortWithinPartitions)
+    — the write-layout primitive behind every clustered table: rows
+    co-located by key and locally ordered WITHOUT a global sort
+    barrier.  The aggregate on top proves values are layout-invariant
+    (the oracle is the plain rollup); the point of the query is the
+    plan — one hash exchange, per-partition sort, no
+    ``Exchange SinglePartition`` anywhere (contrast ORDER BY).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ord_dist")
+    return spark.sql("""
+        WITH clustered AS (
+          SELECT * FROM ord_dist
+          DISTRIBUTE BY o_orderpriority SORT BY o_orderpriority, o_totalprice
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MAX(o_totalprice), 2) AS max_price
+        FROM clustered GROUP BY o_orderpriority
+    """)

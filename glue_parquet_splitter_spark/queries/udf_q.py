@@ -6,6 +6,8 @@ still applies)."""
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -209,3 +211,39 @@ def embedding_norms_map_in_arrow(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label")
     return e.mapInArrow(norms, "vec_id long, l2_norm double, label string")
+
+
+@register(
+    "pandas_udf_scalar_iter",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+    """,
+    tags=("udf", "pandas_udf", "text"),
+)
+def pandas_udf_scalar_iter(spark, sf_dir):
+    """ITERATOR-form pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``) — the variant that amortizes per-partition
+    setup (model load, tokenizer init) ONCE across all Arrow batches
+    instead of per batch: exactly the shape a real tokenizer/inference
+    UDF needs.  Here the "expensive init" is a compiled regex; the
+    per-batch work is vectorized pandas.  The oracle is the plain
+    whitespace token count — init amortization must not change the
+    answer.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def tok_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        splitter = re.compile(r" ")  # stands in for tokenizer init
+        for s in batches:
+            yield s.map(lambda t: len(splitter.split(t)))
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tok_count("text").alias("k"))
+        .groupBy("lang").agg(F.sum("k").alias("n_tokens"))
+    )

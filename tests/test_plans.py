@@ -455,3 +455,19 @@ def test_containment_broadcasts_bench_grams(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "containment_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_hash_hint_honored(spark, sf_dir):
+    """The SHUFFLE_HASH hint must materialize as ShuffledHashJoin (not
+    SortMergeJoin, not broadcast of the big filtered side)."""
+    plan = plan_of(spark, sf_dir, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan, plan[:1500]
+
+
+def test_distribute_by_no_global_sort(spark, sf_dir):
+    """DISTRIBUTE BY + SORT BY: hash exchange + per-partition sort,
+    never a single-partition global sort exchange."""
+    plan = plan_of(spark, sf_dir, "distribute_sort_within_partitions")
+    assert "Exchange hashpartitioning" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan.split("HashAggregate")[0]
