@@ -808,3 +808,114 @@ def distribute_sort_within_partitions(spark, sf_dir):
                ROUND(MAX(o_totalprice), 2) AS max_price
         FROM clustered GROUP BY o_orderpriority
     """)
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(COUNT(l.l_linenumber) AS BIGINT) AS n_lines
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 45) l
+    RIGHT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 13 = 0
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join", "outer", "relational"),
+)
+def join_right_outer(spark, sf_dir):
+    """RIGHT OUTER join — the remaining outer-join cell: every order
+    row survives even when the filtered lineitem side has no match
+    (COUNT over the nullable side distinguishes 0-match rows).  At
+    scale Spark plans right-outer as the mirrored left-outer with the
+    preserved side streamed; the orderkey filter bounds the graded
+    result.
+    """
+    li = (load_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity") > 45))
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "right")
+        .where(F.col("o_orderkey") % 13 == 0)
+        .groupBy("o_orderkey")
+        .agg(F.count("l_linenumber").alias("n_lines"))
+    )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
+    WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
+    WHERE l_linestatus = 'F'
+    """,
+    tags=("setop", "relational"),
+)
+def set_intersect_all(spark, sf_dir):
+    """``INTERSECT ALL`` — bag semantics: a supplier key appearing 3×
+    in the returned-items stream and 2× in the finished stream
+    survives exactly min(3, 2) = 2 times (DISTINCT-flavored
+    ``set_intersect`` collapses it to one).  Multiplicity is the whole
+    point: downstream bag-cardinality math (sampling weights, join
+    pre-sizing) needs the min-count semantics, and Spark plans it as
+    one aggregate over both tagged inputs — no pairwise matching.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("suppkey"))
+    b = li.where(F.col("l_linestatus") == "F").select(
+        F.col("l_suppkey").alias("suppkey"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
+    WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
+    WHERE l_linestatus = 'F'
+    """,
+    tags=("setop", "relational"),
+)
+def set_except_all(spark, sf_dir):
+    """``EXCEPT ALL`` — bag difference: occurrences surviving =
+    max(count_left − count_right, 0) per value, the multiset
+    complement of ``set_intersect_all``."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("suppkey"))
+    b = li.where(F.col("l_linestatus") == "F").select(
+        F.col("l_suppkey").alias("suppkey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "sort_limit_offset",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("relational", "topk", "api"),
+)
+def sort_limit_offset(spark, sf_dir):
+    """Keyset-free pagination (SQL ``LIMIT … OFFSET``, Spark 3.4+):
+    page 3 of the price leaderboard.  The deterministic tiebreak
+    (orderkey) is what makes OFFSET pagination well-defined at all;
+    the docstring caveat every engine shares: OFFSET still computes
+    the first 60 rows' ordering, so deep pagination at 100 TB wants
+    keyset (``WHERE price < last_seen``) instead — this query is the
+    API-surface row, ``window_rank_funcs`` is the scale form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("ord_page")
+    return spark.sql("""
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS price
+        FROM ord_page
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+    """)
