@@ -919,3 +919,37 @@ def sort_limit_offset(spark, sf_dir):
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 20 OFFSET 40
     """)
+
+
+@register(
+    "rollup_grouping_id",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+           COALESCE(l_linestatus, 'ALL') AS lstatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "relational", "rollup"),
+)
+def rollup_grouping_id(spark, sf_dir):
+    """``grouping_id()`` over a ROLLUP — the bitmask that tells a
+    report renderer WHICH aggregation level each row is (0 = leaf,
+    1 = per-flag subtotal, 3 = grand total), needed because COALESCE
+    alone cannot distinguish a real 'ALL' value from a rolled-up
+    NULL.  DuckDB composes the same mask from per-column
+    ``GROUPING()`` bits — the contract is the bit layout (first
+    grouping column = highest bit), which both engines share.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().cast("long").alias("gid"),
+             F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "gid", "n")
+    )
