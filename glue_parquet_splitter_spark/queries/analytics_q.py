@@ -373,3 +373,143 @@ def ordered_funnel_conversion(spark, sf_dir):
                        & (F.col("t_purchase") > F.col("t_click")), 1))
         .alias("n_full_funnel"),
     )
+
+
+@register(
+    "exp_decay_trending_score",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    scored AS (
+      SELECT e.user_id,
+             e.value * EXP(-0.1 * date_diff('day', CAST(e.ts AS DATE),
+                                            CAST(mx.m AS DATE))) AS s
+      FROM events e, mx WHERE e.event_type = 'purchase'
+    )
+    SELECT user_id, ROUND(SUM(s), 4) AS trend_score,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM scored GROUP BY user_id
+    """,
+    tags=("analytics", "timeseries", "agg"),
+)
+def exp_decay_trending_score(spark, sf_dir):
+    """Exponential time-decay popularity (half-life ≈ 7 days at
+    λ=0.1/day): recent purchases count nearly fully, month-old ones a
+    twentieth — the trending/ranking score every feed and
+    recommender warehouse maintains.  Day-granular age keeps the
+    decay factor engine-exact (both engines compute EXP of the same
+    small integers).  Scale: the anchor max(ts) is a 1-row broadcast;
+    scoring is a scan projection; one map-side-combinable groupBy.
+    Incremental maintenance note (the reason decay beats windows):
+    yesterday's score times exp(-λ) plus today's events IS today's
+    score — a merge, not a recompute.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("m"))
+    p = ev.where(F.col("event_type") == "purchase").crossJoin(F.broadcast(mx))
+    s = F.col("value") * F.exp(-0.1 * F.datediff("m", F.col("ts").cast("date")))
+    return (
+        p.groupBy("user_id")
+        .agg(F.round(F.sum(s), 4).alias("trend_score"),
+             F.count("*").alias("n_purchases"))
+    )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS m FROM events),
+    per_user AS (
+      SELECT user_id,
+             date_diff('day', CAST(MAX(ts) AS DATE), (SELECT m FROM mx))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(value) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
+             NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
+             NTILE(5) OVER (ORDER BY monetary, user_id) AS m
+      FROM per_user
+    )
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM scored GROUP BY r, f, m
+    """,
+    tags=("analytics", "window", "segmentation"),
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM segmentation — the classic marketing model: every purchaser
+    scored 1-5 on Recency, Frequency, Monetary via NTILE quintiles,
+    reported as segment-cell sizes.  The user_id tiebreak inside each
+    NTILE ordering pins identical quintile boundaries on both engines.
+
+    Scale note: the quintile windows here are global (one ordering
+    over PER-USER rows — audience-sized, thousands-not-billions, and
+    already reduced from raw events by the groupBy).  If the user
+    dimension itself outgrows a partition, the histogram-cumulative
+    form (``quality_decile_mix_histogram``) replaces each NTILE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("mxd"))
+    per_user = (
+        ev.where(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(F.datediff(F.max("mxd"), F.max(F.col("ts").cast("date")))
+             .alias("recency_days"),
+             F.count("*").alias("frequency"),
+             F.sum("value").alias("monetary"))
+    )
+    from pyspark.sql import Window
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
+    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+    return (
+        per_user.select(r.cast("long").alias("r"), f.cast("long").alias("f"),
+                        m.cast("long").alias("m"))
+        .groupBy("r", "f", "m").agg(F.count("*").alias("n_users"))
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id
+    ), t AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM c),
+    top AS (
+      SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10
+    )
+    SELECT CAST(t.n_keys AS BIGINT) AS n_keys,
+           CAST(t.total AS BIGINT) AS n_rows,
+           CAST((SELECT MAX(n) FROM c) AS BIGINT) AS hottest_key_rows,
+           ROUND(CAST((SELECT SUM(n) FROM top) AS DOUBLE) / t.total, 4)
+             AS top10_share
+    FROM t
+    """,
+    tags=("analytics", "skew", "agg"),
+)
+def key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew PROFILE — the diagnostic run before choosing a
+    partitioning strategy: key cardinality, hottest-key row count, and
+    the share of rows held by the top-10 keys.  top10_share near 1.0
+    says "salt this key" (``salted_skew_join``); near 10/n_keys says
+    the key is safe.  One map-side-combinable count per key; the
+    top-10 is a TakeOrdered over key-count rows, never raw data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count("*").alias("n_keys"),
+              F.max("n").alias("hottest_key_rows"))
+    top = (c.orderBy(F.col("n").desc(), "user_id").limit(10)
+           .agg(F.sum("n").alias("top_n")))
+    return (
+        t.crossJoin(F.broadcast(top))
+        .select(F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("total").cast("long").alias("n_rows"),
+                F.col("hottest_key_rows").cast("long").alias("hottest_key_rows"),
+                F.round(F.col("top_n") / F.col("total"), 4)
+                .alias("top10_share"))
+    )
