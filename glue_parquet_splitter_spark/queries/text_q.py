@@ -251,3 +251,122 @@ def url_domain_rollup(spark, sf_dir):
             .cast("long").alias("n_p_paths"),
         )
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS d FROM toks
+      WHERE tok <> '' GROUP BY tok
+    ), vocab AS (
+      SELECT tok FROM df ORDER BY d DESC, tok LIMIT 1000
+    ), flagged AS (
+      SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      WHERE t.tok <> ''
+    ), per_doc AS (
+      SELECT f.doc_id, d.lang,
+             CAST(SUM(oov) AS DOUBLE) / COUNT(*) AS oov_rate
+      FROM flagged f JOIN documents d ON d.doc_id = f.doc_id
+      GROUP BY f.doc_id, d.lang
+    )
+    SELECT lang,
+           ROUND(AVG(oov_rate), 4) AS avg_oov_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("text", "curation", "topk"),
+)
+def vocab_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate against a corpus-derived top-1000-df
+    vocabulary, averaged per language — the tokenizer-coverage metric
+    a training pipeline checks before committing to a vocab (high OOV
+    in one language = that language will fragment into bytes).
+
+    The vocabulary is built IN-PLAN (document frequency, TakeOrdered
+    1000 with the (df, token) tiebreak pinning the boundary on both
+    engines) and broadcast back onto the token stream — vocab-sized,
+    not corpus-sized, exactly how a fitted artifact should flow
+    through a plan.  One token-stream shuffle for df, one for the
+    per-doc rate; the final rollup is language-sized.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    df_counts = toks.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("d"))
+    vocab = (df_counts.orderBy(F.col("d").desc(), "tok").limit(1000)
+             .select("tok"))
+    flagged = toks.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))),
+                        "tok", "left")
+    per_doc = flagged.groupBy("doc_id", "lang").agg(
+        (F.sum(F.when(F.col("in_v").isNull(), 1).otherwise(0))
+         / F.count("*")).alias("oov_rate"))
+    return per_doc.groupBy("lang").agg(
+        F.round(F.avg("oov_rate"), 4).alias("avg_oov_rate"),
+        F.count("*").alias("n_docs"))
+
+
+@register(
+    "doc_length_log_histogram",
+    oracle="""
+    SELECT source,
+           CAST(FLOOR(LOG2(n_chars)) AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE n_chars > 0
+    GROUP BY source, FLOOR(LOG2(n_chars))
+    """,
+    tags=("text", "curation", "histogram"),
+)
+def doc_length_log_histogram(spark, sf_dir):
+    """Power-of-two document-length histogram per source — the
+    log-scale view every corpus dashboard uses because lengths span
+    orders of magnitude (a linear histogram puts 99 % of mass in one
+    bin).  Integer bucket of log2 is engine-exact away from exact
+    powers of two; ``n_chars`` values here are lengths of generated
+    text, never exactly at a float boundary.  Pure map-side bucketing
+    plus one combinable groupBy.
+    """
+    d = _docs(spark, sf_dir)
+    return (
+        d.where(F.col("n_chars") > 0)
+        .groupBy("source",
+                 F.floor(F.log2("n_chars")).cast("long")
+                 .alias("log2_bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(text) AS h, COUNT(*) AS sz FROM documents GROUP BY md5(text)
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY sz
+    """,
+    tags=("dedup", "curation", "histogram"),
+)
+def dup_cluster_size_histogram(spark, sf_dir):
+    """Duplicate-cluster SIZE distribution (how many exact-content
+    clusters of size 1, 2, 3, …) — the dedup report a curation run
+    publishes: total duplicate mass = Σ (sz−1)·n_clusters, and a
+    heavy tail here is what motivates the near-dup (MinHash) pass.
+    Two stacked map-side-combinable groupBys — content-hash then
+    size — each output strictly smaller than its input; the classic
+    aggregation-of-aggregation shape that never revisits raw text.
+    """
+    d = _docs(spark, sf_dir)
+    clusters = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("sz"))
+    return clusters.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"))
