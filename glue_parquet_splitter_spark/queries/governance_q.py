@@ -1,0 +1,328 @@
+"""Data-governance and release-safety operators: k-anonymity risk
+profiling, small-cell suppression, per-user contribution capping, a
+weighted median, and sorted-neighborhood near-dup detection.
+
+These close the privacy/compliance corner of a training-data pipeline:
+before a corpus or an aggregate report leaves the pipeline, governance
+asks "does any output cell identify a small group?" (k-anonymity,
+suppression), "is any single user over-represented?" (contribution
+clipping — the standard pre-aggregation step of differential-privacy
+pipelines), and "is this robust to heavy rows?" (weighted median).
+``sorted_neighborhood_neardup`` adds the third classic near-dup family
+(after MinHash/LSH in ``dedup_q`` and SimHash in ``text_q``): sort by
+a blocking key once, compare only rank-neighbors — O(N log N) total,
+no candidate-pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+
+@register(
+    "k_anonymity_risk",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(*) FILTER (WHERE n < 5) AS BIGINT) AS n_risky_cells,
+           CAST(COALESCE(SUM(n) FILTER (WHERE n < 5), 0) AS BIGINT)
+             AS n_risky_rows,
+           CAST(MIN(n) AS BIGINT) AS min_cell_size
+    FROM cells GROUP BY segment
+    """,
+    tags=("governance", "privacy", "agg"),
+)
+def k_anonymity_risk(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (market segment, nation, $1000 balance band): how many
+    quasi-identifier cells exist per segment, how many hold fewer than
+    k individuals, and how many rows sit in those re-identifiable
+    cells.  This is the report a release gate reads before publishing
+    any per-cell statistic — a cell below k pinpoints individuals.
+
+    Scale: two stacked map-side-combinable aggregations; the second
+    runs on cell-granular rows (bounded by the QI domain, not the
+    customer count).  No joins, no windows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count("*").alias("n"))
+    risky = F.col("n") < 5
+    return cells.groupBy("segment").agg(
+        F.count("*").alias("n_cells"),
+        F.count_if(risky).alias("n_risky_cells"),
+        F.coalesce(F.sum(F.when(risky, F.col("n"))), F.lit(0))
+        .cast("long").alias("n_risky_rows"),
+        F.min("n").alias("min_cell_size"),
+    )
+
+
+@register(
+    "small_cell_suppression_rollup",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT day, event_type, n, SUM(n) OVER (PARTITION BY day) AS day_total
+      FROM cells
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CASE WHEN n * 8 < day_total THEN '<suppressed>'
+                ELSE event_type END AS event_type,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM tot
+    GROUP BY 1, 2
+    """,
+    tags=("governance", "privacy", "agg", "window"),
+)
+def small_cell_suppression_rollup(spark, sf_dir):
+    """Small-cell suppression for a published daily report: event-type
+    cells holding under 12.5 % of their day's events are re-labelled
+    ``<suppressed>`` and merged, so no released cell is small relative
+    to its margin (the disclosure-control counterpart of
+    ``k_anonymity_risk`` — that one measures risk, this one removes
+    it).  The threshold is relative (n*8 < day_total), so the rule is
+    scale-invariant: growing the corpus 100x does not silently turn
+    suppression off.
+
+    Scale: the full-data pass is one map-side-combinable groupBy to
+    day×type cells; the window and re-aggregation run on cell-granular
+    rows (days × event types), independent of event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    tot = cells.withColumn(
+        "day_total", F.sum("n").over(Window.partitionBy("day")))
+    return (
+        tot.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.when(F.col("n") * 8 < F.col("day_total"), F.lit("<suppressed>"))
+            .otherwise(F.col("event_type")).alias("event_type"),
+            "n",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").cast("long").alias("n_events"))
+    )
+
+
+@register(
+    "user_contribution_clip",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(ts AS DATE) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) FILTER (WHERE rn <= 3) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn > 3) AS BIGINT) AS n_clipped,
+           ROUND(SUM(CASE WHEN rn <= 3 THEN value ELSE 0 END), 2)
+             AS clipped_sum
+    FROM ranked GROUP BY day
+    """,
+    tags=("governance", "privacy", "window"),
+)
+def user_contribution_clip(spark, sf_dir):
+    """Bounded user contribution: keep at most 3 events per (user, day)
+    — earliest first, event_id tiebreak — then report per day how many
+    rows survived, how many were clipped, and the clipped value sum.
+    Contribution capping is the mandatory first step of any
+    differential-privacy aggregate (it bounds one individual's
+    influence on the released number) and a common bias guard in
+    training-data pipelines (no single user dominates a day's data).
+
+    Scale: one shuffle on (user_id, day) for the rank — the same key
+    a later per-user aggregation would need anyway — then a map-side
+    combinable rollup to day granularity.  Skewed users bound their
+    own cost: the window partition is (user, day), never global.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    ranked = ev.select(
+        day.alias("day"), "value", F.row_number().over(w).alias("rn"))
+    kept = F.col("rn") <= 3
+    return ranked.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count_if(kept).alias("n_kept"),
+        F.count_if(~kept).alias("n_clipped"),
+        F.round(F.sum(F.when(kept, F.col("value")).otherwise(F.lit(0.0))), 2)
+        .alias("clipped_sum"),
+    )
+
+
+@register(
+    "weighted_median_per_group",
+    oracle="""
+    WITH pts AS (
+      SELECT l_returnflag, ROUND(l_extendedprice, 0) AS price,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, price,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM pts
+    )
+    SELECT l_returnflag, ROUND(MIN(price), 2) AS weighted_median
+    FROM cum WHERE cw * 2 >= tw GROUP BY l_returnflag
+    """,
+    tags=("governance", "stats", "window"),
+)
+def weighted_median_per_group(spark, sf_dir):
+    """Exact quantity-weighted median of extended price per return
+    flag: the smallest price whose cumulative quantity weight reaches
+    half the group total.  The weighted median is the robust center a
+    revenue report wants when one giant line item would drag a mean
+    (and a plain median would ignore that a 50-unit line matters 50x
+    a 1-unit line).
+
+    Scale: same shape as ``quality_decile_mix_histogram`` and
+    ``ks_drift_test`` — granularity-reduce first (prices rounded to
+    whole units, one map-side-combinable groupBy; support bounded by
+    the price domain, not row count), then exact order statistics via
+    a window over the reduced relation.  Weights are cast to BIGINT
+    before summing so the cumulative compare is integer-exact in both
+    engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.groupBy(
+        "l_returnflag", F.round("l_extendedprice", 0).alias("price")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    wp = Window.partitionBy("l_returnflag")
+    cum = pts.select(
+        "l_returnflag", "price",
+        F.sum("w").over(wp.orderBy("price")).alias("cw"),
+        F.sum("w").over(wp).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("price"), 2).alias("weighted_median"))
+    )
+
+
+@register(
+    "sorted_neighborhood_neardup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zq near dup tail'
+      FROM documents WHERE doc_id % 10 = 0
+    ), sh AS (
+      SELECT doc_id, substr(text, 1, 40) AS skey,
+             list_distinct(list_transform(
+               range(1, GREATEST(array_length(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM corpus)
+    ), ranked AS (
+      SELECT doc_id, toks,
+             LEAD(doc_id, 1) OVER w AS id1, LEAD(toks, 1) OVER w AS t1,
+             LEAD(doc_id, 2) OVER w AS id2, LEAD(toks, 2) OVER w AS t2
+      FROM sh
+      WINDOW w AS (PARTITION BY substr(skey, 1, 1) ORDER BY skey, doc_id)
+    ), pairs AS (
+      SELECT doc_id AS doc_a, id1 AS doc_b,
+             len(list_intersect(toks, t1)) AS shared,
+             len(toks) AS na, len(t1) AS nb
+      FROM ranked WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, id2, len(list_intersect(toks, t2)), len(toks), len(t2)
+      FROM ranked WHERE id2 IS NOT NULL
+    )
+    SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+           ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 4) AS jaccard,
+           doc_b = doc_a + 100000 AS planted
+    FROM pairs
+    WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 4) >= 0.5
+    """,
+    tags=("dedup", "governance", "window"),
+)
+def sorted_neighborhood_neardup(spark, sf_dir):
+    """Sorted-neighborhood near-duplicate detection — the third
+    classic near-dup family after MinHash/LSH (``dedup_q``) and
+    SimHash (``simhash_clusters``): sort the corpus once by a blocking
+    key (first 40 chars of the text), then compare each document only
+    to its next 2 rank-neighbors within a block, computing exact
+    3-word-shingle Jaccard on those O(N·w) pairs.  Appended-suffix
+    variants are planted for doc_id % 10 == 0 (prefix-preserving, so
+    they sort adjacent to their original); the ``planted`` flag marks
+    recovered plants vs the fixture's own organic near-dups.  Recall
+    is bounded by the window/blocking — the documented SNM trade
+    (pairs straddling a block edge or separated by > w ranks are
+    missed; multi-pass SNM with a second sort key is the classic fix).
+
+    Scale: ZERO joins and zero candidate explosion — one sort
+    (window partitioned by the leading blocking byte, so no global
+    single-partition sort), ``lead`` carries the neighbor's shingle
+    set, and the Jaccard is a JVM ``array_intersect`` per emitted
+    pair.  Cost is O(N log N) sort + O(N·w) comparisons regardless of
+    duplicate density, vs LSH's per-band shuffles — the right tool
+    when near-dups cluster under a cheap sort key.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq near dup tail")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    t = F.split("text", " ")
+    sh = corpus.select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("skey"),
+        F.array_distinct(
+            F.when(
+                F.size(t) >= 3,
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2), "
+                    "i -> concat_ws(' ', split(text, ' ')[i-1], "
+                    "split(text, ' ')[i], split(text, ' ')[i+1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("toks"),
+    )
+    w = Window.partitionBy(F.substring("skey", 1, 1)).orderBy("skey", "doc_id")
+    ranked = sh.select(
+        "doc_id", "toks",
+        F.lead("doc_id", 1).over(w).alias("id1"),
+        F.lead("toks", 1).over(w).alias("t1"),
+        F.lead("doc_id", 2).over(w).alias("id2"),
+        F.lead("toks", 2).over(w).alias("t2"),
+    )
+
+    def pair(id_col, tok_col):
+        shared = F.size(F.array_intersect("toks", tok_col))
+        denom = F.size("toks") + F.size(tok_col) - shared
+        return (
+            ranked.where(F.col(id_col).isNotNull())
+            .select(
+                F.col("doc_id").alias("doc_a"),
+                F.col(id_col).alias("doc_b"),
+                F.round(shared.cast("double") / denom, 4).alias("jaccard"),
+            )
+        )
+
+    pairs = pair("id1", "t1").unionByName(pair("id2", "t2"))
+    return pairs.where(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b", "jaccard",
+        (F.col("doc_b") == F.col("doc_a") + 100000).alias("planted"),
+    )

@@ -50,6 +50,7 @@ FAMILIES = OrderedDict([
     ("streaming3_q", "Streaming wave 3 (left-semi interval join, chained window aggregation)"),
     ("api3_q", "Spark 4 SQL surface 2 (recursive CTE, SQL scripting, parameters, NOT IN nulls)"),
     ("functions3_q", "Aggregate library 3 (regression aggs, moments, bit aggs, disc percentiles, mode)"),
+    ("governance_q", "Data governance (k-anonymity, suppression, contribution clip, weighted median, SNM dedup)"),
 ])
 
 

@@ -471,3 +471,50 @@ def test_distribute_by_no_global_sort(spark, sf_dir):
     assert "Exchange hashpartitioning" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan.split("HashAggregate")[0]
+
+
+def test_snm_neardup_no_join(spark, sf_dir):
+    """Sorted-neighborhood dedup is the zero-join near-dup family:
+    one window sort carries the neighbor shingle sets via lead();
+    there must be no join node and no single-partition global sort
+    (the window is partitioned by the leading blocking byte)."""
+    plan = plan_of(spark, sf_dir, "sorted_neighborhood_neardup")
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan, plan[:2000]
+    assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
+def test_k_anonymity_stacked_aggs_no_join(spark, sf_dir):
+    """k-anonymity: two stacked partial-aggregated groupBys, no join;
+    the second agg runs on QI-cell-granular rows."""
+    plan = plan_of(spark, sf_dir, "k_anonymity_risk")
+    assert "partial_" in plan
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+
+
+def test_contribution_clip_single_fulldata_exchange(spark, sf_dir):
+    """Contribution clipping shuffles the full data exactly once — on
+    the (user, day) rank key; the day rollup is map-side combinable
+    on the already-partitioned rows."""
+    plan = plan_of(spark, sf_dir, "user_contribution_clip")
+    assert "partial_" in plan
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_weighted_median_reduces_before_window(spark, sf_dir):
+    """Weighted median: the window must run AFTER the price-domain
+    granularity reduction — the plan's first exchange is the partial
+    agg to (flag, price) cells, and no join appears."""
+    plan = plan_of(spark, sf_dir, "weighted_median_per_group")
+    assert "partial_sum" in plan
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct"):
+        assert node not in plan
+    # plan text is top-down: the segment below the LAST exchange is the
+    # full-data scan side — it must hold the partial agg, not the window
+    scan_side = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_sum" in scan_side and "FileScan" in scan_side
+    assert "Window" not in scan_side, plan[:2000]
