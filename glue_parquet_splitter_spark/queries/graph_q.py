@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -293,3 +294,89 @@ def pagerank_fixed_iters(spark, sf_dir):
         )
     return (ranks.select("node", F.round("rank", 6).alias("rank"))
             .orderBy(F.desc("rank"), "node").limit(20))
+
+
+@register(
+    "dup_cluster_canonical_pick",
+    oracle=_MINHASH_RECURSIVE_CTE + """
+    , sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
+    common AS (
+      SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM pairs p
+      JOIN toks ta ON ta.doc_id = p.doc_a
+      JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tok = ta.tok
+      GROUP BY p.doc_a, p.doc_b
+    ), verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM common c
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4) >= 0.5
+    ), und AS (
+      SELECT doc_a AS u, doc_b AS v FROM verified
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM verified
+    ), reach AS (
+      SELECT u, v FROM und
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.v
+    ), comps AS (
+      SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+      FROM reach GROUP BY u
+    ), scored AS (
+      SELECT c.component, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comps c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS canonical_doc,
+           CAST(n_chars AS BIGINT) AS canonical_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM scored WHERE rk = 1
+    """,
+    tags=("dedup", "graph", "curation"),
+)
+def dup_cluster_canonical_pick(spark, sf_dir):
+    """Survivor SELECTION for duplicate clusters: rather than the
+    min-id convention (``dedup_connected_components``'s ``component``
+    label), keep the best-quality member of each cluster — here the
+    longest document (``n_chars``, doc_id tiebreak), the policy real
+    curation uses so a truncated copy never shadows the full text.
+    Output: one row per dup cluster with its canonical doc and size.
+
+    Completes the dedup pipeline story: detect pairs (MinHash/LSH) →
+    verify (exact Jaccard) → cluster (connected components) → CHOOSE
+    the representative by content quality.
+
+    Scale: clusters and members are pair-graph-granular (docs with at
+    least one verified dup — a small fraction of the corpus); the
+    quality join is doc-level on the cluster members only, and the
+    pick is one window over cluster-sized partitions.  The doc_id
+    tiebreak makes the pick deterministic under equal quality.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = D.shingles(d, distinct=True)
+    pairs = D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
+    verified = (
+        D.jaccard(pairs, toks)
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    comp = connected_components(verified, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), "component")
+    scored = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    wc = Window.partitionBy("component")
+    ranked = scored.select(
+        "component", "doc_id", "n_chars",
+        F.row_number().over(
+            wc.orderBy(F.desc("n_chars"), F.asc("doc_id"))).alias("rk"),
+        F.count("*").over(wc).alias("n_members"),
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "component",
+        F.col("doc_id").alias("canonical_doc"),
+        F.col("n_chars").alias("canonical_chars"),
+        "n_members",
+    )

@@ -247,3 +247,61 @@ def pandas_udf_scalar_iter(spark, sf_dir):
         d.select("lang", tok_count("text").alias("k"))
         .groupBy("lang").agg(F.sum("k").alias("n_tokens"))
     )
+
+
+@register(
+    "grouped_pandas_linear_fit",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 4) + 0 AS slope,
+           ROUND(regr_intercept(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 2) + 0
+             AS intercept
+    FROM events GROUP BY event_type
+    """,
+    tags=("udf", "pandas", "stats"),
+)
+def grouped_pandas_linear_fit(spark, sf_dir):
+    """Per-group OLS fit (value ~ hours-since-2024-01-01; rebased so
+    the regressor mean is O(100), keeping intercept = my - slope*mx
+    float-stable to the rounded digit across engines) via
+    ``applyInPandas`` — the grouped-ML API path — checked for EXACT
+    parity against the engine-side closed form (DuckDB's
+    ``regr_slope``/``regr_intercept``).  The pandas body computes the
+    same moment formula (slope = cov/var on centered sums), so the
+    Python path is graded to the digit, not just "runs": the pattern
+    to copy when a per-group scikit-style fit must stay auditable
+    against SQL.  ``+ 0`` / ``+ 0.0`` normalizes a rounded ``-0.0``
+    to ``+0.0`` in both engines (near-zero slopes land there).
+
+    Scale: one shuffle on the group key; each group's fit is a single
+    Arrow batch in one Python worker — fine while every group fits in
+    memory (event types here; for billions-per-group, use the
+    algebraic ``regr_*``/``linear_regression_aggs`` form instead,
+    which never materializes a group).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))) / 3600.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["x"], pdf["y"]
+        n = len(pdf)
+        mx, my = x.mean(), y.mean()
+        cov = ((x - mx) * (y - my)).sum()
+        var = ((x - mx) ** 2).sum()
+        slope = cov / var
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n],
+                "slope": [round(slope, 4) + 0.0],
+                "intercept": [round(my - slope * mx, 2) + 0.0],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fit, "event_type string, n long, slope double, intercept double"
+    )
