@@ -119,6 +119,17 @@ SHOWCASE = {
         "rows, and the oriented edge list is checkpointed once for its "
         "three consumers."
     ),
+    "sorted_neighborhood_neardup": (
+        "Sorted-neighborhood near-dup: ZERO join nodes — one window sort "
+        "partitioned by the leading blocking byte carries each doc's "
+        "neighbor shingle sets via lead(); Jaccard is a JVM "
+        "array_intersect per emitted pair, O(N\u00b7w) total."
+    ),
+    "weighted_median_per_group": (
+        "Weighted median: granularity-reduce to (flag, price) cells with "
+        "a partial-aggregated groupBy FIRST; the ordered cumulative-weight "
+        "window runs on the bounded price support, never on raw rows."
+    ),
 }
 
 

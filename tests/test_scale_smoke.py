@@ -193,3 +193,44 @@ def test_triangle_orientation_bounds_hot_node(spark):
         .count()
     )
     assert n_tri == m  # ring edge + hub closes each: exactly m triangles
+
+
+def test_snm_neardup_1m_docs(spark):
+    """Sorted-neighborhood near-dup at 1M docs: window-partitioned by
+    a bounded block key (no single-partition sort), lead() carries
+    neighbor token sets, zero joins.  Construction: docs (2g, 2g+1)
+    share a sort key and 8 of their 12 distinct tokens (J = 2/3);
+    consecutive groups share ≤ 2 of 18 (J = 1/9) — so pairs ≥ 0.5 are
+    exactly the 500k planted ones, each at 0.6667."""
+    n = 1_000_000
+    g = F.col("id") / F.lit(2)
+    df = spark.range(n).select(
+        F.col("id"),
+        F.floor(g).alias("g"),
+        (F.col("id") % 2).alias("p"),
+    ).select(
+        "id",
+        (F.col("g") / 1000).cast("long").alias("block"),
+        F.lpad(F.col("g").cast("string"), 12, "0").alias("skey"),
+        F.expr(
+            "transform(sequence(g * 10 + p * 2, g * 10 + p * 2 + 9), "
+            "x -> cast(x as string))"
+        ).alias("toks"),
+    )
+    w = Window.partitionBy("block").orderBy("skey", "id")
+    ranked = df.select(
+        "toks",
+        F.lead("toks", 1).over(w).alias("t1"),
+    ).where(F.col("t1").isNotNull())
+    shared = F.size(F.array_intersect("toks", "t1"))
+    denom = F.size("toks") + F.size("t1") - shared
+    jac = F.round(shared.cast("double") / denom, 4)
+    row = (
+        ranked.select(jac.alias("j"))
+        .where(F.col("j") >= 0.5)
+        .agg(F.count("*").alias("n"), F.min("j").alias("lo"),
+             F.max("j").alias("hi"))
+        .collect()[0]
+    )
+    assert row.n == n // 2
+    assert row.lo == row.hi == 0.6667
