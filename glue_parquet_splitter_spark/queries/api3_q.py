@@ -205,3 +205,35 @@ def not_in_null_semantics(spark, sf_dir):
                    FROM ev_nin WHERE event_type = 'error'))
                AS BIGINT) AS n_not_in_nullable
     """)
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("api", "sql", "spark4"),
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe operators (Spark 4): the q1 aggregation written as a
+    linear ``FROM … |> WHERE … |> EXTEND … |> AGGREGATE`` chain — the
+    new-engine SQL dialect a migrating user may bring.  Same logical
+    plan as the nested form: Catalyst parses pipes into the identical
+    filter→project→aggregate tree, so pushdown/partial-agg behavior
+    is unchanged; the oracle is the classic GROUP BY spelling.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe")
+    return spark.sql("""
+        FROM lineitem_pipe
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(disc_price), 2) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+    """).select("l_returnflag", "l_linestatus", "n", "revenue")

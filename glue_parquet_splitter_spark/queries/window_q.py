@@ -153,3 +153,44 @@ def window_first_last(spark, sf_dir):
         F.round(F.last("o_totalprice").over(w), 2).alias("priciest"),
         F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_cheapest"),
     )
+
+
+@register(
+    "ntile_balance_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT c_mktsegment,
+             NTILE(4) OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS q,
+             c_acctbal
+      FROM customer
+    )
+    SELECT c_mktsegment, CAST(q AS BIGINT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo,
+           ROUND(MAX(c_acctbal), 2) AS hi
+    FROM t GROUP BY c_mktsegment, q
+    """,
+    tags=("window", "ntile"),
+)
+def ntile_balance_quartiles(spark, sf_dir):
+    """NTILE(4) balance quartiles per market segment with each tile's
+    row count and balance range — the classic equi-count banding
+    window (ties broken by c_custkey so tile edges are deterministic
+    in both engines).
+
+    Scale: one shuffle on the segment key; the rollup after is tile-
+    granular.  NTILE needs the partition ordered — for a partition too
+    big to sort in one task, the histogram-decile form
+    (``quality_decile_mix_histogram``) is the scale substitute.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    t = cust.select(
+        "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"))
+    return t.groupBy("c_mktsegment", "quartile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
