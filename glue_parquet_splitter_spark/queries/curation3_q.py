@@ -7,6 +7,7 @@ never move a document between shards/stages/epochs."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -408,4 +409,83 @@ def epoch_shuffle_order(spark, sf_dir):
                      F.row_number().over(w).alias("pos"))
         .where(F.col("pos") <= 20)
         .select("epoch", "doc_id", F.col("pos").cast("long").alias("pos"))
+    )
+
+
+@register(
+    "temperature_resample_by_lang",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT lang, n,
+             SUM(n) OVER () AS nn,
+             SQRT(CAST(n AS DOUBLE) / SUM(n) OVER ()) AS w
+      FROM counts
+    ), rates AS (
+      SELECT lang, n,
+             LEAST((nn / 2.0) * (w / SUM(w) OVER ()) / n, 1.0) AS rate
+      FROM tot
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE
+             '0' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+             < printf('%05x', CAST(FLOOR(r.rate * 65536) AS BIGINT)))
+             AS BIGINT) AS n_kept,
+           ROUND(MAX(r.rate), 4) AS rate
+    FROM documents d JOIN rates r ON r.lang = d.lang
+    GROUP BY d.lang
+    """,
+    tags=("curation", "sampling", "mixing"),
+)
+def temperature_resample_by_lang(spark, sf_dir):
+    """Temperature-based language rebalancing (T=2), the data-mixing
+    recipe multilingual LLM pipelines use to keep head languages from
+    drowning the tail: target share q_l ∝ s_l^(1/T) (square root at
+    T=2 — flatter than natural, short of uniform), then sample each
+    language at rate M·q_l/n_l toward an M = N/2 budget.  The keep
+    decision is the registry's salted-md5-prefix convention — hash
+    thresholds, not random(), so a document's fate is reproducible
+    across engines and reruns; the threshold is rendered as a 5-hex
+    string (``%05x``) so rate = 1.0 (65536) still compares above every
+    '0'-prefixed 4-hex draw.
+
+    Scale: language counts are one map-side-combinable groupBy to a
+    lang-granular relation; the rate table (≤ languages rows)
+    broadcasts back onto the corpus scan, and the report is a second
+    map-side rollup.  No full-data shuffle at any step.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    tot = counts.select(
+        "lang", "n",
+        F.sum("n").over(wall).alias("nn"),
+        F.sqrt(F.col("n").cast("double") / F.sum("n").over(wall)).alias("w"),
+    )
+    rates = tot.select(
+        "lang",
+        F.least(
+            (F.col("nn") / 2.0) * (F.col("w") / F.sum("w").over(wall))
+            / F.col("n"),
+            F.lit(1.0),
+        ).alias("rate"),
+    )
+    draw = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))),
+            1, 4),
+    )
+    thresh = F.format_string(
+        "%05x", F.floor(F.col("rate") * 65536).cast("long"))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(draw < thresh).alias("n_kept"),
+            F.round(F.max("rate"), 4).alias("rate"),
+        )
     )
