@@ -301,27 +301,28 @@ def sorted_neighborhood_neardup(spark, sf_dir):
         ).alias("toks"),
     )
     w = Window.partitionBy(F.substring("skey", 1, 1)).orderBy("skey", "doc_id")
+    # one window pass emits BOTH neighbors as an array of structs; a
+    # union of per-neighbor selects would duplicate the whole
+    # shingle+sort+lead subtree (2x scans/sorts/exchanges at 100 TB)
     ranked = sh.select(
         "doc_id", "toks",
-        F.lead("doc_id", 1).over(w).alias("id1"),
-        F.lead("toks", 1).over(w).alias("t1"),
-        F.lead("doc_id", 2).over(w).alias("id2"),
-        F.lead("toks", 2).over(w).alias("t2"),
+        F.array(
+            F.struct(F.lead("doc_id", 1).over(w).alias("id"),
+                     F.lead("toks", 1).over(w).alias("t")),
+            F.struct(F.lead("doc_id", 2).over(w).alias("id"),
+                     F.lead("toks", 2).over(w).alias("t")),
+        ).alias("nbrs"),
     )
-
-    def pair(id_col, tok_col):
-        shared = F.size(F.array_intersect("toks", tok_col))
-        denom = F.size("toks") + F.size(tok_col) - shared
-        return (
-            ranked.where(F.col(id_col).isNotNull())
-            .select(
-                F.col("doc_id").alias("doc_a"),
-                F.col(id_col).alias("doc_b"),
-                F.round(shared.cast("double") / denom, 4).alias("jaccard"),
-            )
-        )
-
-    pairs = pair("id1", "t1").unionByName(pair("id2", "t2"))
+    nb = ranked.select(
+        "doc_id", "toks", F.explode("nbrs").alias("nb")
+    ).where(F.col("nb.id").isNotNull())
+    shared = F.size(F.array_intersect("toks", F.col("nb.t")))
+    denom = F.size("toks") + F.size(F.col("nb.t")) - shared
+    pairs = nb.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nb.id").alias("doc_b"),
+        F.round(shared.cast("double") / denom, 4).alias("jaccard"),
+    )
     return pairs.where(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b", "jaccard",
         (F.col("doc_b") == F.col("doc_a") + 100000).alias("planted"),

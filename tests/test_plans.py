@@ -483,6 +483,10 @@ def test_snm_neardup_no_join(spark, sf_dir):
                  "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         assert node not in plan, plan[:2000]
     assert "Exchange SinglePartition" not in plan, plan[:2000]
+    # single-pass shape: both neighbors come from ONE window/sort/
+    # exchange (a per-neighbor union would double every stage)
+    assert plan.count("Window ") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
 
 
 def test_k_anonymity_stacked_aggs_no_join(spark, sf_dir):
