@@ -236,3 +236,60 @@ def topk_per_group_salted(spark, sf_dir):
         .select("c_mktsegment", "c_custkey",
                 F.round("c_acctbal", 2).alias("acctbal"))
     )
+
+
+@register(
+    "ivm_join_delta_apply",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("scale", "incremental", "join"),
+)
+def ivm_join_delta_apply(spark, sf_dir):
+    """Incremental view maintenance for a JOIN: with base snapshots
+    A_old ⋈ B_old already materialized, absorb inserts ΔA (new orders,
+    o_orderkey % 7 == 0) and ΔB (new customers, c_custkey % 11 == 0)
+    via the delta algebra
+
+        new = (A_old ⋈ B_old)  ∪  (A_old ⋈ ΔB)  ∪  (ΔA ⋈ B_new)
+
+    — the three disjoint terms cover (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB)
+    exactly once.  The oracle recomputes the full join from scratch;
+    equality of the aggregated results IS the grade that the
+    incremental algebra loses and duplicates nothing.
+
+    Scale: this is how a 100 TB joined view absorbs a day's data —
+    the stored view (here derived in-plan; in production a parquet/
+    table artifact, see ``incremental_agg_merge`` for the agg analog)
+    is touched only by union; the join work is sized by the DELTAS:
+    A_old ⋈ ΔB probes the big fact with a broadcast of the (small)
+    new-dimension rows, and ΔA ⋈ B_new joins one day of facts against
+    the dim.  Nothing re-joins A_old against B_old.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    a_old = orders.where(F.col("o_orderkey") % 7 != 0)
+    da = orders.where(F.col("o_orderkey") % 7 == 0)
+    b_old = cust.where(F.col("c_custkey") % 11 != 0)
+    db = cust.where(F.col("c_custkey") % 11 == 0)
+    b_new = cust  # b_old ∪ Δb
+
+    old_view = a_old.join(b_old, a_old.o_custkey == b_old.c_custkey)
+    inc1 = a_old.join(F.broadcast(db), a_old.o_custkey == db.c_custkey)
+    inc2 = da.join(b_new, da.o_custkey == b_new.c_custkey)
+    cols = ["o_orderkey", "o_totalprice", "c_mktsegment"]
+    new_view = (
+        old_view.select(*cols)
+        .unionByName(inc1.select(*cols))
+        .unionByName(inc2.select(*cols))
+    )
+    return new_view.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
