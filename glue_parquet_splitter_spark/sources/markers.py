@@ -15,6 +15,11 @@ order as the scheduler's own listing) and hands each executor a chunk
 of marker paths; the JSON parsing runs distributed in ``read``.  Both
 marker schemas are normalized: ``outputs`` mode yields its embedded
 list's length, ``counts`` mode the recorded count + manifest pointer.
+
+The WRITE path (``df.write.format("split_markers").save(dir)``,
+``MarkerWriter``) completes the connector: executors stage temp files,
+and only the driver's commit renames them visible — two-phase, so a
+failed or speculated task never publishes a marker.
 """
 
 from __future__ import annotations
@@ -25,7 +30,9 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 SCHEMA = ("kind string, date string, input_key string, "
@@ -54,6 +61,12 @@ class MarkerDataSource(DataSource):
 
     def schema(self) -> str:
         return SCHEMA
+
+    def writer(self, schema, overwrite: bool) -> "MarkerWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("split_markers writer needs a path (save(dir))")
+        return MarkerWriter(path, overwrite)
 
     def reader(self, schema) -> "MarkerReader":
         path = self.options.get("path")
@@ -106,6 +119,84 @@ class MarkerReader(DataSourceReader):
                 doc.get("outputs_manifest"),
                 doc.get("generated_at"),
             )
+
+
+class _MarkerWriteCommit(WriterCommitMessage):
+    def __init__(self, pairs: list):
+        self.pairs = pairs  # [(tmp_name, final_name)] written by one task
+
+
+class MarkerWriter(DataSourceWriter):
+    """Two-phase marker sink: tasks write ``.<date>.json.<id>.tmp``
+    files and report them in commit messages; only the DRIVER's
+    ``commit`` renames them to their visible ``<date>.json`` names, so
+    a failed/speculated task never publishes a half-written marker —
+    the same marker-last discipline the split pipeline itself follows
+    (reference parquet-splitter.py:175-186: marker only after all
+    outputs).  ``abort`` deletes the temporaries."""
+
+    def __init__(self, marker_dir: str, overwrite: bool):
+        self.marker_dir = marker_dir
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, dir_path = resolve_fs(marker_dir)
+        filesystem.create_dir(dir_path, recursive=True)
+        if overwrite:
+            from pyarrow.fs import FileSelector
+
+            for info in filesystem.get_file_info(
+                    FileSelector(dir_path, allow_not_found=True)):
+                if info.base_name.endswith(".json"):
+                    filesystem.delete_file(info.path)
+
+    def write(self, iterator) -> "_MarkerWriteCommit":
+        import uuid
+
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, dir_path = resolve_fs(self.marker_dir)
+        base = dir_path.rstrip("/")
+        pairs = []
+        for row in iterator:
+            if row.date is None:
+                raise ValueError("marker row without a date")
+            doc = {
+                "kind": row.kind,
+                "date": row.date,
+                "input_key": row.input_key,
+                "input_fingerprint": row.input_fingerprint,
+                "output_count": row.output_count,
+                "outputs_manifest": row.outputs_manifest,
+                "generated_at": row.generated_at,
+            }
+            tmp = f".{row.date}.json.{uuid.uuid4().hex[:8]}.tmp"
+            with filesystem.open_output_stream(f"{base}/{tmp}") as f:
+                f.write(json.dumps(doc, sort_keys=True).encode("utf-8"))
+            pairs.append((tmp, f"{row.date}.json"))
+        return _MarkerWriteCommit(pairs)
+
+    def commit(self, messages) -> None:
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, dir_path = resolve_fs(self.marker_dir)
+        base = dir_path.rstrip("/")
+        for m in messages:
+            for tmp, final in m.pairs:
+                filesystem.move(f"{base}/{tmp}", f"{base}/{final}")
+
+    def abort(self, messages) -> None:
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, dir_path = resolve_fs(self.marker_dir)
+        base = dir_path.rstrip("/")
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, _final in m.pairs:
+                try:
+                    filesystem.delete_file(f"{base}/{tmp}")
+                except OSError:
+                    pass  # temp already gone — abort must not raise
 
 
 def register_marker_source(spark) -> None:

@@ -1,0 +1,67 @@
+"""Marker-sink writer (Spark 4 Python DataSource write path): the
+counterpart of the `split_markers` reader — rows out to one
+`<date>.json` marker per day, with a two-phase temp-then-rename commit
+so failed tasks never publish half-written markers."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from glue_parquet_splitter_spark.sources.markers import (
+    SCHEMA,
+    read_markers,
+    register_marker_source,
+)
+
+ROWS = [
+    Row(kind="outputs", date="20250101", input_key="in/20250101.parquet",
+        input_fingerprint="123:456", output_count=30,
+        outputs_manifest=None, generated_at="2025-01-02T00:00:00Z"),
+    Row(kind="counts", date="20250102", input_key="in/20250102.parquet",
+        input_fingerprint="124:457", output_count=28,
+        outputs_manifest="manifests/run1", generated_at="2025-01-03T00:00:00Z"),
+]
+
+
+def _write(spark, rows, dest, mode):
+    register_marker_source(spark)
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    df.write.format("split_markers").mode(mode).save(dest)
+
+
+def test_roundtrip_and_no_temp_leftovers(spark, tmp_path):
+    dest = str(tmp_path / "markers")
+    _write(spark, ROWS, dest, "append")
+    assert sorted(os.listdir(dest)) == ["20250101.json", "20250102.json"]
+
+    back = {r["date"]: r.asDict() for r in read_markers(spark, dest).collect()}
+    assert back["20250101"]["output_count"] == 30
+    assert back["20250101"]["kind"] == "outputs"
+    assert back["20250102"]["outputs_manifest"] == "manifests/run1"
+    assert back["20250102"]["input_fingerprint"] == "124:457"
+
+
+def test_append_then_overwrite(spark, tmp_path):
+    dest = str(tmp_path / "markers")
+    _write(spark, ROWS, dest, "append")
+    extra = [ROWS[0].asDict() | {"date": "20250103"}]
+    _write(spark, [Row(**e) for e in extra], dest, "append")
+    assert len(os.listdir(dest)) == 3
+
+    _write(spark, [ROWS[0]], dest, "overwrite")
+    assert os.listdir(dest) == ["20250101.json"]
+
+
+def test_failed_write_publishes_nothing(spark, tmp_path):
+    """A task failure (null date) must abort the whole write: no
+    visible marker, no temp debris — the marker-last discipline."""
+    dest = str(tmp_path / "markers")
+    _write(spark, ROWS, dest, "append")
+    bad = [Row(**(ROWS[0].asDict() | {"date": "20250104"})),
+           Row(**(ROWS[0].asDict() | {"date": None}))]
+    with pytest.raises(Exception):
+        _write(spark, bad, dest, "append")
+    # the two committed markers survive; nothing new is visible and no
+    # .tmp files are left behind
+    assert sorted(os.listdir(dest)) == ["20250101.json", "20250102.json"]
