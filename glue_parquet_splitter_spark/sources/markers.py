@@ -30,6 +30,7 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -67,6 +68,12 @@ class MarkerDataSource(DataSource):
         if not path:
             raise ValueError("split_markers writer needs a path (save(dir))")
         return MarkerWriter(path, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "MarkerStreamWriter":
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("split_markers stream writer needs a path")
+        return MarkerStreamWriter(path)
 
     def reader(self, schema) -> "MarkerReader":
         path = self.options.get("path")
@@ -197,6 +204,40 @@ class MarkerWriter(DataSourceWriter):
                     filesystem.delete_file(f"{base}/{tmp}")
                 except OSError:
                     pass  # temp already gone — abort must not raise
+
+
+class MarkerStreamWriter(DataSourceStreamWriter):
+    """Streaming marker sink (``writeStream.format("split_markers")``):
+    each micro-batch's rows land as markers through the same two-phase
+    stage-then-rename protocol as the batch ``MarkerWriter``.  Batch
+    RETRIES are idempotent at the protocol level: a marker's visible
+    name is derived from its ``date`` alone, so re-committing batch N
+    after a crash rewrites the same ``<date>.json`` files rather than
+    duplicating them — the rename is the last step, exactly the
+    reference's marker-last discipline.  ``abort`` removes that
+    batch's staged temps and leaves every committed marker intact."""
+
+    def __init__(self, marker_dir: str):
+        self.marker_dir = marker_dir
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, dir_path = resolve_fs(marker_dir)
+        filesystem.create_dir(dir_path, recursive=True)
+
+    def write(self, iterator) -> "_MarkerWriteCommit":
+        return MarkerWriter.write(self, iterator)  # same staging body
+
+    def commit(self, messages, batchId: int) -> None:
+        from ..pipeline.splitter import resolve_fs
+
+        filesystem, dir_path = resolve_fs(self.marker_dir)
+        base = dir_path.rstrip("/")
+        for m in messages:
+            for tmp, final in m.pairs:
+                filesystem.move(f"{base}/{tmp}", f"{base}/{final}")
+
+    def abort(self, messages, batchId: int) -> None:
+        MarkerWriter.abort(self, messages)
 
 
 def register_marker_source(spark) -> None:

@@ -65,3 +65,46 @@ def test_failed_write_publishes_nothing(spark, tmp_path):
     # the two committed markers survive; nothing new is visible and no
     # .tmp files are left behind
     assert sorted(os.listdir(dest)) == ["20250101.json", "20250102.json"]
+
+
+def test_stream_sink_incremental_and_idempotent(spark, tmp_path):
+    """writeStream.format('split_markers'): each drained micro-batch
+    publishes markers; a restart from the same checkpoint processes
+    only new files, and re-emitting a date rewrites the same
+    <date>.json (idempotent by name) instead of duplicating."""
+    src, dest, ckpt = (str(tmp_path / p) for p in ["src", "markers", "ckpt"])
+    os.makedirs(src)
+    register_marker_source(spark)
+
+    def land(rows, tag):
+        stage = str(tmp_path / f"st_{tag}")
+        spark.createDataFrame(rows, schema=SCHEMA).coalesce(1) \
+            .write.parquet(stage)
+        for i, f in enumerate(sorted(os.listdir(stage))):
+            if f.endswith(".parquet"):
+                os.rename(f"{stage}/{f}", f"{src}/{tag}_{i}.parquet")
+
+    def drain():
+        q = (
+            spark.readStream.schema(SCHEMA).parquet(src)
+            .writeStream.format("split_markers")
+            .option("checkpointLocation", ckpt)
+            .option("path", dest)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    land([ROWS[0]], "a")
+    drain()
+    assert os.listdir(dest) == ["20250101.json"]
+
+    # second batch: a new date plus a REWRITE of 20250101 with a new
+    # count — the same visible name must be replaced, not duplicated
+    land([Row(**(ROWS[0].asDict() | {"output_count": 99})),
+          ROWS[1]], "b")
+    drain()
+    assert sorted(os.listdir(dest)) == ["20250101.json", "20250102.json"]
+    back = {r["date"]: r["output_count"]
+            for r in read_markers(spark, dest).collect()}
+    assert back == {"20250101": 99, "20250102": 28}
