@@ -305,3 +305,72 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     return ev.groupBy("event_type").applyInPandas(
         fit, "event_type string, n long, slope double, intercept double"
     )
+
+
+@register(
+    "python_udtf_polymorphic_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, tok, COUNT(*) AS n
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents WHERE doc_id < 50)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, tok,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, tok) AS rk
+      FROM tok
+    )
+    SELECT doc_id,
+           MAX(CASE WHEN rk = 1 THEN tok END) AS top_1,
+           MAX(CASE WHEN rk = 2 THEN tok END) AS top_2,
+           MAX(CASE WHEN rk = 3 THEN tok END) AS top_3
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("udf", "udtf", "spark4"),
+)
+def python_udtf_polymorphic_topk(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()`` API): the output
+    schema is computed at plan time from the constant ``k`` argument —
+    ``top_tokens(doc_id, text, 3)`` materializes columns
+    ``top_1..top_3``; call it with 5 and you get five, no code change.
+    The static-schema UDTF (``python_udtf_chunks``) can't express
+    this; ``analyze`` is the hook for table functions whose shape
+    depends on their arguments.  Per-doc top tokens use (-count,
+    token) ordering so the result is deterministic and the SQL
+    pivot oracle reproduces it exactly.
+
+    Scale: the UDTF is a map-side generator over each doc (Arrow
+    batches, one Python worker per task) — no shuffle at all; the
+    heavy version of this op (corpus-level term stats) is
+    ``term_frequency_top20``.
+    """
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TopTokens:
+        @staticmethod
+        def analyze(doc_id: AnalyzeArgument, text: AnalyzeArgument,
+                    k: AnalyzeArgument) -> AnalyzeResult:
+            st = StructType().add("doc_id", LongType())
+            for i in range(k.value):
+                st = st.add(f"top_{i + 1}", StringType())
+            return AnalyzeResult(st)
+
+        def eval(self, doc_id: int, text: str, k: int):
+            counts = Counter(text.split(" "))
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            vals = [t for t, _ in top] + [None] * (k - len(top))
+            yield (doc_id, *vals)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_topk_docs")
+    spark.udtf.register("top_tokens", TopTokens)
+    return spark.sql(
+        "SELECT c.* FROM _udtf_topk_docs d, "
+        "LATERAL top_tokens(d.doc_id, d.text, 3) c"
+    )
