@@ -522,3 +522,23 @@ def test_weighted_median_reduces_before_window(spark, sf_dir):
     scan_side = plan.split("Exchange hashpartitioning")[-1]
     assert "partial_sum" in scan_side and "FileScan" in scan_side
     assert "Window" not in scan_side, plan[:2000]
+
+
+def test_temperature_resample_broadcasts_rates(spark, sf_dir):
+    """Temperature rebalancing: the lang-rate table broadcasts back
+    onto the corpus scan — the corpus is never shuffled for the join,
+    and both rollups partial-aggregate."""
+    plan = plan_of(spark, sf_dir, "temperature_resample_by_lang")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_ivm_delta_join_shapes(spark, sf_dir):
+    """IVM delta algebra: the new-dim delta (ΔB) side is an explicit
+    broadcast probe of the fact; no cartesian anywhere; the three
+    union legs feed one partial-aggregated rollup."""
+    plan = plan_of(spark, sf_dir, "ivm_join_delta_apply")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
