@@ -251,3 +251,70 @@ def streaming_stateful_user_stats(spark, sf_dir):
     from ..streaming.stateful import run_user_stats_stream
 
     return run_user_stats_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "session_window_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL '30 minutes'
+                  ELSE INTERVAL '10 minutes' END AS gap
+      FROM events
+    ), o AS (
+      SELECT user_id, event_id, ts, value, ts + gap AS wend,
+             MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max_end
+      FROM e
+    ), s AS (
+      SELECT user_id, event_id, ts, value, wend,
+             SUM(CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')   AS session_start,
+           strftime(MAX(wend), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("events", "window", "session", "spark4"),
+)
+def session_window_dynamic_gap(spark, sf_dir):
+    """Sessionization with a PER-EVENT gap: a purchase keeps its
+    session alive 30 minutes, everything else 10 — the
+    engagement-weighted session definition product analytics actually
+    wants (checkout flows pause longer than browsing).  Uses
+    ``session_window`` with a Column gap (dynamic-gap form); the
+    oracle rebuilds it from first principles — a session breaks when
+    an event's start reaches the RUNNING MAX of previous window ends
+    (with variable gaps the previous event's end is NOT enough: an
+    older long-gap event can outlive a newer short-gap one).
+
+    Scale: same single (user_id) shuffle as fixed-gap sessionization;
+    the merge logic is state Spark keeps per key, and the same
+    operator runs on a stream (``streaming_session_window_agg`` is
+    the fixed-gap streaming twin).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("30 minutes")) \
+        .otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(
+                F.date_trunc("second", "session_window.start"),
+                TS_FMT).alias("session_start"),
+            F.date_format(
+                F.date_trunc("second", "session_window.end"),
+                TS_FMT).alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
