@@ -107,3 +107,34 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     j.collect()
+
+
+def test_range_clustered_layout_skips_row_groups(spark, sf_dir, tmp_path):
+    """Row-group data skipping: the SAME selective value filter reads
+    far fewer bytes from a range-clustered (repartitionByRange + local
+    sort) layout than from a value-scattered one, because parquet
+    min/max footer stats let whole row groups be skipped.  This is the
+    scan-side payoff the z-order/range-layout writers exist for — at
+    100 TB the difference is reading ~1 % of files vs all of them."""
+    from glue_parquet_splitter_spark.observability import run_with_metrics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    scattered, clustered = str(tmp_path / "sc"), str(tmp_path / "cl")
+    # scatter: order by a hash so every file spans the full value range
+    ev.repartition(8).write.parquet(scattered)
+    (ev.repartitionByRange(8, "value").sortWithinPartitions("value")
+       .write.parquet(clustered))
+
+    hi = ev.agg(F.expr("percentile(value, 0.99)")).first()[0]
+    pred = (F.col("value") >= hi)
+    _, m_sc = run_with_metrics(
+        spark.read.parquet(scattered).where(pred).select("event_id"))
+    _, m_cl = run_with_metrics(
+        spark.read.parquet(clustered).where(pred).select("event_id"))
+    # same result either way; the clustered scan DECODES a fraction of
+    # the rows (scan_output_rows counts rows surviving row-group
+    # min/max pruning — scan_bytes_read reports planned file size, so
+    # it cannot show skipping)
+    assert m_sc["output_rows"] == m_cl["output_rows"] > 0
+    assert m_cl["scan_output_rows"] * 3 <= m_sc["scan_output_rows"], (
+        m_cl, m_sc)
