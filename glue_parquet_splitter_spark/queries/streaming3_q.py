@@ -71,3 +71,48 @@ def streaming_chained_window_agg(spark, sf_dir):
     from ..streaming.windows import run_chained_windows_stream
 
     return run_chained_windows_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN INTERVAL '30 minutes'
+                  ELSE INTERVAL '10 minutes' END AS gap
+      FROM events
+    ), o AS (
+      SELECT user_id, event_id, ts, value, ts + gap AS wend,
+             MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS prev_max_end
+      FROM e
+    ), s AS (
+      SELECT user_id, event_id, ts, value, wend,
+             SUM(CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S')   AS session_start,
+           strftime(MAX(wend), '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2)     AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("streaming", "session", "spark4"),
+)
+def streaming_session_dynamic_gap(spark, sf_dir):
+    """The dynamic-gap session window ON A STREAM: the state store
+    tracks each user's open-session end as the running max of
+    event-time + that event's own gap (purchase 30 min, else 10).
+    Drained with availableNow in complete mode, the result equals the
+    batch form — ``session_window_dynamic_gap``'s first-principles SQL
+    is the oracle.
+    """
+    load_table(spark, sf_dir, "events")  # ns-ts session conf side effect
+    from ..streaming.windows import run_session_dynamic_gap_stream
+
+    return run_session_dynamic_gap_stream(spark, f"{sf_dir}/events.parquet")

@@ -474,3 +474,41 @@ def run_chained_windows_stream(spark: SparkSession,
         .where(F.col("day_end") <= F.col("mx") - F.expr("INTERVAL 2 HOURS"))
         .select("day", "max_hourly", F.col("n_events").cast("long").alias("n_events"))
     )
+
+
+def run_session_dynamic_gap_stream(spark: SparkSession, events_path: str,
+                                   watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization with a PER-EVENT gap (purchase keeps
+    the session alive 30 min, everything else 10): ``session_window``
+    with a Column gap runs identically on a stream — the state store
+    tracks each key's open session end as the running max of
+    event-time + that event's own gap.  Same complete-mode/availableNow
+    drain contract as ``run_session_window_stream`` (see its mode
+    note); the batch dynamic-gap oracle stays the ground truth."""
+    stream = events_stream(spark, events_path)
+    gap = (F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+           .otherwise(F.lit("10 minutes")))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("second", "session_window.start"),
+                          TS_FMT).alias("session_start"),
+            F.date_format(F.date_trunc("second", "session_window.end"),
+                          TS_FMT).alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
+    name = "stream_dsess_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_dsess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
