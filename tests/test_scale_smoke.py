@@ -234,3 +234,36 @@ def test_snm_neardup_1m_docs(spark):
     )
     assert row.n == n // 2
     assert row.lo == row.hi == 0.6667
+
+
+def test_dynamic_gap_sessions_1m_events(spark):
+    """Dynamic-gap sessionization at 1M events / 1k users with a
+    closed-form answer that only holds if the PER-EVENT gap is
+    honored: each user has 1000 events 7 min apart with a 20-min
+    extra pause before every 100th; even users are all 'click'
+    (10-min gap — every pause breaks: 10 sessions), odd users carry a
+    'purchase' (30-min gap) just before each pause (27-min total gap
+    < 30 — every pause is bridged: 1 session).  A fixed-gap engine
+    gives 10 or 1 for everyone; only the dynamic form yields
+    500*10 + 500*1 = 5500."""
+    users, per_user = 1000, 1000
+    df = spark.range(users * per_user).select(
+        (F.col("id") % users).alias("user_id"),
+        (F.col("id") / users).cast("long").alias("k"),
+    ).select(
+        "user_id",
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + (F.col("k") * 7 + F.floor(F.col("k") / 100) * 20) * 60
+        ).alias("ts"),
+        F.when(
+            (F.col("user_id") % 2 == 1) & (F.col("k") % 100 == 99),
+            F.lit("purchase")).otherwise(F.lit("click")).alias("event_type"),
+    )
+    gap = (F.when(F.col("event_type") == "purchase", F.lit("30 minutes"))
+           .otherwise(F.lit("10 minutes")))
+    sessions = df.groupBy("user_id", F.session_window("ts", gap)).count()
+    row = sessions.agg(F.count("*").alias("s"),
+                       F.sum("count").alias("n")).collect()[0]
+    assert row.n == users * per_user
+    assert row.s == 500 * 10 + 500 * 1, row.s
