@@ -3,6 +3,7 @@ survivors, normalization, grouped top-k lists, streaming dedup."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -512,4 +513,83 @@ def key_skew_profile(spark, sf_dir):
                 F.col("hottest_key_rows").cast("long").alias("hottest_key_rows"),
                 F.round(F.col("top_n") / F.col("total"), 4)
                 .alias("top10_share"))
+    )
+
+
+@register(
+    "session_scoped_funnel",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(LAG(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)))
+                         AS BIGINT) <= 600
+                  THEN 0 ELSE 1 END AS new_s,
+             event_id
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_type,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), steps AS (
+      SELECT user_id, sid, MIN(ts) AS t0,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)     AS tv,
+             MIN(CASE WHEN event_type = 'click' THEN ts END)    AS tc,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(t0, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN tv IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_view_sessions,
+           CAST(COUNT(CASE WHEN tv IS NOT NULL AND tc > tv AND tp > tc
+                           THEN 1 END) AS BIGINT)
+             AS n_ordered_conversions
+    FROM steps GROUP BY 1
+    """,
+    tags=("analytics", "funnel", "session"),
+)
+def session_scoped_funnel(spark, sf_dir):
+    """The ordered view→click→purchase funnel evaluated WITHIN a
+    session (10-min inactivity gap) and reported per session-start
+    day: conversions must happen in one visit, the definition product
+    analytics actually bills as "session conversion rate" —
+    ``ordered_funnel_conversion``'s lifetime-scoped variant.  The
+    same first-step MIN gating applies, scoped to (user, session):
+    NULL step MINs fail the ``>`` chain, so missing steps need no
+    explicit checks.
+
+    Scale: the lag-gap window, the per-session conditional MINs, and
+    the two rollups all derive from ONE shuffle on ``user_id`` (the
+    day rollup runs on session-granular rows).  The gap compare is
+    floor-second on both engines (Spark ``cast long`` truncates;
+    DuckDB ``FLOOR(epoch(...))`` matches — a raw ``CAST(double AS
+    BIGINT)`` would round-half-even and disagree on boundaries).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 600), F.lit(1)).otherwise(F.lit(0)))
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sid", F.sum("new_s").over(run))
+    steps = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("tp"),
+    )
+    ordered = (F.col("tv").isNotNull()
+               & (F.col("tc") > F.col("tv"))
+               & (F.col("tp") > F.col("tc")))
+    return steps.groupBy(
+        F.date_format("t0", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_sessions"),
+        F.count_if(F.col("tv").isNotNull()).alias("n_view_sessions"),
+        F.count_if(ordered).alias("n_ordered_conversions"),
     )
