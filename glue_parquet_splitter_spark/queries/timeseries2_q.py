@@ -147,3 +147,64 @@ def zscore_daily_anomaly(spark, sf_dir):
     )
     return (scored.where(F.abs("z") > 1.5)
             .select("event_type", "day", "n", F.round("z", 3).alias("zscore")))
+
+
+@register(
+    "capped_running_balance",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN value
+                  ELSE -value END AS delta
+      FROM events
+    ), s AS (
+      SELECT user_id, delta,
+             SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS ps
+      FROM d
+    )
+    SELECT user_id,
+           ROUND(SUM(delta) - LEAST(MIN(ps), 0), 2) AS final_balance,
+           ROUND(MIN(ps), 2) AS lowest_prefix,
+           MIN(ps) < 0 AS clamp_engaged
+    FROM s GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "algebra"),
+)
+def capped_running_balance(spark, sf_dir):
+    """Floor-clamped running balance — b_t = max(0, b_{t-1} + delta_t)
+    (credits from purchases/signups, debits from everything else) —
+    WITHOUT the per-row recurrence: for a lower clamp at zero the
+    closed form is  b_t = S_t − min(0, min_{j≤t} S_j)  over plain
+    prefix sums S, because every clamp event simply resets the
+    effective baseline to the running minimum.  Reported per user:
+    final balance, the lowest unclamped prefix, and whether the clamp
+    ever engaged.
+
+    Scale: the naive formulation is a non-associative sequential scan
+    (the ``applyInPandas``-per-key trap); the identity turns it into
+    two stacked windows over ONE ``user_id`` shuffle — an associative
+    scan any engine parallelizes.  Same family as the EWMA window
+    algebra (``ewma_user_value_rebased``): find the closed form before
+    reaching for per-key Python.  Float-deterministic across engines
+    because both sides sum in the identical (ts, event_id) order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    delta = F.when(F.col("event_type").isin("purchase", "signup"),
+                   F.col("value")).otherwise(-F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        delta.alias("delta"),
+        F.sum(delta).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("ps"),
+    )
+    # the FINAL prefix is just the user's total delta sum — no
+    # order-dependent last() needed, the agg stays deterministic
+    return s.groupBy("user_id").agg(
+        F.round(F.sum("delta") - F.least(F.min("ps"), F.lit(0.0)), 2)
+        .alias("final_balance"),
+        F.round(F.min("ps"), 2).alias("lowest_prefix"),
+        (F.min("ps") < 0).alias("clamp_engaged"),
+    )
