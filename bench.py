@@ -154,35 +154,78 @@ def bench_compact_replay(spark, tmp_root: str) -> tuple[float, dict]:
     return time.perf_counter() - t0, summary
 
 
+def _shuffle_bytes_from_doc(doc: dict) -> dict[str, int]:
+    """Extract per-query shuffle bytes from one BENCH doc, any vintage.
+
+    Three shapes exist: (a) r1-r6 flat/parsed form with a
+    ``shuffle_bytes_written`` name->bytes dict; (b) the r7+ compact form
+    with ``shuffle_kb`` as a list aligned with the ``queries`` dict's
+    key order (kB, or null for streaming/replay entries); (c) a
+    driver-written wrapper whose ``parsed`` is null because the JSON
+    line outgrew the 2000-char ``tail`` capture — recover the block
+    from the tail by regex (the dict sits near the line's end, so it
+    survives front-truncation).
+    """
+    import re
+
+    parsed = doc.get("parsed") or doc  # "parsed": null must not win
+    if isinstance(parsed, dict):
+        prev = parsed.get("shuffle_bytes_written")
+        if isinstance(prev, dict) and prev:
+            return {k: int(v) for k, v in prev.items()
+                    if isinstance(v, (int, float))}
+        kb = parsed.get("shuffle_kb")
+        names = list(parsed.get("queries") or {})
+        if isinstance(kb, list) and len(kb) == len(names):
+            return {n: int(v * 1024) for n, v in zip(names, kb)
+                    if isinstance(v, (int, float))}
+    tail = doc.get("tail") or ""
+    m = re.search(r'shuffle_bytes_written":\s*\{([^{}]*)\}', tail)
+    if m:
+        return {k: int(v) for k, v in
+                re.findall(r'"([^"]+)":\s*(-?\d+)', m.group(1))}
+    m = re.search(r'shuffle_kb":\s*\[([^\[\]]*)\]', tail)
+    mq = re.search(r'"queries":\s*\{([^{}]*)\}', tail)
+    if m and mq:
+        names = re.findall(r'"([^"]+)":', mq.group(1))
+        vals = [v.strip() for v in m.group(1).split(",")]
+        if len(names) == len(vals):
+            return {n: int(float(v) * 1024) for n, v in zip(names, vals)
+                    if v not in ("null", "")}
+    return {}
+
+
 def load_prev_shuffle_bytes(repo_dir: str) -> tuple[str | None, dict[str, int]]:
-    """Per-query shuffle bytes from the newest committed BENCH_r*.json.
+    """Per-query shuffle bytes from the newest *recoverable*
+    BENCH_r*.json (falling back round by round).
 
     Shuffle volume is plan-determined and stable across runs, so it is
     the round-over-round regression signal wall-time is not on a noisy
-    shared host (VERDICT r5 #3 made this executable).  Driver-written
-    BENCH files nest the bench JSON under "parsed"; a local run of this
-    script prints the flat form — accept both.
+    shared host (VERDICT r5 #3 made this executable; VERDICT r6 #2
+    hardened it against driver-written files with ``"parsed": null``
+    and a truncated tail).
     """
     import glob
     import re
 
-    best_n, best_path = -1, None
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and int(m.group(1)) > best_n:
-            best_n, best_path = int(m.group(1)), p
-    if best_path is None:
-        return None, {}
-    try:
-        with open(best_path) as f:
-            doc = json.load(f)
-        doc = doc.get("parsed", doc)
-        prev = doc.get("shuffle_bytes_written") or {}
-        return os.path.basename(best_path), {
-            k: int(v) for k, v in prev.items() if isinstance(v, (int, float))
-        }
-    except Exception:
-        return os.path.basename(best_path), {}
+        if m:
+            rounds.append((int(m.group(1)), p))
+    newest_name = None
+    for _, path in sorted(rounds, reverse=True):
+        if newest_name is None:
+            newest_name = os.path.basename(path)
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            prev = _shuffle_bytes_from_doc(doc)
+        except Exception:
+            continue
+        if prev:
+            return os.path.basename(path), prev
+    return newest_name, {}
 
 
 # a ±20 % move on a plan-determined byte count is a plan change, not
@@ -282,6 +325,17 @@ def main() -> None:
     streaming_names = {n for n in timings
                        if n in reg and "streaming" in reg[n].tags}
     streaming_sec = round(sum(timings[n] for n in streaming_names), 3)
+    # shuffle bytes as a kB list aligned with the queries dict's key
+    # order (null where not measured) — the old name->bytes dict made
+    # the JSON line outgrow the driver's 2000-char tail capture, which
+    # left BENCH_r06.json with "parsed": null and nearly disarmed the
+    # r7 shuffle gate (VERDICT r6 #2).  load_prev_shuffle_bytes reads
+    # both forms.
+    shuffle_kb = [
+        (round(shuffle_bytes[n] / 1024, 1) if shuffle_bytes.get(n, -1) >= 0
+         else None) if n in shuffle_bytes else None
+        for n in timings
+    ]
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
@@ -294,14 +348,14 @@ def main() -> None:
         "split_replay_skew_rows_per_sec": round(skew_rate),
         "compact_files_before": compact_summary.get("files_before"),
         "compact_files_after": compact_summary.get("files_after"),
-        "shuffle_bytes_written": shuffle_bytes,
+        "shuffle_kb": shuffle_kb,
         "shuffle_baseline": prev_file,
         "shuffle_regressions": regressions,
         # host contention at run end — context for wall-time outliers
         # (r5 recorded a 4.83 s min-of-3 for a 0.8 s query; CPU-steal
         # is invisible in the timings themselves)
         "loadavg": [round(x, 2) for x in os.getloadavg()],
-    }))
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

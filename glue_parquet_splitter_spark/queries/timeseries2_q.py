@@ -158,13 +158,15 @@ def zscore_daily_anomaly(spark, sf_dir):
                   ELSE -value END AS delta
       FROM events
     ), s AS (
-      SELECT user_id, delta,
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn,
              SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS ps
       FROM d
     )
     SELECT user_id,
-           ROUND(SUM(delta) - LEAST(MIN(ps), 0), 2) AS final_balance,
+           ROUND(MAX_BY(ps, rn) - LEAST(MIN(ps), 0), 2) AS final_balance,
            ROUND(MIN(ps), 2) AS lowest_prefix,
            MIN(ps) < 0 AS clamp_engaged
     FROM s GROUP BY user_id
@@ -187,7 +189,12 @@ def capped_running_balance(spark, sf_dir):
     scan any engine parallelizes.  Same family as the EWMA window
     algebra (``ewma_user_value_rebased``): find the closed form before
     reaching for per-key Python.  Float-deterministic across engines
-    because both sides sum in the identical (ts, event_id) order.
+    because EVERY float the output depends on — the prefix sums and
+    the final total (= max_by(ps, rn), the last prefix in the same
+    deterministic (ts, event_id) order) — is accumulated in one fixed
+    order on both sides.  Re-summing delta in a plain agg would be
+    partition-arrival-ordered and flips ROUND on half-cent boundaries
+    (the r6 driver caught exactly that).
     """
     ev = load_table(spark, sf_dir, "events")
     delta = F.when(F.col("event_type").isin("purchase", "signup"),
@@ -195,15 +202,15 @@ def capped_running_balance(spark, sf_dir):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
         "user_id",
-        delta.alias("delta"),
+        F.row_number().over(w).alias("rn"),
         F.sum(delta).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("ps"),
     )
-    # the FINAL prefix is just the user's total delta sum — no
-    # order-dependent last() needed, the agg stays deterministic
+    # the FINAL prefix (total) is the ps at the max rn — a
+    # deterministically-ordered value, unlike a re-summed SUM(delta)
     return s.groupBy("user_id").agg(
-        F.round(F.sum("delta") - F.least(F.min("ps"), F.lit(0.0)), 2)
+        F.round(F.max_by("ps", "rn") - F.least(F.min("ps"), F.lit(0.0)), 2)
         .alias("final_balance"),
         F.round(F.min("ps"), 2).alias("lowest_prefix"),
         (F.min("ps") < 0).alias("clamp_engaged"),

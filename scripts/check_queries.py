@@ -5,6 +5,7 @@ Usage: python scripts/check_queries.py [sf_dir] [name ...]
 Default sf_dir is sf0.001 for speed; the driver's gate runs sf0.01.
 """
 
+import os
 import sys
 import time
 
@@ -21,7 +22,10 @@ def main():
     names = [a for a in args if "/" not in a]
     reg = load_all_modules()
     todo = names or list(reg)
-    spark = get_spark("check_queries", shuffle_partitions=8)
+    # CHECK_SHUFFLE_PARTITIONS=200 reproduces driver-like accumulation
+    # order — shakes out float-order flakiness invisible at 8 partitions
+    parts = int(os.environ.get("CHECK_SHUFFLE_PARTITIONS", "8"))
+    spark = get_spark("check_queries", shuffle_partitions=parts)
     failures = []
     for name in todo:
         t0 = time.time()

@@ -40,14 +40,46 @@ def test_reads_latest_committed_round():
     name, prev = bench.load_prev_shuffle_bytes(REPO)
     # the repo always carries at least one driver-written BENCH file
     assert name is not None and name.startswith("BENCH_r")
-    assert prev, "expected per-query shuffle bytes from the parsed doc"
+    assert prev, "expected per-query shuffle bytes recovered from some round"
     assert all(isinstance(v, int) for v in prev.values())
-    # driver files nest under "parsed" — verify we unwrapped it
-    with open(os.path.join(REPO, name)) as f:
-        doc = json.load(f)
-    inner = doc.get("parsed", doc)
-    assert prev == {k: int(v) for k, v in
-                    inner["shuffle_bytes_written"].items()}
+    assert any(v > bench.SHUFFLE_GATE_MIN_BYTES for v in prev.values())
+
+
+def test_recovers_from_parsed_null_truncated_tail():
+    """VERDICT r6 #2: driver-written BENCH_r06.json has "parsed": null
+    and a front-truncated tail — the shuffle block near the line's end
+    must still be recovered (it disarmed the r7 gate otherwise)."""
+    doc = {"parsed": None,
+           "tail": ('...": 0.4}, "shuffle_bytes_written": {"q1": 10000, '
+                    '"q2": 55085}, "shuffle_baseline": "BENCH_r05.json"}')}
+    assert bench._shuffle_bytes_from_doc(doc) == {"q1": 10000, "q2": 55085}
+
+
+def test_reads_compact_shuffle_kb_form():
+    """r7+ prints shuffle bytes as a kB list aligned with the queries
+    key order, so the line fits the driver's 2000-char tail capture."""
+    doc = {"parsed": {"queries": {"a": 1.0, "b": 2.0, "stream_c": 3.0},
+                      "shuffle_kb": [9.8, 53.8, None]}}
+    got = bench._shuffle_bytes_from_doc(doc)
+    assert got == {"a": int(9.8 * 1024), "b": int(53.8 * 1024)}
+    # and the tail-regex path for the same form
+    doc2 = {"parsed": None,
+            "tail": ('"queries":{"a":1.0,"b":2.0,"c":3.0},"sf":0.1,'
+                     '"shuffle_kb":[9.8,53.8,null],"loadavg":[1]}')}
+    got2 = bench._shuffle_bytes_from_doc(doc2)
+    assert got2 == {"a": int(9.8 * 1024), "b": int(53.8 * 1024)}
+
+
+def test_falls_back_to_older_parseable_round(tmp_path):
+    """A newest round with nothing recoverable must not silently yield
+    {} while an older round has real bytes."""
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"parsed": None, "tail": "garbage no shuffle block"}))
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"parsed": {"shuffle_bytes_written": {"q": 123456}}}))
+    name, prev = bench.load_prev_shuffle_bytes(str(tmp_path))
+    assert name == "BENCH_r08.json"
+    assert prev == {"q": 123456}
 
 
 def test_bench_queries_exist_in_registry():
