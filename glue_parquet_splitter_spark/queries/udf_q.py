@@ -273,6 +273,11 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     to copy when a per-group scikit-style fit must stay auditable
     against SQL.  ``+ 0`` / ``+ 0.0`` normalizes a rounded ``-0.0``
     to ``+0.0`` in both engines (near-zero slopes land there).
+    The regressor is ``cast(ts as double)`` — FRACTIONAL epoch
+    seconds, matching DuckDB's ``epoch(ts)`` exactly; Spark's
+    ``unix_timestamp`` truncates to whole seconds and would fit a
+    different x vector (every fixture ts is sub-second), leaving
+    parity to rounding luck.
 
     Scale: one shuffle on the group key; each group's fit is a single
     Arrow batch in one Python worker — fine while every group fits in
@@ -282,7 +287,9 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        ((F.unix_timestamp("ts") - F.unix_timestamp(F.lit("2024-01-01").cast("timestamp"))) / 3600.0).alias("x"),
+        ((F.col("ts").cast("double")
+          - F.lit("2024-01-01").cast("timestamp").cast("double"))
+         / 3600.0).alias("x"),
         F.col("value").alias("y"),
     )
 

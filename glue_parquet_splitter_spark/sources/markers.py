@@ -148,13 +148,22 @@ class MarkerWriter(DataSourceWriter):
 
         filesystem, dir_path = resolve_fs(marker_dir)
         filesystem.create_dir(dir_path, recursive=True)
+        # Overwrite must NOT delete anything here: __init__ runs at
+        # write-planning time on the driver, before any task has
+        # staged a byte — deleting now would let a failed job destroy
+        # previously committed markers.  Record what exists; commit()
+        # deletes only the stale ones (not re-written) AFTER all
+        # renames, preserving the "only commit publishes" discipline.
+        self._stale_on_commit: list[str] = []
         if overwrite:
             from pyarrow.fs import FileSelector
 
-            for info in filesystem.get_file_info(
-                    FileSelector(dir_path, allow_not_found=True)):
-                if info.base_name.endswith(".json"):
-                    filesystem.delete_file(info.path)
+            self._stale_on_commit = [
+                info.base_name
+                for info in filesystem.get_file_info(
+                    FileSelector(dir_path, allow_not_found=True))
+                if info.base_name.endswith(".json")
+            ]
 
     def write(self, iterator) -> "_MarkerWriteCommit":
         import uuid
@@ -164,22 +173,35 @@ class MarkerWriter(DataSourceWriter):
         filesystem, dir_path = resolve_fs(self.marker_dir)
         base = dir_path.rstrip("/")
         pairs = []
-        for row in iterator:
-            if row.date is None:
-                raise ValueError("marker row without a date")
-            doc = {
-                "kind": row.kind,
-                "date": row.date,
-                "input_key": row.input_key,
-                "input_fingerprint": row.input_fingerprint,
-                "output_count": row.output_count,
-                "outputs_manifest": row.outputs_manifest,
-                "generated_at": row.generated_at,
-            }
-            tmp = f".{row.date}.json.{uuid.uuid4().hex[:8]}.tmp"
-            with filesystem.open_output_stream(f"{base}/{tmp}") as f:
-                f.write(json.dumps(doc, sort_keys=True).encode("utf-8"))
-            pairs.append((tmp, f"{row.date}.json"))
+        try:
+            for row in iterator:
+                if row.date is None:
+                    raise ValueError("marker row without a date")
+                doc = {
+                    "kind": row.kind,
+                    "date": row.date,
+                    "input_key": row.input_key,
+                    "input_fingerprint": row.input_fingerprint,
+                    "output_count": row.output_count,
+                    "outputs_manifest": row.outputs_manifest,
+                    "generated_at": row.generated_at,
+                }
+                tmp = f".{row.date}.json.{uuid.uuid4().hex[:8]}.tmp"
+                with filesystem.open_output_stream(f"{base}/{tmp}") as f:
+                    f.write(json.dumps(doc, sort_keys=True).encode("utf-8"))
+                pairs.append((tmp, f"{row.date}.json"))
+        except Exception:
+            # The Python DataSource API has no task-level abort, and the
+            # driver's abort() only sees commit messages from SUCCESSFUL
+            # tasks — so a task failing mid-write (good rows staged, bad
+            # row raises) must clean its own temps before re-raising, or
+            # they'd be orphaned forever.
+            for tmp, _final in pairs:
+                try:
+                    filesystem.delete_file(f"{base}/{tmp}")
+                except OSError:
+                    pass
+            raise
         return _MarkerWriteCommit(pairs)
 
     def commit(self, messages) -> None:
@@ -187,9 +209,20 @@ class MarkerWriter(DataSourceWriter):
 
         filesystem, dir_path = resolve_fs(self.marker_dir)
         base = dir_path.rstrip("/")
+        written = set()
         for m in messages:
             for tmp, final in m.pairs:
                 filesystem.move(f"{base}/{tmp}", f"{base}/{final}")
+                written.add(final)
+        # overwrite semantics, deferred from __init__: drop markers that
+        # predate this job and were not re-written — only now that every
+        # staged temp has been published
+        for stale in getattr(self, "_stale_on_commit", []):
+            if stale not in written:
+                try:
+                    filesystem.delete_file(f"{base}/{stale}")
+                except OSError:
+                    pass  # already gone — deletion is best-effort
 
     def abort(self, messages) -> None:
         from ..pipeline.splitter import resolve_fs

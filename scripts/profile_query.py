@@ -4,13 +4,15 @@ SQLMetrics summary (scan rows/bytes/files, shuffle records/bytes,
 spills), and optionally the AQE-final physical plan.
 
 Usage:
-  python scripts/profile_query.py [sf_dir] name [name ...] [--plan] [--n 3]
+  python scripts/profile_query.py name [name ...] [--sf-dir DIR] [--plan] [--n 3]
+  (a bare positional containing '/' is also accepted as the sf dir)
 
 This is the audit loop behind the plan claims in docstrings/PLANS.md:
 run it after changing a query and check the shuffle bytes and plan
 shape moved the way the docstring says they should.
 """
 
+import argparse
 import sys
 import time
 
@@ -23,16 +25,22 @@ from glue_parquet_splitter_spark.session import get_spark  # noqa: E402
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    show_plan = "--plan" in sys.argv
-    n_runs = 3
-    if "--n" in sys.argv:
-        n_runs = int(sys.argv[sys.argv.index("--n") + 1])
-        args = [a for a in args if a != str(n_runs)]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.1"
-    names = [a for a in args if "/" not in a]
+    # argparse, not hand-rolled argv filtering: the old value-equality
+    # removal of --n's operand also dropped any positional that
+    # happened to equal the repeat count (ADVICE r6)
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("positional", nargs="+",
+                    help="query names; a token containing '/' is the sf dir")
+    ap.add_argument("--sf-dir", default=None)
+    ap.add_argument("--plan", action="store_true")
+    ap.add_argument("--n", type=int, default=3)
+    opts = ap.parse_intermixed_args()  # allows "name --n 1 sf_dir" order
+    show_plan, n_runs = opts.plan, opts.n
+    dirs = [a for a in opts.positional if "/" in a]
+    names = [a for a in opts.positional if "/" not in a]
+    sf_dir = opts.sf_dir or (dirs[0] if dirs else "/root/testdata/sf0.1")
     if not names:
-        raise SystemExit("profile_query: give at least one query name")
+        ap.error("give at least one query name")
 
     reg = load_all_modules()
     spark = get_spark("profile_query")

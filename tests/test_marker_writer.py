@@ -67,6 +67,63 @@ def test_failed_write_publishes_nothing(spark, tmp_path):
     assert sorted(os.listdir(dest)) == ["20250101.json", "20250102.json"]
 
 
+def test_failed_overwrite_preserves_existing(spark, tmp_path):
+    """Overwrite's deletion must be deferred to commit(): a FAILED
+    overwrite job (bad row aborts the write) may not destroy the
+    previously committed markers — before the r7 fix, __init__ deleted
+    them at write-planning time, before any task ran."""
+    dest = str(tmp_path / "markers")
+    _write(spark, ROWS, dest, "append")
+    bad = [Row(**(ROWS[0].asDict() | {"date": None}))]
+    with pytest.raises(Exception):
+        _write(spark, bad, dest, "overwrite")
+    assert sorted(os.listdir(dest)) == ["20250101.json", "20250102.json"]
+
+
+def test_successful_overwrite_drops_stale_after_publish(spark, tmp_path):
+    """A successful overwrite publishes the new markers first, then
+    drops only the stale ones (pre-existing, not re-written)."""
+    dest = str(tmp_path / "markers")
+    _write(spark, ROWS, dest, "append")
+    # overwrite with a REWRITE of 20250101 plus a new day; 20250102 is
+    # stale and must disappear, the rewrite must carry the new count
+    newer = [Row(**(ROWS[0].asDict() | {"output_count": 7})),
+             Row(**(ROWS[0].asDict() | {"date": "20250105"}))]
+    _write(spark, newer, dest, "overwrite")
+    assert sorted(os.listdir(dest)) == ["20250101.json", "20250105.json"]
+    back = {r["date"]: r["output_count"]
+            for r in read_markers(spark, dest).collect()}
+    assert back == {"20250101": 7, "20250105": 30}
+
+
+def test_midtask_failure_cleans_own_temps(spark, tmp_path):
+    """Good-row-then-bad-row in the SAME task: the Python DataSource
+    API has no task-level abort and driver abort() only sees messages
+    from successful tasks, so the failing task itself must delete the
+    temps it already staged — no .tmp debris, nothing visible."""
+    dest = str(tmp_path / "markers")
+    register_marker_source(spark)
+    bad = [Row(**(ROWS[0].asDict() | {"date": "20250110"})),
+           Row(**(ROWS[0].asDict() | {"date": None}))]
+    df = spark.createDataFrame(bad, schema=SCHEMA).coalesce(1)
+    assert df.rdd.getNumPartitions() == 1  # one task stages then fails
+    with pytest.raises(Exception):
+        df.write.format("split_markers").mode("append").save(dest)
+    assert os.listdir(dest) == []  # includes dotfiles — no temp debris
+
+
+def test_read_through_scheme_carrying_uri(spark, tmp_path):
+    """VERDICT r6 #5: the multi-FS listing/read fix (base-name
+    partitions re-resolved against the scheme-carrying marker_dir) was
+    only exercised on plain local paths — pin it through a file:// URI,
+    which takes the same re-prefix path as s3://d/gs:// dirs."""
+    dest = str(tmp_path / "markers")
+    _write(spark, ROWS, dest, "append")
+    back = {r["date"]: r["output_count"]
+            for r in read_markers(spark, f"file://{dest}").collect()}
+    assert back == {"20250101": 30, "20250102": 28}
+
+
 def test_stream_sink_incremental_and_idempotent(spark, tmp_path):
     """writeStream.format('split_markers'): each drained micro-batch
     publishes markers; a restart from the same checkpoint processes
