@@ -72,6 +72,13 @@ BENCH_QUERIES = [
     "stable_row_index",
     "mips_norm_bound_topk",
     "kmeans_lloyd_iters",
+    # round-7 breadth (VERDICT r6 #6): one representative each for the
+    # r6 wave-3/4 families so their shuffle bytes become gated signals —
+    # governance-style zero-join near-dup, incremental view maintenance,
+    # and dynamic-gap sessionization
+    "sorted_neighborhood_neardup",
+    "ivm_join_delta_apply",
+    "session_window_dynamic_gap",
 ]
 
 

@@ -106,6 +106,35 @@ def main():
                  f"{len(reg)} — regenerate (scripts/gen_queries_md.py) or "
                  f"update the README sentence")
     print(f"ok: docs — QUERIES.md/README.md counts match registry ({len(reg)})")
+
+    # 5. environment-gate probe (VERDICT r6 #4): make the two known
+    # env-gated gaps driver-visible evidence, not docstring claims.
+    # Neither is fixable in-container: no network, and pip installs are
+    # prohibited — if a cache or wheel appears, this flips to "ok" and
+    # the skipped tests un-skip by themselves.
+    import glob as _glob
+    jar_dirs = [os.path.join(os.path.dirname(__import__("pyspark").__file__),
+                             "jars"),
+                os.path.expanduser("~/.ivy2"), os.path.expanduser("~/.m2")]
+    avro_jars = [j for d in jar_dirs
+                 for j in _glob.glob(os.path.join(d, "**", "spark-avro*.jar"),
+                                     recursive=True)]
+    try:
+        import google.protobuf  # noqa: F401
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    print("probe: spark-avro jar "
+          + (f"FOUND ({avro_jars[0]})" if avro_jars
+             else f"absent (searched {', '.join(jar_dirs)})")
+          + " -> avro format tests "
+          + ("active" if avro_jars else "skip (env-gated)"))
+    print("probe: google.protobuf "
+          + ("importable" if has_pb else "absent (pyspark's "
+             "transformWithState protocol needs it; no network/pip here)")
+          + " -> transformWithStateInPandas tests "
+          + ("active" if has_pb else
+             "skip (applyInPandasWithState twin carries correctness)"))
     print("ALL CHECKS PASS")
 
 

@@ -362,6 +362,9 @@ def test_stable_row_index_no_global_sort(spark, sf_dir):
     assert "hashpartitioning(_pid" in plan, plan[:1500]
     assert "Exchange SinglePartition" not in plan, plan[:1500]
     assert "Window" not in plan  # offsets come from mapInPandas, not a window
+    # exactly ONE exchange end to end (VERDICT r6 #7): the _pid
+    # repartition; bucket boundaries ride broadcast metadata
+    assert plan.count("Exchange") == 1, plan[:1500]
 
 
 def test_ks_drift_single_fulldata_exchange(spark, sf_dir):
@@ -408,6 +411,11 @@ def test_jaccard_prefix_filter_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "jaccard_prefix_filter_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join is EQUI-keyed on the shingle itself (VERDICT
+    # r6 #7): prefix tokens meet by hash, never by pairwise comparison
+    import re
+    assert re.search(r"HashJoin \[shingle#\d+\], \[shingle#\d+\]", plan), \
+        plan[:2000]
 
 
 def test_mips_corpus_single_scan_broadcasts(spark, sf_dir):
