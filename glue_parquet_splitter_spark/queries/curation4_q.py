@@ -1,0 +1,225 @@
+"""Round-7 curation additions: the two published-recipe dedup signals
+the registry did not yet compose.
+
+- **SemDeDup** (cluster-then-prune semantic dedup): k-means-style
+  clustering bounds the pairwise cosine work, then near-identical
+  members within each cluster are pruned — the published recipe for
+  semantic (not lexical) duplicate removal from web-scale corpora.
+- **Inter-doc duplicate-gram fraction** (approximate exact-substring
+  dedup signal): per document, the share of its distinct 8-grams that
+  also occur in at least one OTHER document — the corpus-self
+  counterpart of benchmark decontamination, and the signal behind
+  "remove documents that are mostly boilerplate copied across pages".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import similarity as S
+from . import register
+
+_K = 8          # seed centroids (vec_id < _K)
+_TAU = 0.9      # within-cluster prune threshold on ROUND(cos, 4)
+_NGRAM = 8
+
+
+@register(
+    "semdedup_cluster_prune",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), v AS (
+      SELECT vec_id, i, x FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, i,
+             x + (CASE WHEN i = 2 THEN 0.05 ELSE 0.0 END) AS x
+      FROM base WHERE vec_id >= 8 AND vec_id < 33
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), cents AS (
+      SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < 8
+    ), cnorms AS (
+      SELECT cid, sqrt(SUM(cx * cx)) AS cnrm FROM cents GROUP BY cid
+    ), sims AS (
+      SELECT v.vec_id, cents.cid,
+             SUM(v.x * cents.cx) / (MIN(norms.nrm) * MIN(cnorms.cnrm)) AS cos_c
+      FROM v JOIN cents ON cents.i = v.i
+      JOIN norms ON norms.vec_id = v.vec_id
+      JOIN cnorms ON cnorms.cid = cents.cid
+      WHERE v.vec_id >= 8
+      GROUP BY v.vec_id, cents.cid
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(cos_c, 6) DESC, cid) AS rn
+        FROM sims) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS cand_id,
+             SUM(xa.x * xb.x) / (MIN(na.nrm) * MIN(nb.nrm)) AS cos_ab
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v xa ON xa.vec_id = a.vec_id
+      JOIN v xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.cid, a.vec_id, b.vec_id
+    ), dropped AS (
+      SELECT DISTINCT cid, cand_id FROM pairs WHERE ROUND(cos_ab, 4) >= 0.9
+    )
+    SELECT assign.cid AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(dropped.cand_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(dropped.cand_id) AS BIGINT) AS n_kept
+    FROM assign LEFT JOIN dropped
+      ON dropped.cid = assign.cid AND dropped.cand_id = assign.vec_id
+    GROUP BY assign.cid
+    """,
+    tags=("similarity", "dedup", "curation"),
+)
+def semdedup_cluster_prune(spark, sf_dir):
+    """SemDeDup — cluster-then-prune semantic dedup: assign every
+    corpus vector to its nearest of k=8 seed centroids (cosine), then
+    within each cluster drop any member whose cosine to a LOWER-id
+    member is ≥ 0.9 (deterministic keep-lowest-id survivor rule).
+    Twenty-five perturbed copies are planted so the prune is
+    non-vacuous by construction.  Reported per cluster: members,
+    dropped, kept.
+
+    Scale: this is THE technique that makes embedding dedup tractable
+    at 100 TB — clustering bounds the pairwise work to within-cluster
+    (choose k ≈ √N so clusters stay ~√N-sized; here k is fixture
+    sized).  Centroids broadcast for assignment (corpus never
+    shuffled for it); the within-cluster self-join is an equi join on
+    cid — never all-pairs across the corpus.  Cluster-size skew is
+    the known failure mode: at scale, cap cluster size by splitting
+    hot clusters on a secondary LSH bit (same salting pattern as
+    ``topk_per_group_salted``).
+
+    Engine-parity notes: the nearest-centroid argmin orders by
+    ``ROUND(cos, 6)`` then cid on BOTH engines, so a float-noise tie
+    cannot flip the assignment; the prune threshold compares
+    ``ROUND(cos, 4)`` (the ``embedding_dedup_apply`` convention).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planted = (
+        base.filter((F.col("vec_id") >= _K) & (F.col("vec_id") < _K + 25))
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "v", lambda x, i: F.when(i == F.lit(1), x + F.lit(0.05)).otherwise(x)
+            ).alias("v"),
+        )
+    )
+    allv = base.unionByName(planted)
+    cents = (
+        base.filter(F.col("vec_id") < _K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    corpus = allv.filter(F.col("vec_id") >= _K)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("cos_c"), 6)), "cid")
+    assign = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    a = assign.select("cid", F.col("vec_id").alias("keep_id"), F.col("v").alias("va"))
+    b = assign.select("cid", F.col("vec_id").alias("cand_id"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= _TAU)
+        .select(F.col("cid").alias("d_cid"), "cand_id").distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assign.join(F.broadcast(dropped),
+                    (F.col("cid") == F.col("d_cid"))
+                    & (F.col("vec_id") == F.col("cand_id")), "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "interdoc_dup_gram_fraction",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[CAST(i AS BIGINT):CAST(i + 7 AS BIGINT)], ' ')) AS g
+      FROM toks, UNNEST(range(1, len(w) - 6)) AS t(i)
+    ), gd AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs FROM grams GROUP BY g
+    ), per_doc AS (
+      SELECT grams.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (gd.n_docs >= 2) AS BIGINT) AS n_shared
+      FROM grams JOIN gd USING (g)
+      GROUP BY grams.doc_id
+    )
+    SELECT doc_id, n_grams, n_shared,
+           ROUND(n_shared * 1.0 / n_grams, 4) AS dup_frac,
+           n_shared * 10 >= n_grams AS drop_candidate
+    FROM per_doc
+    WHERE n_shared > 0
+    """,
+    tags=("curation", "dedup", "text"),
+)
+def interdoc_dup_gram_fraction(spark, sf_dir):
+    """Corpus-self duplicate-text signal (approximate exact-substring
+    dedup): for each document, the fraction of its DISTINCT 8-grams
+    that also occur in at least one other document; docs with ≥ 10 %
+    shared grams are flagged as drop candidates (cross-page
+    boilerplate).  The corpus-self counterpart of
+    ``decontamination_ngram_overlap`` — same shingle+md5 machinery,
+    but the "benchmark" is the rest of the corpus itself, so the
+    reference set is corpus-sized and can NOT be broadcast.
+
+    Scale: two shuffles, both on 16-byte md5 keys — (1) distinct +
+    per-gram doc counts (map-side combined), (2) the join back to
+    per-doc rollups.  No raw text ever shuffles, nothing is
+    all-pairs, and the gram→count table is the same cardinality the
+    exact-dedup hash shuffle already handles.  At 100 TB this is the
+    standard two-pass MapReduce shape of the published
+    suffix-array-free approximation; the threshold comparison
+    ``n_shared * 10 >= n_grams`` stays in integers — no float
+    boundary to flip.
+    """
+    from ..operators.dedup import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingles(d.select("doc_id", "text"), _NGRAM)
+        .select("doc_id", F.md5("tok").alias("g"))
+        .distinct()
+    )
+    gd = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        grams.join(gd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    return (
+        per_doc.where(F.col("n_shared") > 0)
+        .select(
+            "doc_id", "n_grams", "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 4).alias("dup_frac"),
+            (F.col("n_shared") * 10 >= F.col("n_grams")).alias("drop_candidate"),
+        )
+    )
