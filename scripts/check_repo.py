@@ -107,6 +107,27 @@ def main():
                  f"update the README sentence")
     print(f"ok: docs — QUERIES.md/README.md counts match registry ({len(reg)})")
 
+    # 4b. float-stability ledger (VERDICT r6 #1's lint, made empirical):
+    # STABILITY.json records, per query, Spark-vs-Spark exactness across
+    # 8 vs 200 shuffle partitions + the oracle verdict at the
+    # driver-like setting (scripts/check_float_stability.py).  Any
+    # recorded instability is a hard fail; queries added since the last
+    # sweep are listed so the sweep gets re-run before shipping.
+    import json as _json
+    stab_path = "/root/repo/STABILITY.json"
+    if os.path.exists(stab_path):
+        with open(stab_path) as f:
+            stab = _json.load(f)
+        bad = stab.get("fail") or []
+        if bad:
+            fail(f"STABILITY.json records unstable/red queries: {bad[:5]}")
+        uncovered = sorted(set(reg) - set(stab.get("results", {})))
+        print(f"ok: stability ledger — {len(stab.get('results', {}))} "
+              f"queries stable at 8 vs 200 partitions"
+              + (f"; NOT YET SWEPT: {uncovered[:8]}" if uncovered else ""))
+    else:
+        print("warn: no STABILITY.json — run scripts/check_float_stability.py")
+
     # 5. environment-gate probe (VERDICT r6 #4): make the two known
     # env-gated gaps driver-visible evidence, not docstring claims.
     # Neither is fixable in-container: no network, and pip installs are

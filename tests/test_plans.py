@@ -542,6 +542,31 @@ def test_temperature_resample_broadcasts_rates(spark, sf_dir):
     assert "partial_" in plan
 
 
+def test_semdedup_bounded_to_within_cluster(spark, sf_dir):
+    """SemDeDup: centroid assignment rides a broadcast of the k-row
+    centroid table (the corpus is never shuffled for assignment), and
+    the pairwise prune is an equi join on cid — bounded to
+    within-cluster, never an all-pairs cartesian over the corpus."""
+    plan = plan_of(spark, sf_dir, "semdedup_cluster_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # centroids + dropped set
+    import re
+    # the within-cluster self-join is keyed on cid (hash or sort-merge
+    # both fine — at scale with k≈√N it is a plain shuffle join)
+    assert re.search(r"Join \[cid#\d+L?\], \[cid#\d+L?\]", plan), plan[:2000]
+
+
+def test_interdoc_dup_grams_md5_keyed(spark, sf_dir):
+    """Inter-doc gram sharing: both shuffles key on the md5 digest and
+    partial-aggregate map-side; no cartesian, no nested loop — raw
+    text never shuffles."""
+    plan = plan_of(spark, sf_dir, "interdoc_dup_gram_fraction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+    assert "hashpartitioning(g#" in plan, plan[:2000]
+
+
 def test_ivm_delta_join_shapes(spark, sf_dir):
     """IVM delta algebra: the new-dim delta (ΔB) side is an explicit
     broadcast probe of the fact; no cartesian anywhere; the three
