@@ -285,17 +285,24 @@ def sorted_neighborhood_neardup(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" zq near dup tail")).alias("text"),
     )
     corpus = docs.unionByName(variants)
-    t = F.split("text", " ")
-    sh = corpus.select(
+    # materialize the token array ONCE and reference it by name inside
+    # the lambda: writing split(text) inline in the lambda re-evaluates
+    # the split per element (no CSE across lambda boundaries) — that
+    # O(len²) per doc made this query 10x slower (4.7 s -> 0.5 s at
+    # sf0.1).  Same discipline as operators/dedup.shingles.
+    tok = corpus.select(
         "doc_id",
         F.substring("text", 1, 40).alias("skey"),
+        F.split("text", " ").alias("t"),
+    )
+    sh = tok.select(
+        "doc_id", "skey",
         F.array_distinct(
             F.when(
-                F.size(t) >= 3,
+                F.size("t") >= 3,
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2), "
-                    "i -> concat_ws(' ', split(text, ' ')[i-1], "
-                    "split(text, ' ')[i], split(text, ' ')[i+1]))"
+                    "transform(sequence(1, size(t) - 2), "
+                    "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"
                 ),
             ).otherwise(F.array().cast("array<string>"))
         ).alias("toks"),

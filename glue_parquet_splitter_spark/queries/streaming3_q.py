@@ -10,6 +10,8 @@ when append-mode emission requires it.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ..catalog import load_table
 from . import register
 
@@ -116,3 +118,49 @@ def streaming_session_dynamic_gap(spark, sf_dir):
     from ..streaming.windows import run_session_dynamic_gap_stream
 
     return run_session_dynamic_gap_stream(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "streaming_static_enrich_join",
+    oracle="""
+    SELECT n.n_name || '/' || c.c_mktsegment AS segment,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 2)   AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "join", "enrich"),
+)
+def streaming_static_enrich_join(spark, sf_dir):
+    """Stream-static dimension enrichment — the missing stateless
+    member of the stream-join family (the interval-join entries are
+    all stream-STREAM and stateful): a streaming event fact joined to
+    the static customer⋈nation dim chain, rolled up per
+    (nation/segment, event_type).  Spark broadcasts the static side
+    into every micro-batch; no state store, no watermark needed for
+    the join, and complete-mode drain equals the batch join exactly —
+    so the ORDINARY batch SQL is a hard oracle, no finalized-region
+    trick required.
+
+    Scale: the streaming side never shuffles for the join (broadcast
+    dim, the same plan a batch enrich would pick); only the final
+    segment×type rollup keeps (tiny) state.  A dim too big to
+    broadcast would instead be pre-bucketed and the join left to
+    shuffle each micro-batch — the knob is the same as batch.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    dims = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.concat_ws("/", "n_name", "c_mktsegment").alias("segment"),
+        )
+    )
+    load_table(spark, sf_dir, "events")  # ns-ts session conf side effect
+    from ..streaming.windows import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, f"{sf_dir}/events.parquet", dims)

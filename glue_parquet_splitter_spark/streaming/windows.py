@@ -512,3 +512,37 @@ def run_session_dynamic_gap_stream(spark: SparkSession, events_path: str,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_static_enrich(spark: SparkSession, events_path: str,
+                             static_dims: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment: the canonical "enrich a
+    stream with reference data" pattern — a STREAMING fact joined to a
+    BATCH dim table inside the streaming query.  Spark executes the
+    static side as a per-micro-batch broadcast: stateless (no
+    watermark needed for the join itself, no state store), so at scale
+    the streaming side never shuffles for the join and the dim is
+    re-resolved each batch (a slowly-changing dim picks up updates
+    between batches for free).
+
+    ``static_dims`` must be (user_id, segment)-shaped; the drained
+    complete-mode aggregate equals the batch join+group-by exactly
+    because every operator here is stateless below the final agg.
+    """
+    stream = events_stream(spark, events_path)
+    enriched = stream.join(F.broadcast(static_dims), "user_id")
+    agg = (
+        enriched.groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    name = "stream_enrich_" + uuid.uuid4().hex[:10]
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_enrich_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -89,11 +89,26 @@ def main():
               f"stable={stable} oracle={msg}{detail}", flush=True)
         if status == "FAIL":
             failures.append(name)
-    with open("/root/repo/STABILITY.json", "w") as f:
-        json.dump({"sf_dir": sf_dir, "n": len(todo),
-                   "fail": failures, "results": results}, f, indent=1)
+    # subset runs MERGE into the existing ledger (a named-queries
+    # invocation must not clobber the full-registry sweep's results)
+    path = "/root/repo/STABILITY.json"
+    doc = {"sf_dir": sf_dir, "results": {}}
+    if names:
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+    doc["results"].update(results)
+    doc["results"] = {k: doc["results"][k] for k in sorted(doc["results"])}
+    doc["n"] = len(doc["results"])
+    doc["fail"] = sorted(k for k, v in doc["results"].items()
+                         if not (v["stable"] and v["oracle_ok"]))
+    doc["sf_dir"] = sf_dir
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
     print(f"\n{len(todo) - len(failures)}/{len(todo)} stable+green "
-          f"-> STABILITY.json")
+          f"-> STABILITY.json ({doc['n']} total, {len(doc['fail'])} failing)")
     if failures:
         print("failing:", " ".join(failures))
         sys.exit(1)
