@@ -223,3 +223,92 @@ def interdoc_dup_gram_fraction(spark, sf_dir):
             (F.col("n_shared") * 10 >= F.col("n_grams")).alias("drop_candidate"),
         )
     )
+
+
+@register(
+    "entity_resolution_blocked_match",
+    oracle="""
+    WITH dirty AS (
+      SELECT p_partkey + 100000 AS dirty_id,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS d_name,
+             p_brand, p_type, p_size,
+             p_retailprice * 1.03 AS d_price
+      FROM part WHERE p_partkey % 16 = 0
+    ), cand AS (
+      SELECT d.dirty_id, c.p_partkey,
+             ROUND(0.6 * (1.0 - levenshtein(d.d_name, c.p_name)
+                          / GREATEST(len(d.d_name), len(c.p_name)))
+                 + 0.2 * (CASE WHEN d.p_size = c.p_size THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * (1.0 - ABS(d.d_price - c.p_retailprice)
+                          / GREATEST(d.d_price, c.p_retailprice)), 4) AS score
+      FROM dirty d JOIN part c
+        ON c.p_brand = d.p_brand AND c.p_type = d.p_type
+    ), ranked AS (
+      SELECT dirty_id, p_partkey, score,
+             ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                ORDER BY score DESC, p_partkey) AS rn
+      FROM cand WHERE score >= 0.6
+    )
+    SELECT dirty_id, p_partkey AS matched_id, score,
+           (p_partkey = dirty_id - 100000) AS matched_source
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "er", "join"),
+)
+def entity_resolution_blocked_match(spark, sf_dir):
+    """Entity resolution / record linkage — the classic
+    block-score-rank pipeline: a "dirty" catalog (every 16th part with
+    a dropped character, a 3 % price drift, same brand/type/size) is
+    matched back against the clean catalog.  Blocking is an equi join
+    on (brand, type) — candidates never leave the block; scoring is a
+    weighted field-similarity sum (0.6 Levenshtein name similarity +
+    0.2 exact size + 0.2 relative price closeness); the best match per
+    dirty record wins by (rounded score desc, partkey).  With only 64
+    distinct names over 2000 parts, same-name in-block ambiguity is
+    real — ``matched_source`` records whether the winner is the actual
+    perturbation source, which the price term usually decides.
+
+    Scale: the shape LSH can't give you when fields (not a single
+    text) carry the signal.  The block key bounds candidate fan-out
+    (here brand x type; at 100 TB pick keys for ~10^2-10^3-row
+    blocks, or union several cheap keys — multi-pass blocking); the
+    clean side shuffles once on the block key, scoring is map-side
+    arithmetic, and the rank is a window inside block-bounded
+    candidate sets.  Determinism: the rank orders by the ROUNDED
+    score (identical 4-digit doubles on both engines) with partkey as
+    the tiebreak, so float noise below the round cannot flip winners.
+    """
+    p = load_table(spark, sf_dir, "part")
+    dirty = p.where(F.col("p_partkey") % 16 == 0).select(
+        (F.col("p_partkey") + 100000).alias("dirty_id"),
+        F.concat(F.substring("p_name", 1, 2),
+                 F.expr("substr(p_name, 4)")).alias("d_name"),
+        F.col("p_brand").alias("d_brand"),
+        F.col("p_type").alias("d_type"),
+        F.col("p_size").alias("d_size"),
+        (F.col("p_retailprice") * 1.03).alias("d_price"),
+    )
+    cand = dirty.join(
+        p, (F.col("p_brand") == F.col("d_brand"))
+        & (F.col("p_type") == F.col("d_type")))
+    name_sim = 1.0 - (
+        F.levenshtein("d_name", "p_name")
+        / F.greatest(F.length("d_name"), F.length("p_name")))
+    size_sim = F.when(F.col("d_size") == F.col("p_size"), 1.0).otherwise(0.0)
+    price_sim = 1.0 - (
+        F.abs(F.col("d_price") - F.col("p_retailprice"))
+        / F.greatest("d_price", "p_retailprice"))
+    scored = cand.select(
+        "dirty_id", "p_partkey",
+        F.round(0.6 * name_sim + 0.2 * size_sim + 0.2 * price_sim, 4)
+        .alias("score"),
+    ).where(F.col("score") >= 0.6)
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("dirty_id").orderBy(F.desc("score"), "p_partkey"))
+    return (
+        scored.withColumn("rn", rn).where(F.col("rn") == 1)
+        .select("dirty_id", F.col("p_partkey").alias("matched_id"), "score",
+                (F.col("p_partkey") == F.col("dirty_id") - 100000)
+                .alias("matched_source"))
+    )

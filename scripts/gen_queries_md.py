@@ -51,7 +51,7 @@ FAMILIES = OrderedDict([
     ("api3_q", "Spark 4 SQL surface 2 (recursive CTE, SQL scripting, parameters, NOT IN nulls)"),
     ("functions3_q", "Aggregate library 3 (regression aggs, moments, bit aggs, disc percentiles, mode)"),
     ("governance_q", "Data governance (k-anonymity, suppression, contribution clip, weighted median, SNM dedup)"),
-    ("curation4_q", "Curation wave 4 (SemDeDup cluster-prune, inter-doc duplicate-gram fraction)"),
+    ("curation4_q", "Curation wave 4 (SemDeDup cluster-prune, inter-doc duplicate-gram fraction, blocked entity resolution)"),
 ])
 
 
