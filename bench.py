@@ -79,6 +79,16 @@ BENCH_QUERIES = [
     "sorted_neighborhood_neardup",
     "ivm_join_delta_apply",
     "session_window_dynamic_gap",
+    # round-7 addition: corpus-self dedup — the registry's heaviest
+    # honest shuffle (gram-keyed, no broadcast possible).
+    # (semdedup_cluster_prune is deliberately NOT here: its oracle pins
+    # k=8 seed clusters, so cluster size — and the within-cluster
+    # pairwise cost — grows quadratically with sf (4.6 s at sf0.1, all
+    # compute).  At scale k≈sqrt(N) bounds it, but a fixed-k bench
+    # entry would read as an outlier, not a regression signal; its
+    # scale shape is pinned by test_scale_smoke.py's 100k-vector /
+    # 500-cluster smoke instead.)
+    "interdoc_dup_gram_fraction",
 ]
 
 

@@ -130,6 +130,24 @@ SHOWCASE = {
         "a partial-aggregated groupBy FIRST; the ordered cumulative-weight "
         "window runs on the bounded price support, never on raw rows."
     ),
+    "semdedup_cluster_prune": (
+        "SemDeDup: the k-row centroid table broadcasts for assignment "
+        "(corpus never shuffles for it); the pairwise prune is an equi "
+        "join on the cluster id, so comparisons stay within-cluster — "
+        "never all-pairs across the corpus."
+    ),
+    "interdoc_dup_gram_fraction": (
+        "Corpus-self duplicate grams: both exchanges key on the 16-byte "
+        "md5 digest with map-side partial aggregation; raw text never "
+        "shuffles.  The gram->doc-count relation is corpus-sized, so no "
+        "broadcast — the honest two-pass shape of self-similarity."
+    ),
+    "entity_resolution_blocked_match": (
+        "Entity resolution: (brand, type) blocking carries the candidate "
+        "join as an equi join; scoring is map-side arithmetic and the "
+        "best-match rank is a window inside block-bounded candidates — "
+        "ordered by the ROUNDED score so float noise cannot flip winners."
+    ),
 }
 
 

@@ -267,3 +267,88 @@ def test_dynamic_gap_sessions_1m_events(spark):
                        F.sum("count").alias("n")).collect()[0]
     assert row.n == users * per_user
     assert row.s == 500 * 10 + 500 * 1, row.s
+
+
+def test_interdoc_dup_grams_1m_docs(spark):
+    """interdoc_dup_gram_fraction's two-pass md5 shape at 1M docs:
+    50k planted exact-duplicate pairs share ALL their 8-grams, every
+    other doc shares none — so exactly the 100k paired docs surface,
+    each at dup_frac 1.0, and only aggregate scalars reach the driver."""
+    from glue_parquet_splitter_spark.operators.dedup import shingles
+
+    n, pairs = 1_000_000, 50_000
+    # doc key: members of a planted pair collapse to the same key, so
+    # their 10-token texts (hence all three 8-grams) are identical;
+    # keys are disjoint across non-pairs, so no accidental sharing
+    key = F.when(F.col("id") < 2 * pairs, F.col("id") % pairs) \
+        .otherwise(F.col("id"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.format_string("x%d", key * 10 + F.lit(j)) for j in range(10)
+        ]).alias("text"),
+    )
+    grams = (shingles(docs, 8)
+             .select("doc_id", F.md5("tok").alias("g")).distinct())
+    gd = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        grams.join(gd, "g").groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_shared"))
+    )
+    flagged = per_doc.where(F.col("n_shared") > 0)
+    row = flagged.agg(
+        F.count("*").alias("n"),
+        F.min((F.col("n_shared") == F.col("n_grams")).cast("int")).alias("all_full"),
+        F.sum("n_grams").alias("total_grams")).collect()[0]
+    assert row.n == 2 * pairs
+    assert row.all_full == 1          # every flagged doc: dup_frac == 1.0
+    assert row.total_grams == 2 * pairs * 3  # 10 tokens -> 3 eight-grams
+
+
+def test_semdedup_100k_vectors_500_clusters(spark):
+    """semdedup_cluster_prune's shape at 100k vectors / 500 clusters:
+    members of a cluster are collinear (cosine exactly 1), clusters sit
+    at distinct angles, so assignment is exact and the prune keeps
+    exactly the lowest id per cluster — kept == n_clusters by closed
+    form, with the pairwise work bounded to within-cluster."""
+    import math
+
+    from glue_parquet_splitter_spark.operators import similarity as S
+
+    n, k = 100_000, 500
+    theta = (F.col("id") % k) * (math.pi / 2 / k)
+    r = (F.col("id") % 7 + 1).cast("double")
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(r * F.cos(theta), r * F.sin(theta)).alias("v"),
+        (F.col("id") % k).alias("true_cid"),
+    )
+    cents = spark.range(k).select(
+        F.col("id").alias("cid"),
+        F.array(F.cos(F.col("id") * (math.pi / 2 / k)),
+                F.sin(F.col("id") * (math.pi / 2 / k))).alias("cv"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("cos_c"), 6)), "cid")
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "true_cid", "cid",
+                S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    # assignment must be exact before the prune means anything
+    assert assign.where(F.col("cid") != F.col("true_cid")).limit(1).count() == 0
+    a = assign.select("cid", F.col("vec_id").alias("keep_id"),
+                      F.col("v").alias("va"))
+    b = assign.select("cid", F.col("vec_id").alias("cand_id"),
+                      F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= 0.9)
+        .select("cid", "cand_id").distinct()
+    )
+    row = dropped.agg(F.count("*").alias("n_dropped")).collect()[0]
+    assert row.n_dropped == n - k     # everything but one survivor per cluster
