@@ -330,3 +330,89 @@ def mips_norm_bound_topk(spark, sf_dir):
             .filter(F.col("rank") <= 3)
             .select("query_id", "neighbor_id", "dot_score",
                     F.col("rank").cast("long").alias("rank")))
+
+
+@register(
+    "ann_jl_projection_topk",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), proj AS (
+      SELECT vec_id, j,
+             SUM(CASE WHEN ((j * 73 + d * 151) % 7) < 4 THEN x ELSE -x END)
+               AS p
+      FROM v, UNNEST(generate_series(0, 7)) AS s(j)
+      GROUP BY vec_id, j
+    ), pn AS (
+      SELECT vec_id, sqrt(SUM(p * p)) AS nrm FROM proj GROUP BY vec_id
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             SUM(q.p * c.p) / (MIN(nq.nrm) * MIN(nc.nrm)) AS pc
+      FROM proj q JOIN proj c ON c.j = q.j AND c.vec_id <> q.vec_id
+      JOIN pn nq ON nq.vec_id = q.vec_id
+      JOIN pn nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id < 5
+      GROUP BY q.vec_id, c.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, ROUND(pc, 4) AS proj_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(pc, 6) DESC, neighbor_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, proj_cos, CAST(rk AS BIGINT) AS rank
+    FROM ranked WHERE rk <= 3
+    """,
+    tags=("similarity", "projection"),
+)
+def ann_jl_projection_topk(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection ANN — the
+    dimensionality-REDUCTION member of the scale family (quantization
+    shrinks bits/dim, LSH shrinks candidates, JL shrinks DIMENSIONS):
+    project 64-dim vectors to 8 dims through a deterministic ±1 sign
+    matrix (s(j,d) = +1 iff (73j + 151d) mod 7 < 4 — fixed, so both
+    engines build the identical matrix), then rank neighbors by
+    projected cosine.  Top-3 per query by (round-6 projected cosine,
+    id) — float noise cannot flip ranks.
+
+    Scale: the projection is a map-side fold per row — the 100 TB
+    corpus is REWRITTEN once at 1/8th the width, and every downstream
+    scan/shuffle/compare pays 8 floats instead of 64.  JL's guarantee
+    is distance preservation within 1±ε, so recall loss is bounded
+    and `tests/test_similarity_recall.py` pins the planted-structure
+    recall.  The sign matrix needs no storage on executors — it is an
+    expression, not data.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+    # p[j] = sum_d s(j,d) * v[d], left-fold — deterministic order
+    proj = base.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), j -> "
+            " aggregate(zip_with(v, sequence(0, size(v) - 1), "
+            "  (x, d) -> if(((j * 73 + d * 151) % 7) < 4, x, -x)), "
+            "  0.0D, (acc, y) -> acc + y))"
+        ).alias("p"),
+    )
+    nrm = F.sqrt(F.aggregate(
+        F.transform("p", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    pv = proj.select("vec_id", "p", nrm.alias("nrm"))
+    q = pv.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp"),
+        F.col("nrm").alias("qn"))
+    cand = pv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    pc = F.aggregate(F.zip_with("p", "qp", lambda a, b: a * b),
+                     F.lit(0.0), lambda a, x: a + x) / (F.col("nrm") * F.col("qn"))
+    scored = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), pc.alias("pc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("pc"), 6)), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id",
+                F.round("pc", 4).alias("proj_cos"),
+                F.col("rank").cast("long").alias("rank"))
+    )

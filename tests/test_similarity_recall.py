@@ -167,3 +167,33 @@ def test_pq_adc_ranks_planted_neighbors_first(spark):
     # and they dominate the ranking: quantization error of a near-copy
     # equals the query's own code error, the smallest possible estimate
     assert set(got[:3]) == set(planted_ids), got
+
+
+def test_jl_projection_preserves_planted_top1(spark, corpus):
+    """JL sign-projection (ann_jl_projection_topk's matrix, 32→8 here):
+    each planted near-copy's top-1 neighbor in PROJECTED space must be
+    its source — distances contract within JL's 1±ε, and a 0.01-σ
+    perturbation sits far inside that margin."""
+    proj = corpus.select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 7), j -> "
+            " aggregate(zip_with(embedding, sequence(0, size(embedding) - 1), "
+            "  (x, d) -> if(((j * 73 + d * 151) % 7) < 4, x, -x)), "
+            "  0.0D, (acc, y) -> acc + y))"
+        ).alias("p"),
+    )
+    a = proj.select(F.col("vec_id").alias("qid"), F.col("p").alias("qp"))
+    b = proj.select(F.col("vec_id").alias("nid"), F.col("p").alias("np"))
+    scored = (
+        a.filter(F.col("qid") >= N_BASE)  # the planted copies
+        .crossJoin(b).filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", S.cosine(F.col("qp"), F.col("np")).alias("c"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), "nid")
+    top1 = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).collect())
+    assert len(top1) == N_DUPS
+    for r in top1:
+        assert r.nid == r.qid - N_BASE, (r.qid, r.nid)
