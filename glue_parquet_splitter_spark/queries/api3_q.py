@@ -237,3 +237,45 @@ def sql_pipe_syntax(spark, sf_dir):
                      ROUND(SUM(disc_price), 2) AS revenue
            GROUP BY l_returnflag, l_linestatus
     """).select("l_returnflag", "l_linestatus", "n", "revenue")
+
+
+@register(
+    "sql_sugar_group_order_all",
+    oracle="""
+    SELECT src, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM (
+      SELECT 'lo' AS src, event_type, value FROM events WHERE value < 50
+      UNION ALL BY NAME
+      SELECT value, event_type, 'hi' AS src FROM events WHERE value >= 50
+    )
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("api", "sql", "spark4"),
+)
+def sql_sugar_group_order_all(spark, sf_dir):
+    """Spark 4 SQL sugar — ``GROUP BY ALL`` (group on every
+    non-aggregate select item) and ``ORDER BY ALL``, over a
+    NAME-resolved union whose second branch lists its columns in a
+    different order (Spark spells that ``unionByName`` at the
+    DataFrame level; DuckDB spells the same thing ``UNION ALL BY
+    NAME`` in SQL, which is what the oracle uses).  Catalyst desugars
+    to the ordinary union/aggregate/sort tree: both branch filters
+    reach their scans and the aggregate still partial-aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lo = ev.where(F.col("value") < 50).select(
+        F.lit("lo").alias("src"), "event_type", "value")
+    hi = ev.where(F.col("value") >= 50).select(
+        "value", "event_type", F.lit("hi").alias("src"))
+    lo.unionByName(hi).createOrReplaceTempView("events_sugar")
+    return spark.sql("""
+        SELECT src, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(value), 2) AS total
+        FROM events_sugar
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
