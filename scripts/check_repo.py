@@ -107,6 +107,29 @@ def main():
                  f"update the README sentence")
     print(f"ok: docs — QUERIES.md/README.md counts match registry ({len(reg)})")
 
+    # 4a. lambda-CSE lint: an expensive expression (split/md5/sha/
+    # regexp) written INLINE inside a higher-order-function lambda is
+    # re-evaluated per array element — no CSE across lambda boundaries.
+    # This exact pattern made sorted_neighborhood_neardup 10x slower
+    # (r7); materialize the value as a column and reference it by name.
+    import re as _re
+    lam = _re.compile(r"->.*?(split\(|md5\(|sha2?\(|regexp_)")
+    hits = []
+    for root, _dirs, files in os.walk("/root/repo/glue_parquet_splitter_spark"):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if lam.search(line):
+                        hits.append(f"{path}:{i}: {line.strip()[:100]}")
+    if hits:
+        fail("expensive expression inline in a lambda (re-evaluated per "
+             "element — materialize it as a column first):\n"
+             + "\n".join(hits[:5]))
+    print("ok: lambda-CSE lint — no inline split/md5/sha/regexp in lambdas")
+
     # 4b. float-stability ledger (VERDICT r6 #1's lint, made empirical):
     # STABILITY.json records, per query, Spark-vs-Spark exactness across
     # 8 vs 200 shuffle partitions + the oracle verdict at the
