@@ -279,3 +279,50 @@ def sql_sugar_group_order_all(spark, sf_dir):
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@register(
+    "sql_udf_scalar_and_table",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag
+    """,
+    tags=("api", "sql", "udf", "spark4"),
+)
+def sql_udf_scalar_and_table(spark, sf_dir):
+    """SQL-defined functions (Spark 4): a SCALAR SQL UDF
+    (``CREATE TEMPORARY FUNCTION … RETURNS DOUBLE RETURN …``) and a
+    SQL TABLE function (``RETURNS TABLE … RETURN SELECT``) — logic
+    shared as catalog objects in pure SQL, no Python registration.
+    The table function parameterizes the shipdate cutoff; the scalar
+    UDF computes the discounted price inside it.  Both are inlined by
+    Catalyst at plan time (they are macros, not black boxes), so the
+    cutoff filter still pushes to the parquet scan and the aggregate
+    still partial-aggregates — zero cost vs writing the expression by
+    hand, unlike a Python UDF.  The oracle states the inlined form.
+
+    Scale: catalog-level reuse with no serialization boundary — the
+    100 TB-safe way to share business logic across queries (a Python
+    UDF here would drop the whole scan out of codegen).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_sqludf")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION flag_revenue(cutoff DATE)
+        RETURNS TABLE(l_returnflag STRING, n BIGINT, revenue DOUBLE)
+        RETURN SELECT l_returnflag,
+                      CAST(COUNT(*) AS BIGINT),
+                      ROUND(SUM(disc_price(l_extendedprice, l_discount)), 2)
+               FROM lineitem_sqludf
+               WHERE l_shipdate <= cutoff
+               GROUP BY l_returnflag
+    """)
+    return spark.sql("SELECT * FROM flag_revenue(DATE '1998-09-02')")
