@@ -352,3 +352,42 @@ def test_semdedup_100k_vectors_500_clusters(spark):
     )
     row = dropped.agg(F.count("*").alias("n_dropped")).collect()[0]
     assert row.n_dropped == n - k     # everything but one survivor per cluster
+
+
+def test_entity_resolution_1m_clean_100k_dirty(spark):
+    """entity_resolution_blocked_match's shape at 1M clean / 100k dirty
+    records: the block key bounds every candidate block to 100 rows, so
+    the join emits exactly 100k x 100 pairs, and with unique in-block
+    names every dirty row's best match is its source — matched == 100k
+    by closed form, nothing but scalars at the driver."""
+    n_clean, block = 1_000_000, 10_000  # 100 rows per block
+    clean = spark.range(n_clean).select(
+        F.col("id").alias("clean_id"),
+        (F.col("id") % block).alias("bk"),
+        F.format_string("name-%09d", F.col("id")).alias("name"),
+        (F.col("id") % 97 + 1).cast("double").alias("price"),
+    )
+    dirty = clean.where(F.col("clean_id") % 10 == 0).select(
+        (F.col("clean_id") + 10_000_000).alias("dirty_id"), "bk",
+        # drop one character mid-name; price drifts 3 %
+        F.concat(F.substring("name", 1, 4), F.expr("substr(name, 6)"))
+        .alias("d_name"),
+        (F.col("price") * 1.03).alias("d_price"),
+    )
+    cand = dirty.join(clean, "bk")
+    name_sim = 1.0 - (F.levenshtein("d_name", "name")
+                      / F.greatest(F.length("d_name"), F.length("name")))
+    price_sim = 1.0 - (F.abs(F.col("d_price") - F.col("price"))
+                       / F.greatest("d_price", "price"))
+    scored = cand.select(
+        "dirty_id", "clean_id",
+        F.round(0.7 * name_sim + 0.3 * price_sim, 4).alias("score"))
+    w = Window.partitionBy("dirty_id").orderBy(F.desc("score"), "clean_id")
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    row = best.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("clean_id") == F.col("dirty_id") - 10_000_000)
+              .cast("int")).alias("n_correct")).collect()[0]
+    assert row.n == 100_000
+    assert row.n_correct == 100_000
