@@ -33,7 +33,7 @@ FAMILIES = OrderedDict([
     ("graph_q", "Graph ops (connected-component dedup clustering, history dedup)"),
     ("quality_q", "Corpus curation (Gopher-style filters, repetition, sampling, packing, PII)"),
     ("ranking_q", "Ranking & LM quality (BM25, unigram log-prob, stream-static enrich)"),
-    ("similarity2_q", "ANN wave 2 (INT8-quantized cosine, multi-probe LSH)"),
+    ("similarity2_q", "ANN wave 2 (INT8-quantized cosine, multi-probe LSH, JL projection)"),
     ("warehouse_q", "Warehouse maintenance (CDC MERGE, SCD2, sessionization, profiling)"),
     ("streaming2_q", "Streaming wave 2 (session windows, windowed top-k)"),
     ("contamination_q", "Benchmark decontamination, mixing, winsorization, interleave"),
@@ -48,7 +48,7 @@ FAMILIES = OrderedDict([
     ("stats_q", "Distribution statistics (KS drift test, MAD outliers, attribution)"),
     ("scale3_q", "Scale patterns 3 (global row index, feature hashing, triangle counting)"),
     ("streaming3_q", "Streaming wave 3 (left-semi interval join, chained window aggregation)"),
-    ("api3_q", "Spark 4 SQL surface 2 (recursive CTE, SQL scripting, parameters, NOT IN nulls)"),
+    ("api3_q", "Spark 4 SQL surface 2 (recursive CTE, SQL scripting, parameters, NOT IN nulls, GROUP BY ALL, SQL UDFs)"),
     ("functions3_q", "Aggregate library 3 (regression aggs, moments, bit aggs, disc percentiles, mode)"),
     ("governance_q", "Data governance (k-anonymity, suppression, contribution clip, weighted median, SNM dedup)"),
     ("curation4_q", "Curation wave 4 (SemDeDup cluster-prune, inter-doc duplicate-gram fraction, blocked entity resolution)"),
