@@ -376,3 +376,71 @@ def grouped_split_no_leakage(spark, sf_dir):
              F.count(F.lit(1)).alias("n_events"))
         .crossJoin(F.broadcast(leak))  # 1-row audit scalar
     )
+
+
+@register(
+    "daily_content_novelty_rate",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             md5(event_type || '/' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR))
+               AS h
+      FROM events
+    ), firsts AS (
+      SELECT h, MIN(day) AS first_day FROM d GROUP BY h
+    )
+    SELECT d.day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT d.h) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT CASE WHEN firsts.first_day = d.day
+                                    THEN d.h END) AS BIGINT) AS n_novel,
+           ROUND(COUNT(DISTINCT CASE WHEN firsts.first_day = d.day
+                                     THEN d.h END) * 1.0
+                 / COUNT(DISTINCT d.h), 4) AS novelty_rate
+    FROM d JOIN firsts ON firsts.h = d.h
+    GROUP BY d.day
+    """,
+    tags=("curation", "monitoring", "dedup"),
+)
+def daily_content_novelty_rate(spark, sf_dir):
+    """Per-day content novelty — the crawl-health metric a growing
+    training corpus is monitored by: of the distinct content
+    fingerprints seen on a day, what fraction had never been seen on
+    any earlier day?  A collapsing novelty rate means the ingest is
+    re-crawling what it already has (time to rotate sources); a
+    sudden 1.0 means an upstream id scheme changed.  Fingerprints
+    here are md5 of (event_type, floor-bucketed value; FLOOR, not
+    cast-to-int, because DuckDB's double->int cast rounds while
+    Spark's truncates) — the stand-in
+    for a document content hash.
+
+    Scale: one shuffle keyed on the 16-byte fingerprint computes
+    global first-occurrence days (map-side combinable MIN); the join
+    back is fingerprint-keyed (same partitioning, AQE reuses it) and
+    the per-day rollup is distinct-aggregated on day-granular cells.
+    Nothing is all-pairs; no day's data is compared row-wise against
+    history — first_day carries the entire history in one value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        F.md5(F.concat_ws("/", "event_type",
+                          F.floor("value").cast("long").cast("string")))
+        .alias("h"),
+    )
+    firsts = d.groupBy("h").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(firsts, "h")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("h").alias("n_distinct"),
+            F.count_distinct(
+                F.when(F.col("first_day") == F.col("day"), F.col("h"))
+            ).alias("n_novel"),
+            F.round(
+                F.count_distinct(
+                    F.when(F.col("first_day") == F.col("day"), F.col("h")))
+                / F.count_distinct("h"), 4).alias("novelty_rate"),
+        )
+    )
