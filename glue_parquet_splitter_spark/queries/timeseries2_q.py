@@ -215,3 +215,87 @@ def capped_running_balance(spark, sf_dir):
         F.round(F.min("ps"), 2).alias("lowest_prefix"),
         (F.min("ps") < 0).alias("clamp_engaged"),
     )
+
+
+@register(
+    "seasonal_dow_decomposition",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(strftime(CAST(ts AS DATE), '%w') AS BIGINT) AS dow,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT dow, SUM(cents) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY dow
+    )
+    SELECT strftime(daily.day, '%Y-%m-%d') AS day,
+           CAST(daily.dow AS BIGINT) AS dow,
+           daily.cents / 100.0 AS total,
+           CAST((2 * base.sum_cents + base.n_days)
+                // (2 * base.n_days) AS BIGINT) / 100.0 AS dow_baseline,
+           (daily.cents - CAST((2 * base.sum_cents + base.n_days)
+                               // (2 * base.n_days) AS BIGINT)) / 100.0
+             AS residual,
+           2 * ABS(daily.cents - CAST((2 * base.sum_cents + base.n_days)
+                                      // (2 * base.n_days) AS BIGINT))
+             > CAST((2 * base.sum_cents + base.n_days)
+                    // (2 * base.n_days) AS BIGINT) AS anomalous
+    FROM daily JOIN base ON base.dow = daily.dow
+    """,
+    tags=("timeseries", "seasonality", "monitoring"),
+)
+def seasonal_dow_decomposition(spark, sf_dir):
+    """Day-of-week seasonal decomposition — the additive-seasonality
+    baseline behind every ops dashboard: daily totals split into a
+    per-weekday mean (the seasonal component) and a residual, with
+    days whose residual exceeds 50 % of their weekday baseline flagged
+    anomalous.  Weekday ids are normalized to 0=Sunday on both
+    engines (Spark's dayofweek is 1-based-Sunday, DuckDB's %w is
+    0-based).  All money math runs in INTEGER CENTS
+    (floor(value*100 + 0.5) per row — floor+0.5, not round, because
+    the engines' half-tie rules differ): integer sums are
+    order-independent, the weekday baseline is a HALF-UP INTEGER
+    division ((2*sum + n) div (2n)), and the residual is an integer
+    difference — the final /100.0 conversions are the only float ops
+    and they never round, so no accumulation order OR ROUND
+    tie-handling difference can flip a boundary on either engine —
+    the capped_running_balance lesson applied at design time.  Comparing Monday to the Monday-mean
+    instead of the
+    global mean is what stops weekly rhythm from drowning real
+    anomalies (the z-score variant ``volume_zscore_anomalies`` ignores
+    seasonality; this is its seasonal sibling.)
+
+    Scale: the full-data pass is one map-side-combinable groupBy to
+    day-granular cells; the weekday baseline is a 7-row aggregate OF
+    those cells, joined back as a broadcast — raw events shuffle once,
+    the seasonality join never touches them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents_row = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        (F.dayofweek(F.col("ts").cast("date")) - 1).cast("long").alias("dow"),
+    ).agg(F.sum(cents_row).alias("cents"))
+    base = daily.groupBy("dow").agg(
+        F.sum("cents").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_days"))
+    # half-up integer division: round(sum/n) = (2*sum + n) div (2*n).
+    # Baseline and residual stay in integer cents until the final /100,
+    # so there is NO double rounding anywhere a boundary could flip.
+    base_cents = F.expr("(2 * sum_cents + n_days) div (2 * n_days)")
+    return (
+        daily.join(F.broadcast(base), "dow")
+        .withColumn("base_cents", base_cents)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dow").cast("long").alias("dow"),
+            (F.col("cents") / 100.0).alias("total"),
+            (F.col("base_cents") / 100.0).alias("dow_baseline"),
+            ((F.col("cents") - F.col("base_cents")) / 100.0).alias("residual"),
+            (2 * F.abs(F.col("cents") - F.col("base_cents"))
+             > F.col("base_cents")).alias("anomalous"),
+        )
+    )
