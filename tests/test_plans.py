@@ -575,3 +575,35 @@ def test_ivm_delta_join_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_grouped_split_scan_projection_no_join(spark, sf_dir):
+    """Grouped split: the assignment is a hash PROJECTION (no user-dim
+    join anywhere); the 1-row leakage audit rides a broadcast
+    nested-loop combine, never a data join."""
+    plan = plan_of(spark, sf_dir, "grouped_split_no_leakage")
+    assert "CartesianProduct" not in plan
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan, plan[:2000]
+    assert "partial_" in plan
+
+
+def test_novelty_first_day_broadcasts_back(spark, sf_dir):
+    """Daily novelty: first-occurrence days reduce to fingerprint
+    granularity (map-side MIN) and join back by hash — no cartesian,
+    no nested loop, raw events shuffle only on the fingerprint."""
+    plan = plan_of(spark, sf_dir, "daily_content_novelty_rate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan, plan[:2000]
+    assert "hashpartitioning(h#" in plan, plan[:2000]
+
+
+def test_seasonal_baseline_broadcasts(spark, sf_dir):
+    """Seasonal decomposition: the 7-row weekday baseline joins back
+    as the broadcast side; raw events shuffle once (to day cells) and
+    never for the seasonality join."""
+    plan = plan_of(spark, sf_dir, "seasonal_dow_decomposition")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
