@@ -422,10 +422,13 @@ def daily_content_novelty_rate(spark, sf_dir):
     history — first_day carries the entire history in one value.
     """
     ev = load_table(spark, sf_dir, "events")
+    # F.concat, not concat_ws: concat_ws SKIPS nulls while the oracle's
+    # `||` propagates them through md5 — a NULL event_type/value must
+    # fingerprint identically (as NULL) on both engines
     d = ev.select(
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
-        F.md5(F.concat_ws("/", "event_type",
-                          F.floor("value").cast("long").cast("string")))
+        F.md5(F.concat(F.col("event_type"), F.lit("/"),
+                       F.floor("value").cast("long").cast("string")))
         .alias("h"),
     )
     firsts = d.groupBy("h").agg(F.min("day").alias("first_day"))

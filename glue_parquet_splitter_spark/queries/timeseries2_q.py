@@ -230,20 +230,21 @@ def capped_running_balance(spark, sf_dir):
       SELECT dow, SUM(cents) AS sum_cents,
              CAST(COUNT(*) AS BIGINT) AS n_days
       FROM daily GROUP BY dow
+    ), bl AS (
+      SELECT dow,
+             CAST(CASE WHEN sum_cents < 0
+                  THEN -((n_days - 2 * sum_cents) // (2 * n_days))
+                  ELSE (2 * sum_cents + n_days) // (2 * n_days)
+                  END AS BIGINT) AS base_cents
+      FROM base
     )
     SELECT strftime(daily.day, '%Y-%m-%d') AS day,
            CAST(daily.dow AS BIGINT) AS dow,
            daily.cents / 100.0 AS total,
-           CAST((2 * base.sum_cents + base.n_days)
-                // (2 * base.n_days) AS BIGINT) / 100.0 AS dow_baseline,
-           (daily.cents - CAST((2 * base.sum_cents + base.n_days)
-                               // (2 * base.n_days) AS BIGINT)) / 100.0
-             AS residual,
-           2 * ABS(daily.cents - CAST((2 * base.sum_cents + base.n_days)
-                                      // (2 * base.n_days) AS BIGINT))
-             > CAST((2 * base.sum_cents + base.n_days)
-                    // (2 * base.n_days) AS BIGINT) AS anomalous
-    FROM daily JOIN base ON base.dow = daily.dow
+           bl.base_cents / 100.0 AS dow_baseline,
+           (daily.cents - bl.base_cents) / 100.0 AS residual,
+           2 * ABS(daily.cents - bl.base_cents) > bl.base_cents AS anomalous
+    FROM daily JOIN bl ON bl.dow = daily.dow
     """,
     tags=("timeseries", "seasonality", "monitoring"),
 )
@@ -257,8 +258,9 @@ def seasonal_dow_decomposition(spark, sf_dir):
     0-based).  All money math runs in INTEGER CENTS
     (floor(value*100 + 0.5) per row — floor+0.5, not round, because
     the engines' half-tie rules differ): integer sums are
-    order-independent, the weekday baseline is a HALF-UP INTEGER
-    division ((2*sum + n) div (2n)), and the residual is an integer
+    order-independent, the weekday baseline is a sign-safe
+    HALF-AWAY-FROM-ZERO INTEGER division (±((2*|sum| + n) div (2n)),
+    non-negative operands so Spark div == DuckDB //), and the residual is an integer
     difference — the final /100.0 conversions are the only float ops
     and they never round, so no accumulation order OR ROUND
     tie-handling difference can flip a boundary on either engine —
@@ -282,10 +284,18 @@ def seasonal_dow_decomposition(spark, sf_dir):
     base = daily.groupBy("dow").agg(
         F.sum("cents").alias("sum_cents"),
         F.count(F.lit(1)).alias("n_days"))
-    # half-up integer division: round(sum/n) = (2*sum + n) div (2*n).
-    # Baseline and residual stay in integer cents until the final /100,
-    # so there is NO double rounding anywhere a boundary could flip.
-    base_cents = F.expr("(2 * sum_cents + n_days) div (2 * n_days)")
+    # half-AWAY-FROM-ZERO integer division on |sum|: round(sum/n) =
+    # sign(sum) * ((2*|sum| + n) div (2*n)).  Baseline and residual
+    # stay in integer cents until the final /100, so there is NO double
+    # rounding anywhere a boundary could flip.  The abs keeps every
+    # division operand non-negative, where Spark's truncating ``div``
+    # and DuckDB's flooring ``//`` agree — a negative weekday sum
+    # (possible with refund-style values) would otherwise diverge both
+    # in the division semantics and in the half-up formula itself.
+    base_cents = F.expr(
+        "CASE WHEN sum_cents < 0"
+        " THEN -((n_days - 2 * sum_cents) div (2 * n_days))"
+        " ELSE (2 * sum_cents + n_days) div (2 * n_days) END")
     return (
         daily.join(F.broadcast(base), "dow")
         .withColumn("base_cents", base_cents)

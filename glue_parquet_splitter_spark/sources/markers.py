@@ -173,6 +173,10 @@ class MarkerWriter(DataSourceWriter):
         filesystem, dir_path = resolve_fs(self.marker_dir)
         base = dir_path.rstrip("/")
         pairs = []
+        staged: list[str] = []  # every temp NAME, recorded before the
+        # stream opens — so the cleanup below also removes a temp whose
+        # open/write failed mid-stream (a pairs-only sweep would orphan
+        # that partially-written file forever)
         try:
             for row in iterator:
                 if row.date is None:
@@ -187,6 +191,7 @@ class MarkerWriter(DataSourceWriter):
                     "generated_at": row.generated_at,
                 }
                 tmp = f".{row.date}.json.{uuid.uuid4().hex[:8]}.tmp"
+                staged.append(tmp)
                 with filesystem.open_output_stream(f"{base}/{tmp}") as f:
                     f.write(json.dumps(doc, sort_keys=True).encode("utf-8"))
                 pairs.append((tmp, f"{row.date}.json"))
@@ -196,7 +201,7 @@ class MarkerWriter(DataSourceWriter):
             # tasks — so a task failing mid-write (good rows staged, bad
             # row raises) must clean its own temps before re-raising, or
             # they'd be orphaned forever.
-            for tmp, _final in pairs:
+            for tmp in staged:
                 try:
                     filesystem.delete_file(f"{base}/{tmp}")
                 except OSError:

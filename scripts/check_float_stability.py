@@ -83,7 +83,8 @@ def main():
         except Exception as e:
             stable, ok = False, False
             detail, msg = "", f"EXCEPTION {type(e).__name__}: {str(e)[:200]}"
-        results[name] = {"stable": bool(stable), "oracle_ok": bool(ok)}
+        results[name] = {"stable": bool(stable), "oracle_ok": bool(ok),
+                         "sf_dir": sf_dir}
         status = "PASS" if (stable and ok) else "FAIL"
         print(f"{status} {name:36s} {time.time()-t0:6.1f}s  "
               f"stable={stable} oracle={msg}{detail}", flush=True)
@@ -104,7 +105,12 @@ def main():
     doc["n"] = len(doc["results"])
     doc["fail"] = sorted(k for k, v in doc["results"].items()
                          if not (v["stable"] and v["oracle_ok"]))
-    doc["sf_dir"] = sf_dir
+    # the top-level sf_dir describes a FULL-registry sweep; a named-
+    # subset run must not overwrite it (the merged ledger would then
+    # claim a single scale for results actually swept at mixed scales —
+    # each entry carries its own sf_dir for that)
+    if not names:
+        doc["sf_dir"] = sf_dir
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"\n{len(todo) - len(failures)}/{len(todo)} stable+green "

@@ -112,8 +112,31 @@ def main():
     # re-evaluated per array element — no CSE across lambda boundaries.
     # This exact pattern made sorted_neighborhood_neardup 10x slower
     # (r7); materialize the value as a column and reference it by name.
+    import ast as _ast
     import re as _re
     lam = _re.compile(r"->.*?(split\(|md5\(|sha2?\(|regexp_)")
+
+    def _code_strings(tree):
+        """String constants that can carry a SQL lambda — i.e. every
+        string literal EXCEPT docstrings (a prose line with '->' and
+        'md5(' in a docstring is not executable and must not trip the
+        gate; comments never reach the AST at all).  SQL lambdas only
+        exist inside string literals, so this scan loses nothing."""
+        doc_ids = set()
+        for node in _ast.walk(tree):
+            if isinstance(node, (_ast.Module, _ast.ClassDef,
+                                 _ast.FunctionDef, _ast.AsyncFunctionDef)):
+                body = getattr(node, "body", [])
+                if (body and isinstance(body[0], _ast.Expr)
+                        and isinstance(body[0].value, _ast.Constant)
+                        and isinstance(body[0].value.value, str)):
+                    doc_ids.add(id(body[0].value))
+        for node in _ast.walk(tree):
+            if (isinstance(node, _ast.Constant)
+                    and isinstance(node.value, str)
+                    and id(node) not in doc_ids):
+                yield node.lineno, node.value
+
     hits = []
     for root, _dirs, files in os.walk("/root/repo/glue_parquet_splitter_spark"):
         for fn in files:
@@ -121,9 +144,13 @@ def main():
                 continue
             path = os.path.join(root, fn)
             with open(path) as f:
-                for i, line in enumerate(f, 1):
-                    if lam.search(line):
-                        hits.append(f"{path}:{i}: {line.strip()[:100]}")
+                tree = _ast.parse(f.read(), filename=path)
+            for lineno, text in _code_strings(tree):
+                m = lam.search(text)
+                if m:
+                    snippet = text[max(0, m.start() - 20):m.end() + 40]
+                    hits.append(f"{path}:{lineno}: "
+                                f"{' '.join(snippet.split())[:100]}")
     if hits:
         fail("expensive expression inline in a lambda (re-evaluated per "
              "element — materialize it as a column first):\n"
