@@ -24,6 +24,64 @@ from . import register
 _K = 8          # seed centroids (vec_id < _K)
 _TAU = 0.9      # within-cluster prune threshold on ROUND(cos, 4)
 _NGRAM = 8
+_CAP = 40       # capped variant: max members per sub-cluster (in expectation)
+
+
+def hex_hash_expr(col_sql: str, chars: int = 4) -> str:
+    """SQL text for an integer hash in [0, 16**chars) built from the
+    first ``chars`` md5 hex chars of ``col_sql`` — written with
+    instr/substr/md5/cast only, so the IDENTICAL string runs on both
+    Spark SQL and DuckDB (md5 hex digests agree byte-for-byte).
+
+    The hash RANGE bounds how finely a group can be salted: with the
+    default 4 chars (65,536 values) a cluster can split into up to
+    65,536 sub-clusters — enough for ~2.6M members at a cap of 40;
+    widen ``chars`` past that (2 chars was a real bug: 256 values
+    floor the sub-cluster size at size/256, silently breaking the cap
+    for clusters past 256·B members)."""
+    digest = f"md5(cast({col_sql} as string))"
+    terms = [
+        f"(instr('0123456789abcdef', substr({digest}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (chars - 1 - i)}"
+        for i in range(chars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_H4 = hex_hash_expr("vec_id")  # Spark side (column in scope)
+
+
+def _semdedup_assign(spark, sf_dir):
+    """Shared SemDeDup front half: planted corpus + nearest-centroid
+    assignment (cosine, broadcast centroids).  Returns (vec_id, v, cid)
+    for every corpus vector (vec_id >= _K, plus the 25 planted
+    perturbed copies at vec_id + 1,000,000)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planted = (
+        base.filter((F.col("vec_id") >= _K) & (F.col("vec_id") < _K + 25))
+        .select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "v", lambda x, i: F.when(i == F.lit(1), x + F.lit(0.05)).otherwise(x)
+            ).alias("v"),
+        )
+    )
+    allv = base.unionByName(planted)
+    cents = (
+        base.filter(F.col("vec_id") < _K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    corpus = allv.filter(F.col("vec_id") >= _K)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("cos_c"), 6)), "cid")
+    return (
+        corpus.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
 
 
 @register(
@@ -95,41 +153,17 @@ def semdedup_cluster_prune(spark, sf_dir):
     sized).  Centroids broadcast for assignment (corpus never
     shuffled for it); the within-cluster self-join is an equi join on
     cid — never all-pairs across the corpus.  Cluster-size skew is
-    the known failure mode: at scale, cap cluster size by splitting
-    hot clusters on a secondary LSH bit (same salting pattern as
-    ``topk_per_group_salted``).
+    the known failure mode: ``semdedup_capped_cluster_prune`` (below)
+    is the mitigated form — it splits hot clusters on a secondary
+    hash so the within-group pairwise work is bounded by the cap,
+    not the hottest cluster's size.
 
     Engine-parity notes: the nearest-centroid argmin orders by
     ``ROUND(cos, 6)`` then cid on BOTH engines, so a float-noise tie
     cannot flip the assignment; the prune threshold compares
     ``ROUND(cos, 4)`` (the ``embedding_dedup_apply`` convention).
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    planted = (
-        base.filter((F.col("vec_id") >= _K) & (F.col("vec_id") < _K + 25))
-        .select(
-            (F.col("vec_id") + 1000000).alias("vec_id"),
-            F.transform(
-                "v", lambda x, i: F.when(i == F.lit(1), x + F.lit(0.05)).otherwise(x)
-            ).alias("v"),
-        )
-    )
-    allv = base.unionByName(planted)
-    cents = (
-        base.filter(F.col("vec_id") < _K)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
-    corpus = allv.filter(F.col("vec_id") >= _K)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc(F.round(F.col("cos_c"), 6)), "cid")
-    assign = (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
-    )
+    assign = _semdedup_assign(spark, sf_dir)
     a = assign.select("cid", F.col("vec_id").alias("keep_id"), F.col("v").alias("va"))
     b = assign.select("cid", F.col("vec_id").alias("cand_id"), F.col("v").alias("vb"))
     dropped = (
@@ -149,6 +183,144 @@ def semdedup_cluster_prune(spark, sf_dir):
             F.count("is_dropped").alias("n_dropped"),
             (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
         )
+    )
+
+
+@register(
+    "semdedup_capped_cluster_prune",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), v AS (
+      SELECT vec_id, i, x FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, i,
+             x + (CASE WHEN i = 2 THEN 0.05 ELSE 0.0 END) AS x
+      FROM base WHERE vec_id >= 8 AND vec_id < 33
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), cents AS (
+      SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < 8
+    ), cnorms AS (
+      SELECT cid, sqrt(SUM(cx * cx)) AS cnrm FROM cents GROUP BY cid
+    ), sims AS (
+      SELECT v.vec_id, cents.cid,
+             SUM(v.x * cents.cx) / (MIN(norms.nrm) * MIN(cnorms.cnrm)) AS cos_c
+      FROM v JOIN cents ON cents.i = v.i
+      JOIN norms ON norms.vec_id = v.vec_id
+      JOIN cnorms ON cnorms.cid = cents.cid
+      WHERE v.vec_id >= 8
+      GROUP BY v.vec_id, cents.cid
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(cos_c, 6) DESC, cid) AS rn
+        FROM sims) WHERE rn = 1
+    ), sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz FROM assign GROUP BY cid
+    ), sub AS (
+      SELECT assign.vec_id, assign.cid,
+             {hex_hash_expr("assign.vec_id")}
+             % ((sizes.sz + {_CAP - 1}) // {_CAP}) AS sub_id
+      FROM assign JOIN sizes USING (cid)
+    ), pairs AS (
+      SELECT a.cid, b.vec_id AS cand_id,
+             SUM(xa.x * xb.x) / (MIN(na.nrm) * MIN(nb.nrm)) AS cos_ab
+      FROM sub a JOIN sub b
+        ON a.cid = b.cid AND a.sub_id = b.sub_id AND a.vec_id < b.vec_id
+      JOIN v xa ON xa.vec_id = a.vec_id
+      JOIN v xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.cid, a.vec_id, b.vec_id
+    ), dropped AS (
+      SELECT DISTINCT cid, cand_id FROM pairs WHERE ROUND(cos_ab, 4) >= 0.9
+    ), subsz AS (
+      SELECT cid, sub_id, CAST(COUNT(*) AS BIGINT) AS ssz
+      FROM sub GROUP BY cid, sub_id
+    )
+    SELECT sub.cid AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT sub.sub_id) AS BIGINT) AS n_subclusters,
+           (SELECT MAX(ssz) FROM subsz WHERE subsz.cid = sub.cid)
+             AS max_subcluster_size,
+           CAST(COUNT(dropped.cand_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(dropped.cand_id) AS BIGINT) AS n_kept
+    FROM sub LEFT JOIN dropped
+      ON dropped.cid = sub.cid AND dropped.cand_id = sub.vec_id
+    GROUP BY sub.cid
+    """,
+    tags=("similarity", "dedup", "curation", "skew"),
+)
+def semdedup_capped_cluster_prune(spark, sf_dir):
+    """SemDeDup with the hot-cluster cap — the scale-mitigated form of
+    ``semdedup_cluster_prune``: after nearest-centroid assignment,
+    every cluster is SPLIT into ``ceil(size / 40)`` sub-clusters by a
+    secondary hash of the member id (four md5 hex chars → 0..65535,
+    mod the sub-cluster count — see ``hex_hash_expr`` for why the
+    hash RANGE must exceed the sub-cluster count), and the pairwise
+    prune runs WITHIN sub-clusters only.  Reported per cluster: members, sub-cluster
+    count, max sub-cluster size, dropped, kept.
+
+    Scale: this is the answer to the quadratic-in-cluster-size failure
+    mode the uncapped variant documents — a hot cluster of H members
+    costs H² pairwise comparisons uncapped, but ceil(H/B)·~B² capped
+    (linear in H for fixed cap B).  The trade is recall: a duplicate
+    pair split across sub-clusters is missed (the planted
+    near-duplicates here land in sub-clusters independently, so the
+    capped drop count is ≤ the uncapped one — asserted in tests).
+    Production SemDeDup accepts exactly this trade; multiple passes
+    with different hash salts recover most of the loss.  Everything
+    stays an equi join: assignment broadcasts the centroid table, the
+    prune joins on (cid, sub_id), and sub-cluster ids derive from a
+    deterministic hash — no new shuffle shape vs the uncapped form.
+
+    Engine parity: the secondary hash is md5-hex arithmetic (identical
+    strings on both engines), the sub-cluster count is an all-integer
+    ``(sz + 39) div 40`` (non-negative operands, so Spark's truncating
+    ``div`` equals DuckDB's flooring ``//``), and the prune compares
+    ``ROUND(cos, 4)`` with the argmin tie-broken on ``ROUND(cos, 6)``
+    then cid — no float boundary can flip membership or survival.
+    """
+    assign = _semdedup_assign(spark, sf_dir)
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    sub = (
+        assign.join(F.broadcast(sizes), "cid")
+        .withColumn("sub_id",
+                    F.expr(f"{_H4} % ((sz + {_CAP - 1}) div {_CAP})"))
+        .select("vec_id", "v", "cid", "sub_id")
+    )
+    a = sub.select("cid", "sub_id", F.col("vec_id").alias("keep_id"),
+                   F.col("v").alias("va"))
+    b = sub.select("cid", "sub_id", F.col("vec_id").alias("cand_id"),
+                   F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, ["cid", "sub_id"])
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= _TAU)
+        .select(F.col("cid").alias("d_cid"), "cand_id").distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    subsz = (
+        sub.groupBy("cid", "sub_id").agg(F.count(F.lit(1)).alias("ssz"))
+        .groupBy("cid").agg(F.max("ssz").alias("max_subcluster_size"))
+    )
+    return (
+        sub.join(F.broadcast(dropped),
+                 (F.col("cid") == F.col("d_cid"))
+                 & (F.col("vec_id") == F.col("cand_id")), "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.count_distinct("sub_id").alias("n_subclusters"),
+            F.count("is_dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
+        )
+        .join(F.broadcast(subsz), "cid")
+        .select("cid", "n_members", "n_subclusters", "max_subcluster_size",
+                "n_dropped", "n_kept")
     )
 
 
@@ -309,6 +481,149 @@ def entity_resolution_blocked_match(spark, sf_dir):
     return (
         scored.withColumn("rn", rn).where(F.col("rn") == 1)
         .select("dirty_id", F.col("p_partkey").alias("matched_id"), "score",
+                (F.col("p_partkey") == F.col("dirty_id") - 100000)
+                .alias("matched_source"))
+    )
+
+
+@register(
+    "entity_resolution_multipass_block",
+    oracle="""
+    WITH dirty AS (
+      SELECT p_partkey + 100000 AS dirty_id,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS d_name,
+             CASE WHEN p_partkey % 32 = 0 THEN 'Brand#00' ELSE p_brand END
+               AS d_brand,
+             p_type AS d_type, p_size AS d_size,
+             p_retailprice * 1.03 AS d_price,
+             (p_partkey % 32 = 0) AS brand_perturbed
+      FROM part WHERE p_partkey % 16 = 0
+    ), cand AS (
+      SELECT dirty_id, p_partkey,
+             MAX(in_bt) AS in_bt, MAX(in_sp) AS in_sp
+      FROM (
+        SELECT d.dirty_id, c.p_partkey, 1 AS in_bt, 0 AS in_sp
+        FROM dirty d JOIN part c
+          ON c.p_brand = d.d_brand AND c.p_type = d.d_type
+        UNION ALL
+        SELECT d.dirty_id, c.p_partkey, 0 AS in_bt, 1 AS in_sp
+        FROM dirty d JOIN part c
+          ON c.p_size = d.d_size
+         AND substr(c.p_name, 1, 2) = substr(d.d_name, 1, 2)
+      ) GROUP BY dirty_id, p_partkey
+    ), scored AS (
+      SELECT cand.dirty_id, cand.p_partkey,
+             ROUND(0.6 * (1.0 - levenshtein(d.d_name, c.p_name)
+                          / GREATEST(len(d.d_name), len(c.p_name)))
+                 + 0.2 * (CASE WHEN d.d_size = c.p_size THEN 1.0 ELSE 0.0 END)
+                 + 0.2 * (1.0 - ABS(d.d_price - c.p_retailprice)
+                          / GREATEST(d.d_price, c.p_retailprice)), 4) AS score,
+             CASE WHEN cand.in_bt = 1 AND cand.in_sp = 1 THEN 'both'
+                  WHEN cand.in_bt = 1 THEN 'brand_type'
+                  ELSE 'size_prefix' END AS found_by,
+             d.brand_perturbed
+      FROM cand JOIN dirty d ON d.dirty_id = cand.dirty_id
+      JOIN part c ON c.p_partkey = cand.p_partkey
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                   ORDER BY score DESC, p_partkey) AS rn
+      FROM scored WHERE score >= 0.6
+    )
+    SELECT dirty_id, p_partkey AS matched_id, score, found_by,
+           brand_perturbed,
+           (p_partkey = dirty_id - 100000) AS matched_source
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup", "er", "join"),
+)
+def entity_resolution_multipass_block(spark, sf_dir):
+    """Multi-pass blocking entity resolution — the recall story
+    single-key blocking lacks: candidates are the UNION of two cheap
+    block keys, pass 1 on (brand, type) and pass 2 on
+    (size, name-prefix-2), deduplicated per (dirty, clean) pair BEFORE
+    scoring so no pair is scored twice.  The planted perturbation
+    makes the second pass non-vacuous by construction: every 32nd
+    part's dirty twin also has a corrupted brand ('Brand#00', absent
+    from the catalog), so its pass-1 block key is itself dirty and
+    pass 1 CANNOT find it — ``found_by = 'size_prefix'`` on those rows
+    is the recall pass 2 adds (asserted in tests).  Scoring and
+    ranking are identical to ``entity_resolution_blocked_match``
+    (0.6 name Levenshtein + 0.2 size + 0.2 price, rounded-score rank).
+
+    Scale: each pass is an equi join whose cost is bounded by its own
+    block sizes; the union's pair dedup is one shuffle on
+    (dirty_id, p_partkey) — exactly the candidate set's size, which
+    multi-pass blocking keeps near-linear because each pass's blocks
+    are small even when their keys partition the data differently.
+    The dirty side (1/16th of the catalog) broadcasts in both passes
+    and in the scoring join-back; the clean side shuffles only for
+    the final per-pair field fetch.  This union-of-blocking-passes
+    shape is the standard production linkage recipe (add passes per
+    dirty-key failure mode; recall grows, cost stays block-bounded).
+
+    Determinism: the rank orders by the ROUNDED score (4 digits,
+    identical on both engines) with partkey as the tiebreak;
+    ``found_by`` derives from integer pass flags, not floats.
+    """
+    p = load_table(spark, sf_dir, "part")
+    dirty = p.where(F.col("p_partkey") % 16 == 0).select(
+        (F.col("p_partkey") + 100000).alias("dirty_id"),
+        F.concat(F.substring("p_name", 1, 2),
+                 F.expr("substr(p_name, 4)")).alias("d_name"),
+        F.when(F.col("p_partkey") % 32 == 0, F.lit("Brand#00"))
+        .otherwise(F.col("p_brand")).alias("d_brand"),
+        F.col("p_type").alias("d_type"),
+        F.col("p_size").alias("d_size"),
+        (F.col("p_retailprice") * 1.03).alias("d_price"),
+        (F.col("p_partkey") % 32 == 0).alias("brand_perturbed"),
+    )
+    keys = p.select("p_partkey", "p_brand", "p_type", "p_size",
+                    F.substring("p_name", 1, 2).alias("p_prefix2"))
+    cand_bt = (
+        keys.join(F.broadcast(dirty),
+                  (F.col("p_brand") == F.col("d_brand"))
+                  & (F.col("p_type") == F.col("d_type")))
+        .select("dirty_id", "p_partkey",
+                F.lit(1).alias("in_bt"), F.lit(0).alias("in_sp"))
+    )
+    cand_sp = (
+        keys.join(F.broadcast(dirty),
+                  (F.col("p_size") == F.col("d_size"))
+                  & (F.col("p_prefix2") == F.substring("d_name", 1, 2)))
+        .select("dirty_id", "p_partkey",
+                F.lit(0).alias("in_bt"), F.lit(1).alias("in_sp"))
+    )
+    cand = (
+        cand_bt.unionByName(cand_sp)
+        .groupBy("dirty_id", "p_partkey")
+        .agg(F.max("in_bt").alias("in_bt"), F.max("in_sp").alias("in_sp"))
+    )
+    scored = (
+        cand.join(F.broadcast(dirty), "dirty_id").join(p, "p_partkey")
+    )
+    name_sim = 1.0 - (
+        F.levenshtein("d_name", "p_name")
+        / F.greatest(F.length("d_name"), F.length("p_name")))
+    size_sim = F.when(F.col("d_size") == F.col("p_size"), 1.0).otherwise(0.0)
+    price_sim = 1.0 - (
+        F.abs(F.col("d_price") - F.col("p_retailprice"))
+        / F.greatest("d_price", "p_retailprice"))
+    scored = scored.select(
+        "dirty_id", "p_partkey",
+        F.round(0.6 * name_sim + 0.2 * size_sim + 0.2 * price_sim, 4)
+        .alias("score"),
+        F.when((F.col("in_bt") == 1) & (F.col("in_sp") == 1), "both")
+        .when(F.col("in_bt") == 1, "brand_type")
+        .otherwise("size_prefix").alias("found_by"),
+        "brand_perturbed",
+    ).where(F.col("score") >= 0.6)
+    from pyspark.sql import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("dirty_id").orderBy(F.desc("score"), "p_partkey"))
+    return (
+        scored.withColumn("rn", rn).where(F.col("rn") == 1)
+        .select("dirty_id", F.col("p_partkey").alias("matched_id"), "score",
+                "found_by", "brand_perturbed",
                 (F.col("p_partkey") == F.col("dirty_id") - 100000)
                 .alias("matched_source"))
     )

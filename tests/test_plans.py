@@ -607,3 +607,25 @@ def test_seasonal_baseline_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_sum" in plan
+
+
+def test_semdedup_capped_prune_keyed_on_subcluster(spark, sf_dir):
+    """Capped SemDeDup: no cartesian anywhere; the centroid table and
+    the 8-row cluster-size table ride broadcasts, and the pairwise
+    prune joins on (cid, sub_id) — bounded to within-SUB-cluster, so
+    the hot-cluster quadratic can never come back."""
+    import re
+    plan = plan_of(spark, sf_dir, "semdedup_capped_cluster_prune")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert re.search(r"Join \[cid#\d+L?, sub_id#\d+L?\]", plan), plan[:2000]
+
+
+def test_er_multipass_broadcasts_dirty_side(spark, sf_dir):
+    """Multi-pass ER: the dirty side (1/16th of the catalog) broadcasts
+    in BOTH blocking passes and in the scoring join-back; no cartesian,
+    no nested-loop fallback."""
+    plan = plan_of(spark, sf_dir, "entity_resolution_multipass_block")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]

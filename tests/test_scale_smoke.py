@@ -391,3 +391,81 @@ def test_entity_resolution_1m_clean_100k_dirty(spark):
               .cast("int")).alias("n_correct")).collect()[0]
     assert row.n == 100_000
     assert row.n_correct == 100_000
+
+
+def test_semdedup_capped_hot_cluster(spark):
+    """semdedup_capped_cluster_prune's cap under a planted hot cluster:
+    50 % of 60k vectors land in cluster 0.  Uncapped, that cluster
+    alone costs C(30k,2) ~ 450M pairwise comparisons; with the B=40
+    secondary-hash split the REALIZED pair count stays <= 2*B*N and no
+    sub-cluster grows past a few B.  Members of a cluster are
+    collinear (cos exactly 1), so the prune keeps exactly one survivor
+    per sub-cluster — kept == populated-sub-cluster count by closed
+    form, with ceil(size/B) sub-clusters per cluster."""
+    import math
+
+    from glue_parquet_splitter_spark.operators import similarity as S
+
+    n, k, B = 60_000, 3, 40
+    cid_true = (
+        F.when(F.col("id") % 2 == 0, F.lit(0))        # hot: 50 % of rows
+        .when(F.col("id") % 4 == 1, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    theta = cid_true * (math.pi / 2 / k)
+    r = (F.col("id") % 7 + 1).cast("double")
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        cid_true.alias("true_cid"),
+        F.array(r * F.cos(theta), r * F.sin(theta)).alias("v"),
+    )
+    cents = spark.range(k).select(
+        F.col("id").alias("cid"),
+        F.array(F.cos(F.col("id") * (math.pi / 2 / k)),
+                F.sin(F.col("id") * (math.pi / 2 / k))).alias("cv"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("cos_c"), 6)), "cid")
+    assign = (
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "true_cid", "cid",
+                S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    assert assign.where(F.col("cid") != F.col("true_cid")).limit(1).count() == 0
+    # the query's actual secondary-hash split (4 md5 hex chars — wide
+    # enough for the 750 sub-clusters the hot cluster needs; a 2-char
+    # hash was a real bug this smoke caught: 256 values floored the
+    # sub size at 30000/256 ~ 117 >> B)
+    from glue_parquet_splitter_spark.queries.curation4_q import hex_hash_expr
+
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    sub = (assign.join(F.broadcast(sizes), "cid")
+           .withColumn("sub_id", F.expr(
+               f"{hex_hash_expr('vec_id')} % ((sz + {B - 1}) div {B})")))
+    stats = (sub.groupBy("cid", "sub_id").agg(F.count(F.lit(1)).alias("s"))
+             .agg(F.count("*").alias("n_subs"),
+                  F.max("s").alias("max_sub"),
+                  F.sum(F.col("s") * (F.col("s") - 1) / 2).alias("pairs"))
+             .collect()[0])
+    uncapped_pairs = (30_000 * 29_999 + 2 * 15_000 * 14_999) // 2
+    assert stats.pairs <= 2 * B * n            # linear in N for fixed cap
+    assert stats.pairs * 50 < uncapped_pairs   # >> 50x below the quadratic
+    assert stats.max_sub <= 4 * B              # hash split keeps subs O(B)
+    # the actual prune: collinear members -> one survivor per sub-cluster
+    a = sub.select("cid", "sub_id", F.col("vec_id").alias("keep_id"),
+                   F.col("v").alias("va"))
+    b = sub.select("cid", "sub_id", F.col("vec_id").alias("cand_id"),
+                   F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, ["cid", "sub_id"])
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= 0.9)
+        .select("cid", "cand_id").distinct()
+    )
+    n_dropped = dropped.count()
+    assert n_dropped == n - stats.n_subs       # kept == populated subs
+    # ceil(30000/40) + 2*ceil(15000/40) populated (no empty buckets at
+    # these fill rates — deterministic under md5)
+    assert stats.n_subs == 750 + 375 + 375
