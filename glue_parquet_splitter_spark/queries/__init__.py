@@ -155,4 +155,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import functions3_q  # noqa: F401
     from . import governance_q  # noqa: F401
     from . import curation4_q  # noqa: F401
+    from . import functions4_q  # noqa: F401
     return REGISTRY

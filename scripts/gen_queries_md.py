@@ -50,6 +50,7 @@ FAMILIES = OrderedDict([
     ("streaming3_q", "Streaming wave 3 (left-semi interval join, chained window aggregation)"),
     ("api3_q", "Spark 4 SQL surface 2 (recursive CTE, SQL scripting, parameters, NOT IN nulls, GROUP BY ALL, SQL UDFs)"),
     ("functions3_q", "Aggregate library 3 (regression aggs, moments, bit aggs, disc percentiles, mode)"),
+    ("functions4_q", "Function library 4 (percentile_cont, any_value, try_* family, str_to_map, from_csv)"),
     ("governance_q", "Data governance (k-anonymity, suppression, contribution clip, weighted median, SNM dedup)"),
     ("curation4_q", "Curation wave 4 (SemDeDup cluster-prune, inter-doc duplicate-gram fraction, blocked entity resolution)"),
 ])
