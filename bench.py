@@ -89,11 +89,42 @@ BENCH_QUERIES = [
     # scale shape is pinned by test_scale_smoke.py's 100k-vector /
     # 500-cluster smoke instead.)
     "interdoc_dup_gram_fraction",
+    # round-8 breadth (VERDICT r7 #4): governance, entity resolution
+    # (both blocking forms), and JL-projection ANN become gated
+    # shuffle signals.  semdedup_capped_cluster_prune IS benchable,
+    # unlike its uncapped sibling: the cap makes within-cluster pair
+    # count linear in sf for fixed cap, so its cost tracks data size,
+    # not the fixture's fixed k.
+    "k_anonymity_risk",
+    "entity_resolution_blocked_match",
+    "entity_resolution_multipass_block",
+    "ann_jl_projection_topk",
+    "semdedup_capped_cluster_prune",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def calibration_probe(spark) -> float:
+    """Fixed reference workload timed alongside the suite (VERDICT r7
+    #1): a 50M-row codegen sum plus a 2M-row/1k-key shuffle — the two
+    cost shapes the suite is made of, with a plan that never changes.
+
+    Its wall time measures the HOST, not the code: r6→r7 moved every
+    query a uniform 1.4-1.9x with zero shuffle-byte change (host
+    contention), and raw wall-clock could not prove it.  The probe
+    runs at suite start/middle/end; per-query times divided by the
+    round's median probe time are comparable across rounds, which is
+    what ``wall_regressions`` gates on."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    materialize(spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s"))
+    materialize(spark.range(2_000_000)
+                .groupBy((F.col("id") % 1000).alias("k")).count())
+    return time.perf_counter() - t0
 
 
 N_REPLAY_DAYS = 10
@@ -212,18 +243,55 @@ def _shuffle_bytes_from_doc(doc: dict) -> dict[str, int]:
     return {}
 
 
-def load_prev_shuffle_bytes(repo_dir: str) -> tuple[str | None, dict[str, int]]:
-    """Per-query shuffle bytes from the newest *recoverable*
-    BENCH_r*.json (falling back round by round).
+METRICS_FILE = "BENCH_METRICS.json"
+
+
+def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
+                       shuffle_bytes: dict[str, int],
+                       calibration: list[float]) -> None:
+    """Full-precision per-query metrics, committed alongside the BENCH
+    line.  The stdout line must fit the driver's 2000-char tail
+    capture (BENCH_r06 outgrew it and nearly disarmed the r7 gate), so
+    the byte-exact shuffle map and timings live here and the line
+    stays compact; ``load_prev_shuffle_bytes`` prefers this file and
+    falls back to recovering BENCH_r*.json lines for older rounds."""
+    doc = {"sf": sf,
+           "calibration_sec": [round(c, 3) for c in calibration],
+           "queries": timings,
+           "shuffle_bytes_written": shuffle_bytes}
+    with open(os.path.join(repo_dir, METRICS_FILE), "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+
+
+def load_prev_shuffle_bytes(repo_dir: str, sf: float | None = None,
+                            ) -> tuple[str | None, dict[str, int]]:
+    """Per-query shuffle bytes from BENCH_METRICS.json (r8+; exact,
+    truncation-proof) or the newest *recoverable* BENCH_r*.json
+    (falling back round by round).
 
     Shuffle volume is plan-determined and stable across runs, so it is
     the round-over-round regression signal wall-time is not on a noisy
     shared host (VERDICT r5 #3 made this executable; VERDICT r6 #2
     hardened it against driver-written files with ``"parsed": null``
-    and a truncated tail).
+    and a truncated tail).  ``sf`` guards the metrics file: bytes from
+    a different scale are not a baseline (a local sf0.01 sanity run
+    must not poison the sf0.1 gate) — on mismatch the BENCH_r* path
+    takes over.
     """
     import glob
     import re
+
+    mpath = os.path.join(repo_dir, METRICS_FILE)
+    try:
+        with open(mpath) as f:
+            mdoc = json.load(f)
+        prev = {k: int(v) for k, v in
+                (mdoc.get("shuffle_bytes_written") or {}).items()
+                if isinstance(v, (int, float))}
+        if prev and (sf is None or mdoc.get("sf") == sf):
+            return METRICS_FILE, prev
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
 
     rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
@@ -245,10 +313,118 @@ def load_prev_shuffle_bytes(repo_dir: str) -> tuple[str | None, dict[str, int]]:
     return newest_name, {}
 
 
+def _timings_from_doc(doc: dict) -> dict[str, float]:
+    """Per-query wall seconds from one BENCH doc (parsed dict, or the
+    tail-regex fallback for a driver-truncated line)."""
+    import re
+
+    parsed = doc.get("parsed") or doc
+    if isinstance(parsed, dict):
+        q = parsed.get("queries")
+        if isinstance(q, dict) and q:
+            return {k: float(v) for k, v in q.items()
+                    if isinstance(v, (int, float))}
+    tail = doc.get("tail") or ""
+    m = re.search(r'"queries":\s*\{([^{}]*)\}', tail)
+    if m:
+        return {k: float(v) for k, v in
+                re.findall(r'"([^"]+)":\s*([\d.]+)', m.group(1))}
+    return {}
+
+
+def _calibration_from_doc(doc: dict) -> float | None:
+    """Min calibration-probe seconds from one BENCH doc (contention
+    only adds time, so min is the host-speed estimate), or None for
+    rounds that predate the probe (r7 and earlier)."""
+    import re
+
+    parsed = doc.get("parsed") or doc
+    if isinstance(parsed, dict):
+        cal = parsed.get("calibration_sec")
+        if isinstance(cal, list) and cal:
+            return float(min(cal))
+    m = re.search(r'"calibration_sec":\s*\[([^\]]*)\]', doc.get("tail") or "")
+    if m:
+        vals = [float(v) for v in m.group(1).split(",") if v.strip()]
+        if vals:
+            return float(min(vals))
+    return None
+
+
+def load_prev_wall(repo_dir: str) -> tuple[str | None, dict[str, float],
+                                           float | None]:
+    """(file, per-query seconds, calibration median) from the newest
+    BENCH_r*.json whose timings are recoverable."""
+    import glob
+    import re
+
+    rounds: list[tuple[int, str]] = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for _, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            timings = _timings_from_doc(doc)
+        except Exception:
+            continue
+        if timings:
+            return os.path.basename(path), timings, _calibration_from_doc(doc)
+    return None, {}, None
+
+
 # a ±20 % move on a plan-determined byte count is a plan change, not
 # noise; sub-4 kB shuffles are skipped (single-batch compression jitter)
 SHUFFLE_GATE_RATIO = (0.8, 1.25)
 SHUFFLE_GATE_MIN_BYTES = 4096
+
+# a 1.5x move in CALIBRATION-NORMALIZED time is a real slowdown even on
+# a noisy host; sub-0.3 s entries are codegen-compile noise.  The gate
+# arms only when BOTH rounds carry the probe (raw wall-clock is not a
+# signal: r6->r7 moved uniformly 1.6x with zero plan change).
+WALL_GATE_RATIO = 1.5
+WALL_GATE_MIN_SEC = 0.3
+
+
+def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
+                     cur_t: dict[str, float], cur_cal: float | None,
+                     ) -> dict[str, dict]:
+    if not prev_cal or not cur_cal:
+        return {}
+    out: dict[str, dict] = {}
+    for name, cur in cur_t.items():
+        prev = prev_t.get(name)
+        if prev is None or prev < WALL_GATE_MIN_SEC or cur < WALL_GATE_MIN_SEC:
+            continue
+        ratio = (cur / cur_cal) / (prev / prev_cal)
+        if ratio > WALL_GATE_RATIO or ratio < 1 / WALL_GATE_RATIO:
+            out[name] = {"prev": prev, "cur": cur,
+                         "norm_ratio": round(ratio, 3)}
+    return out
+
+
+def unmeasured_batch_entries(doc: dict, tags_by_name: dict[str, tuple],
+                             ) -> list[str]:
+    """Batch registry entries in a BENCH doc with NO shuffle
+    measurement (VERDICT r7 #6): streaming entries and the synthetic
+    replay/compact rows are unmeasured by design, but a None/-1 on any
+    other entry is a silent metrics failure and must turn red in
+    tests, not stay invisible to the gate."""
+    parsed = doc.get("parsed") or doc
+    names = list(parsed.get("queries") or {}) if isinstance(parsed, dict) \
+        else []
+    got = _shuffle_bytes_from_doc(doc)
+    out = []
+    for n in names:
+        if n not in tags_by_name:        # split/compact replay rows
+            continue
+        if "streaming" in tags_by_name[n]:
+            continue
+        if got.get(n, -1) < 0:
+            out.append(n)
+    return out
 
 
 def shuffle_regressions(prev: dict[str, int],
@@ -276,6 +452,12 @@ def main() -> None:
 
     # warm the JVM/codegen path once with a trivial action
     spark.range(1000).count()
+
+    # host-speed probe #1 (suite start) — see calibration_probe.  One
+    # untimed warm run first: the probe's own codegen compile (~3 s
+    # cold) would otherwise masquerade as a slow host.
+    calibration_probe(spark)
+    calibration = [calibration_probe(spark)]
 
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
@@ -306,6 +488,9 @@ def main() -> None:
         except Exception:
             shuffle_bytes[name] = -1  # metrics are best-effort
 
+    # host-speed probe #2 (after the query loop, before the replays)
+    calibration.append(calibration_probe(spark))
+
     # min-of-3: the replay is one number the judge tracks round-over-round;
     # a single run was too exposed to host CPU-steal bursts (BENCH_r02).
     best_sec, best_rate = float("inf"), 0.0
@@ -331,9 +516,20 @@ def main() -> None:
             compact_sec, compact_summary = sec, summary
     timings[f"compact_replay_{N_REPLAY_DAYS}x10k"] = round(compact_sec, 3)
 
-    prev_file, prev_bytes = load_prev_shuffle_bytes(
-        os.path.dirname(os.path.abspath(__file__)))
+    # host-speed probe #3 (suite end)
+    calibration.append(calibration_probe(spark))
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_file, prev_bytes = load_prev_shuffle_bytes(repo_dir, sf)
     regressions = shuffle_regressions(prev_bytes, shuffle_bytes)
+
+    # min of the three probes: contention only ever ADDS time, so the
+    # min is the round's cleanest host-speed estimate
+    cur_cal = float(min(calibration))
+    wall_file, prev_t, prev_cal = load_prev_wall(repo_dir)
+    wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal)
+
+    write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration)
 
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
@@ -342,17 +538,13 @@ def main() -> None:
     streaming_names = {n for n in timings
                        if n in reg and "streaming" in reg[n].tags}
     streaming_sec = round(sum(timings[n] for n in streaming_names), 3)
-    # shuffle bytes as a kB list aligned with the queries dict's key
-    # order (null where not measured) — the old name->bytes dict made
-    # the JSON line outgrow the driver's 2000-char tail capture, which
-    # left BENCH_r06.json with "parsed": null and nearly disarmed the
-    # r7 shuffle gate (VERDICT r6 #2).  load_prev_shuffle_bytes reads
-    # both forms.
-    shuffle_kb = [
-        (round(shuffle_bytes[n] / 1024, 1) if shuffle_bytes.get(n, -1) >= 0
-         else None) if n in shuffle_bytes else None
-        for n in timings
-    ]
+    # the per-query shuffle-byte map lives in BENCH_METRICS.json, not
+    # the stdout line: the old in-line forms (name->bytes dict, then a
+    # kB list) kept outgrowing the driver's 2000-char tail capture as
+    # the suite widened (BENCH_r06 "parsed": null nearly disarmed the
+    # r7 gate; the r8 additions pushed the kB-list form past 2000 too).
+    # load_prev_shuffle_bytes prefers the file and still recovers the
+    # older in-line forms round-by-round.
     print(json.dumps({
         "metric": "headline_suite_sec",
         "value": total,
@@ -365,9 +557,14 @@ def main() -> None:
         "split_replay_skew_rows_per_sec": round(skew_rate),
         "compact_files_before": compact_summary.get("files_before"),
         "compact_files_after": compact_summary.get("files_after"),
-        "shuffle_kb": shuffle_kb,
         "shuffle_baseline": prev_file,
         "shuffle_regressions": regressions,
+        # fixed-workload host-speed probes at suite start/middle/end;
+        # per-query seconds / min(calibration_sec) are the
+        # cross-round-comparable numbers (VERDICT r7 #1)
+        "calibration_sec": [round(c, 3) for c in calibration],
+        "wall_baseline": wall_file,
+        "wall_regressions": wregs,
         # host contention at run end — context for wall-time outliers
         # (r5 recorded a 4.83 s min-of-3 for a 0.8 s query; CPU-steal
         # is invisible in the timings themselves)

@@ -38,11 +38,31 @@ def test_quiet_on_noise_and_errors():
 
 def test_reads_latest_committed_round():
     name, prev = bench.load_prev_shuffle_bytes(REPO)
-    # the repo always carries at least one driver-written BENCH file
-    assert name is not None and name.startswith("BENCH_r")
+    # r8+: the committed BENCH_METRICS.json side file wins; older
+    # checkouts recover the newest driver-written BENCH_r*.json line
+    assert name is not None and (name == bench.METRICS_FILE
+                                 or name.startswith("BENCH_r"))
     assert prev, "expected per-query shuffle bytes recovered from some round"
     assert all(isinstance(v, int) for v in prev.values())
     assert any(v > bench.SHUFFLE_GATE_MIN_BYTES for v in prev.values())
+
+
+def test_metrics_file_preferred_but_sf_guarded(tmp_path):
+    """BENCH_METRICS.json is the exact, truncation-proof source — but
+    bytes from a different scale are not a baseline (a local sf0.01
+    sanity run must not poison the sf0.1 gate)."""
+    (tmp_path / "BENCH_METRICS.json").write_text(json.dumps(
+        {"sf": 0.01, "shuffle_bytes_written": {"q": 7000}}))
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 1.0}, "shuffle_kb": [55.0]}}))
+    # matching sf (or unspecified): the file wins
+    name, prev = bench.load_prev_shuffle_bytes(str(tmp_path), 0.01)
+    assert name == bench.METRICS_FILE and prev == {"q": 7000}
+    name, prev = bench.load_prev_shuffle_bytes(str(tmp_path))
+    assert name == bench.METRICS_FILE
+    # sf mismatch: fall back to the newest recoverable BENCH line
+    name, prev = bench.load_prev_shuffle_bytes(str(tmp_path), 0.1)
+    assert name == "BENCH_r07.json" and prev == {"q": int(55.0 * 1024)}
 
 
 def test_recovers_from_parsed_null_truncated_tail():
@@ -90,3 +110,81 @@ def test_bench_queries_exist_in_registry():
     reg = load_all_modules()
     missing = [n for n in bench.BENCH_QUERIES if n not in reg]
     assert not missing, missing
+
+
+def test_wall_gate_disarmed_without_calibration():
+    """Rounds before r8 carry no calibration probe — raw wall-clock on
+    a shared host is not a signal (r6->r7: uniform 1.6x, zero plan
+    change), so the gate must stay silent rather than cry wolf."""
+    assert bench.wall_regressions({"q": 1.0}, None, {"q": 2.0}, 0.5) == {}
+    assert bench.wall_regressions({"q": 1.0}, 0.5, {"q": 2.0}, None) == {}
+
+
+def test_wall_gate_normalizes_out_host_speed():
+    prev_t = {"q1": 1.0, "q2": 2.0, "tiny": 0.1}
+    # host got uniformly 1.6x slower (calibration 0.5 -> 0.8): quiet
+    cur_uniform = {"q1": 1.6, "q2": 3.2, "tiny": 0.16}
+    assert bench.wall_regressions(prev_t, 0.5, cur_uniform, 0.8) == {}
+    # q2 alone doubled BEYOND the host move: tripped, with the
+    # normalized ratio recorded; tiny stays under the floor
+    cur_real = {"q1": 1.6, "q2": 6.4, "tiny": 0.9}
+    regs = bench.wall_regressions(prev_t, 0.5, cur_real, 0.8)
+    assert list(regs) == ["q2"]
+    assert regs["q2"]["norm_ratio"] == 2.0
+
+
+def test_calibration_recovered_from_tail():
+    # min of the probes: contention only adds time
+    doc = {"parsed": None,
+           "tail": ('..."shuffle_kb":[1.0],"calibration_sec":[0.41,0.44,'
+                    '0.39],"wall_regressions":{},"loadavg":[1]}')}
+    assert bench._calibration_from_doc(doc) == 0.39
+    assert bench._calibration_from_doc({"parsed": {"calibration_sec":
+                                                   [0.5, 0.6, 0.7]}}) == 0.5
+    assert bench._calibration_from_doc({"parsed": {"queries": {}}}) is None
+
+
+def test_unmeasured_batch_entry_turns_red():
+    """VERDICT r7 #6: a None/-1 shuffle measurement on a BATCH entry is
+    a silent metrics failure — it must be flagged; streaming and the
+    synthetic replay rows are unmeasured by design."""
+    tags = {"batch_q": ("agg",), "stream_q": ("streaming",)}
+    doc = {"parsed": {
+        "queries": {"batch_q": 1.0, "stream_q": 2.0,
+                    "split_replay_10x10k": 3.0},
+        "shuffle_kb": [None, None, None]}}
+    assert bench.unmeasured_batch_entries(doc, tags) == ["batch_q"]
+    doc_ok = {"parsed": {
+        "queries": {"batch_q": 1.0, "stream_q": 2.0,
+                    "split_replay_10x10k": 3.0},
+        "shuffle_kb": [5.5, None, None]}}
+    assert bench.unmeasured_batch_entries(doc_ok, tags) == []
+
+
+def test_committed_bench_has_no_silent_metric_gaps():
+    """The newest committed bench metrics (BENCH_METRICS.json if
+    present, else the newest recoverable BENCH_r*.json) must measure
+    every batch entry they claim to track."""
+    import glob
+    import re
+
+    from glue_parquet_splitter_spark.queries import load_all_modules
+
+    reg = load_all_modules()
+    tags = {n: s.tags for n, s in reg.items()}
+    mpath = os.path.join(REPO, bench.METRICS_FILE)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            doc = json.load(f)
+        assert bench.unmeasured_batch_entries(doc, tags) == [], mpath
+        return
+    rounds = sorted(
+        (int(re.search(r"BENCH_r(\d+)", p).group(1)), p)
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    for _, path in reversed(rounds):
+        with open(path) as f:
+            doc = json.load(f)
+        if bench._timings_from_doc(doc):
+            assert bench.unmeasured_batch_entries(doc, tags) == [], path
+            return
+    raise AssertionError("no recoverable BENCH round found")
