@@ -148,6 +148,19 @@ SHOWCASE = {
         "best-match rank is a window inside block-bounded candidates — "
         "ordered by the ROUNDED score so float noise cannot flip winners."
     ),
+    "semdedup_capped_cluster_prune": (
+        "Capped SemDeDup: the hot-cluster mitigation as a plan — cluster "
+        "sizes broadcast back (8 rows), the secondary md5 hash computes "
+        "sub-cluster ids in the projection, and the prune joins on "
+        "(cid, sub_id), so no task's pairwise work exceeds the cap "
+        "regardless of cluster skew."
+    ),
+    "entity_resolution_multipass_block": (
+        "Multi-pass blocking ER: the dirty side broadcasts into BOTH "
+        "blocking passes and the scoring join-back; the union's pair "
+        "dedup is one (dirty, clean)-keyed exchange — recall from the "
+        "union of block keys, cost still block-bounded."
+    ),
 }
 
 
