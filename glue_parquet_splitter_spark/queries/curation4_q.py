@@ -27,11 +27,14 @@ _NGRAM = 8
 _CAP = 40       # capped variant: max members per sub-cluster (in expectation)
 
 
-def hex_hash_expr(col_sql: str, chars: int = 4) -> str:
-    """SQL text for an integer hash in [0, 16**chars) built from the
-    first ``chars`` md5 hex chars of ``col_sql`` — written with
-    instr/substr/md5/cast only, so the IDENTICAL string runs on both
-    Spark SQL and DuckDB (md5 hex digests agree byte-for-byte).
+def hex_hash_expr(col_sql: str, chars: int = 4, offset: int = 0) -> str:
+    """SQL text for an integer hash in [0, 16**chars) built from
+    ``chars`` md5 hex chars of ``col_sql`` starting at ``offset`` —
+    written with instr/substr/md5/cast only, so the IDENTICAL string
+    runs on both Spark SQL and DuckDB (md5 hex digests agree
+    byte-for-byte).  Different offsets into the digest give
+    independent salts (the multi-pass recall recovery in
+    ``semdedup_capped_two_salt``).
 
     The hash RANGE bounds how finely a group can be salted: with the
     default 4 chars (65,536 values) a cluster can split into up to
@@ -41,14 +44,15 @@ def hex_hash_expr(col_sql: str, chars: int = 4) -> str:
     for clusters past 256·B members)."""
     digest = f"md5(cast({col_sql} as string))"
     terms = [
-        f"(instr('0123456789abcdef', substr({digest}, {i + 1}, 1)) - 1)"
+        f"(instr('0123456789abcdef', substr({digest}, {offset + i + 1}, 1)) - 1)"
         f" * {16 ** (chars - 1 - i)}"
         for i in range(chars)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-_H4 = hex_hash_expr("vec_id")  # Spark side (column in scope)
+_H4 = hex_hash_expr("vec_id")            # Spark side (column in scope)
+_H4B = hex_hash_expr("vec_id", offset=4)  # independent second salt
 
 
 def _semdedup_assign(spark, sf_dir):
@@ -321,6 +325,143 @@ def semdedup_capped_cluster_prune(spark, sf_dir):
         .join(F.broadcast(subsz), "cid")
         .select("cid", "n_members", "n_subclusters", "max_subcluster_size",
                 "n_dropped", "n_kept")
+    )
+
+
+@register(
+    "semdedup_capped_two_salt",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), v AS (
+      SELECT vec_id, i, x FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, i,
+             x + (CASE WHEN i = 2 THEN 0.05 ELSE 0.0 END) AS x
+      FROM base WHERE vec_id >= 8 AND vec_id < 33
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), cents AS (
+      SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < 8
+    ), cnorms AS (
+      SELECT cid, sqrt(SUM(cx * cx)) AS cnrm FROM cents GROUP BY cid
+    ), sims AS (
+      SELECT v.vec_id, cents.cid,
+             SUM(v.x * cents.cx) / (MIN(norms.nrm) * MIN(cnorms.cnrm)) AS cos_c
+      FROM v JOIN cents ON cents.i = v.i
+      JOIN norms ON norms.vec_id = v.vec_id
+      JOIN cnorms ON cnorms.cid = cents.cid
+      WHERE v.vec_id >= 8
+      GROUP BY v.vec_id, cents.cid
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY ROUND(cos_c, 6) DESC, cid) AS rn
+        FROM sims) WHERE rn = 1
+    ), sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS sz FROM assign GROUP BY cid
+    ), sub AS (
+      SELECT assign.vec_id, assign.cid, 1 AS p,
+             {hex_hash_expr("assign.vec_id")}
+             % ((sizes.sz + {_CAP - 1}) // {_CAP}) AS sub_id
+      FROM assign JOIN sizes USING (cid)
+      UNION ALL
+      SELECT assign.vec_id, assign.cid, 2 AS p,
+             {hex_hash_expr("assign.vec_id", offset=4)}
+             % ((sizes.sz + {_CAP - 1}) // {_CAP}) AS sub_id
+      FROM assign JOIN sizes USING (cid)
+    ), pairs AS (
+      SELECT a.cid, a.p, b.vec_id AS cand_id,
+             SUM(xa.x * xb.x) / (MIN(na.nrm) * MIN(nb.nrm)) AS cos_ab
+      FROM sub a JOIN sub b
+        ON a.cid = b.cid AND a.p = b.p AND a.sub_id = b.sub_id
+       AND a.vec_id < b.vec_id
+      JOIN v xa ON xa.vec_id = a.vec_id
+      JOIN v xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.cid, a.p, a.vec_id, b.vec_id
+    ), dstat AS (
+      SELECT cid, cand_id,
+             MAX(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS in1
+      FROM pairs WHERE ROUND(cos_ab, 4) >= 0.9
+      GROUP BY cid, cand_id
+    )
+    SELECT assign.cid AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(COALESCE(dstat.in1, 0)) AS BIGINT) AS n_dropped_salt1,
+           CAST(COUNT(dstat.cand_id) AS BIGINT) AS n_dropped_union,
+           CAST(COUNT(dstat.cand_id) - SUM(COALESCE(dstat.in1, 0)) AS BIGINT)
+             AS n_recovered,
+           CAST(COUNT(*) - COUNT(dstat.cand_id) AS BIGINT) AS n_kept
+    FROM assign LEFT JOIN dstat
+      ON dstat.cid = assign.cid AND dstat.cand_id = assign.vec_id
+    GROUP BY assign.cid
+    """,
+    tags=("similarity", "dedup", "curation", "skew"),
+)
+def semdedup_capped_two_salt(spark, sf_dir):
+    """Capped SemDeDup with the recall-recovery pass — the capped
+    form's docstring promises "multiple passes with different hash
+    salts recover most of the loss"; this is that promise as code.
+    The prune runs twice with INDEPENDENT salts (md5 digest chars 1-4
+    and 5-8 of the member id), and a member is dropped if EITHER pass
+    finds a ≥0.9-cosine lower-id neighbor in its sub-cluster.
+    Reported per cluster: members, drops from salt 1 alone (exactly
+    the single-pass capped query's answer, asserted in tests), the
+    two-salt union, the recovered delta, and the survivors.
+
+    Scale: pass 2 doubles the bounded within-sub-cluster work — still
+    linear in N for a fixed cap, still ≤ cap-sized tasks — and shares
+    the assignment scan (one corpus pass, two cheap salted
+    projections).  A duplicate pair split across sub-clusters by one
+    salt lands together under the other with probability
+    ~1 - 1/n_sub per pass, so union recall converges geometrically in
+    the number of passes; production SemDeDup stops at 2-3.
+
+    Engine parity: identical salted-hash text on both engines
+    (``hex_hash_expr``), all-integer sub-cluster counts, ROUND(cos,4)
+    prune threshold, and pass membership tracked as integer flags —
+    no float boundary anywhere in the drop decision's tie-breaking.
+    """
+    assign = _semdedup_assign(spark, sf_dir)
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    sized = assign.join(F.broadcast(sizes), "cid")
+    n_sub = f"((sz + {_CAP - 1}) div {_CAP})"
+    sub = (
+        sized.withColumn("p", F.lit(1))
+        .withColumn("sub_id", F.expr(f"{_H4} % {n_sub}"))
+        .unionByName(
+            sized.withColumn("p", F.lit(2))
+            .withColumn("sub_id", F.expr(f"{_H4B} % {n_sub}")))
+        .select("vec_id", "v", "cid", "p", "sub_id")
+    )
+    a = sub.select("cid", "p", "sub_id", F.col("vec_id").alias("keep_id"),
+                   F.col("v").alias("va"))
+    b = sub.select("cid", "p", "sub_id", F.col("vec_id").alias("cand_id"),
+                   F.col("v").alias("vb"))
+    dstat = (
+        a.join(b, ["cid", "p", "sub_id"])
+        .filter(F.col("keep_id") < F.col("cand_id"))
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= _TAU)
+        .groupBy(F.col("cid").alias("d_cid"), "cand_id")
+        .agg(F.max(F.when(F.col("p") == 1, 1).otherwise(0)).alias("in1"))
+    )
+    return (
+        assign.join(F.broadcast(dstat),
+                    (F.col("cid") == F.col("d_cid"))
+                    & (F.col("vec_id") == F.col("cand_id")), "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("in1", F.lit(0))).alias("n_dropped_salt1"),
+            F.count("cand_id").alias("n_dropped_union"),
+            (F.count("cand_id") - F.sum(F.coalesce("in1", F.lit(0))))
+            .alias("n_recovered"),
+            (F.count(F.lit(1)) - F.count("cand_id")).alias("n_kept"),
+        )
     )
 
 

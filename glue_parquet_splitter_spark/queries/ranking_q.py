@@ -137,3 +137,138 @@ def streaming_static_enrich(spark, sf_dir):
     out = run_static_enrich_stream(spark, f"{sf_dir}/events.parquet", dim)
     return out.select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
                       "n_events", "total_value")
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle="""
+    WITH lex AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t = 'join')) AS s
+      FROM documents
+    ), lex_top AS (
+      SELECT doc_id, s FROM lex ORDER BY s DESC, doc_id LIMIT 50
+    ), lex_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r_lex
+      FROM lex_top
+    ), v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), q AS (
+      SELECT i, x AS qx FROM v WHERE vec_id = 0
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), qn AS (
+      SELECT sqrt(SUM(qx * qx)) AS qnrm FROM q
+    ), sem AS (
+      SELECT v.vec_id,
+             SUM(v.x * q.qx) / (MIN(norms.nrm) * MIN(qn.qnrm)) AS cos_q
+      FROM v JOIN q USING (i)
+      JOIN norms ON norms.vec_id = v.vec_id
+      CROSS JOIN qn
+      WHERE v.vec_id > 0
+      GROUP BY v.vec_id
+    ), sem_top AS (
+      SELECT vec_id, cos_q FROM sem
+      ORDER BY ROUND(cos_q, 6) DESC, vec_id LIMIT 50
+    ), sem_rank AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(cos_q, 6) DESC, vec_id) AS r_sem
+      FROM sem_top
+    ), fused AS (
+      SELECT COALESCE(lex_rank.doc_id, sem_rank.vec_id) AS doc_id,
+             lex_rank.r_lex, sem_rank.r_sem,
+             COALESCE(1.0 / (60 + lex_rank.r_lex), 0)
+               + COALESCE(1.0 / (60 + sem_rank.r_sem), 0) AS rrf
+      FROM lex_rank FULL OUTER JOIN sem_rank
+        ON sem_rank.vec_id = lex_rank.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rrf, 6) DESC, doc_id)
+                AS BIGINT) AS fused_rank,
+           doc_id,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_sem AS BIGINT) AS r_sem,
+           ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "ranking", "similarity"),
+)
+def hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion — the standard way
+    to combine a lexical arm and a semantic arm without score
+    calibration: each arm contributes ``1/(60 + rank)`` (k=60, the
+    published constant) and the union re-ranks by the sum.  The
+    lexical arm ranks documents by an INTEGER term count (ties broken
+    by doc_id, so no float ordering anywhere); the semantic arm ranks
+    embeddings by cosine to a fixed query vector (``ROUND(cos, 6)``
+    desc, id — the registry's argmax convention); both arms keep
+    their top 50, and a document absent from one arm simply
+    contributes 0 from it.
+
+    Scale: each arm's top-k is ``TakeOrderedAndProject`` — per-
+    partition heaps, never a global sort of the corpus — and the only
+    windows run over the ≤50-row arm results; the fusion join touches
+    ≤100 rows.  At 100 TB the semantic arm swaps in the IVF/LSH path
+    (``ivf_topk_search``) and the lexical arm the full BM25
+    (``bm25_doc_ranking``); the RRF math — and this plan's shape —
+    is unchanged, which is exactly why RRF is the production default
+    over learned score fusion.
+
+    Engine parity: ranks are integers from deterministic orderings;
+    the RRF sum is a fixed two-term float expression (identical IEEE
+    ops row-wise on both engines, no accumulation), rounded to 6
+    before the final deterministic (rrf, doc_id) ordering.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators import similarity as S
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+
+    lex_top = (
+        d.select("doc_id",
+                 F.size(F.filter(F.split("text", " "),
+                                 lambda t: t == "join")).alias("s"))
+        .orderBy(F.desc("s"), "doc_id").limit(50)
+    )
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("s"), "doc_id")).alias("r_lex"))
+
+    qv = (e.where(F.col("vec_id") == 0)
+          .select(F.col("embedding").cast("array<double>").alias("qv")))
+    sem_top = (
+        e.where(F.col("vec_id") > 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", S.cosine(F.col("v"), F.col("qv")).alias("cos_q"))
+        .orderBy(F.desc(F.round("cos_q", 6)), "vec_id").limit(50)
+    )
+    sem_rank = sem_top.select(
+        "vec_id",
+        F.row_number().over(
+            W.orderBy(F.desc(F.round("cos_q", 6)), "vec_id")).alias("r_sem"))
+
+    fused = (
+        lex_rank.join(sem_rank, F.col("vec_id") == F.col("doc_id"),
+                      "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            "r_lex", "r_sem",
+            (F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+             + F.coalesce(1.0 / (60 + F.col("r_sem")), F.lit(0.0))
+             ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.desc(F.round("rrf", 6)), "doc_id").limit(20)
+    return top.select(
+        F.row_number().over(
+            W.orderBy(F.desc(F.round("rrf", 6)), "doc_id"))
+        .cast("long").alias("fused_rank"),
+        "doc_id",
+        F.col("r_lex").cast("long").alias("r_lex"),
+        F.col("r_sem").cast("long").alias("r_sem"),
+        F.round("rrf", 6).alias("rrf"),
+    )

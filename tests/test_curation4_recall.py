@@ -62,3 +62,25 @@ def test_er_multipass_catches_cross_block_perturbation(spark, sf_dir):
     # union of passes never has lower recall than either pass alone
     n_dirty = p.where(F.col("p_partkey") % 16 == 0).count()
     assert len(rows) == n_dirty
+
+
+def test_semdedup_two_salt_recall_lattice(spark, sf_dir):
+    """The three prune variants must form a lattice per cluster:
+    salt-1 drops == the single-pass capped query's drops exactly (same
+    salt, same cap), the two-salt union only ever adds, and the union
+    can never exceed the uncapped (all-within-cluster-pairs) drops."""
+    unc = {r.cid: r for r in
+           REG["semdedup_cluster_prune"].fn(spark, sf_dir).collect()}
+    cap = {r.cid: r for r in
+           REG["semdedup_capped_cluster_prune"].fn(spark, sf_dir).collect()}
+    two = {r.cid: r for r in
+           REG["semdedup_capped_two_salt"].fn(spark, sf_dir).collect()}
+    assert set(two) == set(cap) == set(unc)
+    for cid in two:
+        assert two[cid].n_members == cap[cid].n_members
+        assert two[cid].n_dropped_salt1 == cap[cid].n_dropped
+        assert (two[cid].n_dropped_salt1 <= two[cid].n_dropped_union
+                <= unc[cid].n_dropped)
+        assert (two[cid].n_recovered
+                == two[cid].n_dropped_union - two[cid].n_dropped_salt1)
+        assert two[cid].n_kept == two[cid].n_members - two[cid].n_dropped_union
