@@ -629,3 +629,25 @@ def test_er_multipass_broadcasts_dirty_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_rrf_arms_are_distributed_topk(spark, sf_dir):
+    """RRF fusion: each arm's top-50 must plan as
+    TakeOrderedAndProject (per-partition heaps) — a global Sort of
+    the corpus would be the classic ranking scale-killer; the only
+    windows run over the bounded arm results."""
+    plan = plan_of(spark, sf_dir, "hybrid_rrf_fusion")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_two_salt_keyed_on_pass_and_subcluster(spark, sf_dir):
+    """Two-salt SemDeDup: the doubled prune joins on
+    (cid, p, sub_id) — each pass's pairwise work stays inside its own
+    sub-clusters; no cartesian, centroids/sizes broadcast."""
+    import re
+    plan = plan_of(spark, sf_dir, "semdedup_capped_two_salt")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert re.search(r"Join \[cid#\d+L?, p#\d+, sub_id#\d+L?\]", plan), \
+        plan[:2000]
