@@ -84,3 +84,26 @@ def test_semdedup_two_salt_recall_lattice(spark, sf_dir):
         assert (two[cid].n_recovered
                 == two[cid].n_dropped_union - two[cid].n_dropped_salt1)
         assert two[cid].n_kept == two[cid].n_members - two[cid].n_dropped_union
+
+
+def test_hex_hash_expr_cross_engine_parity(spark):
+    """hex_hash_expr's whole contract is that the IDENTICAL SQL text
+    yields identical integers on Spark and DuckDB — verify over 1000
+    ids for both salt offsets (a divergence here would silently
+    shuffle members into different sub-clusters on the two engines
+    and break every capped-SemDeDup oracle)."""
+    import duckdb
+
+    from glue_parquet_splitter_spark.queries.curation4_q import hex_hash_expr
+
+    for offset in (0, 4):
+        expr = hex_hash_expr("id", offset=offset)
+        got_spark = [r.h for r in spark.range(1000)
+                     .selectExpr(f"{expr} AS h").orderBy("id").collect()]
+        got_duck = [r[0] for r in duckdb.connect().execute(
+            f"SELECT {expr} AS h FROM range(1000) t(id) ORDER BY id"
+        ).fetchall()]
+        assert got_spark == got_duck
+        # and the hash actually spreads: ~1000 ids over 65536 values
+        assert len(set(got_spark)) > 900
+        assert 0 <= min(got_spark) and max(got_spark) < 16 ** 4
