@@ -14,7 +14,6 @@ the registry did not yet compose.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -77,14 +76,23 @@ def _semdedup_assign(spark, sf_dir):
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     corpus = allv.filter(F.col("vec_id") >= _K)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc(F.round(F.col("cos_c"), 6)), "cid")
+    # argmax via max_by on the composite key (round(cos,6), -cid) —
+    # identical winner to the oracle's ORDER BY round(cos,6) DESC, cid
+    # rank, but as a partial-aggregable groupBy instead of a window:
+    # the k candidate rows per vector combine MAP-SIDE to one row
+    # before any exchange (no sort, 1/k the shuffled rows) — at
+    # 100 TB the assignment never full-sorts corpus x k rows.
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "cid",
+        S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
     return (
-        corpus.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        scored.groupBy("vec_id")
+        .agg(F.max_by(
+            F.struct("cid", "v"),
+            F.struct(F.round("cos_c", 6).alias("c"),
+                     (-F.col("cid")).alias("nc"))).alias("best"))
+        .select("vec_id", F.col("best.v").alias("v"),
+                F.col("best.cid").alias("cid"))
     )
 
 
