@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "entity_resolution_multipass_block",
     "ann_jl_projection_topk",
     "semdedup_capped_cluster_prune",
+    # round-8 wave 2: the production SemDeDup form (two-salt recall
+    # recovery — exactly 2x the capped pairwise work, a cost claim
+    # worth gating) and hybrid lexical+semantic retrieval fusion
+    "semdedup_capped_two_salt",
+    "hybrid_rrf_fusion",
 ]
 
 
