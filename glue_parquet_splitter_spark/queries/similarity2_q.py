@@ -416,3 +416,102 @@ def ann_jl_projection_topk(spark, sf_dir):
                 F.round("pc", 4).alias("proj_cos"),
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+@register(
+    "topk_incremental_merge",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), q AS (
+      SELECT i, x AS qx FROM v WHERE vec_id = 1
+    ), corpus AS (
+      SELECT vec_id, i, x FROM v WHERE vec_id >= 10
+      UNION ALL
+      SELECT 2000000 AS vec_id, i, qx * 1.5 AS x FROM q
+      UNION ALL
+      SELECT vec_id + 2000001 AS vec_id, i,
+             x + (CASE WHEN i = 3 THEN 0.01 ELSE 0.0 END) AS x
+      FROM v WHERE vec_id >= 10 AND vec_id < 20
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM corpus GROUP BY vec_id
+    ), qn AS (
+      SELECT sqrt(SUM(qx * qx)) AS qnrm FROM q
+    ), scored AS (
+      SELECT corpus.vec_id,
+             SUM(corpus.x * q.qx) / (MIN(norms.nrm) * MIN(qn.qnrm)) AS cos_q
+      FROM corpus JOIN q USING (i)
+      JOIN norms ON norms.vec_id = corpus.vec_id
+      CROSS JOIN qn
+      GROUP BY corpus.vec_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(cos_q, 6) DESC, vec_id)
+                AS BIGINT) AS rank,
+           vec_id,
+           ROUND(cos_q, 6) AS cos_q,
+           vec_id >= 2000000 AS from_delta
+    FROM scored ORDER BY ROUND(cos_q, 6) DESC, vec_id LIMIT 10
+    """,
+    tags=("similarity", "topk", "incremental"),
+)
+def topk_incremental_merge(spark, sf_dir):
+    """Incremental top-k similarity serving — the pattern an ANN index
+    uses to stay fresh without rescanning the base: the BASE corpus's
+    top-k is computed once (in production: cached/materialized), each
+    arriving DELTA batch is scored alone, and the served result is the
+    k-merge of the two k-row lists.  Top-k is associative, so the
+    staged merge must equal a direct top-k over base ∪ delta — and
+    that is exactly what the oracle certifies: Spark runs the staged
+    base-topk ∪ delta-topk → re-rank path, DuckDB scores the unioned
+    corpus directly, and the results must hash-match.  The delta
+    plants a scaled copy of the query itself (cosine exactly 1 →
+    guaranteed rank 1 from the delta) plus perturbed near-copies of
+    base vectors, so the merge is non-vacuous by construction.
+
+    Scale: the base scan never re-runs for a delta batch — each
+    increment costs one delta-sized scan plus a 2k-row merge; both
+    arm top-ks are ``TakeOrderedAndProject`` (per-partition heaps)
+    and the merge sorts ≤ 2k rows.  This composes with any scoring
+    arm (brute cosine here; IVF/LSH at 100 TB) because only the
+    per-batch top-k lists cross stages.
+
+    Engine parity: ranks order by ``ROUND(cos, 6)`` desc with vec_id
+    tie-break (the registry's argmax convention); the planted
+    cosine-1.0 row pins the head deterministically.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    qv = (vecs.where(F.col("vec_id") == 1)
+          .select(F.col("v").alias("qv")))
+    base = vecs.where(F.col("vec_id") >= 10)
+    delta = (
+        qv.select(F.lit(2000000).cast("long").alias("vec_id"),
+                  F.transform("qv", lambda x: x * 1.5).alias("v"))
+        .unionByName(
+            vecs.where((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+            .select((F.col("vec_id") + 2000001).alias("vec_id"),
+                    F.transform(
+                        "v", lambda x, i: F.when(i == F.lit(2), x + F.lit(0.01))
+                        .otherwise(x)).alias("v")))
+    )
+
+    def topk(df, k=10):
+        return (
+            df.crossJoin(F.broadcast(qv))
+            .select("vec_id", S.cosine(F.col("v"), F.col("qv")).alias("cos_q"))
+            .orderBy(F.desc(F.round("cos_q", 6)), "vec_id").limit(k)
+        )
+
+    merged = (
+        topk(base).unionByName(topk(delta))
+        .orderBy(F.desc(F.round("cos_q", 6)), "vec_id").limit(10)
+    )
+    return merged.select(
+        F.row_number().over(
+            Window.orderBy(F.desc(F.round("cos_q", 6)), "vec_id"))
+        .cast("long").alias("rank"),
+        "vec_id",
+        F.round("cos_q", 6).alias("cos_q"),
+        (F.col("vec_id") >= 2000000).alias("from_delta"),
+    )
