@@ -197,3 +197,48 @@ def test_jl_projection_preserves_planted_top1(spark, corpus):
     assert len(top1) == N_DUPS
     for r in top1:
         assert r.nid == r.qid - N_BASE, (r.qid, r.nid)
+
+
+def test_topk_staged_merge_equals_direct_property(spark):
+    """topk_incremental_merge's whole claim is top-k associativity:
+    merge(topk(base), topk(delta)) == topk(base ∪ delta) for ANY
+    split — exercise it over several adversarial splits of a corpus
+    with heavy cosine ties (collinear vectors), where a wrong
+    tie-break order would flip the result."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from glue_parquet_splitter_spark.operators import similarity as S
+
+    n, k = 2_000, 10
+    # 40 distinct angles -> 50 collinear vectors per angle: massive
+    # rounded-cosine ties, so the vec_id tie-break does real work
+    theta = (F.col("id") % 40) * (math.pi / 2 / 40)
+    r = (F.col("id") % 5 + 1).cast("double")
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(r * F.cos(theta), r * F.sin(theta)).alias("v"))
+    qv = spark.range(1).select(
+        F.array(F.lit(1.0), F.lit(0.5)).alias("qv"))
+
+    def topk(df, kk=k):
+        return (df.crossJoin(F.broadcast(qv))
+                .select("vec_id", S.cosine(F.col("v"), F.col("qv"))
+                        .alias("c"))
+                .orderBy(F.desc(F.round("c", 6)), "vec_id").limit(kk))
+
+    direct = [(row.vec_id, round(row.c, 6)) for row in
+              topk(vecs).orderBy(F.desc(F.round("c", 6)), "vec_id")
+              .collect()]
+    for split in (2, 3, 7):   # modulus splits scatter ties across parts
+        parts = [vecs.where(F.col("vec_id") % split == i)
+                 for i in range(split)]
+        staged = None
+        for p in parts:
+            t = topk(p)
+            staged = t if staged is None else staged.unionByName(t)
+        got = [(row.vec_id, round(row.c, 6)) for row in
+               staged.orderBy(F.desc(F.round("c", 6)), "vec_id").limit(k)
+               .collect()]
+        assert got == direct, f"split {split} diverged"
