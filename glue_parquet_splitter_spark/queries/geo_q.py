@@ -308,3 +308,94 @@ def adaptive_ring_pairs(pts):
                 F.col("b.c_custkey").alias("custkey_b"),
                 F.round(hav, 2).alias("dist_km"))
     )
+
+
+@register(
+    "trajectory_transition_similarity",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id, ts, event_id,
+             (user_id % 5) * 10 + (event_id % 10) AS cell
+      FROM events
+    ), trans AS (
+      SELECT DISTINCT user_id,
+             LAG(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               * 100 + cell AS t
+      FROM cells
+    ), tclean AS (
+      SELECT user_id, t FROM trans WHERE t IS NOT NULL
+    ), sizes AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM tclean
+      GROUP BY user_id
+    ), shared AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+             CAST(COUNT(*) AS BIGINT) AS s
+      FROM tclean a JOIN tclean b
+        ON a.t = b.t AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT shared.u1, shared.u2, shared.s AS shared_transitions,
+           sa.n AS n1, sb.n AS n2,
+           ROUND(shared.s * 1.0 / (sa.n + sb.n - shared.s), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.user_id = shared.u1
+    JOIN sizes sb ON sb.user_id = shared.u2
+    WHERE shared.s * 5 >= sa.n + sb.n - shared.s
+    """,
+    tags=("geo", "similarity", "timeseries", "join"),
+)
+def trajectory_transition_similarity(spark, sf_dir):
+    """Trajectory similarity via cell-TRANSITION sets — the standard
+    discretize-then-set-similarity recipe for movement data (grid
+    cells as local reference points): each user's time-ordered events
+    map to grid cells, consecutive cells form directed transitions
+    (``prev*100 + cell`` — ORDER-SENSITIVE, unlike a bag of visited
+    cells: A→B and B→A are different movements), and user-pair
+    similarity is Jaccard over distinct transition sets.  Cells carry
+    planted structure (a user's group picks its 10-cell
+    neighborhood), so same-group users overlap heavily and
+    cross-group pairs share nothing — the ≥0.2 threshold
+    (``s*5 >= union`` in exact integers) keeps the planted cohort.
+
+    Scale: the pair generation is an INVERTED-INDEX equi join on the
+    transition key — users sharing no transition never meet, so cost
+    tracks the co-visitation lists, never |users|² (the same shape as
+    ``ngram_jaccard_pairs``, with the n-gram replaced by a spatial
+    bigram).  The per-user transition extraction is one window over
+    user-partitioned events; hot transitions (a popular road segment)
+    are the skew to watch — cap or sample co-visitation lists past
+    ~10³ users, exactly like a hot shingle.  The integer threshold
+    avoids any float boundary in the keep/drop decision; jaccard is
+    reported rounded for the grade.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    cell = (F.col("user_id") % 5) * 10 + (F.col("event_id") % 10)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", cell.alias("cell"))
+        .select("user_id",
+                (F.lag("cell").over(w) * 100 + F.col("cell")).alias("t"))
+        .where(F.col("t").isNotNull())
+        .distinct()
+    )
+    sizes = trans.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = trans.select(F.col("user_id").alias("u1"), "t")
+    b = trans.select(F.col("user_id").alias("u2"), "t")
+    shared = (
+        a.join(b, "t")
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("shared_transitions"))
+    )
+    sa = sizes.select(F.col("user_id").alias("u1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
+    union_sz = F.col("n1") + F.col("n2") - F.col("shared_transitions")
+    return (
+        shared.join(F.broadcast(sa), "u1").join(F.broadcast(sb), "u2")
+        .where(F.col("shared_transitions") * 5 >= union_sz)
+        .select("u1", "u2", "shared_transitions", "n1", "n2",
+                F.round(F.col("shared_transitions") / union_sz, 4)
+                .alias("jaccard"))
+    )
