@@ -102,9 +102,11 @@ BENCH_QUERIES = [
     "semdedup_capped_cluster_prune",
     # round-8 wave 2: the production SemDeDup form (two-salt recall
     # recovery — exactly 2x the capped pairwise work, a cost claim
-    # worth gating) and hybrid lexical+semantic retrieval fusion
+    # worth gating), hybrid lexical+semantic retrieval fusion, and the
+    # geo family's first gated signal (inverted-index trajectory join)
     "semdedup_capped_two_salt",
     "hybrid_rrf_fusion",
+    "trajectory_transition_similarity",
 ]
 
 
@@ -253,7 +255,8 @@ METRICS_FILE = "BENCH_METRICS.json"
 
 def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
                        shuffle_bytes: dict[str, int],
-                       calibration: list[float]) -> None:
+                       calibration: list[float],
+                       compact: dict | None = None) -> None:
     """Full-precision per-query metrics, committed alongside the BENCH
     line.  The stdout line must fit the driver's 2000-char tail
     capture (BENCH_r06 outgrew it and nearly disarmed the r7 gate), so
@@ -264,6 +267,12 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
            "calibration_sec": [round(c, 3) for c in calibration],
            "queries": timings,
            "shuffle_bytes_written": shuffle_bytes}
+    if compact:
+        # compaction replay detail (files_before/after) lives here,
+        # not the stdout line — every field on the line costs tail-
+        # capture headroom
+        doc["compact"] = {k: compact.get(k)
+                          for k in ("files_before", "files_after")}
     with open(os.path.join(repo_dir, METRICS_FILE), "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
 
@@ -534,7 +543,8 @@ def main() -> None:
     wall_file, prev_t, prev_cal = load_prev_wall(repo_dir)
     wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal)
 
-    write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration)
+    write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration,
+                       compact_summary)
 
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
@@ -560,8 +570,6 @@ def main() -> None:
         "streaming_suite_sec": streaming_sec,
         "split_replay_rows_per_sec": round(best_rate),
         "split_replay_skew_rows_per_sec": round(skew_rate),
-        "compact_files_before": compact_summary.get("files_before"),
-        "compact_files_after": compact_summary.get("files_after"),
         "shuffle_baseline": prev_file,
         "shuffle_regressions": regressions,
         # fixed-workload host-speed probes at suite start/middle/end;

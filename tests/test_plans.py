@@ -651,3 +651,14 @@ def test_semdedup_two_salt_keyed_on_pass_and_subcluster(spark, sf_dir):
     assert "BroadcastExchange" in plan
     assert re.search(r"Join \[cid#\d+L?, p#\d+, sub_id#\d+L?\]", plan), \
         plan[:2000]
+
+
+def test_trajectory_pairs_inverted_index_join(spark, sf_dir):
+    """Trajectory similarity: user pairs come from an equi join on
+    the transition key (inverted index) — never a user x user
+    cartesian; the size tables ride broadcasts."""
+    plan = plan_of(spark, sf_dir, "trajectory_transition_similarity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    assert re.search(r"Join \[t#\d+L?\], \[t#\d+L?\]", plan), plan[:2000]
