@@ -230,6 +230,8 @@ class MarkerWriter(DataSourceWriter):
                     pass  # already gone — deletion is best-effort
 
     def abort(self, messages) -> None:
+        from pyarrow.fs import FileSelector
+
         from ..pipeline.splitter import resolve_fs
 
         filesystem, dir_path = resolve_fs(self.marker_dir)
@@ -242,6 +244,20 @@ class MarkerWriter(DataSourceWriter):
                     filesystem.delete_file(f"{base}/{tmp}")
                 except OSError:
                     pass  # temp already gone — abort must not raise
+        # Messages only cover tasks that FINISHED.  A task killed
+        # mid-write (the job abort racing a still-running task) dies
+        # without running its own cleanup and leaves no commit message,
+        # orphaning its staged temp — observed as a real race in the
+        # test suite.  The marker protocol is single-writer per dir, so
+        # at abort time every remaining *.tmp belongs to this failed
+        # job (committed markers are never named *.tmp): sweep them.
+        for info in filesystem.get_file_info(
+                FileSelector(base, allow_not_found=True)):
+            if info.base_name.endswith(".tmp"):
+                try:
+                    filesystem.delete_file(f"{base}/{info.base_name}")
+                except OSError:
+                    pass
 
 
 class MarkerStreamWriter(DataSourceStreamWriter):

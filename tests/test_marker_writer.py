@@ -165,3 +165,30 @@ def test_stream_sink_incremental_and_idempotent(spark, tmp_path):
     back = {r["date"]: r["output_count"]
             for r in read_markers(spark, dest).collect()}
     assert back == {"20250101": 99, "20250102": 28}
+
+
+def test_abort_sweeps_killed_task_temps(tmp_path):
+    """Commit messages only cover tasks that FINISHED: a task killed
+    mid-write (job abort racing a live task) leaves a staged temp and
+    no message — observed as a real suite flake.  abort() must sweep
+    every remaining *.tmp in the dir (single-writer protocol), while
+    committed markers survive untouched."""
+    from glue_parquet_splitter_spark.sources.markers import MarkerWriter
+
+    dest = str(tmp_path / "markers")
+    w = MarkerWriter(dest, overwrite=False)
+    # a committed marker, a message-covered temp, and an orphan temp
+    # from a killed task
+    with open(os.path.join(dest, "20250101.json"), "w") as f:
+        f.write("{}")
+    covered = ".20250102.json.aaaa1111.tmp"
+    orphan = ".20250103.json.bbbb2222.tmp"
+    for t in (covered, orphan):
+        with open(os.path.join(dest, t), "w") as f:
+            f.write("partial")
+
+    class _Msg:
+        pairs = [(covered, "20250102.json")]
+
+    w.abort([_Msg(), None])   # None = the failed task's slot
+    assert os.listdir(dest) == ["20250101.json"]
