@@ -177,8 +177,16 @@ def main() -> None:
     ]
     from glue_parquet_splitter_spark.plans import formatted_plan
 
+    import re
+
     for name, why in SHOWCASE.items():
         plan = formatted_plan(reg[name].fn(spark, sf_dir)).strip()
+        # plan_id is a session-global counter that drifts run-to-run
+        # even with identical code — normalize it or the release
+        # gate's regenerate-and-diff would false-fail (expression ids
+        # like #885L are stable under the fixed generation order and
+        # are kept: they carry the join-key identity the prose cites)
+        plan = re.sub(r"plan_id=\d+", "plan_id=*", plan)
         if len(plan) > 4000:  # cut at a line boundary, mark the elision
             plan = plan[:4000].rsplit("\n", 1)[0] + "\n… (truncated)"
         out += [f"## {name}", "", why, "", "```", plan, "```", ""]
