@@ -424,10 +424,12 @@ def semdedup_capped_two_salt(spark, sf_dir):
     Scale: pass 2 doubles the bounded within-sub-cluster work — still
     linear in N for a fixed cap, still ≤ cap-sized tasks — and shares
     the assignment scan (one corpus pass, two cheap salted
-    projections).  A duplicate pair split across sub-clusters by one
-    salt lands together under the other with probability
-    ~1 - 1/n_sub per pass, so union recall converges geometrically in
-    the number of passes; production SemDeDup stops at 2-3.
+    projections).  An id-hashed duplicate pair lands in the same
+    sub-cluster with probability ~1/n_sub per independent salt, so
+    the MISS probability decays geometrically — (1 - 1/n_sub)^passes
+    — in the number of passes; production SemDeDup stops at 2-3
+    (and keeps n_sub per cluster small by sizing k ≈ √N first, so
+    each pass already carries most of the recall).
 
     Engine parity: identical salted-hash text on both engines
     (``hex_hash_expr``), all-integer sub-cluster counts, ROUND(cos,4)
