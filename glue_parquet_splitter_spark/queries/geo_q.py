@@ -366,7 +366,10 @@ def trajectory_transition_similarity(spark, sf_dir):
     are the skew to watch — cap or sample co-visitation lists past
     ~10³ users, exactly like a hot shingle.  The integer threshold
     avoids any float boundary in the keep/drop decision; jaccard is
-    reported rounded for the grade.
+    reported rounded for the grade.  The per-user size table is
+    O(|users|) — unbounded — so the enrichment joins carry no
+    ``F.broadcast`` hint (VERDICT r8 #1); AQE picks broadcast at
+    fixture scale, shuffle at 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
@@ -393,7 +396,7 @@ def trajectory_transition_similarity(spark, sf_dir):
     sb = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
     union_sz = F.col("n1") + F.col("n2") - F.col("shared_transitions")
     return (
-        shared.join(F.broadcast(sa), "u1").join(F.broadcast(sb), "u2")
+        shared.join(sa, "u1").join(sb, "u2")
         .where(F.col("shared_transitions") * 5 >= union_sz)
         .select("u1", "u2", "shared_transitions", "n1", "n2",
                 F.round(F.col("shared_transitions") / union_sz, 4)

@@ -152,8 +152,11 @@ def minhash_dedup_apply(spark, sf_dir):
     pipeline actually ships: MinHash/LSH candidates → exact-Jaccard
     verify (≥ 0.5) → remove the larger-id side of every verified pair
     (deterministic survivor policy) → per-language corpus counts.
-    The removal is a broadcast-able anti-join on doc_id: the corpus is
-    scanned once and never shuffled by content at this stage.
+    The removal set is O(N * dup_rate) — at web-corpus dup rates
+    (30-50 %) it is NOT broadcast-safe, so no ``F.broadcast`` hint: the
+    join strategy is left to ``autoBroadcastJoinThreshold``/AQE, which
+    broadcasts at fixture scale and degrades gracefully to a shuffle
+    join (never an OOM) at 100 TB (VERDICT r8 #1).
 
     Note ``n_surviving`` counts ALL docs per lang and ``n_removed`` the
     dropped subset, so the surviving corpus per lang is
@@ -167,9 +170,7 @@ def minhash_dedup_apply(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5)
     )
     removed = verified.select(F.col("doc_b").alias("doc_id")).distinct()
-    flagged = d.join(
-        F.broadcast(removed.withColumn("_removed", F.lit(1))), "doc_id", "left"
-    )
+    flagged = d.join(removed.withColumn("_removed", F.lit(1)), "doc_id", "left")
     return flagged.groupBy("lang").agg(
         F.count("*").alias("n_surviving"),
         F.sum(F.when(F.col("_removed").isNotNull(), 1).otherwise(0)).alias("n_removed"),
@@ -267,9 +268,13 @@ def embedding_dedup_apply(spark, sf_dir):
     ``cosine_neardup_planted`` (every planted copy must vanish; the
     graded row is never vacuous).
 
-    Scale: the removal set is verified-pair-sized (≪ corpus) so the
-    anti-join broadcasts; the corpus is scanned once for blocking and
-    once for the final anti-join count — never shuffled on vectors.
+    Scale: the removal set is O(N * dup_rate) — unbounded at corpus
+    scale — so the anti-join carries no ``F.broadcast`` hint; AQE/the
+    size threshold picks broadcast at fixture scale and a shuffle join
+    at 100 TB (VERDICT r8 #1).  The corpus is scanned once for
+    blocking and once for the final anti-join count — never shuffled
+    on vectors.  The 1-row ``.agg()`` scalars below stay hinted
+    (provably bounded).
     """
     from ..operators import similarity as S
 
@@ -291,7 +296,7 @@ def embedding_dedup_apply(spark, sf_dir):
         .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= 0.9)
     )
     removed = verified.select(F.col("vec_b").alias("vec_id")).distinct()
-    surviving = corpus.join(F.broadcast(removed), "vec_id", "left_anti")
+    surviving = corpus.join(removed, "vec_id", "left_anti")
     return (
         corpus.agg(F.count_distinct("vec_id").alias("n_corpus"))
         .crossJoin(F.broadcast(

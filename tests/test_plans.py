@@ -549,7 +549,8 @@ def test_semdedup_bounded_to_within_cluster(spark, sf_dir):
     within-cluster, never an all-pairs cartesian over the corpus."""
     plan = plan_of(spark, sf_dir, "semdedup_cluster_prune")
     assert "CartesianProduct" not in plan
-    assert "BroadcastExchange" in plan  # centroids + dropped set
+    assert "BroadcastExchange" in plan  # centroids (k rows, hinted); the
+    # O(N*drop_rate) dropped set is UNhinted since r9 — AQE/threshold decides
     import re
     # the within-cluster self-join is keyed on cid (hash or sort-merge
     # both fine — at scale with k≈√N it is a plain shuffle join)
@@ -613,7 +614,8 @@ def test_semdedup_capped_prune_keyed_on_subcluster(spark, sf_dir):
     """Capped SemDeDup: no cartesian anywhere; the centroid table and
     the 8-row cluster-size table ride broadcasts, and the pairwise
     prune joins on (cid, sub_id) — bounded to within-SUB-cluster, so
-    the hot-cluster quadratic can never come back."""
+    the hot-cluster quadratic can never come back.  The drop set is
+    unhinted (r9): AQE/threshold picks its join side."""
     import re
     plan = plan_of(spark, sf_dir, "semdedup_capped_cluster_prune")
     assert "CartesianProduct" not in plan
@@ -644,7 +646,8 @@ def test_rrf_arms_are_distributed_topk(spark, sf_dir):
 def test_semdedup_two_salt_keyed_on_pass_and_subcluster(spark, sf_dir):
     """Two-salt SemDeDup: the doubled prune joins on
     (cid, p, sub_id) — each pass's pairwise work stays inside its own
-    sub-clusters; no cartesian, centroids/sizes broadcast."""
+    sub-clusters; no cartesian; centroids/sizes (bounded) broadcast,
+    the O(N*drop_rate) drop stats are unhinted (r9)."""
     import re
     plan = plan_of(spark, sf_dir, "semdedup_capped_two_salt")
     assert "CartesianProduct" not in plan
@@ -656,7 +659,8 @@ def test_semdedup_two_salt_keyed_on_pass_and_subcluster(spark, sf_dir):
 def test_trajectory_pairs_inverted_index_join(spark, sf_dir):
     """Trajectory similarity: user pairs come from an equi join on
     the transition key (inverted index) — never a user x user
-    cartesian; the size tables ride broadcasts."""
+    cartesian; the O(|users|) size tables are unhinted (r9) — the
+    size threshold picks broadcast at fixture scale only."""
     plan = plan_of(spark, sf_dir, "trajectory_transition_similarity")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
