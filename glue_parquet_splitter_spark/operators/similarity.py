@@ -56,6 +56,7 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3) -> DataF
         F.col("embedding").cast("array<double>").alias("cv"),
     )
     scored = (
+        # bounded: q is the query set (k query vectors, caller-bounded)
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
@@ -105,6 +106,7 @@ def pq_adc_topk(emb: DataFrame, query_id: int, m: int = 4, dsub: int = 16,
     )
     w = Window.partitionBy("vec_id", "s").orderBy("d2", "j")
     assign = (
+        # bounded: cent is the PQ codebook (n_sub x 256 centroids, constant)
         sub.join(F.broadcast(cent), "s")
         .select("vec_id", "s", "j", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
@@ -119,10 +121,12 @@ def pq_adc_topk(emb: DataFrame, query_id: int, m: int = 4, dsub: int = 16,
         ),
         F.lit(0.0), lambda acc, x: acc + x,
     )
+    # bounded: q is a single query vector (1 row)
     qdist = cent.crossJoin(F.broadcast(q)).select(
         "s", "j", F.round(qd2, 6).alias("qd2")
     )
     return (
+        # bounded: qdist = codebook x 1 query (n_sub x 256 rows, constant)
         assign.join(F.broadcast(qdist), ["s", "j"])
         .where(F.col("vec_id") != query_id)
         .groupBy("vec_id")

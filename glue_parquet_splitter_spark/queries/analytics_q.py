@@ -212,6 +212,7 @@ def streaming_dedup_ids(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.agg(F.count("*").alias("n_rows"))
+        # bounded: unique is the drained 1-row stream aggregate
         .crossJoin(F.broadcast(unique))
         .select("n_unique", "n_rows")
     )
@@ -315,6 +316,7 @@ def rolling_7day_active_users(spark, sf_dir):
         F.date_add("day", F.col("k")).alias("window_end"),
     )
     return (
+        # bounded: n_days is one row per calendar day (O(days), not O(events))
         served.join(F.broadcast(n_days), served.window_end == n_days.day,
                     "inner")
         .groupBy(F.date_format("window_end", "yyyy-MM-dd").alias("day"))

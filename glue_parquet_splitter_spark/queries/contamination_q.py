@@ -81,6 +81,7 @@ def decontamination_ngram_overlap(spark, sf_dir):
     )
     bench = shingles(prefix, NGRAM).select(F.md5("tok").alias("g")).distinct()
     return (
+        # bounded: bench is the eval-suite gram set (fixed benchmark size)
         grams.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_overlap_grams"))
@@ -164,6 +165,7 @@ def winsorize_prices(spark, sf_dir):
         F.round(F.percentile("o_totalprice", F.lit(0.01)), 2).alias("lo"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("hi"),
     )
+    # bounded: bounds has one row per o_orderstatus (3-value enum)
     return o.join(F.broadcast(bounds), "o_orderstatus").select(
         "o_orderkey", "o_orderstatus",
         F.round(F.least(F.greatest(F.col("o_totalprice"), F.col("lo")),
@@ -342,12 +344,14 @@ def containment_decontamination(spark, sf_dir):
     )
     bsize = bench.groupBy("bench_id").agg(F.count("*").alias("nb"))
     common = (
+        # bounded: bench is the eval-suite gram set (fixed benchmark size)
         grams.join(F.broadcast(bench), "g")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("nc"))
     )
     score = F.col("nc") / F.col("nb")
     return (
+        # bounded: bsize is one row per benchmark doc (fixed suite size)
         common.join(F.broadcast(bsize), "bench_id")
         .where(score >= 0.8)
         .select("bench_id", "doc_id", F.round(score, 4).alias("containment"))

@@ -169,6 +169,7 @@ def doc_repeat_upsample(spark, sf_dir):
         F.count("*").alias("n_sources"),
         F.sum("chars_total").alias("total_chars"),
     )
+    # bounded: totals is a 1-row global aggregate
     weighted = per_source.crossJoin(F.broadcast(totals)).select(
         "source",
         F.least(F.lit(4.0), F.greatest(F.lit(0.5),
@@ -178,6 +179,8 @@ def doc_repeat_upsample(spark, sf_dir):
     frac_hex = F.format_string(
         "%04x", F.floor((F.col("w") - F.floor("w")) * 65536).cast("int"))
     repeats = (
+        # bounded: weighted is one row per source label (small curated
+        # source taxonomy, not per-domain)
         docs.join(F.broadcast(weighted), "source")
         .select(
             "doc_id", "source",
@@ -296,8 +299,11 @@ def curation_pipeline_end_to_end(spark, sf_dir):
     bench = shingles(prefix, NGRAM).select(F.md5("tok").alias("g")).distinct()
     grams = shingles(docs.select("doc_id", "text"), NGRAM).select(
         "doc_id", F.md5("tok").alias("g"))
+    # bounded: bench is the eval-suite gram set (fixed benchmark size);
+    # contaminated is O(N * contamination_rate) — data-dependent, so it
+    # carries NO hint (threshold/AQE decides; VERDICT r8 #1)
     contaminated = grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
-    clean = quality.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    clean = quality.join(contaminated, "doc_id", "left_anti")
     shard = F.substring(
         F.md5(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))),
         1, 1).alias("shard")
@@ -396,6 +402,7 @@ def epoch_shuffle_order(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     epochs = spark.range(2).select(F.col("id").alias("epoch"))
+    # bounded: epochs is a 2-row constant range
     keyed = d.crossJoin(F.broadcast(epochs)).select(
         "epoch", "doc_id",
         F.md5(F.concat(F.lit("ep"), F.col("epoch").cast("string"),
@@ -481,6 +488,7 @@ def temperature_resample_by_lang(spark, sf_dir):
     thresh = F.format_string(
         "%05x", F.floor(F.col("rate") * 65536).cast("long"))
     return (
+        # bounded: rates is one row per language code (bounded enum)
         docs.join(F.broadcast(rates), "lang")
         .groupBy("lang")
         .agg(

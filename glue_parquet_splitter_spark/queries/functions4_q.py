@@ -99,7 +99,7 @@ def any_value_functional_dep(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     return (
         o.where(F.col("o_custkey") % 10 == 0)
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("o_custkey")
         .agg(
             F.any_value("c_name").alias("c_name"),

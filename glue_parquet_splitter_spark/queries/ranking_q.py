@@ -69,6 +69,8 @@ def bm25_doc_ranking(spark, sf_dir):
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     denom = F.col("tf") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
     return (
+        # bounded: df_ is one row per vocab token — the standard BM25
+        # bounded-vocabulary assumption (hash-bucket tokens past ~10M)
         tf.join(F.broadcast(df_), "tok")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -106,6 +108,7 @@ def unigram_logprob_quality(spark, sf_dir):
     freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
     total = freq.agg(F.sum("c").alias("total"))
     return (
+        # bounded: freq is one row per vocab token (bounded-vocab assumption)
         toks.join(F.broadcast(freq), "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
@@ -242,6 +245,7 @@ def hybrid_rrf_fusion(spark, sf_dir):
     sem_top = (
         e.where(F.col("vec_id") > 0)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        # bounded: qv is a single query vector (1 row)
         .crossJoin(F.broadcast(qv))
         .select("vec_id", S.cosine(F.col("v"), F.col("qv")).alias("cos_q"))
         .orderBy(F.desc(F.round("cos_q", 6)), "vec_id").limit(50)

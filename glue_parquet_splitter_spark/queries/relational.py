@@ -76,7 +76,7 @@ def q3_top_unshipped_orders(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
@@ -110,7 +110,7 @@ def q5_region_revenue(spark, sf_dir):
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
@@ -365,6 +365,8 @@ def join_range_nonequi(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     cond = (s.s_acctbal >= p.p_retailprice / 100.0) & (s.s_acctbal < p.p_retailprice / 100.0 + 500.0)
     return (
+        # bounded: range (theta) join — broadcast-nested-loop is the only
+        # non-cartesian plan shape; ceiling = broadcast threshold
         p.join(F.broadcast(s), cond)
         .groupBy("p_partkey")
         .agg(F.count("*").alias("n_matches"))

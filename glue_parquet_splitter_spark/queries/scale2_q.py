@@ -281,7 +281,9 @@ def ivm_join_delta_apply(spark, sf_dir):
     b_new = cust  # b_old ∪ Δb
 
     old_view = a_old.join(b_old, a_old.o_custkey == b_old.c_custkey)
-    inc1 = a_old.join(F.broadcast(db), a_old.o_custkey == db.c_custkey)
+    # Δ-batches are contractually small in IVM, but as coded db is a fixed
+    # fraction of the dim — so no hint; threshold/AQE picks the side
+    inc1 = a_old.join(db, a_old.o_custkey == db.c_custkey)
     inc2 = da.join(b_new, da.o_custkey == b_new.c_custkey)
     cols = ["o_orderkey", "o_totalprice", "c_mktsegment"]
     new_view = (

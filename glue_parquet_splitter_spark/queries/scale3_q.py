@@ -242,7 +242,9 @@ def frequent_itemset_pairs(spark, sf_dir):
           .select("l_orderkey", "l_partkey").distinct())
     isup = li.groupBy("l_partkey").agg(F.count("*").alias("sup"))
     freq = isup.where(F.col("sup") >= 2)
-    baskets = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    # freq (items with support >= minsup) is O(|items|) data-dependent —
+    # no hint; threshold/AQE decides (VERDICT r8 #1)
+    baskets = li.join(freq.select("l_partkey"), "l_partkey")
     a = baskets.select(F.col("l_orderkey").alias("ok"),
                        F.col("l_partkey").alias("item_a"))
     b = baskets.select(F.col("l_orderkey").alias("ok"),
@@ -260,8 +262,8 @@ def frequent_itemset_pairs(spark, sf_dir):
     fb = freq.select(F.col("l_partkey").alias("item_b"),
                      F.col("sup").alias("sup_b"))
     return (
-        pairs.join(F.broadcast(fa), "item_a")
-        .join(F.broadcast(fb), "item_b")
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
         .crossJoin(F.broadcast(n))
         .select(
             "item_a", "item_b", "support",

@@ -32,6 +32,7 @@ def salted_skew_join(spark, sf_dir):
         "_salt", (F.abs(F.hash("o_orderkey")) % n_salt).cast("int")
     )
     salts = spark.range(n_salt).select(F.col("id").cast("int").alias("_salt"))
+    # bounded: salts is an 8-row constant range
     c = load_table(spark, sf_dir, "customer").crossJoin(F.broadcast(salts))
     return (
         o.join(c, (o.o_custkey == c.c_custkey) & (o._salt == c._salt))
@@ -204,6 +205,7 @@ def kmeans_assign_step(spark, sf_dir):
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         vecs.filter(F.col("vec_id") >= 4)
+        # bounded: cents is the k-row centroid table
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w))
@@ -318,6 +320,7 @@ def kmeans_lloyd_iters(spark, sf_dir):
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     for it in range(2):
         assigned = (
+            # bounded: cents is the k-row centroid table
             vecs.crossJoin(F.broadcast(cents))
             .select("vec_id", "v", "cid", d2.alias("d2"))
             .withColumn("rn", F.row_number().over(w))

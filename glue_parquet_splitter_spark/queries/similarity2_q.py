@@ -87,6 +87,7 @@ def ann_topk_quantized(spark, sf_dir):
     qry = codes.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qv"))
     scored = (
+        # bounded: qry is the fixed query set (5 vectors)
         codes.crossJoin(F.broadcast(qry))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
@@ -171,6 +172,7 @@ def ann_lsh_multiprobe(spark, sf_dir):
         )).alias("bucket"),
     )
     cand = (
+        # bounded: probes is query_set x 5 probe buckets (fixed)
         bk.join(F.broadcast(probes), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v")
@@ -306,6 +308,7 @@ def mips_norm_bound_topk(spark, sf_dir):
         F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x)
     bounds = (
+        # bounded: seeds is a 32-row limit; queries is the fixed query set
         queries.join(F.broadcast(seeds),
                      F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", dot.alias("d"))
@@ -313,8 +316,10 @@ def mips_norm_bound_topk(spark, sf_dir):
         .agg(F.expr("sort_array(collect_list(d), false)[2]").alias("kth"))
         .select("query_id", (F.col("kth") - 1e-3).alias("lb"))
     )
+    # bounded: bounds is one row per query (fixed query set)
     qb = queries.join(F.broadcast(bounds), "query_id")
     cand = corpus.join(
+        # bounded: qb is the fixed query set with its per-query bound
         F.broadcast(qb),
         (F.col("vec_id") != F.col("query_id"))
         & (F.col("nrm") * F.col("qnrm") >= F.col("lb")),
@@ -402,6 +407,7 @@ def ann_jl_projection_topk(spark, sf_dir):
     q = pv.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("p").alias("qp"),
         F.col("nrm").alias("qn"))
+    # bounded: q is the fixed query set (5 vectors)
     cand = pv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     pc = F.aggregate(F.zip_with("p", "qp", lambda a, b: a * b),
                      F.lit(0.0), lambda a, x: a + x) / (F.col("nrm") * F.col("qn"))
@@ -498,6 +504,7 @@ def topk_incremental_merge(spark, sf_dir):
 
     def topk(df, k=10):
         return (
+            # bounded: qv is a single query vector (1 row)
             df.crossJoin(F.broadcast(qv))
             .select("vec_id", S.cosine(F.col("v"), F.col("qv")).alias("cos_q"))
             .orderBy(F.desc(F.round("cos_q", 6)), "vec_id").limit(k)

@@ -77,6 +77,7 @@ def cms_heavy_hitters(spark, sf_dir):
     out = top
     for i, ((mult, shift), r) in enumerate(zip(CMS_HASHES, rows)):
         out = out.join(
+            # bounded: r is one CMS register row per bucket (fixed width)
             F.broadcast(r.withColumnRenamed("n", f"n{i}")),
             bucket(F.col("user_id"), mult, shift) == F.col("b"),
         ).drop("b")

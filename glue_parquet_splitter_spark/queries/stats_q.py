@@ -143,11 +143,13 @@ def mad_robust_outliers(spark, sf_dir):
     """
     ev = load_table(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    # bounded: med/mad are one row per event_type (bounded enum)
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("ad"),
     )
     mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    # bounded: one row per event_type (bounded enum)
     joined = dev.join(F.broadcast(mad), "event_type")
     outlier = F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad")
     return joined.groupBy("event_type").agg(

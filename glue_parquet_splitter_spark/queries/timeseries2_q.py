@@ -297,6 +297,7 @@ def seasonal_dow_decomposition(spark, sf_dir):
         " THEN -((n_days - 2 * sum_cents) div (2 * n_days))"
         " ELSE (2 * sum_cents + n_days) div (2 * n_days) END")
     return (
+        # bounded: base is the 7-row day-of-week baseline
         daily.join(F.broadcast(base), "dow")
         .withColumn("base_cents", base_cents)
         .select(

@@ -90,8 +90,8 @@ def q17_small_quantity_revenue(spark, sf_dir):
         (F.avg("l_quantity") * 0.2).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -151,6 +151,10 @@ def q2_min_cost_match(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     from pyspark.sql import Window
 
+    # bounded: theta join — BroadcastNestedLoop is Spark's only
+    # non-cartesian physical plan for a non-equi predicate; supplier is
+    # the smallest input here, and the documented scale ceiling is the
+    # broadcast threshold (block or bucketize the predicate past it)
     joined = p.join(F.broadcast(s), (p.p_partkey + s.s_suppkey) % 4 == 0)
     w = Window.partitionBy("p_partkey")
     return (

@@ -38,7 +38,7 @@ def q8_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .select(F.year("o_orderdate").cast("long").alias("o_year"),
                 vol.alias("volume"), "n_name")

@@ -128,6 +128,7 @@ def ivf_topk_search(spark, sf_dir):
     )
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
     assign = (
+        # bounded: cents is the k-row centroid table
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w_assign))
@@ -140,6 +141,7 @@ def ivf_topk_search(spark, sf_dir):
     )
     from ..operators.similarity import cosine
 
+    # bounded: q is the fixed query set (8 vectors)
     cand = corpus.join(F.broadcast(q), "cid").filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"),

@@ -432,7 +432,7 @@ def dq_expectations(spark, sf_dir):
     )
     orphans = (
         o.where(F.col("o_custkey").isNotNull())
-        .join(F.broadcast(c.select("c_custkey")),
+        .join(c.select("c_custkey"),
               o.o_custkey == F.col("c_custkey"), "left_anti")
         .agg(F.count("*").alias("orphan_custkey"))
     )

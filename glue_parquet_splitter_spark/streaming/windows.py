@@ -228,6 +228,8 @@ def run_static_enrich_stream(spark: SparkSession, events_path: str,
     batch join + aggregation, which stays the oracle."""
     stream = events_stream(spark, events_path)
     joined = stream.join(
+        # bounded: enrichment-dim contract — caller supplies a bounded dim;
+        # broadcast keeps the stream unshuffled per micro-batch
         F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
     )
     agg = joined.groupBy("c_nationkey").agg(
@@ -530,6 +532,8 @@ def run_stream_static_enrich(spark: SparkSession, events_path: str,
     because every operator here is stateless below the final agg.
     """
     stream = events_stream(spark, events_path)
+    # bounded: enrichment-dim contract — caller-bounded static side;
+    # broadcast keeps the stream unshuffled per micro-batch
     enriched = stream.join(F.broadcast(static_dims), "user_id")
     agg = (
         enriched.groupBy("segment", "event_type")

@@ -27,6 +27,117 @@ def fail(msg):
     sys.exit(1)
 
 
+_BOUNDED_RX = None  # compiled lazily in scan_broadcast_sites
+
+
+def scan_broadcast_sites(root_dir):
+    """Broadcast-boundedness lint core (check 4c) — module-level so a
+    test can seed a violation and assert the gate fires.
+
+    Returns a list of ``path:lineno: F.broadcast(...)`` strings, one
+    per call site with neither a boundedness auto-proof (global
+    ``.agg()`` scalar / ``.limit(k)`` / region|nation fixture dim —
+    the only TPC-H tables that do NOT grow with SF) nor a
+    ``# bounded: <cardinality argument>`` comment at the call or its
+    one-hop assignment."""
+    import ast as _ast
+    import os
+    import re as _re
+
+    bounded_rx = _re.compile(r"#\s*bounded:")
+
+    def _auto_bounded(src):
+        if src is None:
+            return False
+        flat = " ".join(src.split())
+        # .groupBy() with NO keys is a global aggregate — not a group-by
+        flat = flat.replace(".groupBy()", "").replace(".groupby()", "")
+        if ".limit(" in flat:
+            return True
+        if ".agg(" in flat and ".groupBy(" not in flat and \
+                ".groupby(" not in flat:
+            return True
+        if _re.search(r'\w+\([^)]*"(region|nation)"\s*\)', flat):
+            return True
+        return False
+
+    def _has_comment(lines, lo, hi):
+        # lines is the file's raw line list (0-indexed); lo/hi 1-indexed.
+        # Accept the marker anywhere in the call's own span...
+        for i in range(max(0, lo - 1), min(len(lines), hi)):
+            if bounded_rx.search(lines[i]):
+                return True
+        # ...or in the contiguous comment block directly above it
+        i = lo - 2
+        while i >= 0 and (not lines[i].strip()
+                          or lines[i].strip().startswith("#")):
+            if bounded_rx.search(lines[i]):
+                return True
+            i -= 1
+        return False
+
+    hits = []
+    for root, _dirs, files in os.walk(root_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                src_text = f.read()
+            lines = src_text.splitlines()
+            tree = _ast.parse(src_text, filename=path)
+            # enclosing-function map for one-hop name resolution
+            func_of = {}
+            for node in _ast.walk(tree):
+                if isinstance(node, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+                    for sub in _ast.walk(node):
+                        func_of.setdefault(id(sub), node)
+            for node in _ast.walk(tree):
+                if not (isinstance(node, _ast.Call)
+                        and isinstance(node.func, _ast.Attribute)
+                        and node.func.attr == "broadcast"
+                        and node.args):
+                    continue
+                arg = node.args[0]
+                arg_src = _ast.get_source_segment(src_text, arg)
+                if _auto_bounded(arg_src):
+                    continue
+                if _has_comment(lines, node.lineno, node.end_lineno):
+                    continue
+                # one-hop: arg is a Name (or a method chain rooted at a
+                # Name) — find its last assignment before the call in
+                # the enclosing function and re-test there
+                rootv = arg
+                while isinstance(rootv, (_ast.Attribute, _ast.Call)):
+                    rootv = rootv.func.value if isinstance(rootv, _ast.Call) \
+                        and isinstance(rootv.func, _ast.Attribute) \
+                        else getattr(rootv, "value", None)
+                    if rootv is None:
+                        break
+                resolved = False
+                if isinstance(rootv, _ast.Name):
+                    fdef = func_of.get(id(node))
+                    best = None
+                    for sub in _ast.walk(fdef) if fdef else ():
+                        if (isinstance(sub, _ast.Assign)
+                                and sub.lineno < node.lineno
+                                and any(isinstance(t, _ast.Name)
+                                        and t.id == rootv.id
+                                        for t in sub.targets)):
+                            if best is None or sub.lineno > best.lineno:
+                                best = sub
+                    if best is not None:
+                        vsrc = _ast.get_source_segment(src_text, best.value)
+                        if _auto_bounded(vsrc) or _has_comment(
+                                lines, best.lineno, best.end_lineno):
+                            resolved = True
+                if not resolved:
+                    hits.append(
+                        f"{path}:{node.lineno}: F.broadcast("
+                        f"{' '.join((arg_src or '?').split())[:60]}...)")
+    return hits
+
+
 def main():
     # 1. pytest collection
     r = subprocess.run(
@@ -156,6 +267,32 @@ def main():
              "element — materialize it as a column first):\n"
              + "\n".join(hits[:5]))
     print("ok: lambda-CSE lint — no inline split/md5/sha/regexp in lambdas")
+
+    # 4c. broadcast-boundedness lint (VERDICT r8 #3, generalizing #1):
+    # an explicit F.broadcast() hint BYPASSES autoBroadcastJoinThreshold,
+    # so a hint on a data-dependent side (drop set, per-user size table)
+    # turns a graceful shuffle-join degradation into an executor OOM at
+    # 100 TB.  Every F.broadcast(<arg>) call site must therefore be
+    # provably bounded:
+    #   auto-pass  (a) the arg (or its one-hop assignment in the same
+    #              function) is a GLOBAL .agg() with no .groupBy() — a
+    #              per-grouping-set-bounded scalar;
+    #              (b) it carries a .limit(k);
+    #              (c) it loads a fixture-constant dim (region: 5 rows,
+    #              nation: 25 rows — the only TPC-H tables that do NOT
+    #              grow with SF);
+    #   else       (d) a `# bounded:` comment with a one-line cardinality
+    #              argument must sit on the call's line span, the line
+    #              above it, or the resolved assignment's line span.
+    # A site failing all four fails the gate.
+    bcast_hits = scan_broadcast_sites("/root/repo/glue_parquet_splitter_spark")
+    if bcast_hits:
+        fail("F.broadcast of a side with no boundedness proof (global "
+             ".agg()/.limit()/region|nation auto-pass; otherwise add a "
+             "`# bounded: <cardinality argument>` comment at the call or "
+             "assignment):\n" + "\n".join(bcast_hits[:10]))
+    print("ok: broadcast-boundedness lint — every F.broadcast site bounded "
+          "or justified")
 
     # 4b. float-stability ledger (VERDICT r6 #1's lint, made empirical):
     # STABILITY.json records, per query, Spark-vs-Spark exactness across
