@@ -365,12 +365,34 @@ def _calibration_from_doc(doc: dict) -> float | None:
     return None
 
 
-def load_prev_wall(repo_dir: str) -> tuple[str | None, dict[str, float],
-                                           float | None]:
-    """(file, per-query seconds, calibration median) from the newest
-    BENCH_r*.json whose timings are recoverable."""
+def load_prev_wall(repo_dir: str, sf: float | None = None,
+                   ) -> tuple[str | None, dict[str, float], float | None]:
+    """(file, per-query seconds, calibration min) — preferring the
+    committed BENCH_METRICS.json (full precision, truncation-proof),
+    falling back to the newest recoverable BENCH_r*.json.
+
+    ``sf`` guards BOTH sources the same way as
+    ``load_prev_shuffle_bytes``: timings from a different scale are
+    not a wall baseline (a local sf0.01 sanity run must not normalize
+    against the sf0.1 driver numbers and emit spurious regressions).
+    BENCH_r*.json lines always record their sf, so the guard applies
+    there too — a non-canonical local run simply disarms the gate
+    rather than poisoning it."""
     import glob
     import re
+
+    mpath = os.path.join(repo_dir, METRICS_FILE)
+    try:
+        with open(mpath) as f:
+            mdoc = json.load(f)
+        timings = {k: float(v) for k, v in (mdoc.get("queries") or {}).items()
+                   if isinstance(v, (int, float))}
+        cal = mdoc.get("calibration_sec")
+        cal = float(min(cal)) if isinstance(cal, list) and cal else None
+        if timings and (sf is None or mdoc.get("sf") == sf):
+            return METRICS_FILE, timings, cal
+    except (OSError, json.JSONDecodeError, ValueError):
+        pass
 
     rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
@@ -382,11 +404,26 @@ def load_prev_wall(repo_dir: str) -> tuple[str | None, dict[str, float],
             with open(path) as f:
                 doc = json.load(f)
             timings = _timings_from_doc(doc)
+            doc_sf = _sf_from_doc(doc)
         except Exception:
             continue
-        if timings:
+        if timings and (sf is None or doc_sf is None or doc_sf == sf):
             return os.path.basename(path), timings, _calibration_from_doc(doc)
     return None, {}, None
+
+
+def _sf_from_doc(doc: dict) -> float | None:
+    """Scale factor recorded in one BENCH doc, or None if unparseable
+    (old rounds are all sf0.1 driver runs, so None is treated as a
+    match by load_prev_wall rather than discarding the baseline)."""
+    import re
+
+    parsed = doc.get("parsed") or doc
+    if isinstance(parsed, dict) and isinstance(parsed.get("sf"),
+                                               (int, float)):
+        return float(parsed["sf"])
+    m = re.search(r'"sf":\s*([\d.]+)', doc.get("tail") or "")
+    return float(m.group(1)) if m else None
 
 
 # a ±20 % move on a plan-determined byte count is a plan change, not
@@ -414,8 +451,11 @@ def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
             continue
         ratio = (cur / cur_cal) / (prev / prev_cal)
         if ratio > WALL_GATE_RATIO or ratio < 1 / WALL_GATE_RATIO:
+            # >1.5x speedups are flagged too (a plan change worth
+            # noticing), but labeled so they don't read as regressions
             out[name] = {"prev": prev, "cur": cur,
-                         "norm_ratio": round(ratio, 3)}
+                         "norm_ratio": round(ratio, 3),
+                         "direction": "slower" if ratio > 1 else "faster"}
     return out
 
 
@@ -540,7 +580,7 @@ def main() -> None:
     # min of the three probes: contention only ever ADDS time, so the
     # min is the round's cleanest host-speed estimate
     cur_cal = float(min(calibration))
-    wall_file, prev_t, prev_cal = load_prev_wall(repo_dir)
+    wall_file, prev_t, prev_cal = load_prev_wall(repo_dir, sf)
     wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal)
 
     write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration,

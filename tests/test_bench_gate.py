@@ -133,6 +133,63 @@ def test_wall_gate_normalizes_out_host_speed():
     assert regs["q2"]["norm_ratio"] == 2.0
 
 
+def test_wall_gate_direction_marker():
+    """ADVICE r8: a >1.5x SPEEDUP is flagged as a plan change worth
+    noticing, but must not read as a regression — each entry carries a
+    direction field."""
+    regs = bench.wall_regressions({"q": 2.0}, 0.5, {"q": 0.5}, 0.5)
+    assert regs["q"]["direction"] == "faster"
+    regs = bench.wall_regressions({"q": 0.5}, 0.5, {"q": 2.0}, 0.5)
+    assert regs["q"]["direction"] == "slower"
+
+
+def test_wall_gate_armed_against_committed_r8_baseline():
+    """VERDICT r8 #2: r9 is the first round with calibration probes on
+    BOTH sides — the gate must arm non-vacuously against the committed
+    r8 baseline (BENCH_METRICS.json / BENCH_r08.json), and demonstrably
+    fire on a synthetic regression."""
+    wall_file, prev_t, prev_cal = bench.load_prev_wall(REPO, 0.1)
+    assert wall_file is not None
+    assert prev_t, "no recoverable r8 wall baseline"
+    assert prev_cal is not None, "r8 baseline has no calibration probe"
+    # pick a real entry comfortably above the 0.3 s floor
+    name = max(prev_t, key=prev_t.get)
+    assert prev_t[name] >= bench.WALL_GATE_MIN_SEC
+    # same host speed, one query 5x slower: the gate MUST fire
+    cur = dict(prev_t)
+    cur[name] = prev_t[name] * 5
+    regs = bench.wall_regressions(prev_t, prev_cal, cur, prev_cal)
+    assert name in regs and regs[name]["direction"] == "slower", regs
+    # identical timings: quiet
+    assert bench.wall_regressions(prev_t, prev_cal, dict(prev_t),
+                                  prev_cal) == {}
+
+
+def test_load_prev_wall_sf_guard(tmp_path):
+    """ADVICE r8: a local sanity run at sf0.01 must NOT normalize its
+    timings against the sf0.1 driver baseline — on sf mismatch both
+    sources are skipped and the gate disarms."""
+    with open(tmp_path / "BENCH_METRICS.json", "w") as f:
+        json.dump({"sf": 0.1, "calibration_sec": [0.5],
+                   "queries": {"q": 1.0},
+                   "shuffle_bytes_written": {"q": 10}}, f)
+    with open(tmp_path / "BENCH_r08.json", "w") as f:
+        json.dump({"parsed": {"sf": 0.1, "calibration_sec": [0.5],
+                              "queries": {"q": 1.0}}}, f)
+    # matching sf: metrics file preferred
+    name, t, cal = bench.load_prev_wall(str(tmp_path), 0.1)
+    assert name == "BENCH_METRICS.json" and t == {"q": 1.0} and cal == 0.5
+    # mismatched sf: both sources refused — disarmed, not poisoned
+    name, t, cal = bench.load_prev_wall(str(tmp_path), 0.01)
+    assert name is None and t == {} and cal is None
+    # BENCH fallback when the metrics file is the wrong sf
+    with open(tmp_path / "BENCH_METRICS.json", "w") as f:
+        json.dump({"sf": 0.01, "calibration_sec": [0.4],
+                   "queries": {"q": 9.0}}, f)
+    name, t, cal = bench.load_prev_wall(str(tmp_path), 0.1)
+    assert name == "BENCH_r08.json" and t == {"q": 1.0}
+
+
 def test_calibration_recovered_from_tail():
     # min of the probes: contention only adds time
     doc = {"parsed": None,
