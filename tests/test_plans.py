@@ -666,3 +666,17 @@ def test_trajectory_pairs_inverted_index_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     import re
     assert re.search(r"Join \[t#\d+L?\], \[t#\d+L?\]", plan), plan[:2000]
+
+
+def test_rrf_ivf_semantic_arm_probes_one_cluster(spark, sf_dir):
+    """IVF-armed RRF (VERDICT r8 #4): the semantic arm's cosine top-k
+    must run over the query's inverted list only — the plan shows the
+    probe filter as an equi join on cid feeding TakeOrderedAndProject,
+    and both arms stay per-partition heaps (no global Sort of the
+    corpus, no cartesian)."""
+    import re
+    plan = plan_of(spark, sf_dir, "hybrid_rrf_fusion_ivf")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the probe filter: candidates join the 1-row assigned query on cid
+    assert re.search(r"Join \[cid#\d+L?\], \[qcid#\d+L?\]", plan), plan[:2000]
