@@ -469,3 +469,50 @@ def test_semdedup_capped_hot_cluster(spark):
     # ceil(30000/40) + 2*ceil(15000/40) populated (no empty buckets at
     # these fill rates — deterministic under md5)
     assert stats.n_subs == 750 + 375 + 375
+
+
+def test_dedup_apply_30pct_droprate_1m_docs(spark):
+    """VERDICT r8 #7: the apply-stage removal join at a REALISTIC dup
+    rate.  Every fixture smoke plants ~25 duplicates, so the drop set
+    is tiny by construction; published web-corpus near-dup rates are
+    30-50 %, where the drop set is 300k+ rows and must NOT be force-
+    broadcast (the r8 hint removal).  This drives 1M docs / 30 %
+    planted dups through the exact ``minhash_dedup_apply`` join shape
+    and asserts the strategy is chosen BY SIZE: with the broadcast
+    threshold below the drop set's 2.4 MB, the plan degrades to a
+    shuffle join (the graceful path a forced hint would have turned
+    into an executor OOM at corpus scale), and the counts stay exact.
+    """
+    from glue_parquet_splitter_spark.plans import physical_plan
+
+    n, dups = 1_000_000, 300_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("lang"))
+    # verified near-dup pairs: the last 300k docs duplicate the first
+    # 300k — drop-set fraction = 30 % of the corpus
+    verified = (corpus.filter(F.col("doc_id") >= n - dups)
+                .select((F.col("doc_id") - (n - dups)).alias("doc_a"),
+                        F.col("doc_id").alias("doc_b")))
+    removed = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    flagged = corpus.join(
+        removed.withColumn("_removed", F.lit(1)), "doc_id", "left")
+    out = flagged.groupBy("lang").agg(
+        F.count("*").alias("n_surviving"),
+        F.sum(F.when(F.col("_removed").isNotNull(), 1).otherwise(0))
+        .alias("n_removed"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1024 * 1024))
+    try:
+        rows = out.collect()
+        plan = physical_plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # exact counts: 200k docs per lang, 60k removed per lang
+    assert {(r.lang, r.n_surviving, r.n_removed) for r in rows} == {
+        (lang, 200_000, 60_000) for lang in range(5)}
+    # drop-set size vs corpus: 30 % — far past any broadcast budget at
+    # 100 TB; the chosen strategy must be a shuffle join, not broadcast
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
