@@ -136,6 +136,8 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import graph_q  # noqa: F401
     from . import quality_q  # noqa: F401
     from . import ranking_q  # noqa: F401
+    from . import curation5_q  # noqa: F401
+    from . import similarity3_q  # noqa: F401
     from . import similarity2_q  # noqa: F401
     from . import warehouse_q  # noqa: F401
     from . import streaming2_q  # noqa: F401

@@ -143,7 +143,16 @@ class MarkerWriter(DataSourceWriter):
     outputs).  ``abort`` deletes the temporaries."""
 
     def __init__(self, marker_dir: str, overwrite: bool):
+        import uuid
+
         self.marker_dir = marker_dir
+        # Per-JOB token, minted once at write-planning time and shipped
+        # to every task inside the pickled writer: temps are named
+        # .<date>.json.<job_token>.<task_id>.tmp, so abort() can sweep
+        # exactly this job's orphans — two overlapping jobs (a violated
+        # single-writer assumption) no longer delete each other's temps
+        # (ADVICE r8).
+        self.job_token = uuid.uuid4().hex[:8]
         from ..pipeline.splitter import resolve_fs
 
         filesystem, dir_path = resolve_fs(marker_dir)
@@ -190,7 +199,8 @@ class MarkerWriter(DataSourceWriter):
                     "outputs_manifest": row.outputs_manifest,
                     "generated_at": row.generated_at,
                 }
-                tmp = f".{row.date}.json.{uuid.uuid4().hex[:8]}.tmp"
+                tmp = (f".{row.date}.json.{self.job_token}."
+                       f"{uuid.uuid4().hex[:8]}.tmp")
                 staged.append(tmp)
                 with filesystem.open_output_stream(f"{base}/{tmp}") as f:
                     f.write(json.dumps(doc, sort_keys=True).encode("utf-8"))
@@ -248,12 +258,16 @@ class MarkerWriter(DataSourceWriter):
         # mid-write (the job abort racing a still-running task) dies
         # without running its own cleanup and leaves no commit message,
         # orphaning its staged temp — observed as a real race in the
-        # test suite.  The marker protocol is single-writer per dir, so
-        # at abort time every remaining *.tmp belongs to this failed
-        # job (committed markers are never named *.tmp): sweep them.
+        # test suite.  Sweep only THIS job's temps (the job token is in
+        # every temp name), so a concurrently running second job's
+        # staged files survive even when the single-writer-per-dir
+        # assumption is violated.  Best-effort by design: a task whose
+        # stream opens after this sweep re-creates its orphan; that
+        # residue is cleaned by the next job's overwrite or a dir GC.
+        token = f".{self.job_token}."
         for info in filesystem.get_file_info(
                 FileSelector(base, allow_not_found=True)):
-            if info.base_name.endswith(".tmp"):
+            if info.base_name.endswith(".tmp") and token in info.base_name:
                 try:
                     filesystem.delete_file(f"{base}/{info.base_name}")
                 except OSError:
@@ -272,7 +286,11 @@ class MarkerStreamWriter(DataSourceStreamWriter):
     batch's staged temps and leaves every committed marker intact."""
 
     def __init__(self, marker_dir: str):
+        import uuid
+
         self.marker_dir = marker_dir
+        # same per-job temp scoping as the batch writer (ADVICE r8)
+        self.job_token = uuid.uuid4().hex[:8]
         from ..pipeline.splitter import resolve_fs
 
         filesystem, dir_path = resolve_fs(marker_dir)

@@ -247,6 +247,34 @@ def main():
                     and isinstance(node.value, str)
                     and id(node) not in doc_ids):
                 yield node.lineno, node.value
+            elif isinstance(node, _ast.JoinedStr):
+                # f-strings (ADVICE r8): an expensive call spliced into
+                # a SQL lambda via interpolation is invisible if the
+                # fragments are scanned one by one.  Concatenate the
+                # literal fragments with the UNPARSED interpolated
+                # expression in between, so both "x -> md5(...)" split
+                # across fragments AND "x -> {hex_hash_expr('x')}"
+                # (the helper call itself names the expensive fn) are
+                # visible to the same regex.
+                parts = []
+                for v in node.values:
+                    if isinstance(v, _ast.Constant) and \
+                            isinstance(v.value, str):
+                        parts.append(v.value)
+                    elif isinstance(v, _ast.FormattedValue):
+                        try:
+                            parts.append("{" + _ast.unparse(v.value) + "}")
+                        except Exception:
+                            parts.append("{?}")
+                joined = "".join(parts)
+                # any interpolation inside a lambda body is a CSE
+                # hazard regardless of the helper's name — surface it
+                # by injecting a name the main regex already flags.
+                # The `\w ->` shape (a lambda PARAMETER before the
+                # arrow) keeps prose like "rows {a} -> {b}" out.
+                if _re.search(r"\b[A-Za-z_]\w*\s*->[^,)]*\{", joined):
+                    joined += " -> md5(interpolated-into-lambda)"
+                yield node.lineno, joined
 
     hits = []
     for root, _dirs, files in os.walk("/root/repo/glue_parquet_splitter_spark"):

@@ -183,10 +183,13 @@ def main() -> None:
         plan = formatted_plan(reg[name].fn(spark, sf_dir)).strip()
         # plan_id is a session-global counter that drifts run-to-run
         # even with identical code — normalize it or the release
-        # gate's regenerate-and-diff would false-fail (expression ids
-        # like #885L are stable under the fixed generation order and
-        # are kept: they carry the join-key identity the prose cites)
+        # gate's regenerate-and-diff would false-fail.  Expression ids
+        # (#885L) are likewise session-global allocations (ADVICE r8:
+        # any extra import or AQE change shifts them all, false-failing
+        # the gate confusingly) — normalize them too; no prose cites a
+        # specific id, only column NAMES, which survive.
         plan = re.sub(r"plan_id=\d+", "plan_id=*", plan)
+        plan = re.sub(r"#\d+", "#*", plan)
         if len(plan) > 4000:  # cut at a line boundary, mark the elision
             plan = plan[:4000].rsplit("\n", 1)[0] + "\n… (truncated)"
         out += [f"## {name}", "", why, "", "```", plan, "```", ""]

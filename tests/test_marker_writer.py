@@ -171,19 +171,21 @@ def test_abort_sweeps_killed_task_temps(tmp_path):
     """Commit messages only cover tasks that FINISHED: a task killed
     mid-write (job abort racing a live task) leaves a staged temp and
     no message — observed as a real suite flake.  abort() must sweep
-    every remaining *.tmp in the dir (single-writer protocol), while
-    committed markers survive untouched."""
+    every remaining *.tmp OF ITS OWN JOB (the job token is in every
+    temp name — ADVICE r8), while committed markers AND a concurrent
+    foreign job's staged temps survive untouched."""
     from glue_parquet_splitter_spark.sources.markers import MarkerWriter
 
     dest = str(tmp_path / "markers")
     w = MarkerWriter(dest, overwrite=False)
-    # a committed marker, a message-covered temp, and an orphan temp
-    # from a killed task
+    # a committed marker, a message-covered temp, an orphan temp from
+    # this job's killed task, and a FOREIGN job's staged temp
     with open(os.path.join(dest, "20250101.json"), "w") as f:
         f.write("{}")
-    covered = ".20250102.json.aaaa1111.tmp"
-    orphan = ".20250103.json.bbbb2222.tmp"
-    for t in (covered, orphan):
+    covered = f".20250102.json.{w.job_token}.aaaa1111.tmp"
+    orphan = f".20250103.json.{w.job_token}.bbbb2222.tmp"
+    foreign = ".20250103.json.feedbeef.cccc3333.tmp"
+    for t in (covered, orphan, foreign):
         with open(os.path.join(dest, t), "w") as f:
             f.write("partial")
 
@@ -191,4 +193,4 @@ def test_abort_sweeps_killed_task_temps(tmp_path):
         pairs = [(covered, "20250102.json")]
 
     w.abort([_Msg(), None])   # None = the failed task's slot
-    assert os.listdir(dest) == ["20250101.json"]
+    assert sorted(os.listdir(dest)) == sorted(["20250101.json", foreign])

@@ -680,3 +680,24 @@ def test_rrf_ivf_semantic_arm_probes_one_cluster(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the probe filter: candidates join the 1-row assigned query on cid
     assert re.search(r"Join \[cid#\d+L?\], \[qcid#\d+L?\]", plan), plan[:2000]
+
+
+def test_exact_substring_spans_inverted_index(spark, sf_dir):
+    """Exact-substring spans: pairs come from an equi join on the gram
+    digest (inverted index, boilerplate-capped) — never doc x doc; the
+    island merge windows over (pair, diagonal) partitions."""
+    import re
+    plan = plan_of(spark, sf_dir, "exact_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Join \[g#\d+\], \[g#\d+\]", plan), plan[:2000]
+
+
+def test_ivf_multiprobe_keyed_on_cid(spark, sf_dir):
+    """Multi-probe IVF: candidates come from the cid equi join of the
+    probe set against the home lists — probes x list size, never a
+    corpus scan per query."""
+    import re
+    plan = plan_of(spark, sf_dir, "ann_ivf_multiprobe")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join \[cid#\d+L?\], \[cid#\d+L?\]", plan), plan[:2000]
