@@ -53,6 +53,8 @@ FAMILIES = OrderedDict([
     ("functions4_q", "Function library 4 (percentile_cont, any_value, try_* family, str_to_map, from_csv)"),
     ("governance_q", "Data governance (k-anonymity, suppression, contribution clip, weighted median, SNM dedup)"),
     ("curation4_q", "Curation wave 4 (SemDeDup cluster-prune, inter-doc duplicate-gram fraction, blocked entity resolution)"),
+    ("curation5_q", "Curation wave 5 (exact-substring span dedup)"),
+    ("similarity3_q", "ANN wave 3 (multi-probe IVF, hard-negative mining)"),
 ])
 
 
