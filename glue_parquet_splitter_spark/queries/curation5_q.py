@@ -114,3 +114,83 @@ def exact_substring_spans(spark, sf_dir):
                  F.max("span_tokens").alias("longest_span"),
                  F.sum("span_tokens").alias("span_tokens_total"))
             .where(F.col("longest_span") >= _MIN_SPAN))
+
+
+_BUDGET = 8_000  # global token budget; binds (~30% selected) at sf0.01
+
+
+@register(
+    "token_budget_head_selection",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, n_chars,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ), grp AS (
+      SELECT n_chars, SUM(toks) AS gtoks FROM docs GROUP BY n_chars
+    ), run AS (
+      SELECT n_chars, gtoks,
+             SUM(gtoks) OVER (ORDER BY n_chars DESC) AS cum
+      FROM grp
+    ), within AS (
+      SELECT d.doc_id, d.source, d.n_chars, d.toks,
+             r.cum - r.gtoks
+               + SUM(d.toks) OVER (PARTITION BY d.n_chars
+                                   ORDER BY d.doc_id) AS cum_doc
+      FROM docs d JOIN run r USING (n_chars)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(toks) AS BIGINT) AS selected_tokens
+    FROM within WHERE cum_doc <= {_BUDGET}
+    GROUP BY source
+    """,
+    tags=("curation", "window", "agg"),
+)
+def token_budget_head_selection(spark, sf_dir):
+    """Select the best documents until a GLOBAL token budget is spent
+    — the final step of every curation pipeline ("keep the top of the
+    quality ordering that fits the training budget").  Quality proxy
+    here is ``n_chars`` (descending), ties broken by doc_id; a doc is
+    selected iff the running token total up to and including it stays
+    within the budget.
+
+    Scale: the naive form is ONE global window over the corpus — a
+    single-partition sort, the classic scale-killer.  This is the
+    two-phase cumulative sum instead (the ``quality_decile_mix``
+    machinery): phase 1 aggregates to quality-VALUE granularity and
+    runs the window over value-granular rows (bounded by the quality
+    domain, not the corpus); phase 2 joins each doc its group's
+    running offset back and completes the sum within its own value
+    partition.  Corpus rows shuffle once on the value key; the only
+    ordered window over raw docs is per-value, never global.
+
+    Determinism: token counts are integers, the budget test is
+    integer, and the within-group order is doc_id — no floats in the
+    selection decision anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", "n_chars",
+        F.size(F.split("text", " ")).alias("toks"))
+    grp = docs.groupBy("n_chars").agg(F.sum("toks").alias("gtoks"))
+    run = grp.select(
+        "n_chars", "gtoks",
+        F.sum("gtoks").over(
+            W.orderBy(F.desc("n_chars"))
+            .rowsBetween(W.unboundedPreceding, 0)).alias("cum"))
+    within = (
+        docs.join(run, "n_chars")
+        .select(
+            "doc_id", "source", "toks",
+            (F.col("cum") - F.col("gtoks")
+             + F.sum("toks").over(
+                 W.partitionBy("n_chars").orderBy("doc_id")
+                 .rowsBetween(W.unboundedPreceding, 0))).alias("cum_doc"))
+    )
+    return (within.where(F.col("cum_doc") <= _BUDGET)
+            .groupBy("source")
+            .agg(F.count("*").alias("n_selected"),
+                 F.sum("toks").alias("selected_tokens")))

@@ -334,3 +334,59 @@ def sorted_neighborhood_neardup(spark, sf_dir):
         "doc_a", "doc_b", "jaccard",
         (F.col("doc_b") == F.col("doc_a") + 100000).alias("planted"),
     )
+
+
+@register(
+    "l_diversity_risk",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             COUNT(*) AS n,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS l
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(COUNT(*) FILTER (WHERE l < 3) AS BIGINT)
+             AS n_low_diversity_cells,
+           CAST(COUNT(*) FILTER (WHERE l = 1) AS BIGINT)
+             AS n_homogeneous_cells,
+           CAST(COALESCE(SUM(n) FILTER (WHERE l < 3), 0) AS BIGINT)
+             AS n_exposed_rows
+    FROM cells GROUP BY segment
+    """,
+    tags=("governance", "privacy", "agg"),
+)
+def l_diversity_risk(spark, sf_dir):
+    """l-diversity audit (l=3) — ``k_anonymity_risk``'s necessary
+    complement: a cell can hold k≥5 individuals yet expose them all if
+    the SENSITIVE attribute (the $1000 balance band) takes too few
+    distinct values inside it (the homogeneity attack k-anonymity
+    does not see).  Per segment: cells under l=3 distinct sensitive
+    values, fully homogeneous cells (l=1 — membership alone reveals
+    the attribute), and the row count exposed by low-diversity cells.
+
+    Scale: one aggregation to QI-cell granularity (count + distinct
+    sensitive values per cell — the distinct is cell-local, bounded
+    by the sensitive domain) and one rollup over cell-granular rows.
+    No joins, no windows, all integers.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")).alias("l"),
+    )
+    low = F.col("l") < 3
+    return cells.groupBy("segment").agg(
+        F.count("*").alias("n_cells"),
+        F.min("l").alias("min_l"),
+        F.count_if(low).alias("n_low_diversity_cells"),
+        F.count_if(F.col("l") == 1).alias("n_homogeneous_cells"),
+        F.coalesce(F.sum(F.when(low, F.col("n"))), F.lit(0))
+        .cast("long").alias("n_exposed_rows"),
+    )

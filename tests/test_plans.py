@@ -701,3 +701,14 @@ def test_ivf_multiprobe_keyed_on_cid(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ann_ivf_multiprobe")
     assert "CartesianProduct" not in plan
     assert re.search(r"Join \[cid#\d+L?\], \[cid#\d+L?\]", plan), plan[:2000]
+
+
+def test_token_budget_two_phase_cumsum(spark, sf_dir):
+    """Token-budget head selection: the corpus shuffles once on the
+    quality-value key; the only unpartitioned (global-order) window
+    runs over value-granular aggregate rows, never raw docs — the
+    two-phase cumsum that avoids the single-partition corpus sort."""
+    plan = plan_of(spark, sf_dir, "token_budget_head_selection")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "hashpartitioning(n_chars#" in plan, plan[:2000]
