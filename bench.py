@@ -107,6 +107,11 @@ BENCH_QUERIES = [
     "semdedup_capped_two_salt",
     "hybrid_rrf_fusion",
     "trajectory_transition_similarity",
+    # round-9 breadth: exact-substring span dedup (positional-gram
+    # shuffle + island merge — a new heavy honest-shuffle shape) and
+    # the IVF-armed retrieval fusion (the production hybrid plan)
+    "exact_substring_spans",
+    "hybrid_rrf_fusion_ivf",
 ]
 
 
@@ -253,20 +258,62 @@ def _shuffle_bytes_from_doc(doc: dict) -> dict[str, int]:
 METRICS_FILE = "BENCH_METRICS.json"
 
 
+def cap_map(d: dict, k: int = 3) -> dict:
+    """Compact in-line form of a regression map: {name: ratio} for the
+    k most extreme entries (|log ratio|), plus a count marker when
+    truncated.  The stdout line must stay inside the driver's
+    2000-char tail capture even on a round where the gate fires wide —
+    the r8 line ran 1836 chars with EMPTY gate maps, so a handful of
+    verbose entries would null the parse.  Ratios < 1 are speedups
+    (the direction field and prev/cur live in BENCH_METRICS.json's
+    full map, which load_prev_wall prefers anyway, so truncation here
+    never disarms the next round's gate)."""
+    import math
+
+    def ratio(v):
+        return v.get("norm_ratio") or v.get("ratio") or 1.0
+
+    def extremity(item):
+        r = ratio(item[1])
+        return abs(math.log(r)) if r > 0 else float("inf")
+
+    top = sorted(d.items(), key=extremity, reverse=True)
+    out = {name: ratio(v) for name, v in top[:k]}
+    if len(d) > k:
+        out["_truncated_n"] = len(d)
+    return out
+
+
 def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
                        shuffle_bytes: dict[str, int],
                        calibration: list[float],
-                       compact: dict | None = None) -> None:
+                       compact: dict | None = None,
+                       wall_regs: dict | None = None,
+                       shuffle_regs: dict | None = None) -> None:
     """Full-precision per-query metrics, committed alongside the BENCH
     line.  The stdout line must fit the driver's 2000-char tail
     capture (BENCH_r06 outgrew it and nearly disarmed the r7 gate), so
     the byte-exact shuffle map and timings live here and the line
     stays compact; ``load_prev_shuffle_bytes`` prefers this file and
     falls back to recovering BENCH_r*.json lines for older rounds."""
+    try:
+        with open(os.path.join(repo_dir, METRICS_FILE)) as f:
+            old_sf = json.load(f).get("sf")
+    except (OSError, json.JSONDecodeError, ValueError):
+        old_sf = None
+    if old_sf is not None and old_sf != sf and sf != 0.1:
+        # a local sanity run at a non-canonical scale must not clobber
+        # the committed canonical baseline (next round's gate source)
+        print(f"bench: keeping {METRICS_FILE} (sf={old_sf}); "
+              f"this run is sf={sf}", file=sys.stderr)
+        return
     doc = {"sf": sf,
            "calibration_sec": [round(c, 3) for c in calibration],
            "queries": timings,
-           "shuffle_bytes_written": shuffle_bytes}
+           "shuffle_bytes_written": shuffle_bytes,
+           # FULL gate maps (the stdout line carries capped versions)
+           "wall_regressions": wall_regs or {},
+           "shuffle_regressions": shuffle_regs or {}}
     if compact:
         # compaction replay detail (files_before/after) lives here,
         # not the stdout line — every field on the line costs tail-
@@ -584,7 +631,7 @@ def main() -> None:
     wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal)
 
     write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration,
-                       compact_summary)
+                       compact_summary, wregs, regressions)
 
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
@@ -604,20 +651,23 @@ def main() -> None:
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # 2-decimal on the LINE (tail-capture headroom: the r9 suite at
+        # 3 decimals ran 1926/2000 chars); BENCH_METRICS.json keeps the
+        # full-precision timings the next round's gate prefers
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf,
         "batch_suite_sec": round(total - streaming_sec, 3),
         "streaming_suite_sec": streaming_sec,
         "split_replay_rows_per_sec": round(best_rate),
         "split_replay_skew_rows_per_sec": round(skew_rate),
         "shuffle_baseline": prev_file,
-        "shuffle_regressions": regressions,
+        "shuffle_regressions": cap_map(regressions),
         # fixed-workload host-speed probes at suite start/middle/end;
         # per-query seconds / min(calibration_sec) are the
         # cross-round-comparable numbers (VERDICT r7 #1)
         "calibration_sec": [round(c, 3) for c in calibration],
         "wall_baseline": wall_file,
-        "wall_regressions": wregs,
+        "wall_regressions": cap_map(wregs),
         # host contention at run end — context for wall-time outliers
         # (r5 recorded a 4.83 s min-of-3 for a 0.8 s query; CPU-steal
         # is invisible in the timings themselves)

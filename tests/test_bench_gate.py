@@ -245,3 +245,22 @@ def test_committed_bench_has_no_silent_metric_gaps():
             assert bench.unmeasured_batch_entries(doc, tags) == [], path
             return
     raise AssertionError("no recoverable BENCH round found")
+
+
+def test_cap_map_compacts_and_counts():
+    """The in-line gate maps must stay tail-capture-safe when the gate
+    fires wide: top-3 by |log ratio| as {name: ratio}, plus a count
+    marker; small maps pass through compacted but untruncated."""
+    wide = {f"q{i}": {"prev": 1.0, "cur": 1.0 + i, "norm_ratio": 1.0 + i,
+                      "direction": "slower"} for i in range(1, 6)}
+    out = bench.cap_map(wide)
+    assert out["_truncated_n"] == 5
+    assert set(out) == {"q5", "q4", "q3", "_truncated_n"}
+    assert out["q5"] == 6.0
+    small = {"q": {"ratio": 0.5}}
+    assert bench.cap_map(small) == {"q": 0.5}
+    # a 2x speedup is more extreme than a 1.6x slowdown
+    mixed = {"fast": {"norm_ratio": 0.5}, "slow": {"norm_ratio": 1.6},
+             "mid": {"norm_ratio": 1.2}, "tiny": {"norm_ratio": 1.05}}
+    out = bench.cap_map(mixed)
+    assert "fast" in out and "slow" in out and "tiny" not in out
