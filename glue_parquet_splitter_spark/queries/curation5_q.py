@@ -194,3 +194,229 @@ def token_budget_head_selection(spark, sf_dir):
             .groupBy("source")
             .agg(F.count("*").alias("n_selected"),
                  F.sum("toks").alias("selected_tokens")))
+
+
+from .curation4_q import hex_hash_expr
+
+_U6 = 16 ** 6  # uniform-hash range for the ES sampling key
+               # (6 hex chars: 16^8 would overflow int32 under ANSI)
+_ES_K = 5      # weighted sample size per language
+
+
+@register(
+    "pareto_frontier_docs",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS uniq_ratio
+      FROM documents
+    ), grp AS (
+      SELECT toks, MAX(uniq_ratio) AS gmax FROM docs GROUP BY toks
+    ), best AS (
+      SELECT toks, gmax,
+             MAX(gmax) OVER (ORDER BY toks DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS best_longer
+      FROM grp
+    )
+    SELECT d.doc_id, d.toks, d.uniq_ratio
+    FROM docs d JOIN best b USING (toks)
+    WHERE d.uniq_ratio = b.gmax
+      AND d.uniq_ratio > COALESCE(b.best_longer, -1)
+    """,
+    tags=("curation", "window", "skyline"),
+)
+def pareto_frontier_docs(spark, sf_dir):
+    """Pareto-optimal document selection — the 2-D skyline over
+    (length in tokens, lexical quality = distinct-token ratio): keep
+    exactly the docs no other doc dominates (>= on both objectives, >
+    on at least one).  Multi-objective curation's honest form: rather
+    than collapsing quality x length into one ad-hoc score, surface
+    the frontier and let the mixing stage choose along it.
+
+    Scale: the naive skyline is a quadratic dominance self-join.
+    This is the grouped-cummax form instead: aggregate to
+    length-VALUE granularity (bounded by the length domain, not the
+    corpus), one running-max window over those value rows ordered by
+    length descending (`best_longer` = best quality among all
+    STRICTLY longer docs), then join each doc back on its length key.
+    A doc is on the frontier iff it tops its own length group AND
+    beats every longer group's best.  Corpus rows shuffle once on the
+    length key; no window ever orders corpus-granular rows.
+
+    Determinism: integer lengths; the ratio is ROUND(.,6) before any
+    compare, and equality ties (same toks, same ratio) are
+    symmetric — co-equal docs are all on the frontier.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    docs = d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("toks"),
+        F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), 6)
+         .alias("uniq_ratio"))
+    grp = docs.groupBy("toks").agg(F.max("uniq_ratio").alias("gmax"))
+    best = grp.select(
+        "toks", "gmax",
+        F.max("gmax").over(
+            W.orderBy(F.desc("toks"))
+            .rowsBetween(W.unboundedPreceding, -1)).alias("best_longer"))
+    return (docs.join(best, "toks")
+            .where((F.col("uniq_ratio") == F.col("gmax"))
+                   & (F.col("uniq_ratio") > F.coalesce(F.col("best_longer"),
+                                                       F.lit(-1.0))))
+            .select("doc_id", "toks", "uniq_ratio"))
+
+
+@register(
+    "weighted_sample_wor",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+             ({hex_hash_expr("doc_id", 6)} + 0.5) / {_U6}.0 AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, toks,
+             ROUND(POW(u, 1.0 / toks), 6) AS es_key
+      FROM docs
+    )
+    SELECT lang, doc_id, toks, es_key, CAST(smp_rank AS BIGINT) AS smp_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY es_key DESC, doc_id) AS smp_rank
+          FROM keyed)
+    WHERE smp_rank <= {_ES_K}
+    """,
+    tags=("curation", "sampling", "window"),
+)
+def weighted_sample_wor(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, Efraimidis-Spirakis:
+    each doc draws a uniform u and gets key u^(1/w) (w = its token
+    count); the top-k keys per language are a weighted-without-
+    replacement sample — inclusion probability proportional to
+    weight, and the corpus-mixing op behind "sample 1M docs
+    proportional to quality" that naive per-row Bernoulli sampling
+    (which can't hit an exact k) and uniform reservoirs (which
+    ignore w) both get wrong.
+
+    Scale: one map-side key computation (the uniform is a salted
+    md5 of the doc id — deterministic, repartition-proof), then a
+    per-group top-k rank window: partial per-partition heaps, never
+    a global sort.  Exactly the ``reservoir_per_group`` shuffle
+    shape with a weight-aware key.
+
+    Determinism: the uniform comes from ``hex_hash_expr`` (identical
+    md5 arithmetic on both engines), the key is ROUND(.,6) before
+    ranking, and ties break by doc_id.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("toks"),
+        ((F.expr(hex_hash_expr("doc_id", 6)) + 0.5) / F.lit(float(_U6)))
+        .alias("u"))
+    keyed = docs.select(
+        "doc_id", "lang", "toks",
+        F.round(F.pow("u", F.lit(1.0) / F.col("toks")), 6).alias("es_key"))
+    w = W.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
+    return (keyed.withColumn("smp_rank", F.row_number().over(w))
+            .where(F.col("smp_rank") <= _ES_K)
+            .select("lang", "doc_id", "toks", "es_key",
+                    F.col("smp_rank").cast("long").alias("smp_rank")))
+
+
+@register(
+    "dedup_incremental_index",
+    oracle=f"""
+    WITH planted AS (
+      SELECT d.doc_id, d.lang, COALESCE(p.text, d.text) AS content
+      FROM documents d
+      LEFT JOIN documents p
+        ON d.doc_id % 7 IN (3, 5)
+       AND p.doc_id = d.doc_id - (d.doc_id % 7)
+    ), hashed AS (
+      SELECT doc_id, lang, md5(content) AS h,
+             {hex_hash_expr("doc_id", 4, offset=8)} % 16 AS b
+      FROM planted
+    ), idx AS (
+      SELECT DISTINCT h FROM hashed WHERE b < 12
+    ), batch AS (
+      SELECT hs.doc_id, hs.lang, hs.h, (i.h IS NOT NULL) AS seen
+      FROM hashed hs LEFT JOIN idx i USING (h)
+      WHERE hs.b >= 12
+    ), firsts AS (
+      SELECT h, MIN(doc_id) AS first_id FROM batch
+      WHERE NOT seen GROUP BY h
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS batch_docs,
+           CAST(SUM(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+             AS seen_in_index,
+           CAST(SUM(CASE WHEN NOT seen AND doc_id = first_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS new_unique,
+           CAST(SUM(CASE WHEN NOT seen AND doc_id <> first_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS intra_batch_dups
+    FROM batch LEFT JOIN firsts USING (h)
+    GROUP BY lang
+    """,
+    tags=("dedup", "pipeline", "incremental"),
+)
+def dedup_incremental_index(spark, sf_dir):
+    """Incremental dedup at INGEST — the production shape exact dedup
+    actually runs in: a historical content-hash index (~75% of the
+    corpus here, split by a salted id hash) meets a new batch, and
+    each batch doc is classified as seen-in-index (drop), new-unique
+    (keep + append its hash to the index), or intra-batch duplicate
+    (keep only the min-id first occurrence).  Duplicates are planted
+    deterministically — docs with id % 7 in (3, 5) carry their
+    parent's (id - id%7) text — so all three classes are non-empty
+    and cross the index/batch boundary.
+
+    Scale: both classifications are hash-equi-joins on the md5
+    content digest — the index side is a (h)-keyed table that at
+    100 TB lives bucketed on h, so the batch join co-locates without
+    a full shuffle of the index; the intra-batch first-occurrence is
+    a groupBy on h over the UNSEEN subset only.  Raw text never
+    shuffles — only 32-char digests do.  No broadcast hint anywhere:
+    the index is O(corpus) by definition and must shuffle-join.
+
+    Determinism: md5 digests, integer id arithmetic and the
+    hex_hash_expr split (offset=8: independent of every other salt
+    in the registry), min-id survivor policy.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(F.col("doc_id").alias("p_id"), F.col("text").alias("p_text"))
+    planted = (
+        d.join(p, (F.col("doc_id") % 7).isin(3, 5)
+               & (F.col("p_id") == F.col("doc_id") - (F.col("doc_id") % 7)),
+               "left")
+        .select("doc_id", "lang",
+                F.coalesce("p_text", "text").alias("content")))
+    hashed = planted.select(
+        "doc_id", "lang", F.md5("content").alias("h"),
+        (F.expr(hex_hash_expr("doc_id", 4, offset=8)) % 16).alias("b"))
+    idx = hashed.where(F.col("b") < 12).select("h").distinct()
+    batch = (
+        hashed.where(F.col("b") >= 12)
+        .join(idx.withColumn("_seen", F.lit(1)), "h", "left")
+        .select("doc_id", "lang", "h",
+                F.col("_seen").isNotNull().alias("seen")))
+    firsts = (batch.where(~F.col("seen"))
+              .groupBy("h").agg(F.min("doc_id").alias("first_id")))
+    return (batch.join(firsts, "h", "left")
+            .groupBy("lang")
+            .agg(F.count("*").alias("batch_docs"),
+                 F.sum(F.when(F.col("seen"), 1).otherwise(0))
+                  .alias("seen_in_index"),
+                 F.sum(F.when(~F.col("seen")
+                              & (F.col("doc_id") == F.col("first_id")), 1)
+                       .otherwise(0)).alias("new_unique"),
+                 F.sum(F.when(~F.col("seen")
+                              & (F.col("doc_id") != F.col("first_id")), 1)
+                       .otherwise(0)).alias("intra_batch_dups")))

@@ -203,3 +203,111 @@ def hard_negative_mining(spark, sf_dir):
             .filter(F.col("rank") <= 3)
             .select("query_id", "negative_id", "neg_label", "cos_sim",
                     F.col("rank").cast("long").alias("rank")))
+
+
+@register(
+    "retrieval_eval_metrics",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), q AS (
+      SELECT DISTINCT vec_id AS query_id, label AS qlabel FROM v
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+             MIN(c.label) AS clabel,
+             ROUND(SUM(qv.x * c.x) / (MIN(nq.nrm) * MIN(nc.nrm)), 6) AS cos_sim
+      FROM q
+      JOIN v qv ON qv.vec_id = q.query_id
+      JOIN v c ON c.i = qv.i AND c.vec_id >= 8
+      JOIN norms nq ON nq.vec_id = q.query_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      GROUP BY q.query_id, q.qlabel, c.vec_id
+    ), ranked AS (
+      SELECT query_id, (clabel = qlabel) AS rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    ), per AS (
+      SELECT query_id,
+             SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS n_rel,
+             SUM(CASE WHEN rel AND rnk <= 10 THEN 1 ELSE 0 END) AS hits10,
+             MIN(CASE WHEN rel THEN rnk END) AS first_rel,
+             SUM(CASE WHEN rel AND rnk <= 10
+                      THEN 1.0 / log2(rnk + 1) ELSE 0 END) AS dcg
+      FROM ranked GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           ROUND(CAST(hits10 AS DOUBLE) / n_rel, 6) AS recall_at_10,
+           ROUND(1.0 / first_rel, 6) AS mrr,
+           ROUND(dcg / list_sum(list_transform(
+               generate_series(1, CAST(LEAST(10, n_rel) AS INT)),
+               i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_10
+    FROM per
+    """,
+    tags=("similarity", "eval", "window"),
+)
+def retrieval_eval_metrics(spark, sf_dir):
+    """Retrieval evaluation — Recall@10, MRR, and binary nDCG@10 per
+    query, with relevance = "candidate shares the query's label".  The
+    op every retrieval/RAG pipeline runs after an index change: rank
+    the corpus per query, then reduce the ranking to the three
+    standard quality metrics (IDCG normalizes by the ideal ranking of
+    min(10, n_rel) relevant hits).
+
+    Scale: queries are the bounded broadcast side; the corpus is
+    scanned once and scored map-side.  The only shuffle is the
+    per-query rank window — query-granular partitions, so parallelism
+    is the query-batch size (eval batches are thousands of queries,
+    not one).  The metric reduction is an ordinary partial-aggregable
+    groupBy; IDCG is computed per-query from ``n_rel`` alone via a
+    bounded 10-element fold, never a second ranking pass.
+
+    Determinism: ranks order by ROUND(cos, 6) with id tiebreaks;
+    metric floats are rounded to 6 after integer-rank arithmetic, so
+    summation-order noise (~1e-15) cannot reach the compare.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("v"))
+    q = (vecs.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("label").alias("qlabel"),
+                 F.col("v").alias("qv")))
+    corpus = vecs.filter(F.col("vec_id") >= 8)
+    scored = (
+        corpus
+        # bounded: q is the fixed 8-anchor eval query set
+        .crossJoin(F.broadcast(q))
+        .select("query_id",
+                (F.col("label") == F.col("qlabel")).alias("rel"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    per = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).alias("n_rel"),
+        F.sum(F.when(F.col("rel") & (F.col("rnk") <= 10), 1)
+              .otherwise(0)).alias("hits10"),
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
+        F.sum(F.when(F.col("rel") & (F.col("rnk") <= 10),
+                     F.lit(1.0) / F.log2(F.col("rnk") + 1))
+              .otherwise(0.0)).alias("dcg"),
+    )
+    idcg = F.expr(
+        "aggregate(sequence(1, cast(least(10, n_rel) as int)), "
+        "cast(0 as double), (a, i) -> a + 1.0 / log2(i + 1))")
+    return per.select(
+        "query_id", "n_rel",
+        F.round(F.col("hits10").cast("double") / F.col("n_rel"), 6)
+         .alias("recall_at_10"),
+        F.round(F.lit(1.0) / F.col("first_rel"), 6).alias("mrr"),
+        F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_10"),
+    )

@@ -712,3 +712,46 @@ def test_token_budget_two_phase_cumsum(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
     assert "hashpartitioning(n_chars#" in plan, plan[:2000]
+
+
+def test_pareto_frontier_grouped_cummax(spark, sf_dir):
+    """Pareto frontier: the skyline is the grouped-cummax form — corpus
+    rows shuffle once on the length key (partial_max before the
+    exchange); the only global-order window runs over length-VALUE
+    rows, never corpus-granular ones; no dominance self-join."""
+    plan = plan_of(spark, sf_dir, "pareto_frontier_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_max" in plan
+    assert "hashpartitioning(toks#" in plan, plan[:2000]
+
+
+def test_weighted_sample_per_group_rank(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample: the top-k key rank windows
+    over per-language partitions (bounded groups), never a global
+    sort of the corpus."""
+    plan = plan_of(spark, sf_dir, "weighted_sample_wor")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(lang#" in plan, plan[:2000]
+
+
+def test_dedup_incremental_digest_joins(spark, sf_dir):
+    """Incremental-ingest dedup: both classifications are equi joins on
+    the md5 content digest (raw text never shuffles), and the
+    O(corpus) index side carries no broadcast hint — at fixture scale
+    AQE may still pick broadcast, but no CartesianProduct and the
+    join keys must be the digest."""
+    import re
+    plan = plan_of(spark, sf_dir, "dedup_incremental_index")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join \[h#\d+\], \[h#\d+\]", plan), plan[:2000]
+
+
+def test_retrieval_eval_bounded_query_broadcast(spark, sf_dir):
+    """Retrieval eval: the 8-anchor query set broadcasts against one
+    corpus scan; the per-query rank window partitions by query_id.
+    The broadcast is the bounded eval batch, never the corpus."""
+    plan = plan_of(spark, sf_dir, "retrieval_eval_metrics")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # bounded 8-row q side
+    assert "hashpartitioning(query_id#" in plan, plan[:2000]
