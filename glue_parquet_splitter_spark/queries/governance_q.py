@@ -390,3 +390,90 @@ def l_diversity_risk(spark, sf_dir):
         F.coalesce(F.sum(F.when(low, F.col("n"))), F.lit(0))
         .cast("long").alias("n_exposed_rows"),
     )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ), vc AS (
+      SELECT segment, nation, band, COUNT(*) AS n_cv
+      FROM base GROUP BY 1, 2, 3
+    ), ct AS (
+      SELECT segment, nation, SUM(n_cv) AS n_c FROM vc GROUP BY 1, 2
+    ), gl AS (
+      SELECT band, COUNT(*) AS n_v FROM base GROUP BY band
+    ), tot AS (SELECT COUNT(*) AS n FROM base),
+    cells AS (
+      SELECT vc.segment, vc.nation, ct.n_c,
+             ROUND(0.5 * (SUM(ABS(CAST(vc.n_cv AS DOUBLE) / ct.n_c
+                                  - CAST(gl.n_v AS DOUBLE) / tot.n))
+                          + 1 - SUM(CAST(gl.n_v AS DOUBLE) / tot.n)),
+                   6) AS tvd
+      FROM vc JOIN ct USING (segment, nation)
+      JOIN gl USING (band) CROSS JOIN tot
+      GROUP BY vc.segment, vc.nation, ct.n_c
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           MAX(tvd) AS max_t,
+           CAST(COUNT(*) FILTER (WHERE tvd > 0.3) AS BIGINT)
+             AS n_far_cells,
+           CAST(COALESCE(SUM(n_c) FILTER (WHERE tvd > 0.3), 0) AS BIGINT)
+             AS n_exposed_rows
+    FROM cells GROUP BY segment
+    """,
+    tags=("governance", "privacy", "agg", "stats"),
+)
+def t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (t=0.3) — the third rung of the privacy
+    ladder after ``k_anonymity_risk`` and ``l_diversity_risk``: a cell
+    can be k-large AND l-diverse yet still leak if its sensitive
+    DISTRIBUTION (the $1000 balance band) diverges from the global one
+    (the skewness attack l-diversity does not see).  Distance is total
+    variation: t = ½·Σᵥ|p_cell(v) − p_global(v)|, with absent bands
+    contributing their global mass via the identity
+    ½·(Σ_present|p_c−p_g| + 1 − Σ_present p_g).
+
+    Scale: one aggregation to (cell, band) granularity, one to cell
+    totals, one to the global band marginal — the global side is
+    bounded by the SENSITIVE DOMAIN (≤ ~dozens of bands), so its join
+    back is broadcast-safe by construction; the TVD reduction is a
+    partial-aggregable groupBy over (cell, band) rows.  No windows,
+    no corpus-granular joins.
+
+    Determinism: integer counts throughout; the only doubles are the
+    final ratio sums over ≤ band-domain terms, rounded to 6 before
+    the threshold compare and the rollup.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"))
+    vc = (base.groupBy("segment", "nation", "band")
+          .agg(F.count("*").alias("n_cv")))
+    ct = vc.groupBy("segment", "nation").agg(F.sum("n_cv").alias("n_c"))
+    gl = base.groupBy("band").agg(F.count("*").alias("n_v"))
+    tot = base.agg(F.count("*").alias("n"))
+    # bounded: gl is the global sensitive-band marginal (band domain,
+    # ~dozens of rows); tot is a 1-row scalar
+    gw = gl.crossJoin(F.broadcast(tot)).select(
+        "band", (F.col("n_v").cast("double") / F.col("n")).alias("p_g"))
+    cells = (vc.join(ct, ["segment", "nation"])
+             .join(F.broadcast(gw), "band")
+             .groupBy("segment", "nation", "n_c")
+             .agg(F.round(
+                 0.5 * (F.sum(F.abs(F.col("n_cv").cast("double")
+                                    / F.col("n_c") - F.col("p_g")))
+                        + 1 - F.sum("p_g")), 6).alias("tvd")))
+    far = F.col("tvd") > 0.3
+    return cells.groupBy("segment").agg(
+        F.count("*").alias("n_cells"),
+        F.max("tvd").alias("max_t"),
+        F.count_if(far).alias("n_far_cells"),
+        F.coalesce(F.sum(F.when(far, F.col("n_c"))), F.lit(0))
+         .cast("long").alias("n_exposed_rows"))

@@ -311,3 +311,400 @@ def retrieval_eval_metrics(spark, sf_dir):
         F.round(F.lit(1.0) / F.col("first_rel"), 6).alias("mrr"),
         F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_10"),
     )
+
+
+_KNN_COS_CTE = """
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "knn_graph_lsh",
+    oracle=_KNN_COS_CTE + """
+    , bk AS (
+      SELECT vec_id,
+             ((CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END) * 8 +
+              (CASE WHEN CAST(embedding[9] AS DOUBLE) > 0 THEN 1 ELSE 0 END) * 4 +
+              (CASE WHEN CAST(embedding[17] AS DOUBLE) > 0 THEN 1 ELSE 0 END) * 2 +
+              (CASE WHEN CAST(embedding[25] AS DOUBLE) > 0 THEN 1 ELSE 0 END)) AS bucket
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ), scored AS (
+      SELECT p.src, p.dst,
+             ROUND(SUM(av.x * bv.x) / (MIN(na.nrm) * MIN(nb.nrm)), 6) AS cos_sim
+      FROM pairs p
+      JOIN v av ON av.vec_id = p.src
+      JOIN v bv ON bv.vec_id = p.dst AND bv.i = av.i
+      JOIN norms na ON na.vec_id = p.src
+      JOIN norms nb ON nb.vec_id = p.dst
+      GROUP BY p.src, p.dst
+    )
+    SELECT src, dst, cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                       ORDER BY cos_sim DESC, dst) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("similarity", "lsh", "graph"),
+)
+def knn_graph_lsh(spark, sf_dir):
+    """Approximate kNN-GRAPH construction — every vector's top-3
+    cosine neighbors among its sign-bit-LSH bucket mates.  The graph
+    is the input structure of SemDeDup-style clustering, connected-
+    component dedup, and graph-based label spreading: unlike the ANN
+    queries (a bounded query set against a corpus), here EVERY vector
+    is a query, so the only scalable construction is bucket-local.
+
+    Scale: one self-equi-join on the bucket id — within-bucket pairs
+    are N^2/2^b for b sign bits, so b grows with log2(N) to hold the
+    per-bucket candidate count constant (the standard LSH-forest
+    recipe; the fixture pins b=4).  No broadcast hint: both sides are
+    O(N) and must shuffle on the bucket key.  The per-source top-3 is
+    a rank window over bucket-local candidates only.
+
+    Determinism: ROUND(cos, 6) before ranking, dst-id tiebreak;
+    bucket ids are sign bits of fixed dimensions — repartition-proof.
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bk = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"),
+        S.signbit_bucket(F.col("embedding")).alias("bucket"))
+    a = bk.select(F.col("vec_id").alias("src"), F.col("v").alias("av"),
+                  "bucket")
+    b = bk.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv"),
+                  "bucket")
+    scored = (a.join(b, "bucket")
+              .filter(F.col("src") != F.col("dst"))
+              .select("src", "dst",
+                      F.round(S.cosine(F.col("av"), F.col("bv")), 6)
+                       .alias("cos_sim")))
+    w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("src", "dst", "cos_sim",
+                    F.col("rank").cast("long").alias("rank")))
+
+
+@register(
+    "ranking_eval_auc",
+    oracle=_KNN_COS_CTE + """
+    , q AS (
+      SELECT DISTINCT vec_id AS anchor_id, label AS qlabel FROM v
+      WHERE vec_id < 4
+    ), scored AS (
+      SELECT q.anchor_id, q.qlabel, c.vec_id,
+             (MIN(c.label) = q.qlabel) AS pos,
+             ROUND(SUM(qv.x * c.x) / (MIN(nq.nrm) * MIN(nc.nrm)), 6) AS s
+      FROM q
+      JOIN v qv ON qv.vec_id = q.anchor_id
+      JOIN v c ON c.i = qv.i AND c.vec_id >= 4
+      JOIN norms nq ON nq.vec_id = q.anchor_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      GROUP BY q.anchor_id, q.qlabel, c.vec_id
+    ), ranked AS (
+      SELECT anchor_id, qlabel, pos,
+             RANK() OVER (PARTITION BY anchor_id ORDER BY s) AS r,
+             COUNT(*) OVER (PARTITION BY anchor_id, s) AS cnt
+      FROM scored
+    ), agg AS (
+      SELECT anchor_id, qlabel,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg,
+             SUM(CASE WHEN pos THEN r + (cnt - 1) / 2.0 ELSE 0 END) AS rpos
+      FROM ranked GROUP BY anchor_id, qlabel
+    )
+    SELECT anchor_id, CAST(qlabel AS BIGINT) AS qlabel,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((rpos - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg), 6) AS auc
+    FROM agg
+    """,
+    tags=("similarity", "eval", "window", "stats"),
+)
+def ranking_eval_auc(spark, sf_dir):
+    """ROC AUC of a retrieval scorer, per anchor query — the
+    Mann-Whitney rank-sum form: AUC = P(score(pos) > score(neg)) =
+    (R+ - n+(n+ + 1)/2) / (n+ * n-), with AVERAGE ranks on score ties
+    (the unbiased tie convention sklearn uses).  The eval every
+    scorer/reranker change runs; label = "candidate shares the
+    anchor's class".
+
+    Scale: the 4-anchor eval set broadcasts against one corpus scan
+    (bounded side only); ranking is a per-anchor window (parallelism =
+    eval-batch size); the AUC reduction is a partial-aggregable
+    groupBy.  No n+ x n- pair materialization EVER — the rank-sum
+    identity is exactly what makes AUC computable at corpus scale.
+
+    Determinism: ranks over ROUND(score, 6); average-rank tie handling
+    makes the statistic independent of intra-tie order, so no id
+    tiebreak is even needed; rank sums are exact half-integers.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("v"))
+    q = (vecs.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("label").alias("qlabel"), F.col("v").alias("qv")))
+    corpus = vecs.filter(F.col("vec_id") >= 4)
+    scored = (corpus
+              # bounded: q is the fixed 4-anchor eval set
+              .crossJoin(F.broadcast(q))
+              .select("anchor_id", "qlabel",
+                      (F.col("label") == F.col("qlabel")).alias("pos"),
+                      F.round(cosine(F.col("qv"), F.col("v")), 6).alias("s")))
+    ranked = scored.select(
+        "anchor_id", "qlabel", "pos",
+        F.rank().over(W.partitionBy("anchor_id").orderBy("s")).alias("r"),
+        F.count("*").over(W.partitionBy("anchor_id", "s")).alias("cnt"))
+    agg = (ranked.groupBy("anchor_id", "qlabel")
+           .agg(F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos"),
+                F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("n_neg"),
+                F.sum(F.when(F.col("pos"),
+                             F.col("r") + (F.col("cnt") - 1) / 2.0)
+                      .otherwise(0.0)).alias("rpos")))
+    return agg.select(
+        "anchor_id", F.col("qlabel").cast("long").alias("qlabel"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round((F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+                / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"))
+
+
+@register(
+    "calibration_ece_bins",
+    oracle=_KNN_COS_CTE + """
+    , q AS (
+      SELECT vec_id, label FROM embeddings WHERE vec_id = 0
+    ), scored AS (
+      SELECT c.vec_id, (MIN(c.label) = MIN(q.label)) AS pos,
+             ROUND((SUM(qv.x * c.x) / (MIN(nq.nrm) * MIN(nc.nrm)) + 1)
+                   / 2, 6) AS conf
+      FROM q
+      JOIN v qv ON qv.vec_id = q.vec_id
+      JOIN v c ON c.i = qv.i AND c.vec_id >= 4
+      JOIN norms nq ON nq.vec_id = q.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      GROUP BY c.vec_id
+    ), binned AS (
+      SELECT LEAST(CAST(floor(conf * 10) AS BIGINT), 9) AS bin, conf, pos
+      FROM scored
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(conf) / COUNT(*), 6) AS avg_conf,
+           ROUND(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS frac_pos,
+           ROUND(ABS(ROUND(SUM(conf) / COUNT(*), 6)
+                     - ROUND(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+                                  AS DOUBLE) / COUNT(*), 6)), 6) AS abs_gap
+    FROM binned GROUP BY bin
+    """,
+    tags=("similarity", "eval", "stats", "agg"),
+)
+def calibration_ece_bins(spark, sf_dir):
+    """Calibration reliability bins — the per-bin rows behind an ECE
+    (expected calibration error) number and a reliability diagram:
+    confidence = (cos+1)/2 against a fixed anchor, 10 equal-width
+    bins, and per bin the mean confidence vs the empirical positive
+    rate plus their absolute gap.  The eval that catches a scorer
+    that RANKS well (AUC high) but whose scores can't be thresholded.
+
+    Scale: one corpus scan scored map-side against a 1-row broadcast
+    anchor, then a 10-group partial-aggregable groupBy — the cheapest
+    shape in the registry; ECE itself is the n-weighted mean of
+    ``abs_gap``, a driver-free fold over 10 rows.
+
+    Determinism: conf is ROUND(.,6) before binning and summing (bin
+    edges hit exactly); per-bin means re-round to 6, and the gap is
+    computed from the two ALREADY-rounded means identically in both
+    engines, so double noise cannot reach the compare.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label",
+                    F.col("embedding").cast("array<double>").alias("v"))
+    q = (vecs.filter(F.col("vec_id") == 0)
+         .select(F.col("label").alias("qlabel"), F.col("v").alias("qv")))
+    corpus = vecs.filter(F.col("vec_id") >= 4)
+    scored = (corpus
+              # bounded: q is the single fixed anchor (1 row)
+              .crossJoin(F.broadcast(q))
+              .select((F.col("label") == F.col("qlabel")).alias("pos"),
+                      F.round((cosine(F.col("qv"), F.col("v")) + 1) / 2, 6)
+                       .alias("conf")))
+    binned = scored.select(
+        F.least(F.floor(F.col("conf") * 10).cast("long"), F.lit(9).cast("long"))
+         .alias("bin"), "conf", "pos")
+    agg = (binned.groupBy("bin")
+           .agg(F.count("*").alias("n"),
+                F.sum("conf").alias("sum_conf"),
+                F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("n_pos")))
+    avg_conf = F.round(F.col("sum_conf") / F.col("n"), 6)
+    frac_pos = F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+    return agg.select(
+        "bin", F.col("n").cast("long").alias("n"),
+        avg_conf.alias("avg_conf"), frac_pos.alias("frac_pos"),
+        F.round(F.abs(avg_conf - frac_pos), 6).alias("abs_gap"))
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=_KNN_COS_CTE + """
+    , q AS (
+      SELECT DISTINCT vec_id AS anchor_id FROM v WHERE vec_id < 4
+    ), rels AS (
+      SELECT q.anchor_id, c.vec_id,
+             ROUND(SUM(qv.x * c.x) / (MIN(nq.nrm) * MIN(nc.nrm)), 6) AS rel
+      FROM q
+      JOIN v qv ON qv.vec_id = q.anchor_id
+      JOIN v c ON c.i = qv.i AND c.vec_id >= 4
+      JOIN norms nq ON nq.vec_id = q.anchor_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      GROUP BY q.anchor_id, c.vec_id
+    ), pool AS (
+      SELECT anchor_id, vec_id, rel
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY rel DESC, vec_id) AS rn
+            FROM rels)
+      WHERE rn <= 8
+    ), psim AS (
+      SELECT a.anchor_id, a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(SUM(av.x * bv.x) / (MIN(na.nrm) * MIN(nb.nrm)), 6) AS sim
+      FROM pool a JOIN pool b
+        ON a.anchor_id = b.anchor_id AND a.vec_id <> b.vec_id
+      JOIN v av ON av.vec_id = a.vec_id
+      JOIN v bv ON bv.vec_id = b.vec_id AND bv.i = av.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.anchor_id, a.vec_id, b.vec_id
+    ), s1 AS (
+      SELECT anchor_id, vec_id, ROUND(0.7 * rel, 6) AS score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY ROUND(0.7 * rel, 6) DESC,
+                                                  vec_id) AS rn
+            FROM pool)
+      WHERE rn = 1
+    ), c2 AS (
+      SELECT p.anchor_id, p.vec_id,
+             ROUND(0.7 * p.rel - 0.3 * ps.sim, 6) AS score
+      FROM pool p
+      JOIN s1 ON s1.anchor_id = p.anchor_id AND p.vec_id <> s1.vec_id
+      JOIN psim ps ON ps.anchor_id = p.anchor_id
+                  AND ps.ia = p.vec_id AND ps.ib = s1.vec_id
+    ), s2 AS (
+      SELECT anchor_id, vec_id, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY score DESC, vec_id) AS rn
+            FROM c2)
+      WHERE rn = 1
+    ), c3 AS (
+      SELECT p.anchor_id, p.vec_id,
+             ROUND(0.7 * p.rel
+                   - 0.3 * GREATEST(p1.sim, p2.sim), 6) AS score
+      FROM pool p
+      JOIN s1 ON s1.anchor_id = p.anchor_id AND p.vec_id <> s1.vec_id
+      JOIN s2 ON s2.anchor_id = p.anchor_id AND p.vec_id <> s2.vec_id
+      JOIN psim p1 ON p1.anchor_id = p.anchor_id
+                  AND p1.ia = p.vec_id AND p1.ib = s1.vec_id
+      JOIN psim p2 ON p2.anchor_id = p.anchor_id
+                  AND p2.ia = p.vec_id AND p2.ib = s2.vec_id
+    ), s3 AS (
+      SELECT anchor_id, vec_id, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                         ORDER BY score DESC, vec_id) AS rn
+            FROM c3)
+      WHERE rn = 1
+    )
+    SELECT anchor_id, CAST(pick AS BIGINT) AS pick, vec_id, score AS mmr_score
+    FROM (SELECT anchor_id, 1 AS pick, vec_id, score FROM s1
+          UNION ALL SELECT anchor_id, 2, vec_id, score FROM s2
+          UNION ALL SELECT anchor_id, 3, vec_id, score FROM s3)
+    """,
+    tags=("similarity", "ranking", "pandas_udf", "topk"),
+)
+def mmr_diversified_topk(spark, sf_dir):
+    """MMR (maximal marginal relevance) diversified top-k — the rerank
+    behind "don't return 3 near-identical passages": greedily pick
+    k=3 of a top-8 relevance pool, each step maximizing
+    λ·rel − (1−λ)·max_sim_to_already_selected (λ=0.7, empty-set
+    max_sim = 0).  Deduplication applied at SERVING time rather than
+    corpus time — the RAG-stack twin of SemDeDup.
+
+    Scale: the greedy loop is inherently sequential, so the design
+    bounds it: relevance pooling is the distributed part (one corpus
+    scan + per-anchor top-8 rank window), and MMR itself runs
+    per-anchor over the BOUNDED pool inside one ``applyInPandas``
+    group — O(k·pool) work on ≤ 8 rows, with pairwise sims computed
+    in-group, never shuffled.  Parallelism = the anchor batch, the
+    pool never leaves its executor, and no stage is quadratic in the
+    corpus.
+
+    Determinism: rel and every pairwise sim are ROUND(.,6) before the
+    greedy compare; each argmax breaks ties by vec_id; the oracle
+    unrolls the same greedy steps (s1→s2→s3) with identical rounding.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+    q = (vecs.filter(F.col("vec_id") < 4)
+         .select(F.col("vec_id").alias("anchor_id"),
+                 F.col("v").alias("qv")))
+    corpus = vecs.filter(F.col("vec_id") >= 4)
+    rels = (corpus
+            # bounded: q is the fixed 4-anchor eval set
+            .crossJoin(F.broadcast(q))
+            .select("anchor_id", "vec_id", "v",
+                    F.round(cosine(F.col("qv"), F.col("v")), 6).alias("rel")))
+    w = W.partitionBy("anchor_id").orderBy(F.desc("rel"), "vec_id")
+    pool = (rels.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 8)
+            .select("anchor_id", "vec_id", "rel", "v"))
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        def r6(x):  # HALF-AWAY-FROM-ZERO, matching Spark/DuckDB ROUND
+            return np.floor(np.abs(x) * 1e6 + 0.5) / 1e6 * np.sign(x)
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        sim = r6(mat @ mat.T / np.outer(nrm, nrm))
+        rel = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        selected, rows = [], []
+        for pick in range(1, 4):
+            best = None
+            for i in range(len(ids)):
+                if i in selected:
+                    continue
+                ms = max((sim[i, j] for j in selected), default=0.0)
+                score = float(r6(0.7 * rel[i] - 0.3 * ms))
+                key = (-score, ids[i])
+                if best is None or key < best[0]:
+                    best = (key, i, score)
+            _, i, score = best
+            selected.append(i)
+            rows.append((int(pdf["anchor_id"].iloc[0]), pick,
+                         int(ids[i]), float(score)))
+        return pd.DataFrame(rows, columns=["anchor_id", "pick",
+                                           "vec_id", "mmr_score"])
+
+    return (pool.groupBy("anchor_id")
+            .applyInPandas(mmr, "anchor_id long, pick long, "
+                                "vec_id long, mmr_score double"))

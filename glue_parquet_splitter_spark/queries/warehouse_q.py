@@ -521,3 +521,83 @@ def scd2_temporal_fact_join(spark, sf_dir):
         .agg(F.count("*").alias("n_purchases"),
              F.round(F.sum("value"), 2).alias("revenue"))
     )
+
+
+@register(
+    "zone_map_pruning_stats",
+    oracle="""
+    WITH hash_files AS (
+      SELECT l_orderkey % 32 AS file_id,
+             MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ), date_files AS (
+      SELECT EXTRACT(year FROM l_shipdate) * 100
+             + EXTRACT(month FROM l_shipdate) AS file_id,
+             MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    ), u AS (
+      SELECT 'hash' AS layout, * FROM hash_files
+      UNION ALL
+      SELECT 'date_clustered' AS layout, * FROM date_files
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n) AS BIGINT) AS rows_total,
+           CAST(COUNT(*) FILTER (WHERE hi >= TIMESTAMP '1995-06-01'
+                                   AND lo < TIMESTAMP '1995-07-01')
+                AS BIGINT) AS files_scanned,
+           CAST(COALESCE(SUM(n) FILTER (WHERE hi >= TIMESTAMP '1995-06-01'
+                                          AND lo < TIMESTAMP '1995-07-01'),
+                         0) AS BIGINT) AS rows_scanned,
+           ROUND(1 - CAST(COUNT(*) FILTER (WHERE hi >= TIMESTAMP '1995-06-01'
+                                             AND lo < TIMESTAMP '1995-07-01')
+                          AS DOUBLE) / COUNT(*), 6) AS file_prune_frac
+    FROM u GROUP BY layout
+    """,
+    tags=("warehouse", "scale", "agg"),
+)
+def zone_map_pruning_stats(spark, sf_dir):
+    """Zone-map (min/max file-skipping) effectiveness by data layout —
+    the Delta/Iceberg/parquet-footer pruning arithmetic, run for two
+    candidate layouts of the same table: hash-on-key files (no value
+    locality — every file spans the full date range, nothing prunes)
+    vs date-clustered files (one month per file — a 1-month predicate
+    scans ~1 file).  The number that justifies a one-time clustering
+    rewrite at 100 TB: ``file_prune_frac`` IS the fraction of I/O a
+    Z-ORDER/cluster-by would eliminate for this predicate family.
+
+    Scale: each layout is one aggregation to file granularity (min/
+    max/count — exactly the stats a parquet footer already holds), and
+    the pruning evaluation is a fold over FILE-granular rows (a 100 TB
+    table is ~10⁵ files — metadata scale).  No joins; the predicate
+    range never touches row-level data.
+
+    Determinism: timestamps compare exactly; counts are integers; the
+    single fraction is rounded to 6.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    lo_p, hi_p = "1995-06-01", "1995-07-01"
+
+    def files(df, key, layout):
+        return (df.groupBy(key.alias("file_id"))
+                .agg(F.min("l_shipdate").alias("lo"),
+                     F.max("l_shipdate").alias("hi"),
+                     F.count("*").alias("n"))
+                .select(F.lit(layout).alias("layout"), "file_id",
+                        "lo", "hi", "n"))
+
+    u = files(li, F.col("l_orderkey") % 32, "hash").unionByName(
+        files(li, F.year("l_shipdate") * 100 + F.month("l_shipdate"),
+              "date_clustered"))
+    scanned = (F.col("hi") >= F.lit(lo_p).cast("timestamp")) & \
+              (F.col("lo") < F.lit(hi_p).cast("timestamp"))
+    return u.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").cast("long").alias("rows_total"),
+        F.count_if(scanned).alias("files_scanned"),
+        F.coalesce(F.sum(F.when(scanned, F.col("n"))), F.lit(0))
+         .cast("long").alias("rows_scanned"),
+        F.round(1 - F.count_if(scanned).cast("double") / F.count("*"), 6)
+         .alias("file_prune_frac"))

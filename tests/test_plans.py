@@ -755,3 +755,66 @@ def test_retrieval_eval_bounded_query_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # bounded 8-row q side
     assert "hashpartitioning(query_id#" in plan, plan[:2000]
+
+
+def test_knn_graph_bucket_local_join(spark, sf_dir):
+    """kNN-graph build: candidates come from the bucket-id self-equi
+    join (within-bucket only), never an all-pairs product; the top-3
+    is a per-src rank window."""
+    import re
+    plan = plan_of(spark, sf_dir, "knn_graph_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"Join \[bucket#\d+\], \[bucket#\d+\]", plan), plan[:2000]
+
+
+def test_auc_rank_sum_no_pair_blowup(spark, sf_dir):
+    """AUC: the Mann-Whitney rank-sum form — a bounded anchor
+    broadcast, per-anchor rank windows, and a partial-aggregable
+    reduction; never an n_pos x n_neg pair join."""
+    plan = plan_of(spark, sf_dir, "ranking_eval_auc")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # bounded 4-anchor side
+    assert "partial_sum" in plan
+    assert "hashpartitioning(anchor_id#" in plan, plan[:2000]
+
+
+def test_calibration_single_scan_small_groupby(spark, sf_dir):
+    """Calibration bins: one corpus scan against a 1-row broadcast
+    anchor, then a 10-group partial-aggregable groupBy."""
+    plan = plan_of(spark, sf_dir, "calibration_ece_bins")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "hashpartitioning(bin#" in plan, plan[:2000]
+
+
+def test_t_closeness_band_marginal_broadcast(spark, sf_dir):
+    """t-closeness: the global band marginal (sensitive-domain-bounded)
+    broadcasts back onto (cell, band) rows; the TVD reduction is
+    partial-aggregable; no corpus-granular join shuffle for the
+    marginal side."""
+    plan = plan_of(spark, sf_dir, "t_closeness_audit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+
+
+def test_zone_map_metadata_granularity(spark, sf_dir):
+    """Zone-map stats: each layout is one aggregation to file
+    granularity with map-side partial min/max; the pruning evaluation
+    folds over file-granular rows only — no joins at all."""
+    plan = plan_of(spark, sf_dir, "zone_map_pruning_stats")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pure scan -> agg -> union -> agg
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_mmr_bounded_pool_pandas(spark, sf_dir):
+    """MMR rerank: the greedy loop runs inside applyInPandas over the
+    per-anchor top-8 pool (FlatMapGroupsInPandas); pooling is a
+    per-anchor rank window; the corpus is scanned once against the
+    bounded anchor broadcast."""
+    plan = plan_of(spark, sf_dir, "mmr_diversified_topk")
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "hashpartitioning(anchor_id#" in plan, plan[:2000]
