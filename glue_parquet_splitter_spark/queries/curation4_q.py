@@ -42,8 +42,13 @@ def hex_hash_expr(col_sql: str, chars: int = 4, offset: int = 0) -> str:
     floor the sub-cluster size at size/256, silently breaking the cap
     for clusters past 256·B members)."""
     digest = f"md5(cast({col_sql} as string))"
+    # the bigint cast on each digit keeps every term's multiply in
+    # 64-bit: under ANSI Spark a literal 16^7 is typed INT (it fits),
+    # so an uncast digit * 16^7 multiplies int*int and 15*16^7
+    # overflows int32 — which capped chars at 7 before this cast
     terms = [
-        f"(instr('0123456789abcdef', substr({digest}, {offset + i + 1}, 1)) - 1)"
+        f"cast(instr('0123456789abcdef',"
+        f" substr({digest}, {offset + i + 1}, 1)) - 1 as bigint)"
         f" * {16 ** (chars - 1 - i)}"
         for i in range(chars)
     ]

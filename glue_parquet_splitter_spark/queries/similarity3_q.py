@@ -323,9 +323,10 @@ _KNN_COS_CTE = """
 """
 
 
-@register(
-    "knn_graph_lsh",
-    oracle=_KNN_COS_CTE + """
+# Shared CTE: the bucket-local kNN edge set (src, dst, cos_sim, rank
+# 1..3) — the construction of ``knn_graph_lsh``, reused verbatim by
+# ``label_propagation_knn`` so the two oracles cannot drift.
+_KNN_EDGES_CTE = _KNN_COS_CTE + """
     , bk AS (
       SELECT vec_id,
              ((CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END) * 8 +
@@ -345,12 +346,20 @@ _KNN_COS_CTE = """
       JOIN norms na ON na.vec_id = p.src
       JOIN norms nb ON nb.vec_id = p.dst
       GROUP BY p.src, p.dst
+    ), knn AS (
+      SELECT src, dst, cos_sim, rank
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY cos_sim DESC, dst) AS rank
+            FROM scored)
+      WHERE rank <= 3
     )
-    SELECT src, dst, cos_sim, CAST(rank AS BIGINT) AS rank
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-                                       ORDER BY cos_sim DESC, dst) AS rank
-          FROM scored)
-    WHERE rank <= 3
+"""
+
+
+@register(
+    "knn_graph_lsh",
+    oracle=_KNN_EDGES_CTE + """
+    SELECT src, dst, cos_sim, CAST(rank AS BIGINT) AS rank FROM knn
     """,
     tags=("similarity", "lsh", "graph"),
 )
@@ -372,6 +381,14 @@ def knn_graph_lsh(spark, sf_dir):
     Determinism: ROUND(cos, 6) before ranking, dst-id tiebreak;
     bucket ids are sign bits of fixed dimensions — repartition-proof.
     """
+    return _knn_edges(spark, sf_dir).select(
+        "src", "dst", "cos_sim", F.col("rank").cast("long").alias("rank"))
+
+
+def _knn_edges(spark, sf_dir):
+    """(src, dst, cos_sim, rank 1..3) — the bucket-local kNN edge set
+    shared by ``knn_graph_lsh`` and ``label_propagation_knn`` (mirrors
+    the oracle-side ``_KNN_EDGES_CTE``)."""
     from pyspark.sql import Window as W
 
     from ..operators import similarity as S
@@ -391,9 +408,7 @@ def knn_graph_lsh(spark, sf_dir):
                        .alias("cos_sim")))
     w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3)
-            .select("src", "dst", "cos_sim",
-                    F.col("rank").cast("long").alias("rank")))
+            .filter(F.col("rank") <= 3))
 
 
 @register(
@@ -708,3 +723,70 @@ def mmr_diversified_topk(spark, sf_dir):
     return (pool.groupBy("anchor_id")
             .applyInPandas(mmr, "anchor_id long, pick long, "
                                 "vec_id long, mmr_score double"))
+
+
+@register(
+    "label_propagation_knn",
+    oracle=_KNN_EDGES_CTE + """
+    , lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+              FROM embeddings),
+    votes AS (
+      SELECT k.src, l.label AS nb_label, COUNT(*) AS n
+      FROM knn k JOIN lab l ON l.vec_id = k.dst
+      GROUP BY k.src, l.label
+    ), new_lab AS (
+      SELECT src, nb_label AS new_label
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                         ORDER BY n DESC, nb_label) AS rn
+            FROM votes)
+      WHERE rn = 1
+    )
+    SELECT o.label AS old_label, nl.new_label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN o.label <> nl.new_label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM new_lab nl JOIN lab o ON o.vec_id = nl.src
+    GROUP BY o.label, nl.new_label
+    """,
+    tags=("similarity", "graph", "window"),
+)
+def label_propagation_knn(spark, sf_dir):
+    """One synchronous round of label propagation over the LSH-built
+    kNN graph — each node adopts the MAJORITY label of its ≤3 nearest
+    bucket-mates (ties → smallest label), reported as an
+    (old_label → new_label) transition matrix.  The semi-supervised
+    pass that spreads a small seed of human labels across a corpus
+    (or, read diagonally, a label-noise audit: off-diagonal mass =
+    points whose neighborhoods disagree with their label).  Composes
+    ``knn_graph_lsh`` — graph build and propagation share one
+    construction (``_knn_edges``), so the edge semantics cannot drift.
+
+    Scale: per round, one equi join of the O(3N) edge list against the
+    label table on the node key, a (node, label)-granular count, and a
+    per-node argmax window — each shuffle is keyed on node id, none is
+    quadratic.  Rounds are driver-sequenced like ``kmeans_lloyd_iters``
+    (bounded iteration count, no growing lineage per round).
+
+    Determinism: majority votes are integer counts; the argmax breaks
+    ties by (count DESC, label ASC); the underlying edges inherit
+    ``knn_graph_lsh``'s rounded-cosine, id-tiebroken ranking.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "embeddings")
+    lab = e.select("vec_id", F.col("label").cast("long").alias("label"))
+    knn = _knn_edges(spark, sf_dir)
+    votes = (knn.join(lab.withColumnRenamed("vec_id", "dst"), "dst")
+             .groupBy("src", F.col("label").alias("nb_label"))
+             .agg(F.count("*").alias("n")))
+    w = W.partitionBy("src").orderBy(F.desc("n"), "nb_label")
+    new_lab = (votes.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("src", F.col("nb_label").alias("new_label")))
+    old = lab.select(F.col("vec_id").alias("src"),
+                     F.col("label").alias("old_label"))
+    return (new_lab.join(old, "src")
+            .groupBy("old_label", "new_label")
+            .agg(F.count("*").alias("n_nodes"),
+                 F.sum(F.when(F.col("old_label") != F.col("new_label"), 1)
+                       .otherwise(0)).alias("n_changed")))

@@ -353,3 +353,168 @@ def approx_top_k_event_types(spark, sf_dir):
         SELECT t.item AS item, CAST(t.count AS BIGINT) AS cnt
         FROM (SELECT explode(approx_top_k(event_type, 5)) AS t FROM ev_atk)
     """)
+
+
+from .curation4_q import hex_hash_expr
+
+_KMV_K = 64
+_U12 = 16 ** 12  # 48-bit uniform-hash range for KMV
+
+
+@register(
+    "kmv_sketch_set_ops",
+    oracle=f"""
+    WITH hset AS (
+      SELECT DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS s,
+             {hex_hash_expr("o_custkey", 12)} AS h
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+    ), counts AS (
+      SELECT s, COUNT(*) AS n FROM hset GROUP BY s
+    ), cand AS (
+      SELECT s, h FROM (
+        SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s, h % 64
+                                        ORDER BY h) AS rn
+        FROM hset) WHERE rn <= {_KMV_K}
+    ), sk AS (
+      SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+      FROM cand
+    ), est AS (
+      SELECT sk.s, counts.n,
+             CASE WHEN counts.n > {_KMV_K}
+                  THEN ROUND(({_KMV_K} - 1) * {_U12}.0 / (sk.h + 1), 6)
+                  ELSE CAST(counts.n AS DOUBLE) END AS est
+      FROM sk JOIN counts ON counts.s = sk.s
+      WHERE sk.rn = LEAST({_KMV_K}, counts.n)
+    ), uh AS (SELECT DISTINCT h FROM hset),
+    ucand AS (
+      SELECT h FROM (
+        SELECT h, ROW_NUMBER() OVER (PARTITION BY h % 64 ORDER BY h) AS rn
+        FROM uh) WHERE rn <= {_KMV_K}
+    ), usk AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ucand
+    ), un AS (SELECT COUNT(*) AS n_u FROM uh),
+    uest AS (
+      SELECT un.n_u,
+             CASE WHEN un.n_u > {_KMV_K}
+                  THEN ROUND(({_KMV_K} - 1) * {_U12}.0 / (usk.h + 1), 6)
+                  ELSE CAST(un.n_u AS DOUBLE) END AS est_u
+      FROM usk CROSS JOIN un
+      WHERE usk.rn = LEAST({_KMV_K}, un.n_u)
+    ), flags AS (
+      SELECT usk.h,
+             MAX(CASE WHEN hset.s = 1995 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN hset.s = 1996 THEN 1 ELSE 0 END) AS in_b
+      FROM usk JOIN hset USING (h)
+      WHERE usk.rn <= {_KMV_K}
+      GROUP BY usk.h
+    ), jac AS (
+      SELECT ROUND(CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*), 6) AS est_j
+      FROM flags
+    ), ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_i
+      FROM (SELECT h FROM hset WHERE s = 1995) a
+      JOIN (SELECT h FROM hset WHERE s = 1996) b USING (h)
+    )
+    SELECT ea.n AS exact_a, ea.est AS est_a,
+           eb.n AS exact_b, eb.est AS est_b,
+           uest.n_u AS exact_union, uest.est_u AS est_union,
+           jac.est_j AS est_jaccard,
+           ROUND(jac.est_j * uest.est_u, 6) AS est_intersection,
+           ex.exact_i AS exact_intersection
+    FROM (SELECT * FROM est WHERE s = 1995) ea
+    CROSS JOIN (SELECT * FROM est WHERE s = 1996) eb
+    CROSS JOIN uest CROSS JOIN jac CROSS JOIN ex
+    """,
+    tags=("sketch", "approx", "setop", "agg"),
+)
+def kmv_sketch_set_ops(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketch with UNION, INTERSECTION
+    and JACCARD estimates — the sketch family HLL cannot give you:
+    HLL unions but never intersects; KMV's k smallest hashes support
+    all three (Beyer et al., "On Synopses for Distinct-Value
+    Estimation").  Sets: customers active in 1995 vs 1996, so the
+    intersection estimate is year-over-year retention.  Estimator:
+    DV ≈ (k−1)/u_k (u_k = k-th smallest hash as a unit uniform);
+    Jaccard ≈ the fraction of the UNION sketch's k minima present in
+    both sets; intersection ≈ J · DV_union.  Std error ~1/√k (12.5 %
+    at k=64) — the output carries exact counts alongside.
+
+    Scale: min-k per set is the salted two-phase top-k
+    (``topk_per_group_salted``'s shape): phase 1 ranks within
+    (set, h%64) groups — a distributed sort of 1/64th slices — and
+    phase 2 ranks the ≤ 64·64 survivors.  Membership flags are an
+    equi join of the 64-row union sketch against the hash sets.  A
+    sketch is O(k) — merge/ship/store costs never grow with N.
+
+    Determinism: the hash is md5-derived (``hex_hash_expr``, 12 hex
+    chars — collision-free at fixture scale, 48-bit range), so every
+    minimum, estimate and flag is a pure function of the data.
+    """
+    from pyspark.sql import Window as W
+
+    K = _KMV_K
+    o = load_table(spark, sf_dir, "orders")
+    hset = (o.filter(F.year("o_orderdate").isin(1995, 1996))
+            .select(F.year("o_orderdate").cast("long").alias("s"),
+                    F.expr(hex_hash_expr("o_custkey", 12)).alias("h"))
+            .distinct())
+
+    def min_k(df, part_cols):
+        w1 = W.partitionBy(*part_cols, F.col("h") % 64).orderBy("h")
+        cand = (df.withColumn("rn", F.row_number().over(w1))
+                .filter(F.col("rn") <= K).drop("rn"))
+        w2 = (W.partitionBy(*part_cols).orderBy("h") if part_cols
+              else W.orderBy("h"))
+        return (cand.withColumn("rn", F.row_number().over(w2))
+                .filter(F.col("rn") <= K))
+
+    counts = hset.groupBy("s").agg(F.count("*").alias("n"))
+    sk = min_k(hset, ["s"])
+    est = (sk.join(counts, "s")
+           .filter(F.col("rn") == F.least(F.lit(K), F.col("n")))
+           .select("s", "n",
+                   F.when(F.col("n") > K,
+                          F.round((K - 1) * float(_U12) / (F.col("h") + 1), 6))
+                   .otherwise(F.col("n").cast("double")).alias("est")))
+
+    uh = hset.select("h").distinct()
+    un = uh.agg(F.count("*").alias("n_u"))
+    usk = min_k(uh, [])
+    uest = (usk.crossJoin(F.broadcast(un))  # bounded: 1-row count
+            .filter(F.col("rn") == F.least(F.lit(K), F.col("n_u")))
+            .select("n_u",
+                    F.when(F.col("n_u") > K,
+                           F.round((K - 1) * float(_U12) / (F.col("h") + 1), 6))
+                    .otherwise(F.col("n_u").cast("double")).alias("est_u")))
+    flags = (usk.filter(F.col("rn") <= K).select("h")
+             .join(hset, "h")
+             .groupBy("h")
+             .agg(F.max(F.when(F.col("s") == 1995, 1).otherwise(0))
+                  .alias("in_a"),
+                  F.max(F.when(F.col("s") == 1996, 1).otherwise(0))
+                  .alias("in_b")))
+    jac = flags.agg(
+        F.round(F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+                / F.count("*"), 6).alias("est_j"))
+    ex = (hset.filter(F.col("s") == 1995).select("h")
+          .join(hset.filter(F.col("s") == 1996).select("h"), "h")
+          .agg(F.count("*").alias("exact_i")))
+
+    ea = est.filter(F.col("s") == 1995).select(
+        F.col("n").alias("exact_a"), F.col("est").alias("est_a"))
+    eb = est.filter(F.col("s") == 1996).select(
+        F.col("n").alias("exact_b"), F.col("est").alias("est_b"))
+    # bounded: every side below is a 1-row aggregate/sketch scalar
+    return (ea.crossJoin(F.broadcast(eb))
+            .crossJoin(F.broadcast(
+                uest.select(F.col("n_u").alias("exact_union"),
+                            F.col("est_u").alias("est_union"))))
+            .crossJoin(F.broadcast(jac))
+            .crossJoin(F.broadcast(ex))
+            .select("exact_a", "est_a", "exact_b", "est_b",
+                    "exact_union", "est_union",
+                    F.col("est_j").alias("est_jaccard"),
+                    F.round(F.col("est_j") * F.col("est_union"), 6)
+                     .alias("est_intersection"),
+                    F.col("exact_i").cast("long").alias("exact_intersection")))

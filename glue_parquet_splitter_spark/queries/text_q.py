@@ -370,3 +370,80 @@ def dup_cluster_size_histogram(spark, sf_dir):
     return clusters.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
         F.count("*").alias("n_clusters"),
         F.sum("sz").cast("long").alias("n_docs"))
+
+
+@register(
+    "pmi_adjacent_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT UNNEST(t) AS w FROM toks) GROUP BY w
+    ), nu AS (SELECT SUM(c) AS n_u FROM uni),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c12
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      GROUP BY 1, 2
+    ), nb AS (SELECT SUM(c12) AS n_b FROM big)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           ROUND(log2((CAST(c12 AS DOUBLE) * n_u * n_u)
+                      / (CAST(n_b AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.w = big.w1
+    JOIN uni u2 ON u2.w = big.w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE c12 >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text", "stats", "topk"),
+)
+def pmi_adjacent_bigrams(spark, sf_dir):
+    """Top-20 collocations by pointwise mutual information over
+    adjacent token pairs — PMI(w1,w2) = log2(p(w1,w2)/(p(w1)p(w2))),
+    the classic collocation/phrase-mining statistic (Church & Hanks):
+    high-PMI bigrams are multi-word units a tokenizer or phrase table
+    should treat as one symbol.  A minimum bigram count (5) applies —
+    raw PMI is degenerate on hapax pairs.
+
+    Scale: bigrams come from a per-document window (lead over token
+    position — one shuffle keyed on doc_id, never a self-join);
+    unigram/bigram counts are partial-aggregable groupBys to VOCAB
+    granularity; the two totals are 1-row aggregates.  The final
+    top-20 is orderBy+limit — TakeOrderedAndProject's per-partition
+    heaps, no global sort.  The count-count joins are vocab-keyed
+    (bounded by vocab size, not corpus size).
+
+    Determinism: all counts are integers; the PMI double is computed
+    with an IDENTICAL product/divide shape in both engines (single
+    log2, same association order), then ROUND(.,6); ordering ties
+    break on (w1, w2).
+    """
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.sum("c").alias("n_u"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    big = (toks.withColumn("w2", F.lead("w").over(wdoc))
+           .filter(F.col("w2").isNotNull())
+           .groupBy(F.col("w").alias("w1"), "w2")
+           .agg(F.count("*").alias("c12")))
+    nb = big.agg(F.sum("c12").alias("n_b"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (big.filter(F.col("c12") >= 5)
+            .join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(nu))   # bounded: 1-row total
+            .crossJoin(F.broadcast(nb))   # bounded: 1-row total
+            .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                    F.round(F.log2((F.col("c12").cast("double")
+                                    * F.col("n_u") * F.col("n_u"))
+                                   / (F.col("n_b").cast("double")
+                                      * F.col("c1") * F.col("c2"))), 6)
+                     .alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2")
+            .limit(20))

@@ -818,3 +818,37 @@ def test_mmr_bounded_pool_pandas(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "hashpartitioning(anchor_id#" in plan, plan[:2000]
+
+
+def test_label_propagation_node_keyed_shuffles(spark, sf_dir):
+    """Label propagation: the vote join is edge-list x label-table on
+    the node key; the majority argmax windows over node-granular
+    (src) partitions; everything inherits the bucket-local edge
+    build — no all-pairs anywhere."""
+    plan = plan_of(spark, sf_dir, "label_propagation_knn")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(src#" in plan, plan[:2000]
+
+
+def test_kmv_two_phase_min_k(spark, sf_dir):
+    """KMV sketch: min-k per set is the salted two-phase top-k — the
+    phase-1 rank windows over (s, h%64) salt groups (the
+    'topk_per_group_salted' shape), never one sort of all distinct
+    hashes; the estimate assembly is 1-row broadcast cross-joins."""
+    import re
+    plan = plan_of(spark, sf_dir, "kmv_sketch_set_ops")
+    assert "CartesianProduct" not in plan
+    # the salted phase-1 partitioning key (s, _w0 = h % 64 projected
+    # below the window) — distinct from the phase-2 (s)-only exchange
+    assert re.search(r"hashpartitioning\(s#\d+L, _w0#\d+L", plan), \
+        plan[:3000]
+
+
+def test_pmi_vocab_keyed_counts_topk_heap(spark, sf_dir):
+    """PMI: bigrams from a per-doc lead window (one doc_id shuffle);
+    count joins are vocab-keyed; the top-20 is TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    plan = plan_of(spark, sf_dir, "pmi_adjacent_bigrams")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(doc_id#" in plan, plan[:2000]
