@@ -420,3 +420,129 @@ def dedup_incremental_index(spark, sf_dir):
                  F.sum(F.when(~F.col("seen")
                               & (F.col("doc_id") != F.col("first_id")), 1)
                        .otherwise(0)).alias("intra_batch_dups")))
+
+
+@register(
+    "domain_mixture_weights",
+    oracle="""
+    WITH dom AS (
+      SELECT source, CAST(substr(source, 4) AS BIGINT) AS idx,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ), tot AS (SELECT SUM(toks) AS t_all FROM dom),
+    w AS (
+      SELECT dom.*, tot.t_all,
+             CASE WHEN idx < 5 THEN 0.10 ELSE 0.5 / 15 END AS target_w
+      FROM dom CROSS JOIN tot
+    )
+    SELECT source, n_docs, toks,
+           ROUND(CAST(toks AS DOUBLE) / t_all, 6) AS nat_share,
+           ROUND(target_w, 6) AS target_w,
+           ROUND(LEAST(target_w * (0.5 * t_all) / toks, 4.0), 6) AS epochs,
+           CAST(ROUND(LEAST(target_w * (0.5 * t_all) / toks, 4.0)
+                      * toks, 0) AS BIGINT) AS realized_toks
+    FROM w
+    """,
+    tags=("curation", "sampling", "agg"),
+)
+def domain_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting arithmetic — the table every
+    multi-domain training run is configured from (the DoReMi /
+    Pile-style recipe): per domain, its NATURAL token share, a TARGET
+    weight (here: the five priority domains get 10 % each, the long
+    tail splits the rest), the resulting epoch multiplier against a
+    fixed token budget (half the corpus), and the epoch CAP at 4x
+    (upsampling a small domain past a few epochs just memorizes it —
+    the standard data-constrained-scaling guardrail).  ``epochs < 1``
+    is downsampling, ``> 1`` upsampling, ``= 4`` a budget the target
+    weight cannot actually fill.
+
+    Scale: one aggregation to DOMAIN granularity (map-side token
+    counting in the scan projection), a 1-row total cross-joined
+    back, pure arithmetic after — domains are dozens-to-hundreds, so
+    every post-agg row count is trivially bounded.
+
+    Determinism: integer token counts; shares/epochs are single
+    divisions rounded to 6; realized_toks rounds half-away on an
+    exact product of a capped rational and an integer.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dom = (d.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.size(F.split("text", " "))).cast("long")
+                 .alias("toks")))
+    tot = dom.agg(F.sum("toks").alias("t_all"))
+    idx = F.substring("source", 4, 10).cast("long")
+    target_w = F.when(idx < 5, F.lit(0.10)).otherwise(F.lit(0.5 / 15))
+    epochs = F.least(target_w * (0.5 * F.col("t_all")) / F.col("toks"),
+                     F.lit(4.0))
+    return (dom.crossJoin(F.broadcast(tot))  # bounded: 1-row total
+            .select("source", "n_docs", "toks",
+                    F.round(F.col("toks").cast("double") / F.col("t_all"), 6)
+                     .alias("nat_share"),
+                    F.round(target_w, 6).alias("target_w"),
+                    F.round(epochs, 6).alias("epochs"),
+                    F.round(epochs * F.col("toks"), 0).cast("long")
+                     .alias("realized_toks")))
+
+
+@register(
+    "temporal_embargo_split",
+    oracle="""
+    WITH marked AS (
+      SELECT o_orderpriority AS priority,
+             CASE
+               WHEN o_orderdate < TIMESTAMP '1999-01-01' - INTERVAL 30 DAY
+                 THEN 'train'
+               WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 'embargo'
+               ELSE 'test'
+             END AS split
+      FROM orders
+    )
+    SELECT priority,
+           CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT)
+             AS n_train,
+           CAST(COUNT(*) FILTER (WHERE split = 'embargo') AS BIGINT)
+             AS n_embargo,
+           CAST(COUNT(*) FILTER (WHERE split = 'test') AS BIGINT)
+             AS n_test,
+           ROUND(CAST(COUNT(*) FILTER (WHERE split = 'embargo') AS DOUBLE)
+                 / COUNT(*), 6) AS embargo_frac
+    FROM marked GROUP BY priority
+    """,
+    tags=("curation", "timeseries", "agg"),
+)
+def temporal_embargo_split(spark, sf_dir):
+    """Purged/embargoed temporal split — the leakage-safe train/test
+    cut for time-ordered data (de Prado's purging recipe, and the
+    twin of ``grouped_split_no_leakage``'s entity-keyed split): train
+    strictly before T − 30 d, test at/after T, and a 30-day EMBARGO
+    band dropped entirely, so any label or feature computed over a
+    trailing window (a 30-day rolling aggregate, a next-30-day
+    outcome) cannot straddle the boundary.  Reported per order
+    priority so a skewed class's embargo loss is visible.
+
+    Scale: one scan, a map-side 3-way CASE on the timestamp (the
+    split predicate prunes date-partitioned files on both arms), one
+    partial-aggregable groupBy to class granularity.  No shuffle of
+    row-level data beyond the class-keyed count merge.
+
+    Determinism: timestamp compares and integer counts; one rounded
+    fraction.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp")
+    lo = cut - F.expr("INTERVAL 30 DAY")
+    split = (F.when(F.col("o_orderdate") < lo, "train")
+             .when(F.col("o_orderdate") < cut, "embargo")
+             .otherwise("test"))
+    return (o.select(F.col("o_orderpriority").alias("priority"),
+                     split.alias("split"))
+            .groupBy("priority")
+            .agg(F.count_if(F.col("split") == "train").alias("n_train"),
+                 F.count_if(F.col("split") == "embargo").alias("n_embargo"),
+                 F.count_if(F.col("split") == "test").alias("n_test"),
+                 F.round(F.count_if(F.col("split") == "embargo")
+                          .cast("double") / F.count("*"), 6)
+                  .alias("embargo_frac")))

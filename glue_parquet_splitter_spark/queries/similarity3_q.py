@@ -790,3 +790,99 @@ def label_propagation_knn(spark, sf_dir):
             .agg(F.count("*").alias("n_nodes"),
                  F.sum(F.when(F.col("old_label") != F.col("new_label"), 1)
                        .otherwise(0)).alias("n_changed")))
+
+
+@register(
+    "hard_negative_mining_ivf",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
+    assign AS (
+      SELECT vec_id, cid, rn AS crank FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(SUM((v.x - c.x) * (v.x - c.x)), 6), c.cid
+               ) AS rn
+        FROM v JOIN cent c ON c.i = v.i
+        GROUP BY v.vec_id, c.cid)
+      WHERE rn <= {_PROBES}
+    ), lab AS (SELECT DISTINCT vec_id, label FROM v),
+    q AS (
+      SELECT a.vec_id AS query_id, a.cid, l.label AS qlabel
+      FROM assign a JOIN lab l ON l.vec_id = a.vec_id
+      WHERE a.vec_id >= 4 AND a.vec_id < 12
+    ), home AS (
+      SELECT a.vec_id, a.cid, l.label
+      FROM assign a JOIN lab l ON l.vec_id = a.vec_id
+      WHERE a.crank = 1 AND a.vec_id >= 12
+    ), cand AS (
+      SELECT DISTINCT q.query_id, h.vec_id AS negative_id,
+             h.label AS neg_label
+      FROM q JOIN home h ON h.cid = q.cid AND h.label <> q.qlabel
+    ), norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id),
+    scored AS (
+      SELECT cand.query_id, cand.negative_id, MIN(cand.neg_label) AS neg_label,
+             ROUND(SUM(a.x * b.x) / (MIN(na.nrm) * MIN(nb.nrm)), 6) AS cos_sim
+      FROM cand
+      JOIN v a ON a.vec_id = cand.query_id
+      JOIN v b ON b.vec_id = cand.negative_id AND b.i = a.i
+      JOIN norms na ON na.vec_id = cand.query_id
+      JOIN norms nb ON nb.vec_id = cand.negative_id
+      GROUP BY cand.query_id, cand.negative_id
+    )
+    SELECT query_id, negative_id, CAST(neg_label AS INT) AS neg_label,
+           cos_sim, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, negative_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("similarity", "curation", "ivf"),
+)
+def hard_negative_mining_ivf(spark, sf_dir):
+    """IVF-armed hard-negative mining — ``hard_negative_mining``'s
+    docstring claims its corpus-scan arm "swaps for the IVF probe at
+    100 TB, same mining math"; this registers the swap as code (the
+    r8/r9 rule: a scale claim that lives only in prose gets coded).
+    Candidates come from each anchor's ``_PROBES`` nearest inverted
+    lists instead of a full scan; the label-differs filter and the
+    top-3 rank are the identical mining math.
+
+    Scale: candidate generation is the cid equi join of the anchor
+    probe set against home lists — probes x list size per anchor,
+    never a corpus scan; the label filter prunes before scoring.
+    Recall caveat inherited from IVF: a hard negative in a list
+    neither probe touches is missed — multi-probe is the knob.
+
+    Determinism: same argmin/rank rounding and id tiebreaks as
+    ``ann_ivf_multiprobe``.
+    """
+    from pyspark.sql import Window as W
+
+    assign = _assigned(spark, sf_dir)
+    q = (assign.filter((F.col("vec_id") >= 4) & (F.col("vec_id") < 12))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv"),
+                 F.col("label").alias("qlabel"), "cid"))
+    home = (assign.filter((F.col("crank") == 1) & (F.col("vec_id") >= 12))
+            .select("vec_id", "v", "label", "cid"))
+    cand = (
+        home
+        # bounded: q is the fixed 8-anchor set x _PROBES probe lists
+        .join(F.broadcast(q), "cid")
+        .filter(F.col("label") != F.col("qlabel"))
+        .select("query_id", F.col("vec_id").alias("negative_id"),
+                F.col("label").alias("neg_label"), "qv", "v")
+        .dropDuplicates(["query_id", "negative_id"]))
+    scored = cand.select(
+        "query_id", "negative_id", "neg_label",
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "negative_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("query_id", "negative_id",
+                    F.col("neg_label").cast("int").alias("neg_label"),
+                    "cos_sim", F.col("rank").cast("long").alias("rank")))

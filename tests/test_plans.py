@@ -852,3 +852,40 @@ def test_pmi_vocab_keyed_counts_topk_heap(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "hashpartitioning(doc_id#" in plan, plan[:2000]
+
+
+def test_hard_negative_ivf_probe_join(spark, sf_dir):
+    """IVF-armed hard-negative mining: candidates come from the cid
+    equi join of the anchor probe set against home lists (probes x
+    list size), never a corpus scan per anchor; the label filter
+    prunes before scoring."""
+    import re
+    plan = plan_of(spark, sf_dir, "hard_negative_mining_ivf")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join \[cid#\d+L?\], \[cid#\d+L?\]", plan), plan[:2000]
+
+
+def test_woe_single_scan_tiny_groupby(spark, sf_dir):
+    """WOE/IV: one scan, map-side bin assignment, 10-group
+    partial-aggregable groupBy, 1-row totals broadcast back."""
+    plan = plan_of(spark, sf_dir, "woe_information_value")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "hashpartitioning(bin#" in plan, plan[:2000]
+
+
+def test_mixture_weights_domain_granular(spark, sf_dir):
+    """Mixture weights: token counting is map-side in the scan
+    projection; the only shuffle is the domain-keyed count merge."""
+    plan = plan_of(spark, sf_dir, "domain_mixture_weights")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+    assert "hashpartitioning(source#" in plan, plan[:2000]
+
+
+def test_embargo_split_pushes_nothing_shuffles_class(spark, sf_dir):
+    """Embargo split: a 3-way CASE in the scan projection and a
+    class-keyed count merge — no joins, no windows."""
+    plan = plan_of(spark, sf_dir, "temporal_embargo_split")
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
