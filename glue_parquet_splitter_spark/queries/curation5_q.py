@@ -546,3 +546,147 @@ def temporal_embargo_split(spark, sf_dir):
                  F.round(F.count_if(F.col("split") == "embargo")
                           .cast("double") / F.count("*"), 6)
                   .alias("embargo_frac")))
+
+
+_WIN_W = 4       # winnowing window (fingerprint every w consecutive grams)
+_WIN_MIN = 10    # report pairs sharing at least this many fingerprints
+_WIN_DF = 10     # boilerplate cap: drop fingerprints in > df docs
+_POS_BITS = 131072  # 2^17 — pos packs below the hash in the argmin code
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ), hashed AS (
+      SELECT doc_id, pos, {hex_hash_expr("g", 6)} AS h FROM grams
+    ), codes AS (
+      SELECT doc_id, pos, np,
+             MIN(h * {_POS_BITS} + pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS code
+      FROM (SELECT *, MAX(pos) OVER (PARTITION BY doc_id) AS np FROM hashed)
+    ), fps AS (
+      SELECT DISTINCT doc_id, code // {_POS_BITS} AS h
+      FROM codes WHERE pos <= np - {_WIN_W - 1}
+    ), df AS (SELECT h, COUNT(*) AS d FROM fps GROUP BY h),
+    keep AS (SELECT fps.doc_id, fps.h FROM fps JOIN df USING (h)
+             WHERE df.d <= {_WIN_DF})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM keep a JOIN keep b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN}
+    """,
+    tags=("dedup", "curation", "window", "lsh"),
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): hash every 3-token gram, slide a window of
+    {_WIN_W} consecutive gram hashes, keep each window's MINIMUM —
+    the guarantee is that any shared run of ≥ w+k−1 tokens yields at
+    least one shared fingerprint, at ~1/w the storage of all grams.
+    Pairs sharing ≥ {_WIN_MIN} selected fingerprints are reported —
+    the plagiarism/near-copy detector between the gram-exact
+    (``exact_substring_spans``) and sketch (MinHash) extremes.
+
+    Scale: gram hashing and the argmin are per-document windows (one
+    doc_id-keyed shuffle, no joins until selection shrinks each doc
+    to ~n/w fingerprints); the document-frequency boilerplate cap
+    drops hot fingerprints BEFORE the inverted-index self-join, the
+    same skew guard as ``exact_substring_spans``; pair counting is
+    the equi join of the capped fingerprint lists — co-occurring
+    fingerprints only, never doc x doc.
+
+    Determinism: the window argmin packs (hash, pos) into one integer
+    (hash·2^17 + pos — docs are bounded at 2^17 grams), so ties break
+    leftmost; md5-derived hashes, integer counts, integer threshold.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = t.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "CASE WHEN size(t) >= 3 THEN transform("
+            "sequence(1, size(t) - 2), "
+            "i -> concat(t[i-1], ' ', t[i], ' ', t[i+1]))"
+            " ELSE array() END")).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    hashed = grams.select(
+        "doc_id", "pos", F.expr(hex_hash_expr("g", 6)).alias("h"))
+    wdoc = W.partitionBy("doc_id")
+    wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
+    codes = (hashed
+             .withColumn("np", F.max("pos").over(wdoc))
+             .withColumn("code",
+                         F.min(F.col("h") * _POS_BITS + F.col("pos"))
+                          .over(wmin)))
+    fps = (codes.filter(F.col("pos") <= F.col("np") - (_WIN_W - 1))
+           .select("doc_id", (F.col("code") / _POS_BITS).cast("long")
+                   .alias("h"))
+           .distinct())
+    df_cap = fps.groupBy("h").agg(F.count("*").alias("d"))
+    keep = (fps.join(df_cap, "h").filter(F.col("d") <= _WIN_DF)
+            .select("doc_id", "h"))
+    a = keep.select(F.col("doc_id").alias("doc_a"), "h")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "h")
+    return (a.join(b, "h")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_shared"))
+            .filter(F.col("n_shared") >= _WIN_MIN))
+
+
+@register(
+    "stratified_kfold_assign",
+    oracle=f"""
+    WITH folded AS (
+      SELECT c_mktsegment AS segment,
+             {hex_hash_expr("c_custkey", 4, offset=12)} % 5 AS fold
+      FROM customer
+    ), seg AS (
+      SELECT segment, COUNT(*) AS n_seg FROM folded GROUP BY segment
+    )
+    SELECT f.segment, CAST(f.fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / seg.n_seg, 6) AS seg_share
+    FROM folded f JOIN seg ON seg.segment = f.segment
+    GROUP BY f.segment, f.fold, seg.n_seg
+    """,
+    tags=("curation", "sampling", "agg"),
+)
+def stratified_kfold_assign(spark, sf_dir):
+    """Stratified k-fold assignment (k=5) — the deterministic
+    cross-validation splitter: each entity hashes into a fold (a
+    salted md5, so folds are stable under repartition, rerun, and
+    corpus growth — the same property ``grouped_split_no_leakage``
+    relies on), reported as the per-stratum fold-share table the
+    balance check reads (each share should be ≈ 0.2; a skewed
+    stratum's deviation is visible per fold).
+
+    Scale: the fold id is a map-side hash in the scan projection; the
+    report is one partial-aggregable groupBy to (stratum, fold)
+    granularity joined against stratum totals — both sides
+    value-granular.  Assignment never shuffles row data at all.
+
+    Determinism: md5 arithmetic (offset 12 — independent of every
+    other salt in the registry), integer counts, one rounded share.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    folded = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        (F.expr(hex_hash_expr("c_custkey", 4, offset=12)) % 5).alias("fold"))
+    seg = folded.groupBy("segment").agg(F.count("*").alias("n_seg"))
+    return (folded.groupBy("segment", "fold")
+            .agg(F.count("*").alias("n"))
+            .join(seg, "segment")
+            .select("segment", F.col("fold").cast("long").alias("fold"),
+                    "n",
+                    F.round(F.col("n").cast("double") / F.col("n_seg"), 6)
+                     .alias("seg_share")))

@@ -889,3 +889,25 @@ def test_embargo_split_pushes_nothing_shuffles_class(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "temporal_embargo_split")
     assert "Join" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_winnowing_doc_windows_then_capped_join(spark, sf_dir):
+    """Winnowing: gram hashing + argmin are per-doc windows (doc_id
+    shuffle), selection shrinks before any join, the DF cap guards
+    the inverted-index self-join on the fingerprint hash — never
+    doc x doc."""
+    import re
+    plan = plan_of(spark, sf_dir, "winnowing_fingerprints")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(doc_id#" in plan, plan[:2000]
+    assert re.search(r"Join \[h#\d+L\], \[h#\d+L\]", plan), plan[:2000]
+
+
+def test_kfold_mapside_hash_value_granular(spark, sf_dir):
+    """Stratified k-fold: the fold id is computed in the scan
+    projection (no shuffle to assign); the report joins
+    (stratum, fold)-granular counts to stratum totals."""
+    plan = plan_of(spark, sf_dir, "stratified_kfold_assign")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
