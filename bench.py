@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     # the IVF-armed retrieval fusion (the production hybrid plan)
     "exact_substring_spans",
     "hybrid_rrf_fusion_ivf",
+    # round-9 wave 2: the two new honest-shuffle shapes — the
+    # every-vector bucket-local kNN-graph self-join (the SemDeDup/CC
+    # input structure) and incremental-ingest dedup's digest joins
+    # against an O(corpus) unbroadcastable index side
+    "knn_graph_lsh",
+    "dedup_incremental_index",
 ]
 
 
@@ -313,7 +319,11 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
            "shuffle_bytes_written": shuffle_bytes,
            # FULL gate maps (the stdout line carries capped versions)
            "wall_regressions": wall_regs or {},
-           "shuffle_regressions": shuffle_regs or {}}
+           "shuffle_regressions": shuffle_regs or {},
+           # host contention at run end — context for wall-time
+           # outliers (r5 recorded a 4.83 s min-of-3 for a 0.8 s
+           # query); moved off the stdout line in r9 for headroom
+           "loadavg": [round(x, 2) for x in os.getloadavg()]}
     if compact:
         # compaction replay detail (files_before/after) lives here,
         # not the stdout line — every field on the line costs tail-
@@ -668,10 +678,9 @@ def main() -> None:
         "calibration_sec": [round(c, 3) for c in calibration],
         "wall_baseline": wall_file,
         "wall_regressions": cap_map(wregs),
-        # host contention at run end — context for wall-time outliers
-        # (r5 recorded a 4.83 s min-of-3 for a 0.8 s query; CPU-steal
-        # is invisible in the timings themselves)
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # loadavg moved to BENCH_METRICS.json (r9): every line field
+        # costs tail-capture headroom and the calibration probes are
+        # the better contention signal anyway
     }, separators=(",", ":")))
 
 
