@@ -443,3 +443,148 @@ def hybrid_rrf_fusion_ivf(spark, sf_dir):
         F.col("r_sem").cast("long").alias("r_sem"),
         F.round("rrf", 6).alias("rrf"),
     )
+
+
+_RBO_P = 0.9
+_RBO_K = 20
+
+
+@register(
+    "ranking_drift_rbo",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), sc AS (
+      SELECT vec_id, GREATEST(MAX(ABS(x)), 1e-12) AS maxabs
+      FROM v GROUP BY vec_id
+    ), q8 AS (
+      SELECT v.vec_id, i, CAST(FLOOR(x * 127 / maxabs) AS DOUBLE) AS q
+      FROM v JOIN sc ON sc.vec_id = v.vec_id
+    ), qn AS (
+      SELECT vec_id, SQRT(SUM(q * q)) AS nrm FROM q8 GROUP BY vec_id
+    ), exact AS (
+      SELECT c.vec_id,
+             ROUND(SUM(a.x * c.x) / (MIN(na.nrm) * MIN(nc.nrm)), 6) AS s
+      FROM v a JOIN v c ON c.i = a.i AND c.vec_id >= 4
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nc ON nc.vec_id = c.vec_id
+      WHERE a.vec_id = 0
+      GROUP BY c.vec_id
+    ), quant AS (
+      SELECT c.vec_id,
+             ROUND(SUM(a.q * c.q) / (MIN(na.nrm) * MIN(nc.nrm)), 6) AS s
+      FROM q8 a JOIN q8 c ON c.i = a.i AND c.vec_id >= 4
+      JOIN qn na ON na.vec_id = a.vec_id
+      JOIN qn nc ON nc.vec_id = c.vec_id
+      WHERE a.vec_id = 0
+      GROUP BY c.vec_id
+    ), ra AS (
+      SELECT vec_id, rn FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rn
+        FROM exact) WHERE rn <= {_RBO_K}
+    ), rb AS (
+      SELECT vec_id, rn FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS rn
+        FROM quant) WHERE rn <= {_RBO_K}
+    ), joined AS (
+      SELECT ra.rn AS r_exact, rb.rn AS r_quant
+      FROM ra JOIN rb USING (vec_id)
+    ), depths AS (
+      SELECT CAST(d AS BIGINT) AS d
+      FROM UNNEST(generate_series(1, {_RBO_K})) AS t(d)
+    )
+    SELECT d,
+           CAST(COALESCE(SUM(CASE WHEN r_exact <= d AND r_quant <= d
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_overlap,
+           ROUND(COALESCE(SUM(CASE WHEN r_exact <= d AND r_quant <= d
+                                   THEN 1 ELSE 0 END), 0)
+                 / CAST(d AS DOUBLE), 6) AS agreement,
+           ROUND({1 - _RBO_P} * POWER({_RBO_P}, d - 1)
+                 * COALESCE(SUM(CASE WHEN r_exact <= d AND r_quant <= d
+                                     THEN 1 ELSE 0 END), 0)
+                 / CAST(d AS DOUBLE), 6) AS rbo_term
+    FROM depths LEFT JOIN joined ON TRUE
+    GROUP BY d
+    """,
+    tags=("ranking", "eval", "similarity", "quantization"),
+)
+def ranking_drift_rbo(spark, sf_dir):
+    """Rank-biased overlap (Webber et al.) between two scorers'
+    top-{_RBO_K} lists — exact float cosine vs INT8-quantized cosine
+    against the same anchor.  RBO = (1−p)·Σ_d p^(d−1)·|A_d ∩ B_d|/d
+    weights agreement at shallow depths most (p=0.9 ≈ "the user reads
+    the top ~10") — THE metric for "did quantizing / reindexing /
+    upgrading the scorer change what users actually see", where
+    Kendall's tau over the full corpus would be both uncomputable and
+    beside the point.  Emitted per depth (the truncated-RBO terms);
+    their sum is the headline number.
+
+    Scale: each arm is one corpus scan into a top-k heap
+    (TakeOrderedAndProject — never a global sort); everything after
+    operates on ≤ 2k rows joined on item id and a fixed 20-row depth
+    frame.  Ranking drift between two FULL rankings is quadratic;
+    truncated RBO is exactly the bounded form that scales.
+
+    Determinism: both rankings order by ROUND(score, 6) with id
+    tiebreaks; the quantized arm reuses ``ann_topk_quantized``'s
+    floor-code scheme (floor is bit-identical across engines);
+    overlap counts are integers and the p-powers use one POWER call
+    per row in the same shape both sides.
+    """
+    from ..operators.similarity import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+    maxabs = F.greatest(
+        F.aggregate(F.col("v"), F.lit(0.0),
+                    lambda a, x: F.greatest(a, F.abs(x))),
+        F.lit(1e-12))
+    q8 = vecs.withColumn("maxabs", maxabs).select(
+        "vec_id",
+        F.transform(F.col("v"),
+                    lambda x: F.floor(x * 127 / F.col("maxabs"))
+                    .cast("double")).alias("qv"))
+    anchor = vecs.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("av"))
+    anchor_q = q8.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("aq"))
+    corpus = vecs.filter(F.col("vec_id") >= 4)
+    corpus_q = q8.filter(F.col("vec_id") >= 4)
+    # bounded: the anchor is 1 row on both arms
+    exact = (corpus.crossJoin(F.broadcast(anchor))
+             .select("vec_id",
+                     F.round(cosine(F.col("av"), F.col("v")), 6).alias("s"))
+             .orderBy(F.desc("s"), "vec_id").limit(_RBO_K))
+    # bounded: the quantized anchor is 1 row
+    quant = (corpus_q.crossJoin(F.broadcast(anchor_q))
+             .select("vec_id",
+                     F.round(cosine(F.col("aq"), F.col("qv")), 6).alias("s"))
+             .orderBy(F.desc("s"), "vec_id").limit(_RBO_K))
+
+    from pyspark.sql import Window as W
+    wa = W.orderBy(F.desc("s"), "vec_id")  # ≤ 20 rows: bounded sort
+    ra = exact.select("vec_id", F.row_number().over(wa).alias("r_exact"))
+    rb = quant.select("vec_id", F.row_number().over(wa).alias("r_quant"))
+    joined = ra.join(rb, "vec_id").select("r_exact", "r_quant")
+    depths = spark.range(1, _RBO_K + 1).select(F.col("id").alias("d"))
+    hit = F.when((F.col("r_exact") <= F.col("d"))
+                 & (F.col("r_quant") <= F.col("d")), 1).otherwise(0)
+    return (depths
+            # bounded: joined is ≤ 20 rows (the two top-k heads)
+            .join(F.broadcast(joined), F.lit(True), "left")
+            .groupBy("d")
+            .agg(F.coalesce(F.sum(hit), F.lit(0)).alias("n_overlap"),
+                 F.round(F.coalesce(F.sum(hit), F.lit(0))
+                         / F.col("d").cast("double"), 6).alias("agreement"),
+                 F.round(F.lit(1 - _RBO_P)
+                         * F.pow(F.lit(_RBO_P), F.col("d") - 1)
+                         * F.coalesce(F.sum(hit), F.lit(0))
+                         / F.col("d").cast("double"), 6).alias("rbo_term"))
+            .select(F.col("d").cast("long").alias("d"),
+                    F.col("n_overlap").cast("long").alias("n_overlap"),
+                    "agreement", "rbo_term"))

@@ -601,3 +601,100 @@ def zone_map_pruning_stats(spark, sf_dir):
          .cast("long").alias("rows_scanned"),
         F.round(1 - F.count_if(scanned).cast("double") / F.count("*"), 6)
          .alias("file_prune_frac"))
+
+
+from .curation4_q import hex_hash_expr
+
+_TD_H = hex_hash_expr("c_custkey", 4, offset=16)
+
+
+@register(
+    "table_diff_summary",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal,
+             {_TD_H} AS h
+      FROM customer
+    ), b AS (
+      -- the simulated next snapshot: h%17=0 deleted, h%11=0 balance
+      -- restated (+100), h%19=0 re-segmented, plus synthetic inserts
+      SELECT k, CASE WHEN h % 19 = 0 THEN 'RESEGMENTED' ELSE seg END AS seg,
+             CASE WHEN h % 11 = 0 THEN bal + 100 ELSE bal END AS bal
+      FROM a WHERE h % 17 <> 0
+      UNION ALL
+      SELECT k + 200000, seg, bal FROM a WHERE h % 13 = 0
+    )
+    SELECT CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                          AND (a.seg <> b.seg OR a.bal <> b.bal)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                          AND a.seg = b.seg AND a.bal = b.bal
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                          AND a.seg <> b.seg THEN 1 ELSE 0 END) AS BIGINT)
+             AS chg_segment,
+           CAST(SUM(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL
+                          AND a.bal <> b.bal THEN 1 ELSE 0 END) AS BIGINT)
+             AS chg_acctbal
+    FROM (SELECT k, seg, bal FROM a) a
+    FULL OUTER JOIN b ON b.k = a.k
+    """,
+    tags=("warehouse", "agg", "join", "monitoring"),
+)
+def table_diff_summary(spark, sf_dir):
+    """Snapshot diff audit — the datacompy/reconciliation primitive
+    every warehouse migration and CDC pipeline validates with: one
+    FULL OUTER join of two table snapshots on the primary key,
+    classifying every key as added / removed / changed / identical,
+    with per-column change counts (which column drifted tells you
+    which upstream restated).  The second snapshot is derived
+    deterministically (hash-salted deletes, inserts, balance
+    restatements, re-segmentations) so every class is non-empty.
+
+    Scale: exactly ONE key-keyed shuffle — the full-outer hash join —
+    and a partial-aggregable global count reduction; per-column
+    comparators are map-side projections on the joined row.  At
+    100 TB both snapshots live bucketed on the key and the join
+    co-locates; nothing here is quadratic or broadcast-dependent.
+
+    Determinism: md5-salted class assignment (offset 16 — an
+    independent salt), integer keys/counts, exact equality on the
+    compared columns (the fixture's decimals compare exactly; a
+    float column would take a rounded-compare variant).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"), F.expr(_TD_H).alias("h"))
+    b = (a.filter(F.col("h") % 17 != 0)
+         .select("k",
+                 F.when(F.col("h") % 19 == 0, F.lit("RESEGMENTED"))
+                  .otherwise(F.col("seg")).alias("seg"),
+                 F.when(F.col("h") % 11 == 0, F.col("bal") + 100)
+                  .otherwise(F.col("bal")).alias("bal"))
+         .unionByName(a.filter(F.col("h") % 13 == 0)
+                      .select((F.col("k") + 200000).alias("k"),
+                              "seg", "bal")))
+    j = (a.select("k", "seg", "bal")
+         .join(b.select(F.col("k").alias("bk"),
+                        F.col("seg").alias("bseg"),
+                        F.col("bal").alias("bbal")),
+               F.col("k") == F.col("bk"), "full_outer"))
+    both = F.col("k").isNotNull() & F.col("bk").isNotNull()
+    return j.agg(
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("bk").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(both & ((F.col("seg") != F.col("bseg"))
+                             | (F.col("bal") != F.col("bbal"))), 1)
+              .otherwise(0)).alias("n_changed"),
+        F.sum(F.when(both & (F.col("seg") == F.col("bseg"))
+                     & (F.col("bal") == F.col("bbal")), 1)
+              .otherwise(0)).alias("n_same"),
+        F.sum(F.when(both & (F.col("seg") != F.col("bseg")), 1)
+              .otherwise(0)).alias("chg_segment"),
+        F.sum(F.when(both & (F.col("bal") != F.col("bbal")), 1)
+              .otherwise(0)).alias("chg_acctbal"))

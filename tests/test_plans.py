@@ -911,3 +911,24 @@ def test_kfold_mapside_hash_value_granular(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "stratified_kfold_assign")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_rbo_heap_heads_bounded_tail(spark, sf_dir):
+    """RBO drift: each scorer arm is a top-k heap over one corpus scan
+    (TakeOrderedAndProject), and everything after operates on the
+    bounded joined heads + a fixed depth frame — no global sort, no
+    cartesian of corpus rows."""
+    plan = plan_of(spark, sf_dir, "ranking_drift_rbo")
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2, plan[:2000]
+
+
+def test_table_diff_single_fullouter_join(spark, sf_dir):
+    """Snapshot diff: exactly one key-keyed FULL OUTER join, then a
+    partial-aggregable global reduction."""
+    plan = plan_of(spark, sf_dir, "table_diff_summary")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    joins = (plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+             + plan.count("BroadcastHashJoin"))
+    assert joins == 1, plan[:2000]
