@@ -169,3 +169,88 @@ def run_user_stats_tws_stream(spark: SparkSession,
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+_QUOTA_K = 3
+
+QUOTA_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("event_id", LongType()),
+    StructField("ts_us", LongType()),
+    StructField("value", DoubleType()),
+    StructField("seq", LongType()),
+])
+# parallel arrays: the kept events (<= K per user) + an update counter
+# so the LAST emission per user is identifiable in the update-mode sink
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+QUOTA_STATE_SCHEMA = StructType([
+    StructField("ids", ArrayType(LongType())),
+    StructField("tss", ArrayType(LongType())),
+    StructField("vals", ArrayType(DoubleType())),
+    StructField("seq", LongType()),
+])
+
+
+def _update_quota(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    """Per-user bounded top-k state: keep the K EARLIEST events by
+    (ts, event_id).  Merging min-k with every batch makes the result
+    independent of arrival order across micro-batches — the state is
+    a deterministic function of the event SET, not the event ORDER,
+    which is what lets a batch row_number oracle grade a stream."""
+    ids, tss, vals, seq = (state.get if state.exists
+                           else ([], [], [], 0))
+    rows = [(int(t), int(i), float(v))
+            for (t, i, v) in zip(tss, ids, vals)]
+    for pdf in pdfs:
+        rows.extend(zip((int(x) for x in pdf["ts_us"]),
+                        (int(x) for x in pdf["event_id"]),
+                        (float(x) for x in pdf["value"])))
+    rows.sort()  # (ts_us, event_id, value): id breaks ts ties
+    rows = rows[:_QUOTA_K]
+    seq += 1
+    state.update(([r[1] for r in rows], [r[0] for r in rows],
+                  [r[2] for r in rows], seq))
+    yield pd.DataFrame({
+        "user_id": [key[0]] * len(rows),
+        "event_id": [r[1] for r in rows],
+        "ts_us": [r[0] for r in rows],
+        "value": [r[2] for r in rows],
+        "seq": [seq] * len(rows),
+    })
+
+
+def run_quota_sampler_stream(spark: SparkSession,
+                             events_path: str) -> DataFrame:
+    """Drain the events source keeping each user's K=3 earliest events
+    — per-key contribution capping (the DP-clipping / anti-spam quota)
+    applied AT INGEST with O(K) state per key, instead of a post-hoc
+    batch rank over the full history."""
+    from .windows import events_stream
+
+    stream = (events_stream(spark, events_path)
+              .select("user_id", "event_id",
+                      F.unix_micros("ts").alias("ts_us"), "value"))
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _update_quota,
+        outputStructType=QUOTA_OUTPUT_SCHEMA,
+        stateStructType=QUOTA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "quota_" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_quota_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.table(name)
+    w = Window.partitionBy("user_id")
+    return (snap.withColumn("_mx", F.max("seq").over(w))
+            .filter(F.col("seq") == F.col("_mx"))
+            .select("user_id", "event_id",
+                    F.timestamp_micros(F.col("ts_us")).alias("ts"),
+                    "value"))

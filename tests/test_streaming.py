@@ -69,3 +69,46 @@ def test_transform_with_state_user_stats(spark, sf_dir):
     b = {r.user_id: (r.n_events, r.total_value)
          for r in run_user_stats_tws_stream(spark, path).collect()}
     assert a == b
+
+
+def test_quota_sampler_state_order_independent():
+    """The quota sampler's kept set must be a function of the event
+    SET, not arrival ORDER: feeding the same events in two different
+    micro-batch splits (and internal orders) produces identical state
+    and identical final emission — the property that lets the batch
+    row_number oracle grade the stream."""
+    import pandas as pd
+
+    from glue_parquet_splitter_spark.streaming.stateful import _update_quota
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    rows = [(100, 1, 1.0), (50, 2, 2.0), (75, 3, 3.0),
+            (10, 4, 4.0), (60, 5, 5.0)]  # (ts_us, event_id, value)
+
+    def run(batches):
+        st = FakeState()
+        last = None
+        for batch in batches:
+            pdf = pd.DataFrame(batch, columns=["ts_us", "event_id", "value"])
+            last = list(_update_quota((7,), iter([pdf]), st))[-1]
+        return st._v[:3], sorted(
+            zip(last["event_id"], last["ts_us"], last["value"]))
+
+    a = run([rows])                               # one batch
+    b = run([rows[:2], rows[2:]])                 # split mid-stream
+    c = run([list(reversed(rows[3:])), rows[:3]]) # reordered batches
+    assert a == b == c
+    # the kept set is the 3 earliest by (ts, id): events 4, 2, 5
+    assert a[0] == ([4, 2, 5], [10, 50, 60], [4.0, 2.0, 5.0])
