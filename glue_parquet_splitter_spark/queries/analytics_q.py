@@ -595,3 +595,70 @@ def session_scoped_funnel(spark, sf_dir):
         F.count_if(F.col("tv").isNotNull()).alias("n_view_sessions"),
         F.count_if(ordered).alias("n_ordered_conversions"),
     )
+
+
+@register(
+    "basket_pair_lift",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ), nb AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n FROM b),
+    item AS (SELECT p, COUNT(*) AS s FROM b GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, c.p AS pb, COUNT(*) AS s_ab
+      FROM b a JOIN b c ON a.k = c.k AND a.p < c.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT pa, pb, CAST(s_ab AS BIGINT) AS s_ab,
+           ROUND(CAST(s_ab AS DOUBLE) / ia.s, 6) AS confidence,
+           ROUND(CAST(s_ab AS DOUBLE) * nb.n / (ia.s * ib.s), 6) AS lift
+    FROM pairs JOIN item ia ON ia.p = pairs.pa
+    JOIN item ib ON ib.p = pairs.pb
+    CROSS JOIN nb
+    ORDER BY lift DESC, pa, pb
+    LIMIT 20
+    """,
+    tags=("analytics", "join", "topk"),
+)
+def basket_pair_lift(spark, sf_dir):
+    """Market-basket association mining — top-20 item pairs by LIFT
+    (support ≥ 3): confidence = P(b|a), lift = P(a,b)/(P(a)·P(b)) —
+    the Apriori first pass every recommender / store-layout /
+    co-purchase analysis starts with, over order baskets.
+
+    Scale: the pair join is SELF-JOIN ON THE BASKET KEY, so the work
+    is Σ |basket|² — bounded by the basket-size cap (order lines,
+    ~single digits), never items × items; item supports and the
+    basket total are one aggregation each, joined back at PAIR
+    granularity (item side is catalog-bounded).  Min-support prunes
+    before the stats joins; the top-20 is TakeOrderedAndProject.
+    A-priori's candidate explosion lives in longer itemsets — pairs
+    are the production 90 % and stay quadratic only per basket.
+
+    Determinism: integer supports; confidence/lift are single
+    divisions of integers rounded to 6; order ties break on
+    (pa, pb).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(F.col("l_orderkey").alias("k"),
+                  F.col("l_partkey").alias("p")).distinct()
+    nb = b.agg(F.count_distinct("k").alias("n"))
+    item = b.groupBy("p").agg(F.count("*").alias("s"))
+    a = b.select("k", F.col("p").alias("pa"))
+    c = b.select("k", F.col("p").alias("pb"))
+    pairs = (a.join(c, "k")
+             .filter(F.col("pa") < F.col("pb"))
+             .groupBy("pa", "pb")
+             .agg(F.count("*").alias("s_ab"))
+             .filter(F.col("s_ab") >= 3))
+    ia = item.select(F.col("p").alias("pa"), F.col("s").alias("sa"))
+    ib = item.select(F.col("p").alias("pb"), F.col("s").alias("sb"))
+    return (pairs.join(ia, "pa").join(ib, "pb")
+            .crossJoin(F.broadcast(nb))  # bounded: 1-row basket total
+            .select("pa", "pb", F.col("s_ab").cast("long").alias("s_ab"),
+                    F.round(F.col("s_ab").cast("double") / F.col("sa"), 6)
+                     .alias("confidence"),
+                    F.round(F.col("s_ab").cast("double") * F.col("n")
+                            / (F.col("sa") * F.col("sb")), 6).alias("lift"))
+            .orderBy(F.desc("lift"), "pa", "pb")
+            .limit(20))

@@ -477,3 +477,65 @@ def t_closeness_audit(spark, sf_dir):
         F.count_if(far).alias("n_far_cells"),
         F.coalesce(F.sum(F.when(far, F.col("n_c"))), F.lit(0))
          .cast("long").alias("n_exposed_rows"))
+
+
+from .curation4_q import hex_hash_expr
+
+_DP_U6 = 16 ** 6
+_DP_EPS = 1.0
+
+
+@register(
+    "dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM customer GROUP BY segment
+    ), u AS (
+      SELECT segment, n_true,
+             ({hex_hash_expr("segment", 6)} + 0.5) / {_DP_U6}.0 - 0.5 AS uc
+      FROM c
+    )
+    SELECT segment, n_true,
+           ROUND(n_true + (-1.0 / {_DP_EPS})
+                 * SIGN(uc) * ln(1 - 2 * ABS(uc)), 6) AS n_noisy,
+           ROUND(ABS((-1.0 / {_DP_EPS})
+                 * SIGN(uc) * ln(1 - 2 * ABS(uc))), 6) AS abs_noise
+    FROM u
+    """,
+    tags=("governance", "privacy", "agg"),
+)
+def dp_noisy_counts(spark, sf_dir):
+    """Laplace-noised count release — the final rung of the privacy
+    ladder the registry climbs (k-anonymity → l-diversity →
+    t-closeness → contribution clipping → NOISE): per-segment counts
+    with Laplace(1/ε) noise at ε=1, sensitivity 1 (each customer is
+    one row — the clip ``contribution_clip_per_user`` enforces
+    upstream).  Noise is drawn by inverse-CDF:
+    −b·sign(u−½)·ln(1−2|u−½|) with u uniform.
+
+    TESTING SEED, not production DP: u here is a salted md5 of the
+    group key, so runs are reproducible and a DuckDB oracle can grade
+    the pipeline bit-for-bit — and the release also shows ``n_true``
+    for that verification.  A production release draws u from a CSPRNG
+    and publishes ONLY ``n_noisy``; everything else about the plan
+    (the clip, the sensitivity argument, the inverse-CDF map, the
+    post-aggregation noise injection point) is the real mechanism.
+
+    Scale: noise is a map-side expression over GROUP-granular rows —
+    the aggregation dominates and is partial-aggregable; the mechanism
+    adds zero shuffle.
+
+    Determinism: md5-uniform, one ln per row in identical shape both
+    engines, ROUND(.,6).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    c = (cust.groupBy(F.col("c_mktsegment").alias("segment"))
+         .agg(F.count("*").alias("n_true")))
+    uc = ((F.expr(hex_hash_expr("segment", 6)) + 0.5)
+          / F.lit(float(_DP_U6)) - 0.5)
+    noise = (F.lit(-1.0 / _DP_EPS) * F.signum(uc)
+             * F.log(1 - 2 * F.abs(uc)))
+    return c.select("segment", "n_true",
+                    F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
+                    F.round(F.abs(noise), 6).alias("abs_noise"))

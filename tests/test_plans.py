@@ -932,3 +932,23 @@ def test_table_diff_single_fullouter_join(spark, sf_dir):
     joins = (plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
              + plan.count("BroadcastHashJoin"))
     assert joins == 1, plan[:2000]
+
+
+def test_dp_noise_zero_extra_shuffle(spark, sf_dir):
+    """DP release: the noise is a map-side expression on group-granular
+    rows — exactly one aggregation exchange, no joins."""
+    plan = plan_of(spark, sf_dir, "dp_noisy_counts")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "partial_count" in plan
+
+
+def test_basket_pairs_join_on_basket_key(spark, sf_dir):
+    """Basket lift: the pair join is the basket-key self-join (work is
+    sum of squared basket sizes, never items x items), and the top-20
+    is TakeOrderedAndProject."""
+    import re
+    plan = plan_of(spark, sf_dir, "basket_pair_lift")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"Join \[k#\d+L\], \[k#\d+L\]", plan), plan[:2000]
