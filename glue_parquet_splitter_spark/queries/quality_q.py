@@ -461,3 +461,70 @@ def stratified_fixed_n_sample(spark, sf_dir):
         .where(F.col("rk") <= 10)
         .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "score_percentile_by_source",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS score
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source, score,
+           ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS pct,
+           CAST(LEAST(FLOOR(((rn - 1) * 10.0) / n), 9) AS BIGINT) AS decile
+    FROM ranked
+    """,
+    tags=("quality", "curation", "window"),
+)
+def score_percentile_by_source(spark, sf_dir):
+    """Within-source percentile normalization of a quality score — the
+    fix for the classic cross-domain filtering bug: raw quality
+    scores are NOT comparable across sources (code "quality" and web
+    "quality" live on different scales), so a single global threshold
+    silently drops whole domains.  Ranking each doc WITHIN its source
+    and thresholding the percentile ("keep every source's top 60 %")
+    makes the filter scale-free per domain — the quantile analogue of
+    per-source z-scoring, robust to any monotone score transform.
+
+    Scale: one rank window per source partition (a single doc_id-free
+    shuffle on the source key); at 100 TB a source is still
+    window-able because the rank is the only global-within-group
+    state — for pathological single-source corpora the two-phase
+    value-granular cumsum (``token_budget_head_selection``'s shape)
+    is the fallback, same semantics.
+
+    Determinism: the score is ROUND(.,6) before ranking; ranks break
+    ties by doc_id; pct and the integer decile derive from ranks, not
+    floats.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    scored = d.select(
+        "doc_id", "source",
+        F.round(F.size(F.array_distinct(t)).cast("double") / F.size(t), 6)
+         .alias("score"))
+    ws = W.partitionBy("source")
+    ranked = scored.select(
+        "doc_id", "source", "score",
+        F.row_number().over(ws.orderBy("score", "doc_id")).alias("rn"),
+        F.count("*").over(ws).alias("n"))
+    return ranked.select(
+        "doc_id", "source", "score",
+        F.round((F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6)
+         .alias("pct"),
+        # FLOOR on both engines: a bare CAST(double AS BIGINT) rounds
+        # in DuckDB but truncates in Spark (the registry's div rule)
+        F.least(F.floor((F.col("rn") - 1) * 10.0 / F.col("n")),
+                F.lit(9).cast("long")).cast("long").alias("decile"))

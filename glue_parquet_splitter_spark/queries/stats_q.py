@@ -277,3 +277,82 @@ def woe_information_value(spark, sf_dir):
                     F.col("n_bad").cast("long").alias("n_bad"),
                     F.round(F.log(pg / pb), 6).alias("woe"),
                     F.round((pg - pb) * F.log(pg / pb), 6).alias("iv_term")))
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), seq AS (
+      SELECT event_type, day, n,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS run,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY day) AS t,
+             AVG(n) OVER (PARTITION BY event_type) AS mu,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days
+      FROM daily
+    ), cs AS (
+      SELECT event_type, day, n_days, mu,
+             ROUND(run - t * mu, 6) AS cusum
+      FROM seq
+    )
+    SELECT event_type,
+           strftime(day, '%Y-%m-%d') AS change_day,
+           ROUND(ABS(cusum), 6) AS max_abs_cusum,
+           ROUND(mu, 6) AS mean_daily,
+           CAST(n_days AS BIGINT) AS n_days
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY ABS(cusum) DESC, day) AS rn
+          FROM cs)
+    WHERE rn = 1
+    """,
+    tags=("stats", "monitoring", "timeseries", "window"),
+)
+def cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point localization per event type — the classic
+    Page statistic: the running sum of deviations from the series
+    mean, whose |maximum| marks the most likely level-shift point (a
+    drifting metric accumulates one-sided deviations; a stable one
+    oscillates around zero).  The monitoring rung between a PSI/KS
+    ALARM ("the distribution moved") and diagnosis ("it moved HERE"):
+    run this on the alarmed metric to get the date to bisect deploys
+    against.
+
+    Scale: the corpus reduces to (type, day) granularity map-side
+    (the one real shuffle); every window — running sum, mean, argmax
+    — runs over day-granular rows partitioned by type, so partition
+    sizes are calendar-bounded regardless of event volume.  CUSUM is
+    computed as S_t − t·μ (one integer running sum, one multiply)
+    rather than accumulating float deviations.
+
+    Determinism: integer daily counts and running sums; μ is one
+    division; the argmax orders by ROUND(|cusum|, 6) with
+    earliest-day tiebreak.
+    """
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n")))
+    wt = W.partitionBy("event_type")
+    wrun = wt.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    seq = daily.select(
+        "event_type", "day", "n",
+        F.sum("n").over(wrun).alias("run"),
+        F.row_number().over(wt.orderBy("day")).alias("t"),
+        F.avg("n").over(wt).alias("mu"),
+        F.count("*").over(wt).alias("n_days"))
+    cs = seq.select(
+        "event_type", "day", "n_days", "mu",
+        F.round(F.col("run") - F.col("t") * F.col("mu"), 6).alias("cusum"))
+    warg = wt.orderBy(F.desc(F.abs(F.col("cusum"))), "day")
+    return (cs.withColumn("rn", F.row_number().over(warg))
+            .filter(F.col("rn") == 1)
+            .select("event_type",
+                    F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+                    F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
+                    F.round("mu", 6).alias("mean_daily"),
+                    F.col("n_days").cast("long").alias("n_days")))

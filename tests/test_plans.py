@@ -952,3 +952,21 @@ def test_basket_pairs_join_on_basket_key(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert re.search(r"Join \[k#\d+L\], \[k#\d+L\]", plan), plan[:2000]
+
+
+def test_cusum_calendar_bounded_windows(spark, sf_dir):
+    """CUSUM: the corpus reduces to (type, day) granularity map-side;
+    every window (running sum, mean, argmax) runs over day-granular
+    rows partitioned by type."""
+    plan = plan_of(spark, sf_dir, "cusum_changepoint")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "hashpartitioning(event_type#" in plan, plan[:2000]
+
+
+def test_percentile_norm_source_partitioned(spark, sf_dir):
+    """Within-source percentile: one rank window per source partition;
+    no joins, no global window."""
+    plan = plan_of(spark, sf_dir, "score_percentile_by_source")
+    assert "Join" not in plan
+    assert "hashpartitioning(source#" in plan, plan[:2000]
