@@ -146,6 +146,7 @@ def calibration_probe(spark) -> float:
 
 
 N_REPLAY_DAYS = 10
+PROBE_EVERY = 10  # calibration probe every N batch entries (r9)
 
 
 def bench_split_replay(spark, tmp_root: str, skew: bool = False) -> tuple[float, float]:
@@ -295,7 +296,8 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
                        calibration: list[float],
                        compact: dict | None = None,
                        wall_regs: dict | None = None,
-                       shuffle_regs: dict | None = None) -> None:
+                       shuffle_regs: dict | None = None,
+                       cal_by_query: dict[str, float] | None = None) -> None:
     """Full-precision per-query metrics, committed alongside the BENCH
     line.  The stdout line must fit the driver's 2000-char tail
     capture (BENCH_r06 outgrew it and nearly disarmed the r7 gate), so
@@ -320,6 +322,10 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
            # FULL gate maps (the stdout line carries capped versions)
            "wall_regressions": wall_regs or {},
            "shuffle_regressions": shuffle_regs or {},
+           # per-query probe divisor (min of the query's bracketing
+           # segment probes) — next round's per-segment wall baseline
+           "cal_by_query": {k: round(v, 3)
+                            for k, v in (cal_by_query or {}).items()},
            # host contention at run end — context for wall-time
            # outliers (r5 recorded a 4.83 s min-of-3 for a 0.8 s
            # query); moved off the stdout line in r9 for headroom
@@ -498,7 +504,16 @@ WALL_GATE_MIN_SEC = 0.3
 
 def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
                      cur_t: dict[str, float], cur_cal: float | None,
+                     prev_cal_map: dict[str, float] | None = None,
+                     cur_cal_map: dict[str, float] | None = None,
                      ) -> dict[str, dict]:
+    """Per-SEGMENT normalization when both rounds carry the per-query
+    probe map (r9+): the suite-min probe misses contention bursts
+    hitting one stretch of the run (the r9 armed-gate shakedown:
+    segment probes 0.56/0.85/0.36 within one run flagged 13 queries
+    the suite-min said were slow on a 'fast' host).  Each query
+    divides by the min of its bracketing probes; rounds without the
+    map fall back to the suite min."""
     if not prev_cal or not cur_cal:
         return {}
     out: dict[str, dict] = {}
@@ -506,7 +521,16 @@ def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
         prev = prev_t.get(name)
         if prev is None or prev < WALL_GATE_MIN_SEC or cur < WALL_GATE_MIN_SEC:
             continue
-        ratio = (cur / cur_cal) / (prev / prev_cal)
+        pc = (prev_cal_map or {}).get(name)
+        cc = (cur_cal_map or {}).get(name)
+        if not pc or not cc:
+            # segment-normalize only when BOTH rounds carry the
+            # query's probe: mixing a local divisor on one side with
+            # a suite-min on the other is systematically biased
+            # whenever host speed varies within a run (the exact
+            # condition segments exist for)
+            pc, cc = prev_cal, cur_cal
+        ratio = (cur / cc) / (prev / pc)
         if ratio > WALL_GATE_RATIO or ratio < 1 / WALL_GATE_RATIO:
             # >1.5x speedups are flagged too (a plan change worth
             # noticing), but labeled so they don't read as regressions
@@ -514,6 +538,25 @@ def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
                          "norm_ratio": round(ratio, 3),
                          "direction": "slower" if ratio > 1 else "faster"}
     return out
+
+
+def load_prev_cal_map(repo_dir: str, sf: float | None = None,
+                      ) -> dict[str, float]:
+    """Per-query calibration divisors from the committed
+    BENCH_METRICS.json (r9+; empty for earlier rounds — the gate then
+    falls back to the suite-min probe).  Same sf guard as the other
+    baseline loaders."""
+    try:
+        with open(os.path.join(repo_dir, METRICS_FILE)) as f:
+            mdoc = json.load(f)
+        if sf is not None and mdoc.get("sf") != sf:
+            return {}
+        m = mdoc.get("cal_by_query")
+        return ({k: float(v) for k, v in m.items()
+                 if isinstance(v, (int, float)) and v > 0}
+                if isinstance(m, dict) else {})
+    except (OSError, json.JSONDecodeError, ValueError):
+        return {}
 
 
 def unmeasured_batch_entries(doc: dict, tags_by_name: dict[str, tuple],
@@ -566,13 +609,21 @@ def main() -> None:
 
     # host-speed probe #1 (suite start) — see calibration_probe.  One
     # untimed warm run first: the probe's own codegen compile (~3 s
-    # cold) would otherwise masquerade as a slow host.
+    # cold) would otherwise masquerade as a slow host.  r9: a probe
+    # every PROBE_EVERY entries (not just start/middle/end) — the
+    # armed-gate shakedown showed intra-run contention bursts
+    # (probes 0.56/0.85/0.36 within ONE run) that a suite-min divisor
+    # cannot localize; each query normalizes by its own segment.
     calibration_probe(spark)
     calibration = [calibration_probe(spark)]
+    seg_of: dict[str, int] = {}
 
     timings: dict[str, float] = {}
     shuffle_bytes: dict[str, int] = {}
-    for name in BENCH_QUERIES:
+    for qi, name in enumerate(BENCH_QUERIES):
+        if qi and qi % PROBE_EVERY == 0:
+            calibration.append(calibration_probe(spark))
+        seg_of[name] = len(calibration) - 1
         best = float("inf")
         # min-of-3 (streaming: 2 — each run drains a real stream): the
         # first run pays codegen compile, and one spare absorbs host
@@ -599,8 +650,10 @@ def main() -> None:
         except Exception:
             shuffle_bytes[name] = -1  # metrics are best-effort
 
-    # host-speed probe #2 (after the query loop, before the replays)
+    # probe after the query loop, before the replays (closes the last
+    # query segment; opens the replay segment)
     calibration.append(calibration_probe(spark))
+    replay_seg = len(calibration) - 1
 
     # min-of-3: the replay is one number the judge tracks round-over-round;
     # a single run was too exposed to host CPU-steal bursts (BENCH_r02).
@@ -627,21 +680,30 @@ def main() -> None:
             compact_sec, compact_summary = sec, summary
     timings[f"compact_replay_{N_REPLAY_DAYS}x10k"] = round(compact_sec, 3)
 
-    # host-speed probe #3 (suite end)
+    # suite-end probe (closes the replay segment)
     calibration.append(calibration_probe(spark))
+    for rname in (f"split_replay_{N_REPLAY_DAYS}x10k",
+                  f"split_replay_skew_{N_REPLAY_DAYS}x10k",
+                  f"compact_replay_{N_REPLAY_DAYS}x10k"):
+        seg_of[rname] = replay_seg
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prev_file, prev_bytes = load_prev_shuffle_bytes(repo_dir, sf)
     regressions = shuffle_regressions(prev_bytes, shuffle_bytes)
 
-    # min of the three probes: contention only ever ADDS time, so the
-    # min is the round's cleanest host-speed estimate
+    # per-query divisor: min of the query's bracketing probes
+    # (contention only ever ADDS time, so min is the cleanest local
+    # host-speed estimate); suite min stays the no-map fallback
+    cal_by_query = {n: float(min(calibration[s], calibration[s + 1]))
+                    for n, s in seg_of.items()}
     cur_cal = float(min(calibration))
     wall_file, prev_t, prev_cal = load_prev_wall(repo_dir, sf)
-    wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal)
+    prev_cal_map = load_prev_cal_map(repo_dir, sf)
+    wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal,
+                             prev_cal_map, cal_by_query)
 
     write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration,
-                       compact_summary, wregs, regressions)
+                       compact_summary, wregs, regressions, cal_by_query)
 
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
@@ -672,10 +734,14 @@ def main() -> None:
         "split_replay_skew_rows_per_sec": round(skew_rate),
         "shuffle_baseline": prev_file,
         "shuffle_regressions": cap_map(regressions),
-        # fixed-workload host-speed probes at suite start/middle/end;
-        # per-query seconds / min(calibration_sec) are the
-        # cross-round-comparable numbers (VERDICT r7 #1)
-        "calibration_sec": [round(c, 3) for c in calibration],
+        # probe summary [min, median, max] — the full per-segment list
+        # and the per-query divisor map live in BENCH_METRICS.json
+        # (r9: a probe every PROBE_EVERY entries); tail-recovery takes
+        # min() of this list, which the summary preserves
+        "calibration_sec": [round(min(calibration), 3),
+                            round(sorted(calibration)[len(calibration) // 2],
+                                  3),
+                            round(max(calibration), 3)],
         "wall_baseline": wall_file,
         "wall_regressions": cap_map(wregs),
         # loadavg moved to BENCH_METRICS.json (r9): every line field

@@ -264,3 +264,38 @@ def test_cap_map_compacts_and_counts():
              "mid": {"norm_ratio": 1.2}, "tiny": {"norm_ratio": 1.05}}
     out = bench.cap_map(mixed)
     assert "fast" in out and "slow" in out and "tiny" not in out
+
+
+def test_wall_gate_per_segment_normalization():
+    """r9 shakedown: a contention burst hitting ONE stretch of the run
+    (its segment probe slows with it) must not flag that segment's
+    queries — while a query that's genuinely slower than its OWN
+    segment's host speed still fires."""
+    prev_t = {"early": 1.0, "late": 1.0}
+    cur_t = {"early": 1.0, "late": 2.0}
+    prev_map = {"early": 0.5, "late": 0.5}
+    # the late segment's probe doubled with its queries: contention,
+    # quiet.  Suite-min normalization would flag 'late' at 2.0x.
+    cur_map = {"early": 0.5, "late": 1.0}
+    assert bench.wall_regressions(prev_t, 0.5, cur_t, 0.5,
+                                  prev_map, cur_map) == {}
+    # same timings but the late probe stayed fast: real regression
+    regs = bench.wall_regressions(prev_t, 0.5, cur_t, 0.5,
+                                  prev_map, {"early": 0.5, "late": 0.5})
+    assert list(regs) == ["late"]
+    assert regs["late"]["norm_ratio"] == 2.0
+    # a map-less baseline (r8) falls back to suite-min on BOTH sides —
+    # never local-vs-global, which is systematically biased whenever
+    # host speed varies within a run (the r9 shakedown produced 44
+    # phantom 'faster' entries that way)
+    regs = bench.wall_regressions(prev_t, 0.5, cur_t, 0.5, None, cur_map)
+    assert regs["late"]["norm_ratio"] == 2.0  # global/global, r8 rule
+
+
+def test_load_prev_cal_map_sf_guarded(tmp_path):
+    import json as _json
+    m = {"sf": 0.1, "cal_by_query": {"q": 0.5, "bad": "x"}}
+    (tmp_path / "BENCH_METRICS.json").write_text(_json.dumps(m))
+    assert bench.load_prev_cal_map(str(tmp_path), 0.1) == {"q": 0.5}
+    assert bench.load_prev_cal_map(str(tmp_path), 0.01) == {}
+    assert bench.load_prev_cal_map(str(tmp_path / "nope"), 0.1) == {}
