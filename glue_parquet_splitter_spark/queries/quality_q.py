@@ -528,3 +528,81 @@ def score_percentile_by_source(spark, sf_dir):
         # in DuckDB but truncates in Spark (the registry's div rule)
         F.least(F.floor((F.col("rn") - 1) * 10.0 / F.col("n")),
                 F.lit(9).cast("long")).cast("long").alias("decile"))
+
+
+@register(
+    "bigram_lm_perplexity_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), uni AS (
+      SELECT w1 AS w, COUNT(*) AS c1 FROM big GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT UNNEST(t) AS w FROM toks)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+    ), scored AS (
+      SELECT big.doc_id,
+             -log2((bc.c12 + 1.0) / (uni.c1 + vocab.v)) AS nll
+      FROM big
+      JOIN bc ON bc.w1 = big.w1 AND bc.w2 = big.w2
+      JOIN uni ON uni.w = big.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(nll) / COUNT(*), 6) AS avg_nll
+    FROM scored GROUP BY doc_id HAVING COUNT(*) >= 5
+    ORDER BY avg_nll DESC, doc_id LIMIT 20
+    """,
+    tags=("quality", "curation", "text", "topk"),
+)
+def bigram_lm_perplexity_filter(spark, sf_dir):
+    """Perplexity-based quality filtering with a SELF-TRAINED bigram
+    LM (the CCNet recipe, minus the external KenLM): train add-1-
+    smoothed bigram counts on the corpus itself, score every doc's
+    mean negative log2-likelihood −log2((c(w1w2)+1)/(c(w1)+V)), and
+    surface the 20 worst-fit docs — gibberish, boilerplate soup, and
+    wrong-language contamination float to the top because the
+    corpus's own statistics can't predict them.  2^avg_nll is the
+    per-token perplexity.
+
+    Scale: training IS two aggregations (unigram/bigram counts —
+    vocab-granular, partial-aggregable); scoring joins each doc
+    bigram against those count tables on vocab-bounded keys; the
+    per-doc reduction shuffles on doc_id once; the outlier report is
+    TakeOrderedAndProject.  No model artifact leaves the cluster —
+    the "LM" is a DataFrame.
+
+    Determinism: integer counts; one log2 per bigram in identical
+    form both engines; per-doc means round to 6 before the ordered
+    head (noise floor ~1e-13 on ~10² log terms, six orders below the
+    round); short docs (< 5 bigrams) are excluded from the report.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id",
+                    F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    big = (toks.withColumn("w2", F.lead("w").over(wdoc))
+           .filter(F.col("w2").isNotNull())
+           .select("doc_id", F.col("w").alias("w1"), "w2"))
+    uni = big.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("c1"))
+    vocab = toks.agg(F.count_distinct("w").alias("v"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    scored = (big.join(bc, ["w1", "w2"])
+              .join(uni.withColumnRenamed("w", "w1"), "w1")
+              .crossJoin(F.broadcast(vocab))  # bounded: 1-row vocab size
+              .select("doc_id",
+                      (-F.log2((F.col("c12") + 1.0)
+                               / (F.col("c1") + F.col("v")))).alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.sum("nll") / F.count("*"), 6).alias("avg_nll"))
+            .filter(F.col("n_bigrams") >= 5)
+            .orderBy(F.desc("avg_nll"), "doc_id")
+            .limit(20))

@@ -886,3 +886,43 @@ def hard_negative_mining_ivf(spark, sf_dir):
             .select("query_id", "negative_id",
                     F.col("neg_label").cast("int").alias("neg_label"),
                     "cos_sim", F.col("rank").cast("long").alias("rank")))
+
+
+@register(
+    "mutual_knn_pairs",
+    oracle=_KNN_EDGES_CTE + """
+    SELECT a.src AS vec_a, a.dst AS vec_b, a.cos_sim,
+           CAST(a.rank AS BIGINT) AS rank_ab,
+           CAST(b.rank AS BIGINT) AS rank_ba
+    FROM knn a JOIN knn b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst
+    """,
+    tags=("similarity", "graph", "dedup"),
+)
+def mutual_knn_pairs(spark, sf_dir):
+    """Reciprocal (mutual) nearest neighbors over the LSH kNN graph —
+    pairs where EACH vector ranks the other in its own top-3.  The
+    asymmetry filter that separates a true near-duplicate/match from
+    a hub artifact: a generic centroid-ish vector appears in
+    thousands of top-k lists (high in-degree) but reciprocates almost
+    none of them, so one-directional kNN edges over-merge exactly
+    where the corpus is densest.  r-NN pairs are the standard
+    high-precision seed set for dedup clustering and entity matching.
+
+    Scale: one self-equi-join of the O(3N) directed edge list on the
+    reversed pair key — edge-granular, never corpus-granular; the
+    graph build itself is shared code (``_knn_edges``) and oracle CTE
+    with ``knn_graph_lsh``, so semantics cannot drift.
+
+    Determinism: inherits the rounded-cosine, id-tiebroken edge
+    ranking; the pair emits once (src < dst) with both direction
+    ranks.
+    """
+    knn = _knn_edges(spark, sf_dir)
+    rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"),
+                     F.col("rank").alias("rank_ba"))
+    return (knn.join(rev, ["src", "dst"])
+            .filter(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"),
+                    "cos_sim", F.col("rank").cast("long").alias("rank_ab"),
+                    F.col("rank_ba").cast("long").alias("rank_ba")))

@@ -970,3 +970,25 @@ def test_percentile_norm_source_partitioned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "score_percentile_by_source")
     assert "Join" not in plan
     assert "hashpartitioning(source#" in plan, plan[:2000]
+
+
+def test_perplexity_filter_vocab_joins_heap_head(spark, sf_dir):
+    """Bigram-LM perplexity: training is two vocab-granular counts;
+    scoring joins on vocab-bounded keys; the outlier report is a
+    TakeOrderedAndProject heap, never a global sort."""
+    plan = plan_of(spark, sf_dir, "bigram_lm_perplexity_filter")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_mutual_knn_edge_granular_join(spark, sf_dir):
+    """Reciprocal kNN: one self-equi-join of the O(3N) edge list on
+    the reversed (src, dst) pair key — edge-granular, never
+    corpus-granular."""
+    import re
+    plan = plan_of(spark, sf_dir, "mutual_knn_pairs")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"Join \[src#\d+L, dst#\d+L\], \[src#\d+L, dst#\d+L\]", plan), \
+        plan[:2000]
