@@ -690,3 +690,136 @@ def stratified_kfold_assign(spark, sf_dir):
                     "n",
                     F.round(F.col("n").cast("double") / F.col("n_seg"), 6)
                      .alias("seg_share")))
+
+
+@register(
+    "curation_funnel_v2",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+    ), whashed AS (
+      SELECT doc_id, pos, {hex_hash_expr("g", 6)} AS h FROM grams
+    ), codes AS (
+      SELECT doc_id, pos, np,
+             MIN(h * {_POS_BITS} + pos) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS code
+      FROM (SELECT *, MAX(pos) OVER (PARTITION BY doc_id) AS np FROM whashed)
+    ), fps AS (
+      SELECT DISTINCT doc_id, code // {_POS_BITS} AS h
+      FROM codes WHERE pos <= np - {_WIN_W - 1}
+    ), fdf AS (SELECT h, COUNT(*) AS d FROM fps GROUP BY h),
+    keep_fp AS (SELECT fps.doc_id, fps.h FROM fps JOIN fdf USING (h)
+                WHERE fdf.d <= {_WIN_DF}),
+    dup_drop AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM keep_fp a JOIN keep_fp b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {_WIN_MIN}
+    ), big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    ), uni AS (SELECT w1 AS w, COUNT(*) AS c1 FROM big GROUP BY 1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT UNNEST(t) AS w FROM toks)),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2),
+    nll AS (
+      SELECT big.doc_id, COUNT(*) AS n_bigrams,
+             ROUND(SUM(-log2((bc.c12 + 1.0) / (uni.c1 + vocab.v)))
+                   / COUNT(*), 6) AS avg_nll
+      FROM big JOIN bc ON bc.w1 = big.w1 AND bc.w2 = big.w2
+      JOIN uni ON uni.w = big.w1 CROSS JOIN vocab
+      GROUP BY big.doc_id
+    ), p95 AS (
+      SELECT quantile_cont(avg_nll, 0.95) AS p
+      FROM nll WHERE n_bigrams >= 5
+    ), qscore AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+               ROUND(CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE) / len(string_split(text, ' ')), 6),
+               doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ), pct AS (
+      SELECT doc_id, source,
+             ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS pct
+      FROM qscore
+    ), funnel AS (
+      SELECT p.doc_id, p.source, p.pct,
+             (d.doc_id IS NULL) AS pass_dedup,
+             (n.n_bigrams IS NULL OR n.n_bigrams < 5
+              OR n.avg_nll <= p95.p) AS pass_ppl
+      FROM pct p
+      LEFT JOIN dup_drop d ON d.doc_id = p.doc_id
+      LEFT JOIN nll n ON n.doc_id = p.doc_id
+      CROSS JOIN p95
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup) AS BIGINT)
+             AS n_after_dedup,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl) AS BIGINT)
+             AS n_after_ppl,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl
+                                   AND pct >= 0.4) AS BIGINT)
+             AS n_after_quality
+    FROM funnel GROUP BY source
+    """,
+    tags=("curation", "pipeline", "dedup", "quality"),
+)
+def curation_funnel_v2(spark, sf_dir):
+    """The round-9 curation ops COMPOSED into one funnel — measure
+    once, gate in sequence, report per-source survival at each stage
+    (the audit table a 100 TB curation run signs off on before
+    committing a corpus): (1) winnowing near-dup drop (min-id
+    survivor per reported pair), (2) perplexity gate (self-trained
+    bigram LM; drop the worst 5 % by avg NLL — short unscored docs
+    pass), (3) within-source quality percentile ≥ 0.4 (every source
+    keeps its own top 60 %, so no domain is silently wiped by a
+    global threshold).
+
+    Scale: each signal is computed ONCE over the corpus (the
+    winnowing fingerprint windows, the vocab-granular LM counts, the
+    per-source rank) and the gates compose as doc_id-keyed
+    anti/left joins — no gate rescans raw text, and the drop set
+    carries no broadcast hint (it is O(N·dup_rate) by design).  The
+    funnel counts are one partial-aggregable rollup.
+
+    Determinism: inherits each component's rules (packed-argmin
+    fingerprints, rounded NLL, rank percentiles); the p95 threshold
+    uses the same interpolated-percentile parity as
+    ``percentile_cont_by_group``.
+    """
+    from .quality_q import doc_avg_nll, score_percentile_by_source
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "source")
+    dup_drop = (winnowing_fingerprints(spark, sf_dir)
+                .select(F.col("doc_b").alias("doc_id")).distinct()
+                .withColumn("_dup", F.lit(1)))
+    nll = doc_avg_nll(spark, sf_dir)
+    p95 = (nll.filter(F.col("n_bigrams") >= 5)
+           .agg(F.percentile("avg_nll", 0.95).alias("p")))
+    pct = score_percentile_by_source(spark, sf_dir).select("doc_id", "pct")
+    funnel = (raw
+              .join(dup_drop, "doc_id", "left")
+              .join(nll, "doc_id", "left")
+              .join(pct, "doc_id")
+              .crossJoin(F.broadcast(p95))  # bounded: 1-row threshold
+              .select("source", "pct",
+                      F.col("_dup").isNull().alias("pass_dedup"),
+                      (F.col("n_bigrams").isNull()
+                       | (F.col("n_bigrams") < 5)
+                       | (F.col("avg_nll") <= F.col("p")))
+                      .alias("pass_ppl")))
+    return funnel.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.count_if(F.col("pass_dedup")).alias("n_after_dedup"),
+        F.count_if(F.col("pass_dedup") & F.col("pass_ppl"))
+         .alias("n_after_ppl"),
+        F.count_if(F.col("pass_dedup") & F.col("pass_ppl")
+                   & (F.col("pct") >= 0.4)).alias("n_after_quality"))

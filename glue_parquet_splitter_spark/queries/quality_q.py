@@ -582,6 +582,17 @@ def bigram_lm_perplexity_filter(spark, sf_dir):
     head (noise floor ~1e-13 on ~10² log terms, six orders below the
     round); short docs (< 5 bigrams) are excluded from the report.
     """
+    return (doc_avg_nll(spark, sf_dir)
+            .filter(F.col("n_bigrams") >= 5)
+            .orderBy(F.desc("avg_nll"), "doc_id")
+            .limit(20))
+
+
+def doc_avg_nll(spark, sf_dir):
+    """(doc_id, n_bigrams, avg_nll) for every doc with ≥1 bigram — the
+    self-trained add-1 bigram-LM score shared by
+    ``bigram_lm_perplexity_filter`` (outlier head) and
+    ``curation_funnel_v2`` (threshold gate)."""
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
@@ -602,7 +613,4 @@ def bigram_lm_perplexity_filter(spark, sf_dir):
                                / (F.col("c1") + F.col("v")))).alias("nll")))
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
-                 F.round(F.sum("nll") / F.count("*"), 6).alias("avg_nll"))
-            .filter(F.col("n_bigrams") >= 5)
-            .orderBy(F.desc("avg_nll"), "doc_id")
-            .limit(20))
+                 F.round(F.sum("nll") / F.count("*"), 6).alias("avg_nll")))

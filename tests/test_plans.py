@@ -992,3 +992,12 @@ def test_mutual_knn_edge_granular_join(spark, sf_dir):
     assert re.search(
         r"Join \[src#\d+L, dst#\d+L\], \[src#\d+L, dst#\d+L\]", plan), \
         plan[:2000]
+
+
+def test_funnel_v2_no_rescans_no_cartesian(spark, sf_dir):
+    """Composed funnel: signals computed once, gates composed as
+    doc_id-keyed joins, one rollup; no cartesian of corpus rows and
+    no broadcast hint on the drop set."""
+    plan = plan_of(spark, sf_dir, "curation_funnel_v2")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
