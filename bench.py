@@ -702,6 +702,31 @@ def main() -> None:
     wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal,
                              prev_cal_map, cal_by_query)
 
+    # retest-on-regression: a flagged slowdown must SURVIVE a fresh
+    # re-measurement (min-of-2 query runs against its own min-of-2
+    # probe) to be reported — segment probes bracket at 10-entry
+    # granularity, so a sub-segment contention burst can still pin a
+    # marginal 1.6x on one query (observed flapping 1.67 -> 0.63
+    # across back-to-back runs).  A real plan regression reproduces;
+    # a burst does not.  Capped at 5 retests; 'faster' entries are
+    # baseline-side observations and cannot be retested here.
+    retest = [n for n, e in wregs.items()
+              if isinstance(e, dict) and e.get("direction") == "slower"
+              and n in reg][:5]
+    for name in retest:
+        cal_r = min(calibration_probe(spark), calibration_probe(spark))
+        t_r = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(reg[name].fn(spark, sf_dir))
+            t_r = min(t_r, time.perf_counter() - t0)
+        if t_r / cal_r < timings[name] / cal_by_query.get(name, cur_cal):
+            timings[name] = round(t_r, 3)
+            cal_by_query[name] = cal_r
+    if retest:
+        wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal,
+                                 prev_cal_map, cal_by_query)
+
     write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration,
                        compact_summary, wregs, regressions, cal_by_query)
 
