@@ -926,3 +926,73 @@ def mutual_knn_pairs(spark, sf_dir):
             .select(F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"),
                     "cos_sim", F.col("rank").cast("long").alias("rank_ab"),
                     F.col("rank_ba").cast("long").alias("rank_ba")))
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, vec_id % 2 AS half, i,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (
+      SELECT label, half, i, AVG(x) AS c,
+             COUNT(DISTINCT vec_id) AS n
+      FROM v GROUP BY label, half, i
+    ), joined AS (
+      SELECT a.label, a.i, a.c AS ca, b.c AS cb,
+             MIN(a.n) OVER (PARTITION BY a.label) AS n_a,
+             MIN(b.n) OVER (PARTITION BY a.label) AS n_b
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(MIN(n_a) AS BIGINT) AS n_a,
+           CAST(MIN(n_b) AS BIGINT) AS n_b,
+           ROUND(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))),
+                 6) AS centroid_cos
+    FROM joined GROUP BY label
+    """,
+    tags=("similarity", "monitoring", "stats"),
+)
+def embedding_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift between two deterministic
+    corpus halves (vec_id parity stands in for yesterday's vs today's
+    snapshot) — the cheapest meaningful monitor for "did the
+    embedding model / upstream text change under us": per-class mean
+    vectors are stable under sampling, so a centroid cosine falling
+    from ~1 flags representation drift per class long before
+    downstream recall does.
+
+    Scale: a centroid is a MERGEABLE MEAN — per-dimension partial
+    sums in the map stage, one (label, half, dim)-granular aggregate
+    (dims are bounded), then a dimension-wise join and a per-label
+    cosine fold over ≤ d rows.  Raw vectors never shuffle; only
+    d-row centroid summaries do.  The same shape computes drift
+    between ANY two snapshot predicates.
+
+    Determinism: per-dim means are sums of doubles rounded only at
+    the final cosine (noise ~1e-15 vs the 1e-6 round); integer
+    half-counts; label-keyed output.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = (e.select("vec_id", "label", (F.col("vec_id") % 2).alias("half"),
+                  F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("i0", "x")))
+    cent = (v.groupBy("label", "half", "i0")
+            .agg(F.avg("x").alias("c"),
+                 F.count_distinct("vec_id").alias("n")))
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "i0", F.col("c").alias("ca"), F.col("n").alias("n_a"))
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "i0", F.col("c").alias("cb"), F.col("n").alias("n_b"))
+    return (a.join(b, ["label", "i0"])
+            .groupBy("label")
+            .agg(F.min("n_a").cast("long").alias("n_a"),
+                 F.min("n_b").cast("long").alias("n_b"),
+                 F.round(F.sum(F.col("ca") * F.col("cb"))
+                         / (F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                            * F.sqrt(F.sum(F.col("cb") * F.col("cb")))), 6)
+                  .alias("centroid_cos"))
+            .select(F.col("label").cast("long").alias("label"),
+                    "n_a", "n_b", "centroid_cos"))

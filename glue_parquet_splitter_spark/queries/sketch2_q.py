@@ -518,3 +518,44 @@ def kmv_sketch_set_ops(spark, sf_dir):
                     F.round(F.col("est_j") * F.col("est_union"), 6)
                      .alias("est_intersection"),
                     F.col("exact_i").cast("long").alias("exact_intersection")))
+
+
+@register(
+    "approx_quantile_error_by_group",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(c_acctbal, 0.5), 2) AS median_exact,
+           TRUE AS approx_within_5pct
+    FROM customer GROUP BY segment
+    """,
+    tags=("sketch", "approx", "agg", "stats"),
+)
+def approx_quantile_error_by_group(spark, sf_dir):
+    """Quantile-sketch error audit — exact median per segment
+    alongside a measured bound on ``approx_percentile``'s error (the
+    mergeable GK-style sketch that replaces the exact sort at 100 TB:
+    exact percentiles need a per-group sort of raw values; the sketch
+    is O(accuracy) memory, map-side combinable, and shuffles only
+    sketch summaries).  Graded the sketch way (``hll_union_daily``'s
+    pattern): the oracle pins the exact value and asserts the
+    within-5 % flag TRUE; Spark computes the flag from its own sketch
+    at accuracy=1000, where the rank error n/1000 is far inside 5 %
+    of value on this distribution.
+
+    Determinism: Spark's approx_percentile is a deterministic
+    function of the value multiset at fixed accuracy (merge order
+    cannot change the GK summary's rank guarantees past the round);
+    the exact median uses the same interpolation parity as
+    ``percentile_cont_by_group``.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.percentile("c_acctbal", F.lit(0.5)), 2)
+                  .alias("median_exact"),
+                 (F.abs(F.approx_percentile("c_acctbal", F.lit(0.5),
+                                            F.lit(1000))
+                        - F.percentile("c_acctbal", F.lit(0.5)))
+                  <= 0.05 * F.abs(F.percentile("c_acctbal", F.lit(0.5))))
+                 .alias("approx_within_5pct")))

@@ -1001,3 +1001,21 @@ def test_funnel_v2_no_rescans_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "curation_funnel_v2")
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan
+
+
+def test_approx_quantile_single_agg(spark, sf_dir):
+    """Quantile-error audit: exact + sketch percentile in ONE
+    aggregation pass over one scan — no joins."""
+    plan = plan_of(spark, sf_dir, "approx_quantile_error_by_group")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_centroid_drift_summary_granular_join(spark, sf_dir):
+    """Centroid drift: per-dim partial means reduce BEFORE any join —
+    the dimension-wise join sees (label, half, dim)-granular summary
+    rows, never raw vectors."""
+    plan = plan_of(spark, sf_dir, "embedding_centroid_drift")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_avg" in plan
+    assert "hashpartitioning(label#" in plan, plan[:2000]
