@@ -279,3 +279,97 @@ def jaccard_prefix_filter_pairs(spark, sf_dir):
     ).otherwise(F.expr("array()"))
     sh = t.select("doc_id", F.explode(shingle_expr).alias("shingle")).distinct()
     return D.prefix_filtered_jaccard_pairs(sh, threshold=0.5)
+
+
+# the shared chain, restricted to the deterministic 10% audit sample
+_MINHASH_SAMPLED_CTE = _MINHASH_ORACLE_CTE.replace(
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)",
+    "FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents"
+    " WHERE doc_id % 10 = 0)")
+
+
+@register(
+    "minhash_eval_pr",
+    oracle=_MINHASH_SAMPLED_CTE + """
+    , sz AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    overlap AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT doc_a, doc_b
+      FROM overlap JOIN sz x ON x.doc_id = overlap.doc_a
+      JOIN sz y ON y.doc_id = overlap.doc_b
+      WHERE CAST(nc AS DOUBLE) / (x.n + y.n - nc) >= 0.5
+    ), hit AS (
+      SELECT COUNT(*) AS n_hit
+      FROM pairs JOIN truth USING (doc_a, doc_b)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sz) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_cand,
+           CAST(hit.n_hit AS BIGINT) AS n_hit,
+           ROUND(CAST(hit.n_hit AS DOUBLE)
+                 / GREATEST((SELECT COUNT(*) FROM pairs), 1), 6)
+             AS precision_at_05,
+           ROUND(CAST(hit.n_hit AS DOUBLE)
+                 / GREATEST((SELECT COUNT(*) FROM truth), 1), 6)
+             AS recall_at_05
+    FROM hit
+    """,
+    tags=("dedup", "eval", "lsh", "stats"),
+)
+def minhash_eval_pr(spark, sf_dir):
+    """Measured precision/recall of the MinHash-LSH candidate
+    generator against EXACT shingle-set Jaccard ground truth (relevant
+    = J ≥ 0.5), on a deterministic 10 % audit sample — the eval run
+    before trusting a dedup config at corpus scale: LSH's (bands,
+    rows) knob trades recall for candidate volume, and this query
+    turns that theoretical S-curve into a measured number on YOUR
+    data.  The audit-sample protocol is what makes ground truth
+    computable: exact Jaccard needs the pair overlap counts that the
+    full corpus cannot afford, but a fixed-fraction sample can.
+
+    Scale: the sample filter is pushed into the scan; truth pairs
+    come from the shingle inverted-index join over SAMPLE docs only
+    (pairs with zero overlap can't reach J ≥ 0.5, so no all-pairs
+    materialization even within the sample); the candidate arm is the
+    production chain (``operators.dedup``) unchanged, restricted to
+    the sample; the scalars reduce to one row.
+
+    Determinism: md5 minhashes, integer overlap counts, exact
+    rational Jaccard compare, rounded P/R with GREATEST(.,1) guards.
+    """
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    toks = D.shingles(d, distinct=True)
+    cand = D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
+    sz = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    overlap = (ta.join(tb, "tok")
+               .filter(F.col("doc_a") < F.col("doc_b"))
+               .groupBy("doc_a", "doc_b").agg(F.count("*").alias("nc")))
+    truth = (overlap
+             .join(sz.select(F.col("doc_id").alias("doc_a"),
+                             F.col("n").alias("na")), "doc_a")
+             .join(sz.select(F.col("doc_id").alias("doc_b"),
+                             F.col("n").alias("nb")), "doc_b")
+             .filter(F.col("nc").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("nc")) >= 0.5)
+             .select("doc_a", "doc_b"))
+    n_docs = sz.agg(F.count("*").alias("n_docs"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    n_hit = (cand.join(truth, ["doc_a", "doc_b"])
+             .agg(F.count("*").alias("n_hit")))
+    # bounded: all four sides are 1-row scalar aggregates
+    return (n_docs.crossJoin(F.broadcast(n_truth))
+            .crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_hit))
+            .select("n_docs", "n_truth", "n_cand", "n_hit",
+                    F.round(F.col("n_hit").cast("double")
+                            / F.greatest(F.col("n_cand"), F.lit(1)), 6)
+                     .alias("precision_at_05"),
+                    F.round(F.col("n_hit").cast("double")
+                            / F.greatest(F.col("n_truth"), F.lit(1)), 6)
+                     .alias("recall_at_05")))

@@ -1019,3 +1019,14 @@ def test_centroid_drift_summary_granular_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "partial_avg" in plan
     assert "hashpartitioning(label#" in plan, plan[:2000]
+
+
+def test_minhash_eval_sample_pushed_no_allpairs(spark, sf_dir):
+    """MinHash P/R eval: the 10% sample filter reaches the parquet
+    scan; truth pairs come from the shingle inverted-index join (no
+    all-pairs materialization); scalars assemble via 1-row broadcast
+    cross-joins."""
+    plan = plan_of(spark, sf_dir, "minhash_eval_pr")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar joins
