@@ -720,7 +720,21 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(reg[name].fn(spark, sf_dir))
             t_r = min(t_r, time.perf_counter() - t0)
-        if t_r / cal_r < timings[name] / cal_by_query.get(name, cur_cal):
+        # a (time, probe) PAIR is one observation of the query on one
+        # host state — t and cal must move TOGETHER, in the basis the
+        # gate will actually use for this entry.  Map basis (both
+        # rounds carry the probe): accept the pair with the lower
+        # normalized value.  Mapless fallback (r8-style baseline):
+        # the gate divides by the SUITE-min probe, so only a raw-time
+        # improvement is an improvement — accepting a
+        # normalized-better/raw-worse retest there would divide a
+        # contention-inflated t_r by the suite's fastest probe, the
+        # exact mixing the both-maps rule exists to prevent.
+        if prev_cal_map.get(name):
+            if t_r / cal_r < timings[name] / cal_by_query.get(name, cur_cal):
+                timings[name] = round(t_r, 3)
+                cal_by_query[name] = cal_r
+        elif t_r < timings[name]:
             timings[name] = round(t_r, 3)
             cal_by_query[name] = cal_r
     if retest:

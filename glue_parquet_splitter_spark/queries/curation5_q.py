@@ -95,9 +95,12 @@ def exact_substring_spans(spark, sf_dir):
     keep = (grams.groupBy("g")
             .agg(F.count_distinct("doc_id").alias("df"))
             .where(F.col("df") <= _DF_CAP).select("g"))
+    # the DF cap must filter BOTH join sides: a hot gram dropped only
+    # from side a would still ship all its side-b rows into one hot
+    # join partition as dead weight (r9 review finding)
     a = grams.join(keep, "g").select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "g")
-    b = grams.select(
+    b = grams.join(keep, "g").select(
         F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "g")
     hits = (a.join(b, "g")
             .where(F.col("doc_a") < F.col("doc_b"))

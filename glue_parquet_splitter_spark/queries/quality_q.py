@@ -480,7 +480,7 @@ def stratified_fixed_n_sample(spark, sf_dir):
       FROM scored
     )
     SELECT doc_id, source, score,
-           ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS pct,
+           ROUND(CAST(rn - 1 AS DOUBLE) / GREATEST(n - 1, 1), 6) AS pct,
            CAST(LEAST(FLOOR(((rn - 1) * 10.0) / n), 9) AS BIGINT) AS decile
     FROM ranked
     """,
@@ -522,7 +522,11 @@ def score_percentile_by_source(spark, sf_dir):
         F.count("*").over(ws).alias("n"))
     return ranked.select(
         "doc_id", "source", "score",
-        F.round((F.col("rn") - 1).cast("double") / (F.col("n") - 1), 6)
+        # GREATEST(n-1, 1): a single-doc source is percentile 0, not a
+        # 0/0 crash under ANSI (the fixture never has n=1; production
+        # domains do)
+        F.round((F.col("rn") - 1).cast("double")
+                / F.greatest(F.col("n") - 1, F.lit(1)), 6)
          .alias("pct"),
         # FLOOR on both engines: a bare CAST(double AS BIGINT) rounds
         # in DuckDB but truncates in Spark (the registry's div rule)

@@ -248,6 +248,7 @@ def hard_negative_mining(spark, sf_dir):
                generate_series(1, CAST(LEAST(10, n_rel) AS INT)),
                i -> 1.0 / log2(i + 1))), 6) AS ndcg_at_10
     FROM per
+    WHERE n_rel > 0
     """,
     tags=("similarity", "eval", "window"),
 )
@@ -304,7 +305,11 @@ def retrieval_eval_metrics(spark, sf_dir):
     idcg = F.expr(
         "aggregate(sequence(1, cast(least(10, n_rel) as int)), "
         "cast(0 as double), (a, i) -> a + 1.0 / log2(i + 1))")
-    return per.select(
+    # n_rel = 0 makes every metric undefined (and under ANSI, 0/0
+    # throws while Spark's sequence(1, 0) even DESCENDS to [1, 0]) —
+    # such queries are excluded in BOTH engines, the standard IR-eval
+    # convention
+    return per.filter(F.col("n_rel") > 0).select(
         "query_id", "n_rel",
         F.round(F.col("hits10").cast("double") / F.col("n_rel"), 6)
          .alias("recall_at_10"),
@@ -444,6 +449,7 @@ def _knn_edges(spark, sf_dir):
            ROUND((rpos - n_pos * (n_pos + 1) / 2.0)
                  / (n_pos * n_neg), 6) AS auc
     FROM agg
+    WHERE n_pos > 0 AND n_neg > 0
     """,
     tags=("similarity", "eval", "window", "stats"),
 )
@@ -490,12 +496,16 @@ def ranking_eval_auc(spark, sf_dir):
                 F.sum(F.when(F.col("pos"),
                              F.col("r") + (F.col("cnt") - 1) / 2.0)
                       .otherwise(0.0)).alias("rpos")))
-    return agg.select(
+    # an anchor whose label covers all of the corpus (n_neg=0) or none
+    # of it (n_pos=0) has undefined AUC — excluded in BOTH engines
+    # rather than 0/0-crashing under ANSI
+    return (agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .select(
         "anchor_id", F.col("qlabel").cast("long").alias("qlabel"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
         F.round((F.col("rpos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
-                / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"))
+                / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc")))
 
 
 @register(
