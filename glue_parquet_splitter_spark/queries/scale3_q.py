@@ -271,3 +271,55 @@ def frequent_itemset_pairs(spark, sf_dir):
                     / (F.col("sup_a") * F.col("sup_b")), 4).alias("lift"),
         )
     )
+
+
+from .curation4_q import hex_hash_expr
+
+
+@register(
+    "shard_load_skew",
+    oracle=f"""
+    WITH loads AS (
+      SELECT {hex_hash_expr("doc_id", 4, offset=20)} % 16 AS shard,
+             SUM(len(string_split(text, ' '))) AS toks
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(MIN(toks) AS BIGINT) AS min_load,
+           CAST(MAX(toks) AS BIGINT) AS max_load,
+           ROUND(AVG(toks), 2) AS avg_load,
+           ROUND(MAX(toks) / AVG(toks), 4) AS imbalance
+    FROM loads
+    """,
+    tags=("scale", "agg", "monitoring"),
+)
+def shard_load_skew(spark, sf_dir):
+    """Shard-load imbalance audit for a hash-sharded WRITE — the
+    number that decides whether a sharding key is safe before a 100 TB
+    output commits to it: per-shard token load under a salted 16-way
+    hash, and the max/avg imbalance factor (straggler multiplier:
+    the job finishes when the hottest shard does, so imbalance 1.5 =
+    paying 1.5x the balanced wall-clock).  Hash sharding on a
+    high-cardinality key should sit near 1 + O(1/sqrt(docs/shards));
+    a big number means the chosen key (or a pathological doc-length
+    distribution) needs salting or size-aware packing
+    (``train_pack_budget``'s form).
+
+    Scale: token counting is map-side in the scan projection; one
+    partial-aggregable groupBy to SHARD granularity (16 rows) and a
+    1-row fold.  Auditing the layout costs one scan — committing a
+    skewed one costs every downstream job.
+
+    Determinism: md5 shard assignment (offset 20 — independent salt),
+    integer loads, two rounded ratios.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    loads = (d.groupBy((F.expr(hex_hash_expr("doc_id", 4, offset=20)) % 16)
+                       .alias("shard"))
+             .agg(F.sum(F.size(F.split("text", " "))).alias("toks")))
+    return loads.agg(
+        F.count("*").alias("n_shards"),
+        F.min("toks").cast("long").alias("min_load"),
+        F.max("toks").cast("long").alias("max_load"),
+        F.round(F.avg("toks"), 2).alias("avg_load"),
+        F.round(F.max("toks") / F.avg("toks"), 4).alias("imbalance"))

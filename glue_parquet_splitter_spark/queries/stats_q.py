@@ -356,3 +356,60 @@ def cusum_changepoint(spark, sf_dir):
                     F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
                     F.round("mu", 6).alias("mean_daily"),
                     F.col("n_days").cast("long").alias("n_days")))
+
+
+@register(
+    "winsorized_robust_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT c_mktsegment AS segment,
+             quantile_cont(c_acctbal, 0.05) AS p05,
+             quantile_cont(c_acctbal, 0.95) AS p95
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(c.c_acctbal), 2) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(c.c_acctbal, b.p05), b.p95)), 2)
+             AS mean_winsorized,
+           ROUND(MIN(b.p05), 2) AS p05, ROUND(MIN(b.p95), 2) AS p95
+    FROM customer c JOIN bounds b ON b.segment = c.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("stats", "agg", "monitoring"),
+)
+def winsorized_robust_stats(spark, sf_dir):
+    """Winsorized mean per group — the robust-aggregation rung between
+    the raw mean (one whale account moves it arbitrarily) and the
+    median (throws away all magnitude information): clamp each value
+    into its GROUP's [p5, p95] band, then average.  The gap
+    ``mean_raw − mean_winsorized`` is itself the tail-influence
+    diagnostic: a large gap says the metric everyone dashboards is
+    driven by outliers.
+
+    Scale: group bounds are one percentile aggregation to group
+    granularity; the clamp rides the second scan map-side after a
+    group-keyed join of the bounds (both sides group-granular /
+    co-partitioned); at 100 TB the exact percentiles swap for
+    ``approx_percentile`` sketch bounds
+    (``approx_quantile_error_by_group`` measures exactly that
+    substitution's error).
+
+    Determinism: interpolated percentile parity as established
+    (``percentile_cont_by_group``); clamp and averages over exact
+    decimals rounded to 2.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = (cust.groupBy(F.col("c_mktsegment").alias("segment"))
+              .agg(F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
+                   F.percentile("c_acctbal", F.lit(0.95)).alias("p95")))
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")),
+                      F.col("p95"))
+    return (cust.join(bounds,
+                      cust["c_mktsegment"] == bounds["segment"])
+            .groupBy("segment")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("c_acctbal"), 2).alias("mean_raw"),
+                 F.round(F.avg(clamped), 2).alias("mean_winsorized"),
+                 F.round(F.min("p05"), 2).alias("p05"),
+                 F.round(F.min("p95"), 2).alias("p95")))

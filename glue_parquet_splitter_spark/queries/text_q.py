@@ -49,9 +49,9 @@ def doc_quality_score(spark, sf_dir):
     return T.quality_score(_docs(spark, sf_dir))
 
 
-@register(
-    "language_id_heuristic",
-    oracle="""
+# shared by language_id_heuristic and its confusion-matrix eval —
+# one definition so the two cannot drift
+_LANGID_ORACLE = """
     SELECT doc_id, lang,
            CAST(array_length(list_filter(t, x -> list_contains(['the','a','order','fast'], x))) AS BIGINT)      AS score_en,
            CAST(array_length(list_filter(t, x -> list_contains(['table','data','row','value'], x))) AS BIGINT)  AS score_es,
@@ -65,7 +65,12 @@ def doc_quality_score(spark, sf_dir):
                      >= array_length(list_filter(t, x -> list_contains(['window','batch','stream','merge'], x)))
                 THEN 'es' ELSE 'de' END AS predicted_lang
     FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
-    """,
+"""
+
+
+@register(
+    "language_id_heuristic",
+    oracle=_LANGID_ORACLE,
     tags=("text", "langid"),
 )
 def language_id_heuristic(spark, sf_dir):
@@ -447,3 +452,50 @@ def pmi_adjacent_bigrams(spark, sf_dir):
                      .alias("pmi"))
             .orderBy(F.desc("pmi"), "w1", "w2")
             .limit(20))
+
+
+@register(
+    "langid_confusion_eval",
+    oracle="WITH pred AS (" + _LANGID_ORACLE + """)
+    , act AS (SELECT lang, COUNT(*) AS n_act FROM pred GROUP BY lang)
+    SELECT p.lang AS actual_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MIN(act.n_act), 6) AS frac,
+           (p.lang = p.predicted_lang) AS correct
+    FROM pred p JOIN act ON act.lang = p.lang
+    GROUP BY p.lang, p.predicted_lang
+    """,
+    tags=("text", "langid", "eval", "agg"),
+)
+def langid_confusion_eval(spark, sf_dir):
+    """Confusion matrix of the language-ID heuristic against the
+    ground-truth label — the eval that turns "we have a lang-ID
+    stage" into "our lang-ID mislabels X % of Spanish as German":
+    per (actual, predicted) cell, the count, its share of the actual
+    class (row-normalized — the diagonal IS per-class recall), and
+    the correctness flag.  Run before trusting any per-language
+    sampling/mixture decision downstream (a biased classifier skews
+    ``domain_mixture_weights``' natural shares silently).  Composes
+    the production classifier unchanged (``operators.text
+    .language_id``); the oracle wraps the SAME shared SQL, so
+    classifier and eval cannot drift.
+
+    Scale: classification is map-side array arithmetic in the scan
+    projection; the matrix is a partial-aggregable groupBy to
+    (class x class) granularity joined against class totals — both
+    sides bounded by the label domain.
+
+    Determinism: integer counts; class shares are single divisions
+    rounded to 6; key-complete grouped output.
+    """
+    pred = T.language_id(_docs(spark, sf_dir))
+    act = pred.groupBy("lang").agg(F.count("*").alias("n_act"))
+    return (pred.join(act, "lang")
+            .groupBy("lang", "predicted_lang")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.count("*").cast("double") / F.min("n_act"), 6)
+                  .alias("frac"))
+            .select(F.col("lang").alias("actual_lang"), "predicted_lang",
+                    "n", "frac",
+                    (F.col("lang") == F.col("predicted_lang"))
+                    .alias("correct")))

@@ -1030,3 +1030,30 @@ def test_minhash_eval_sample_pushed_no_allpairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar joins
+
+
+def test_langid_eval_mapside_classify_bounded_matrix(spark, sf_dir):
+    """Lang-ID confusion eval: classification is map-side in the scan
+    projection; the matrix is (class x class)-granular with class
+    totals joined on the bounded label domain."""
+    plan = plan_of(spark, sf_dir, "langid_confusion_eval")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+    assert "hashpartitioning(lang#" in plan, plan[:2000]
+
+
+def test_winsorized_group_granular_bounds_join(spark, sf_dir):
+    """Winsorized stats: the clamp rides map-side after a
+    group-granular bounds join — no row-granular shuffle beyond the
+    group key."""
+    plan = plan_of(spark, sf_dir, "winsorized_robust_stats")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_shard_skew_sixteen_groups_one_fold(spark, sf_dir):
+    """Shard-load audit: map-side token counting, one 16-group
+    partial-aggregable groupBy, a 1-row fold; no joins."""
+    plan = plan_of(spark, sf_dir, "shard_load_skew")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
