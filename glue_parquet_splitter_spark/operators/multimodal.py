@@ -151,8 +151,18 @@ def pack_ppm(docs: DataFrame) -> DataFrame:
     header = F.encode(
         F.format_string("P6\n%d %d\n255\n", w, h), "UTF-8")
     pixels = F.encode(F.rpad(F.col("text"), npix, "x"), "UTF-8")
-    return docs.select(
-        "doc_id", F.concat(header, pixels).alias("payload"))
+    # rpad pads to npix CHARACTERS; any non-ASCII character UTF-8-encodes
+    # to >1 byte and desyncs the pixel plane from the header's w*h*3.
+    # The ASCII-corpus assumption must fail LOUDLY at pack time, not
+    # drift silently against the oracle's char-wise arithmetic.
+    payload = F.when(
+        F.octet_length(pixels) == npix.cast("long"),
+        F.concat(header, pixels),
+    ).otherwise(F.raise_error(F.format_string(
+        "pack_ppm: non-ASCII text for doc_id=%d (padded to %d chars but "
+        "%d UTF-8 bytes) would desync the P6 pixel plane",
+        F.col("doc_id"), npix, F.octet_length(pixels))))
+    return docs.select("doc_id", payload.alias("payload"))
 
 
 def decode_ppm(packed: DataFrame) -> DataFrame:

@@ -465,9 +465,12 @@ def rfm_segmentation(spark, sf_dir):
              F.sum("value").alias("monetary"))
     )
     from pyspark.sql import Window
+    # bounded: fed by the per-user groupBy above — audience-sized
+    # (thousands, not corpus rows); histogram-cumulative substitute
+    # (quality_decile_mix_histogram) is the registered scale form
     r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
-    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))
-    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))
+    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))  # bounded: ^
+    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))  # bounded: ^
     return (
         per_user.select(r.cast("long").alias("r"), f.cast("long").alias("f"),
                         m.cast("long").alias("m"))

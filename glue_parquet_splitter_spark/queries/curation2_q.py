@@ -131,6 +131,9 @@ def quality_decile_mix(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     dec = docs.select(
         "n_chars",
+        # bounded: corpus-row ordering — deliberately the EXACT oracle
+        # form; quality_decile_mix_histogram is the REGISTERED scale
+        # substitute (histogram-cumulative, no global sort)
         F.ntile(10).over(Window.orderBy("n_chars", "doc_id")).alias("decile"),
     )
     agg = dec.groupBy("decile").agg(
@@ -259,6 +262,8 @@ def quality_decile_mix_histogram(spark, sf_dir):
     c = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
     cum = c.select(
         "n_chars", "cnt",
+        # bounded: fed by groupBy(n_chars) — one row per distinct
+        # document LENGTH (value-domain-bounded, ~thousands max)
         F.sum("cnt").over(
             Window.orderBy("n_chars")
             .rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),

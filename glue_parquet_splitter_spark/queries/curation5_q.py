@@ -181,6 +181,8 @@ def token_budget_head_selection(spark, sf_dir):
     grp = docs.groupBy("n_chars").agg(F.sum("toks").alias("gtoks"))
     run = grp.select(
         "n_chars", "gtoks",
+        # bounded: fed by groupBy(n_chars) — one row per distinct doc
+        # length (value-domain-bounded)
         F.sum("gtoks").over(
             W.orderBy(F.desc("n_chars"))
             .rowsBetween(W.unboundedPreceding, 0)).alias("cum"))
@@ -265,6 +267,8 @@ def pareto_frontier_docs(spark, sf_dir):
     grp = docs.groupBy("toks").agg(F.max("uniq_ratio").alias("gmax"))
     best = grp.select(
         "toks", "gmax",
+        # bounded: fed by groupBy(toks) — one row per distinct token
+        # COUNT (value-domain-bounded)
         F.max("gmax").over(
             W.orderBy(F.desc("toks"))
             .rowsBetween(W.unboundedPreceding, -1)).alias("best_longer"))

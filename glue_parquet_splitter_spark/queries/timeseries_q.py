@@ -163,6 +163,8 @@ def cumulative_new_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("d"))
     per_day = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    # bounded: fed by the per-DAY aggregate above — one row per
+    # calendar day (decades fit one partition)
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return per_day.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),

@@ -622,7 +622,10 @@ _TD_H = hex_hash_expr("c_custkey", 4, offset=16)
              CASE WHEN h % 11 = 0 THEN bal + 100 ELSE bal END AS bal
       FROM a WHERE h % 17 <> 0
       UNION ALL
-      SELECT k + 200000, seg, bal FROM a WHERE h % 13 = 0
+      -- inserts use NEGATED keys: c_custkey >= 1 at every SF, so the
+      -- synthetic insert namespace can never collide with a real key
+      -- (a fixed k+200000 offset collided once 150k*SF passed 200k)
+      SELECT -k, seg, bal FROM a WHERE h % 13 = 0
     )
     SELECT CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_added,
@@ -677,7 +680,9 @@ def table_diff_summary(spark, sf_dir):
                  F.when(F.col("h") % 11 == 0, F.col("bal") + 100)
                   .otherwise(F.col("bal")).alias("bal"))
          .unionByName(a.filter(F.col("h") % 13 == 0)
-                      .select((F.col("k") + 200000).alias("k"),
+                      # negated keys: disjoint from real c_custkey (>= 1)
+                      # at ANY scale factor, unlike a fixed additive offset
+                      .select((-F.col("k")).alias("k"),
                               "seg", "bal")))
     j = (a.select("k", "seg", "bal")
          .join(b.select(F.col("k").alias("bk"),

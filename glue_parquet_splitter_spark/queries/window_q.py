@@ -123,6 +123,9 @@ def window_range_frame(spark, sf_dir):
     """RANGE frame over a numeric ordering — count of orders within
     $5000 below each order's price."""
     o = _orders(spark, sf_dir)
+    # bounded: RANGE-frame semantics demo on the fixture orders table —
+    # the frame spec is the tested surface; the scale form adds
+    # partitionBy(month(o_orderdate)) with per-month range frames
     w = W.orderBy("o_totalprice").rangeBetween(-5000, W.currentRow)
     return o.select(
         "o_orderkey",

@@ -200,13 +200,16 @@ def _update_quota(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     which is what lets a batch row_number oracle grade a stream."""
     ids, tss, vals, seq = (state.get if state.exists
                            else ([], [], [], 0))
-    rows = [(int(t), int(i), float(v))
-            for (t, i, v) in zip(tss, ids, vals)]
+    # dedupe by (ts_us, event_id) while merging: a micro-batch REPLAYED
+    # after checkpoint recovery (at-least-once delivery) must not let
+    # the same event occupy two of the K slots and evict a legitimate
+    # one — state stays a function of the event SET even under replay
+    merged = {(int(t), int(i)): float(v)
+              for (t, i, v) in zip(tss, ids, vals)}
     for pdf in pdfs:
-        rows.extend(zip((int(x) for x in pdf["ts_us"]),
-                        (int(x) for x in pdf["event_id"]),
-                        (float(x) for x in pdf["value"])))
-    rows.sort()  # (ts_us, event_id, value): id breaks ts ties
+        for t, i, v in zip(pdf["ts_us"], pdf["event_id"], pdf["value"]):
+            merged[(int(t), int(i))] = float(v)
+    rows = sorted((t, i, v) for (t, i), v in merged.items())
     rows = rows[:_QUOTA_K]
     seq += 1
     state.update(([r[1] for r in rows], [r[0] for r in rows],

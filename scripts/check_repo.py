@@ -93,10 +93,14 @@ def scan_broadcast_sites(root_dir):
                     for sub in _ast.walk(node):
                         func_of.setdefault(id(sub), node)
             for node in _ast.walk(tree):
-                if not (isinstance(node, _ast.Call)
-                        and isinstance(node.func, _ast.Attribute)
-                        and node.func.attr == "broadcast"
-                        and node.args):
+                # match BOTH F.broadcast(x) and a bare broadcast(x) from
+                # `from pyspark.sql.functions import broadcast` — the
+                # attribute-only match left the bare form ungated (ADVICE r9)
+                if not (isinstance(node, _ast.Call) and node.args and (
+                        (isinstance(node.func, _ast.Attribute)
+                         and node.func.attr == "broadcast")
+                        or (isinstance(node.func, _ast.Name)
+                            and node.func.id == "broadcast"))):
                     continue
                 arg = node.args[0]
                 arg_src = _ast.get_source_segment(src_text, arg)
@@ -135,6 +139,205 @@ def scan_broadcast_sites(root_dir):
                     hits.append(
                         f"{path}:{node.lineno}: F.broadcast("
                         f"{' '.join((arg_src or '?').split())[:60]}...)")
+    return hits
+
+
+def scan_window_sites(root_dir):
+    """Unpartitioned-window boundedness lint core (check 4d) — the
+    ``scan_broadcast_sites`` recipe applied to the LAST unenforced
+    single-point-of-serialization class (VERDICT r9 #2): a
+    ``Window.orderBy(...)`` spec with no ``partitionBy`` collapses the
+    whole input onto ONE task, so every such spec must be provably fed
+    by a bounded relation:
+
+      auto-pass  every ``.over(<spec>)`` usage hangs off a receiver
+                 (or its one-hop assignment in the same function) that
+                 is a global ``.agg()`` scalar / carries ``.limit(k)``
+                 / loads a fixture-constant dim (region|nation);
+      else       a ``# bounded: <cardinality argument>`` comment on the
+                 spec's line span, the contiguous comment block above
+                 it, or its one-hop assignment.
+
+    Returns ``path:lineno: <snippet>`` strings for violating sites."""
+    import ast as _ast
+    import os
+    import re as _re
+
+    bounded_rx = _re.compile(r"#\s*bounded:")
+
+    def _auto_bounded(src):
+        if src is None:
+            return False
+        flat = " ".join(src.split())
+        flat = flat.replace(".groupBy()", "").replace(".groupby()", "")
+        if ".limit(" in flat:
+            return True
+        if ".agg(" in flat and ".groupBy(" not in flat and \
+                ".groupby(" not in flat:
+            return True
+        if _re.search(r'\w+\([^)]*"(region|nation)"\s*\)', flat):
+            return True
+        return False
+
+    def _has_comment(lines, lo, hi):
+        for i in range(max(0, lo - 1), min(len(lines), hi)):
+            if bounded_rx.search(lines[i]):
+                return True
+        i = lo - 2
+        while i >= 0 and (not lines[i].strip()
+                          or lines[i].strip().startswith("#")):
+            if bounded_rx.search(lines[i]):
+                return True
+            i -= 1
+        return False
+
+    hits = []
+    for root, _dirs, files in os.walk(root_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                src_text = f.read()
+            lines = src_text.splitlines()
+            tree = _ast.parse(src_text, filename=path)
+
+            # Window aliases bound by imports in THIS file
+            aliases = set()
+            for node in _ast.walk(tree):
+                if isinstance(node, _ast.ImportFrom) and node.module in (
+                        "pyspark.sql", "pyspark.sql.window"):
+                    for a in node.names:
+                        if a.name == "Window":
+                            aliases.add(a.asname or a.name)
+            if not aliases:
+                continue
+
+            parent = {}
+            func_of = {}
+            for node in _ast.walk(tree):
+                for child in _ast.iter_child_nodes(node):
+                    parent[id(child)] = node
+                if isinstance(node, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+                    for sub in _ast.walk(node):
+                        func_of.setdefault(id(sub), node)
+
+            def _chain_root(call):
+                """(root_node, attr names on the chain) for a method chain."""
+                attrs, r = [], call
+                while True:
+                    if isinstance(r, _ast.Call) and \
+                            isinstance(r.func, _ast.Attribute):
+                        attrs.append(r.func.attr)
+                        r = r.func.value
+                    elif isinstance(r, _ast.Attribute):
+                        attrs.append(r.attr)
+                        r = r.value
+                    else:
+                        return r, attrs
+
+            def _last_assign(name, before_line, scope):
+                best = None
+                for sub in _ast.walk(scope) if scope is not None else ():
+                    if (isinstance(sub, _ast.Assign)
+                            and sub.lineno < before_line
+                            and any(isinstance(t, _ast.Name) and t.id == name
+                                    for t in sub.targets)):
+                        if best is None or sub.lineno > best.lineno:
+                            best = sub
+                return best
+
+            def _receiver_bounded(over_call):
+                """True iff the statement using .over() hangs off a
+                provably bounded receiver (direct or one-hop)."""
+                node = over_call
+                while id(node) in parent:
+                    up = parent[id(node)]
+                    if (isinstance(up, _ast.Call)
+                            and isinstance(up.func, _ast.Attribute)
+                            and up.func.attr in ("select", "withColumn",
+                                                 "withColumns", "agg")):
+                        recv = up.func.value
+                        rsrc = _ast.get_source_segment(src_text, recv)
+                        if _auto_bounded(rsrc):
+                            return True
+                        if isinstance(recv, _ast.Name):
+                            asg = _last_assign(recv.id, up.lineno,
+                                               func_of.get(id(up)))
+                            if asg is not None:
+                                vsrc = _ast.get_source_segment(
+                                    src_text, asg.value)
+                                if _auto_bounded(vsrc):
+                                    return True
+                        return False
+                    node = up
+                return False
+
+            for node in _ast.walk(tree):
+                if not (isinstance(node, _ast.Call)
+                        and isinstance(node.func, _ast.Attribute)
+                        and node.func.attr == "orderBy"):
+                    continue
+                rootv, attrs = _chain_root(node)
+                if not isinstance(rootv, _ast.Name):
+                    continue
+                if "partitionBy" in attrs:
+                    continue
+                if rootv.id in aliases:
+                    flagged = True
+                else:
+                    # one-hop: base var must itself be a Window chain;
+                    # if its assignment carries partitionBy, it's fine
+                    asg = _last_assign(rootv.id, node.lineno,
+                                       func_of.get(id(node)))
+                    if asg is None:
+                        continue
+                    vroot, vattrs = _chain_root(asg.value)
+                    if not (isinstance(vroot, _ast.Name)
+                            and vroot.id in aliases):
+                        continue
+                    flagged = "partitionBy" not in vattrs
+                if not flagged:
+                    continue
+                if _has_comment(lines, node.lineno, node.end_lineno):
+                    continue
+                # if the spec is named, a # bounded: comment may sit on
+                # the assignment that binds the name it chains from
+                if rootv.id not in aliases:
+                    asg = _last_assign(rootv.id, node.lineno,
+                                       func_of.get(id(node)))
+                    if asg is not None and _has_comment(
+                            lines, asg.lineno, asg.end_lineno):
+                        continue
+                # auto-pass: every .over() usage of this spec is bounded.
+                # Usage = the spec inline inside the .over arg, or the
+                # variable this orderBy chain is assigned to.
+                spec_names = set()
+                up = parent.get(id(node))
+                while up is not None and not isinstance(up, _ast.stmt):
+                    up = parent.get(id(up))
+                if isinstance(up, _ast.Assign):
+                    spec_names = {t.id for t in up.targets
+                                  if isinstance(t, _ast.Name)}
+                    if _has_comment(lines, up.lineno, up.end_lineno):
+                        continue
+                scope = func_of.get(id(node))
+                overs = []
+                for sub in _ast.walk(scope) if scope is not None else ():
+                    if (isinstance(sub, _ast.Call)
+                            and isinstance(sub.func, _ast.Attribute)
+                            and sub.func.attr == "over" and sub.args):
+                        a = sub.args[0]
+                        inline = any(s is node for s in _ast.walk(a))
+                        named = (isinstance(a, _ast.Name)
+                                 and a.id in spec_names)
+                        if inline or named:
+                            overs.append(sub)
+                if overs and all(_receiver_bounded(o) for o in overs):
+                    continue
+                seg = _ast.get_source_segment(src_text, node) or "?"
+                hits.append(f"{path}:{node.lineno}: "
+                            f"{' '.join(seg.split())[:70]}")
     return hits
 
 
@@ -321,6 +524,21 @@ def main():
              "assignment):\n" + "\n".join(bcast_hits[:10]))
     print("ok: broadcast-boundedness lint — every F.broadcast site bounded "
           "or justified")
+
+    # 4d. unpartitioned-window boundedness lint (VERDICT r9 #2): a
+    # Window.orderBy spec with no partitionBy serializes the whole
+    # input onto ONE task — the last unenforced single-partition hazard
+    # class.  Same contract as 4c: auto-pass when every .over() usage
+    # hangs off a limit()/global-agg/fixture-dim receiver, else a
+    # `# bounded: <cardinality argument>` comment is required.
+    win_hits = scan_window_sites("/root/repo/glue_parquet_splitter_spark")
+    if win_hits:
+        fail("unpartitioned Window.orderBy with no boundedness proof "
+             "(.limit()/global .agg()/region|nation receiver auto-pass; "
+             "otherwise add a `# bounded: <cardinality argument>` comment "
+             "at the spec or its assignment):\n" + "\n".join(win_hits[:10]))
+    print("ok: window-boundedness lint — every unpartitioned Window.orderBy "
+          "bounded or justified")
 
     # 4b. float-stability ledger (VERDICT r6 #1's lint, made empirical):
     # STABILITY.json records, per query, Spark-vs-Spark exactness across

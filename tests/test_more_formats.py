@@ -88,3 +88,24 @@ def test_python_datasource_marker_table(spark, tmp_path):
         "SELECT COUNT(*) AS days, SUM(output_count) AS outs FROM mk"
     ).collect()[0]
     assert (lag.days, lag.outs) == (3, 15)
+
+
+def test_pack_ppm_rejects_non_ascii_text(spark):
+    """ADVICE r9: rpad pads to w*h*3 CHARACTERS; a non-ASCII character
+    UTF-8-encodes to >1 byte and would desync the P6 pixel plane from
+    the header — the pack-time guard must fail LOUDLY, not drift."""
+    import pytest as _pytest
+
+    from glue_parquet_splitter_spark.operators.multimodal import (
+        decode_ppm,
+        pack_ppm,
+    )
+
+    ok = spark.createDataFrame([(1, "plain ascii", 11)],
+                               "doc_id long, text string, n_chars long")
+    assert decode_ppm(pack_ppm(ok)).count() == 1
+
+    bad = spark.createDataFrame([(2, "café latte", 10)],
+                                "doc_id long, text string, n_chars long")
+    with _pytest.raises(Exception, match="non-ASCII|USER_RAISED"):
+        pack_ppm(bad).collect()

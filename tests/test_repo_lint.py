@@ -62,6 +62,19 @@ def test_auto_proofs_pass(tmp_path):
     assert scan_broadcast_sites(str(tmp_path)) == []
 
 
+def test_bare_broadcast_import_is_gated(tmp_path):
+    # ADVICE r9: `from pyspark.sql.functions import broadcast` must not
+    # bypass the lint — ast.Name calls are matched too
+    (tmp_path / "bare_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql.functions import broadcast
+
+        def apply_dedup(corpus, removed):
+            return corpus.join(broadcast(removed), "doc_id", "left_anti")
+    """))
+    hits = scan_broadcast_sites(str(tmp_path))
+    assert len(hits) == 1 and "bare_q.py:4" in hits[0], hits
+
+
 def test_groupby_agg_is_not_an_auto_proof(tmp_path):
     # a groupBy(key) aggregate is O(|key domain|) — data-dependent, so
     # it must NOT auto-pass without a comment
@@ -73,4 +86,79 @@ def test_groupby_agg_is_not_an_auto_proof(tmp_path):
             return fact.join(F.broadcast(sizes), "user_id")
     """))
     hits = scan_broadcast_sites(str(tmp_path))
+    assert len(hits) == 1, hits
+
+
+# ---- unpartitioned-window boundedness lint (check 4d, VERDICT r9 #2) ----
+
+from check_repo import scan_window_sites  # noqa: E402
+
+
+def test_repo_has_no_unjustified_global_windows():
+    hits = scan_window_sites("/root/repo/glue_parquet_splitter_spark")
+    assert hits == [], "unjustified global Window.orderBy sites:\n" + \
+        "\n".join(hits)
+
+
+def test_seeded_global_window_fails(tmp_path):
+    (tmp_path / "badw_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def rank_all(docs):
+            w = Window.orderBy("score", "doc_id")
+            return docs.withColumn("rn", F.row_number().over(w))
+    """))
+    hits = scan_window_sites(str(tmp_path))
+    assert len(hits) == 1 and "badw_q.py:5" in hits[0], hits
+
+
+def test_seeded_global_window_passes_with_comment(tmp_path):
+    (tmp_path / "okw_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def rank_days(per_day):
+            # bounded: one row per calendar day
+            w = Window.orderBy("d")
+            return per_day.withColumn("rn", F.row_number().over(w))
+    """))
+    assert scan_window_sites(str(tmp_path)) == []
+
+
+def test_global_window_over_bounded_receiver_auto_passes(tmp_path):
+    (tmp_path / "autow_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def topk_rank(docs):
+            top = docs.orderBy(F.desc("score")).limit(100)
+            w = Window.orderBy(F.desc("score"), "doc_id")
+            return top.select("doc_id", F.row_number().over(w).alias("rn"))
+    """))
+    assert scan_window_sites(str(tmp_path)) == []
+
+
+def test_partitioned_window_is_not_flagged(tmp_path):
+    (tmp_path / "partw_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql.window import Window as W
+        from pyspark.sql import functions as F
+
+        def per_user_rank(events):
+            w = W.partitionBy("user_id").orderBy("ts")
+            return events.withColumn("rn", F.row_number().over(w))
+    """))
+    assert scan_window_sites(str(tmp_path)) == []
+
+
+def test_window_alias_W_is_matched(tmp_path):
+    (tmp_path / "aliasw_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql.window import Window as W
+        from pyspark.sql import functions as F
+
+        def rank_all(docs):
+            return docs.withColumn(
+                "rn", F.row_number().over(W.orderBy("doc_id")))
+    """))
+    hits = scan_window_sites(str(tmp_path))
     assert len(hits) == 1, hits

@@ -112,3 +112,44 @@ def test_quota_sampler_state_order_independent():
     assert a == b == c
     # the kept set is the 3 earliest by (ts, id): events 4, 2, 5
     assert a[0] == ([4, 2, 5], [10, 50, 60], [4.0, 2.0, 5.0])
+
+
+def test_quota_sampler_replayed_batch_is_idempotent():
+    """ADVICE r9: under at-least-once delivery a micro-batch REPLAYED
+    after checkpoint recovery must not let the same (ts_us, event_id)
+    occupy two of the K slots and evict a legitimate event — the merge
+    dedupes on the event identity, so state is a function of the event
+    SET even when the feed repeats it."""
+    import pandas as pd
+
+    from glue_parquet_splitter_spark.streaming.stateful import _update_quota
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    rows = [(100, 1, 1.0), (50, 2, 2.0), (75, 3, 3.0)]
+    late = [(60, 9, 9.0)]  # arrives AFTER the replay; must still win a slot
+
+    def run(batches):
+        st = FakeState()
+        for batch in batches:
+            pdf = pd.DataFrame(batch, columns=["ts_us", "event_id", "value"])
+            list(_update_quota((7,), iter([pdf]), st))
+        return st._v[:3]
+
+    clean = run([rows, late])
+    replayed = run([rows, rows, late])  # rows delivered twice
+    assert clean == replayed
+    # K=3 earliest by (ts, id): 2@50, 9@60, 3@75 — without the dedupe a
+    # replayed copy of 2@50 or 3@75 would consume the slot 9 deserves
+    assert clean[0] == [2, 9, 3]
