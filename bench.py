@@ -297,7 +297,10 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
                        compact: dict | None = None,
                        wall_regs: dict | None = None,
                        shuffle_regs: dict | None = None,
-                       cal_by_query: dict[str, float] | None = None) -> None:
+                       cal_by_query: dict[str, float] | None = None,
+                       wall_anchor: dict[str, dict] | None = None,
+                       anchor_regs: dict | None = None,
+                       baselines: dict | None = None) -> None:
     """Full-precision per-query metrics, committed alongside the BENCH
     line.  The stdout line must fit the driver's 2000-char tail
     capture (BENCH_r06 outgrew it and nearly disarmed the r7 gate), so
@@ -326,6 +329,14 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
            # segment probes) — next round's per-segment wall baseline
            "cal_by_query": {k: round(v, 3)
                             for k, v in (cal_by_query or {}).items()},
+           # frozen first-calibrated-round norms + this run's cumulative
+           # ratio (VERDICT r9 #3); the stdout line carries only the
+           # over-gate COUNT ("anchor_over") for tail-capture headroom
+           "wall_anchor": wall_anchor or {},
+           "anchor_regressions": anchor_regs or {},
+           # which files served as this run's gate baselines (moved off
+           # the stdout line in r10 for headroom)
+           "baselines": baselines or {},
            # host contention at run end — context for wall-time
            # outliers (r5 recorded a 4.83 s min-of-3 for a 0.8 s
            # query); moved off the stdout line in r9 for headroom
@@ -501,6 +512,20 @@ SHUFFLE_GATE_MIN_BYTES = 4096
 WALL_GATE_RATIO = 1.5
 WALL_GATE_MIN_SEC = 0.3
 
+# cumulative cross-round anchor (VERDICT r9 #3): the per-round gate's
+# three forgiveness layers (segment normalization, both-or-neither,
+# retest-min-of-2) are each justified, but their COMPOSITION is
+# memoryless — a genuine ~1.3x/round creep can ride inside the noise
+# band for several rounds.  Each query's calibrated normalized time
+# (t / bracketing-probe-min) is FROZEN the first round it is measured;
+# every later round compares against that anchor.  The per-round
+# ratios telescope into exactly this product, so 1.3 x 1.3 x 1.3 = 2.2
+# trips at round 3 even though every individual round stayed under the
+# 1.5x per-round gate, while round-local noise (1.3x then 0.8x)
+# cancels out.  Re-anchor deliberately (a justified plan change) by
+# deleting the query's wall_anchor entry from BENCH_METRICS.json.
+ANCHOR_GATE_RATIO = 2.0
+
 
 def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
                      cur_t: dict[str, float], cur_cal: float | None,
@@ -538,6 +563,59 @@ def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
                          "norm_ratio": round(ratio, 3),
                          "direction": "slower" if ratio > 1 else "faster"}
     return out
+
+
+def load_prev_anchor(repo_dir: str, sf: float | None = None,
+                     ) -> dict[str, float]:
+    """Frozen per-query anchor norms (t/probe at first calibrated
+    sighting) from the committed BENCH_METRICS.json.  Same sf guard as
+    the other baseline loaders; absent for pre-r10 metrics files."""
+    try:
+        with open(os.path.join(repo_dir, METRICS_FILE)) as f:
+            mdoc = json.load(f)
+        if sf is not None and mdoc.get("sf") != sf:
+            return {}
+        m = mdoc.get("wall_anchor")
+        if not isinstance(m, dict):
+            return {}
+        out = {}
+        for k, v in m.items():
+            norm = v.get("norm") if isinstance(v, dict) else v
+            if isinstance(norm, (int, float)) and norm > 0:
+                out[k] = float(norm)
+        return out
+    except (OSError, json.JSONDecodeError, ValueError):
+        return {}
+
+
+def update_wall_anchor(prev_anchor: dict[str, float],
+                       cur_t: dict[str, float],
+                       cur_cal_map: dict[str, float],
+                       ) -> tuple[dict[str, dict], dict[str, dict]]:
+    """(new anchor map, cumulative regressions).
+
+    The anchor map stores, per query, the FROZEN normalized time
+    (``norm``, set the first calibrated round and passed through
+    unchanged — so local bench re-runs cannot random-walk it) and this
+    run's cumulative ratio against it (``cum`` — informational; the
+    telescoped product of the per-round normalized ratios).  Entries
+    with ``cum > ANCHOR_GATE_RATIO`` and a gate-worthy wall time are
+    returned as regressions."""
+    anchor: dict[str, dict] = {}
+    regs: dict[str, dict] = {}
+    for name, t in cur_t.items():
+        cal = cur_cal_map.get(name)
+        if not cal or cal <= 0:
+            continue
+        cur_norm = t / cal
+        base = prev_anchor.get(name) or cur_norm
+        cum = cur_norm / base if base else 1.0
+        anchor[name] = {"norm": round(base, 4), "cum": round(cum, 3)}
+        if cum > ANCHOR_GATE_RATIO and t >= WALL_GATE_MIN_SEC \
+                and base * cal >= WALL_GATE_MIN_SEC:
+            regs[name] = {"cum": round(cum, 3), "anchor_norm": round(base, 4),
+                          "cur_norm": round(cur_norm, 4)}
+    return anchor, regs
 
 
 def load_prev_cal_map(repo_dir: str, sf: float | None = None,
@@ -741,8 +819,16 @@ def main() -> None:
         wregs = wall_regressions(prev_t, prev_cal, timings, cur_cal,
                                  prev_cal_map, cal_by_query)
 
+    # cumulative cross-round anchor (computed AFTER retests so a
+    # contention burst doesn't enter the telescoped product)
+    prev_anchor = load_prev_anchor(repo_dir, sf)
+    wall_anchor, anchor_regs = update_wall_anchor(prev_anchor, timings,
+                                                  cal_by_query)
+
     write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration,
-                       compact_summary, wregs, regressions, cal_by_query)
+                       compact_summary, wregs, regressions, cal_by_query,
+                       wall_anchor, anchor_regs,
+                       {"shuffle": prev_file, "wall": wall_file})
 
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
@@ -771,21 +857,19 @@ def main() -> None:
         "streaming_suite_sec": streaming_sec,
         "split_replay_rows_per_sec": round(best_rate),
         "split_replay_skew_rows_per_sec": round(skew_rate),
-        "shuffle_baseline": prev_file,
         "shuffle_regressions": cap_map(regressions),
-        # probe summary [min, median, max] — the full per-segment list
-        # and the per-query divisor map live in BENCH_METRICS.json
-        # (r9: a probe every PROBE_EVERY entries); tail-recovery takes
-        # min() of this list, which the summary preserves
-        "calibration_sec": [round(min(calibration), 3),
-                            round(sorted(calibration)[len(calibration) // 2],
-                                  3),
-                            round(max(calibration), 3)],
-        "wall_baseline": wall_file,
+        # probe summary [min] — tail-recovery takes min() of this list;
+        # the full per-segment list, the per-query divisor map, the
+        # median/max spread, AND the gate-baseline filenames all live
+        # in BENCH_METRICS.json (r10 moved more off the line: every
+        # field costs tail-capture headroom and r10's new entries
+        # needed the chars)
+        "calibration_sec": [round(min(calibration), 3)],
         "wall_regressions": cap_map(wregs),
-        # loadavg moved to BENCH_METRICS.json (r9): every line field
-        # costs tail-capture headroom and the calibration probes are
-        # the better contention signal anyway
+        # cumulative-anchor gate: count of queries whose calibrated
+        # time exceeds 2x their frozen first-round anchor (full map in
+        # BENCH_METRICS.json "anchor_regressions")
+        "anchor_over": len(anchor_regs),
     }, separators=(",", ":")))
 
 

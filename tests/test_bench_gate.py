@@ -299,3 +299,81 @@ def test_load_prev_cal_map_sf_guarded(tmp_path):
     assert bench.load_prev_cal_map(str(tmp_path), 0.1) == {"q": 0.5}
     assert bench.load_prev_cal_map(str(tmp_path), 0.01) == {}
     assert bench.load_prev_cal_map(str(tmp_path / "nope"), 0.1) == {}
+
+
+# ---- cumulative cross-round wall anchor (VERDICT r9 #3) ----
+
+def _anchor_round(tmp_path, timings, cal_map, sf=0.1):
+    """One simulated bench round: load the committed anchor, update it
+    with this round's calibrated timings, commit the metrics file —
+    exactly the main() sequence."""
+    prev = bench.load_prev_anchor(str(tmp_path), sf)
+    anchor, regs = bench.update_wall_anchor(prev, timings, cal_map)
+    bench.write_metrics_file(str(tmp_path), sf, timings, {}, [0.5],
+                             wall_anchor=anchor, anchor_regs=regs)
+    return anchor, regs
+
+
+def test_anchor_slow_creep_trips_after_three_rounds(tmp_path):
+    """1.3x/round for 3 rounds rides inside the 1.5x per-round gate but
+    compounds to 2.2x: the memoryless per-round gate never fires, the
+    anchor does."""
+    cal = {"q": 0.5}
+    t = 1.0
+    _anchor_round(tmp_path, {"q": t}, cal)  # round 0: anchors at 2.0 norm
+    for rnd in range(1, 4):
+        t *= 1.3
+        # per-round gate stays quiet at exactly 1.3x
+        assert bench.wall_regressions({"q": t / 1.3}, 0.5, {"q": t}, 0.5,
+                                      cal, cal) == {}
+        anchor, regs = _anchor_round(tmp_path, {"q": t}, cal)
+    assert "q" in regs, anchor
+    assert regs["q"]["cum"] > 2.0
+    # the frozen norm never moved
+    assert anchor["q"]["norm"] == 2.0
+
+
+def test_anchor_round_local_noise_does_not_trip(tmp_path):
+    """A contention wobble (1.4x up, then back down) cancels in the
+    telescoped product — no cumulative flag."""
+    cal = {"q": 0.5}
+    for t in (1.0, 1.4, 0.9, 1.1, 1.0):
+        anchor, regs = _anchor_round(tmp_path, {"q": t}, cal)
+        assert regs == {}, (t, regs)
+    assert anchor["q"]["cum"] == 1.0
+
+
+def test_anchor_is_rerun_stable(tmp_path):
+    """Re-running bench on identical timings must NOT compound: the
+    frozen norm passes through unchanged, cum stays put."""
+    cal = {"q": 0.5}
+    for _ in range(5):
+        anchor, regs = _anchor_round(tmp_path, {"q": 1.2}, cal)
+    assert anchor["q"]["norm"] == 2.4 and anchor["q"]["cum"] == 1.0
+    assert regs == {}
+
+
+def test_anchor_normalizes_out_host_speed(tmp_path):
+    """A uniformly 2x-slower host moves t and the probe together — the
+    anchor ratio is host-independent."""
+    _anchor_round(tmp_path, {"q": 1.0}, {"q": 0.5})
+    anchor, regs = _anchor_round(tmp_path, {"q": 2.0}, {"q": 1.0})
+    assert regs == {} and anchor["q"]["cum"] == 1.0
+
+
+def test_anchor_sub_gate_entries_never_flag(tmp_path):
+    """Codegen-compile noise on a 0.1 s query can be 3x without
+    meaning anything — below WALL_GATE_MIN_SEC the anchor tracks but
+    does not flag."""
+    _anchor_round(tmp_path, {"q": 0.05}, {"q": 0.5})
+    anchor, regs = _anchor_round(tmp_path, {"q": 0.2}, {"q": 0.5})
+    assert regs == {}
+    assert anchor["q"]["cum"] == 4.0  # tracked, visible, not gated
+
+
+def test_anchor_sf_guarded(tmp_path):
+    """A local sanity run at another scale must not poison the anchor:
+    the loader rejects a mismatched-sf metrics file."""
+    _anchor_round(tmp_path, {"q": 1.0}, {"q": 0.5}, sf=0.1)
+    assert bench.load_prev_anchor(str(tmp_path), 0.01) == {}
+    assert bench.load_prev_anchor(str(tmp_path), 0.1) == {"q": 2.0}
