@@ -1,0 +1,251 @@
+"""Curation wave 6 (round 10): the post-selection steps of an LLM
+training-data pipeline — packing curated documents into fixed-length
+training sequences (VERDICT r9 #5), chunking long documents with
+overlap and composing chunk-level dedup back to a document survivor
+map (VERDICT r9 #6).
+
+Reference anchor: the reference pipeline stops at per-key parquet
+fan-out (src/Split/parquet-splitter.py:166-168); everything here is
+north-star surface with no reference analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+# ---- sequence packing -------------------------------------------------
+_PACK_CAP = 128     # tokens per training sequence (bin capacity)
+_PACK_BUCKET = 32   # length-bucket width in tokens
+_PACK_SALTS = 4     # parallelism salt inside each length bucket
+
+# ---- chunking ---------------------------------------------------------
+_CHUNK_W = 120      # chars per chunk
+_CHUNK_S = 80       # stride (overlap = W - S = 40 chars)
+_TCHUNK_W = 8       # token-chunk width (dedup composition)
+_TCHUNK_S = 4       # token-chunk stride
+_DUP_FRAC = 0.5     # drop a doc when >= half its chunks are copies
+
+
+@register(
+    "sequence_packing_ffd",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+      SELECT doc_id, toks,
+             toks // {_PACK_BUCKET} AS bucket,
+             doc_id % {_PACK_SALTS} AS salt,
+             row_number() OVER (
+               PARTITION BY toks // {_PACK_BUCKET}, doc_id % {_PACK_SALTS}
+               ORDER BY toks DESC, doc_id) AS rn
+      FROM (SELECT doc_id, len(string_split(text, ' ')) AS toks
+            FROM documents)
+    ), pack AS (
+      SELECT bucket, salt, rn, doc_id, toks,
+             CAST(0 AS BIGINT) AS bin_idx,
+             [{_PACK_CAP} - toks] AS resid
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT bucket, salt, rn, doc_id, toks,
+             CASE WHEN fit = 0 THEN CAST(len(resid) AS BIGINT)
+                  ELSE CAST(fit - 1 AS BIGINT) END AS bin_idx,
+             CASE WHEN fit = 0
+                  THEN list_append(resid, {_PACK_CAP} - toks)
+                  ELSE resid[1:fit-1] || [resid[fit] - toks]
+                       || resid[fit+1:]
+             END AS resid
+      FROM (
+        SELECT s.bucket, s.salt, s.rn, s.doc_id, s.toks, p.resid,
+               list_position(list_transform(p.resid,
+                 r -> r >= s.toks), true) AS fit
+        FROM pack p JOIN seq s
+          ON s.bucket = p.bucket AND s.salt = p.salt AND s.rn = p.rn + 1
+      )
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(salt AS BIGINT) AS salt, bin_idx,
+           CAST(toks AS BIGINT) AS toks
+    FROM pack
+    """,
+    tags=("curation", "packing", "udf"),
+)
+def sequence_packing_ffd(spark, sf_dir):
+    """Pack documents into fixed-capacity training sequences by
+    first-fit-decreasing — the step every LLM pipeline runs after
+    token-budget selection (`token_budget_head_selection`): bin docs
+    into 128-token sequences so padding waste is minimal.
+
+    Deterministic recipe: docs are partitioned into (length-bucket,
+    doc_id-salt) groups; WITHIN each group, items sorted by
+    (toks DESC, doc_id) go to the LOWEST-indexed open bin with enough
+    residual capacity, else open a new bin.  Both engines run the
+    identical greedy (Spark in a per-group pandas loop, DuckDB as a
+    per-group recursive CTE whose per-item step does the same
+    first-fit probe on a residual list), so bin assignments hash-match
+    exactly — pure integer arithmetic, id tie-breaks, no floats.
+
+    Scale (the VERDICT r9 #5 contract — no global sort): packing is a
+    sequential algorithm, so the scalable form SHARDS it — a salted
+    length-bucket repartition bounds every group, per-group FFD state
+    is O(open bins), and bins are group-namespaced (bucket, salt,
+    bin_idx), making the pack embarrassingly parallel.  At 100 TB the
+    salt count scales with corpus/target-group-rows (fixed at
+    4 here for oracle determinism); the only orderings are
+    group-local (inside applyInPandas); the one shuffle is the hash
+    exchange on (bucket, salt).  Cross-group packing quality loss is
+    bounded: every group is length-homogeneous (bucket width
+    32 tokens), which is what makes FFD's 11/9-OPT bound
+    hold per shard.
+
+    Plan pin (tests/test_plans.py): FlatMapGroupsInPandas over a hash
+    exchange; NO rangepartitioning / single-partition exchange.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = (d.select("doc_id",
+                     F.size(F.split("text", " ")).cast("long").alias("toks"))
+            .withColumn("bucket", F.expr(f"toks div {_PACK_BUCKET}"))
+            .withColumn("salt", F.col("doc_id") % _PACK_SALTS))
+
+    def _ffd(pdf):
+        pdf = pdf.sort_values(["toks", "doc_id"],
+                              ascending=[False, True])
+        resid: list[int] = []
+        assigned: list[int] = []
+        for t in pdf["toks"]:
+            t = int(t)
+            for i, r in enumerate(resid):
+                if r >= t:          # first fit: lowest-indexed open bin
+                    resid[i] = r - t
+                    assigned.append(i)
+                    break
+            else:
+                resid.append(_PACK_CAP - t)
+                assigned.append(len(resid) - 1)
+        pdf = pdf.assign(bin_idx=assigned)
+        return pdf[["doc_id", "bucket", "salt", "bin_idx", "toks"]]
+
+    return docs.groupBy("bucket", "salt").applyInPandas(
+        _ffd,
+        schema="doc_id long, bucket long, salt long, bin_idx long, "
+               "toks long")
+
+
+@register(
+    "doc_chunk_fixed_stride",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(s + 1 AS INT), {_CHUNK_W}))
+                AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(s + 1 AS INT), {_CHUNK_W})) AS chunk_md5
+    FROM documents, UNNEST(range(0, n_chars, {_CHUNK_S})) AS u(s)
+    """,
+    tags=("curation", "chunking", "string"),
+)
+def doc_chunk_fixed_stride(spark, sf_dir):
+    """Fixed-window, fixed-stride document chunking with overlap — the
+    unit transform RAG indexing and long-doc pretraining both run
+    before any chunk-level operator: window 120 chars, stride
+    80 (overlap 40), final partial chunk
+    kept.  Emits deterministic chunk spans plus an md5 content
+    fingerprint per chunk.
+
+    Scale: pure map-side — `explode(sequence(...))` fans each doc out
+    to ceil(n_chars/stride) rows with NO shuffle at all; chunk count
+    and text bytes grow by the overlap factor W/S (~1.5x here), the
+    standard chunking overhead.  The md5 is computed once per chunk
+    JVM-side.  100 TB of docs chunk in one embarrassingly parallel
+    scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = F.col("s")
+    chunk = F.substring(F.col("text"), (s + 1).cast("int"), _CHUNK_W)
+    return (d.select(
+        "doc_id", "text",
+        F.explode(F.sequence(
+            F.lit(0).cast("long"), F.col("n_chars") - 1,
+            F.lit(_CHUNK_S).cast("long"))).alias("s"))
+        .select(
+            "doc_id",
+            F.expr(f"s div {_CHUNK_S}").alias("chunk_id"),
+            s.alias("chunk_start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5")))
+
+
+@register(
+    "chunk_dedup_survivor_map",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               tk[CAST(s + 1 AS INT):CAST(s + {_TCHUNK_W} AS INT)],
+               ' ')) AS h
+      FROM t, UNNEST(range(0, len(tk), {_TCHUNK_S})) AS u(s)
+    ), owners AS (
+      SELECT h, MIN(doc_id) AS canon, COUNT(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY h
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN o.nd >= 2 AND c.doc_id <> o.canon
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN o.nd >= 2 AND c.doc_id <> o.canon
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_frac,
+           SUM(CASE WHEN o.nd >= 2 AND c.doc_id <> o.canon
+                    THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= {_DUP_FRAC}
+             AS drop_doc
+    FROM chunks c JOIN owners o USING (h)
+    GROUP BY c.doc_id
+    """,
+    tags=("curation", "dedup", "chunking"),
+)
+def chunk_dedup_survivor_map(spark, sf_dir):
+    """Chunk-level dedup composed back to a DOCUMENT survivor map
+    (VERDICT r9 #6): docs are cut into overlapping token chunks
+    (window 8, stride 4), each chunk fingerprinted,
+    and a chunk counts as a DUPLICATE when its fingerprint occurs in
+    >= 2 distinct docs and this doc is not the canonical (lowest
+    doc_id) owner.  A doc is dropped when >= 50% of its
+    chunks are copies of earlier docs — the chunk-granular analogue of
+    `interdoc_dup_gram_fraction`, and the form that catches partial
+    plagiarism whole-doc minhash misses.
+
+    Scale: the chunk fan-out is map-side; then exactly two key-granular
+    shuffles — the fingerprint groupBy (inverted index: owners table
+    is one row per DISTINCT chunk hash) and the doc_id re-aggregation.
+    The owners join is hash-equi on the fingerprint with NO broadcast
+    hint: the owners side is O(distinct chunks) — corpus-sized — so
+    AQE/the size threshold must decide (the r9 drop-set lesson).
+    Survivorship is decided per doc from its own chunk counters; no
+    pair materialization, nothing quadratic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    chunks = (d.select("doc_id", tk.alias("tk"))
+              .select("doc_id", F.explode(F.sequence(
+                  F.lit(0), F.size("tk") - 1,
+                  F.lit(_TCHUNK_S))).alias("s"), "tk")
+              .select("doc_id",
+                      F.md5(F.array_join(
+                          F.slice("tk", F.col("s") + 1, _TCHUNK_W),
+                          " ")).alias("h")))
+    owners = chunks.groupBy("h").agg(
+        F.min("doc_id").alias("canon"),
+        F.count_distinct("doc_id").alias("nd"))
+    dup = F.when((F.col("nd") >= 2) & (F.col("doc_id") != F.col("canon")),
+                 1).otherwise(0)
+    return (chunks.join(owners, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_chunks"),
+                 F.sum(dup).cast("long").alias("n_dup_chunks"))
+            .select("doc_id", "n_chunks", "n_dup_chunks",
+                    F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4)
+                    .alias("dup_frac"),
+                    (F.col("n_dup_chunks") / F.col("n_chunks")
+                     >= _DUP_FRAC).alias("drop_doc")))

@@ -55,7 +55,39 @@ FAMILIES = OrderedDict([
     ("curation4_q", "Curation wave 4 (SemDeDup cluster-prune, inter-doc duplicate-gram fraction, blocked entity resolution)"),
     ("curation5_q", "Curation wave 5 (exact-substring span dedup)"),
     ("similarity3_q", "ANN wave 3 (multi-probe IVF, hard-negative mining)"),
+    ("curation6_q", "Curation wave 6 (FFD sequence packing, overlap chunking, chunk-dedup survivor map)"),
 ])
+
+
+def graded_rounds(repo_dir="/root/repo"):
+    """name -> round of the LATEST green driver CORRECTNESS row
+    (VERDICT r9 #8: make the grade ledger visible so the staleness
+    rotation's effect can be read off QUERIES.md)."""
+    import glob
+    import json
+    import os
+    import re
+
+    def rnd(p):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_dir,
+                                              "CORRECTNESS_r*.json")),
+                       key=rnd):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and (
+                    row.get("hash_match") is True
+                    or (row.get("err") == "no_oracle"
+                        and row.get("spark_rows") is not None)):
+                green[name] = rnd(path)
+    return green
 
 
 def main():
@@ -88,12 +120,17 @@ def main():
 | O20 entry point | `__main__.main` CLI | CLI subprocess test |
 
 """
+    graded = graded_rounds()
     out = ["# QUERIES — declared operator inventory",
            "",
            f"{len(reg)} declared queries; "
            f"{sum(1 for s in reg.values() if s.oracle)} with full DuckDB oracles, "
            f"{sum(1 for s in reg.values() if not s.oracle)} rows-only "
            "(sketches / append-mode streams — estimates or intentionally partial output).",
+           "",
+           "`graded` = round of the latest green driver CORRECTNESS row "
+           "(— = not yet driver-graded; the rotation fronts those, then "
+           "stalest-graded first).",
            "",
            "Every entry is runnable via `__spark_entry__.queries()[name](spark, sf_dir)`;",
            "checkable via `python scripts/check_queries.py <sf_dir> <name>`.",
@@ -107,11 +144,13 @@ def main():
             continue
         out.append(f"## {title}")
         out.append("")
-        out.append("| query | oracle | summary |")
-        out.append("|---|---|---|")
+        out.append("| query | oracle | graded | summary |")
+        out.append("|---|---|---|---|")
         for s in sorted(specs, key=lambda x: x.name):
             doc = (s.fn.__doc__ or "").strip().split("\n")[0].strip()
-            out.append(f"| `{s.name}` | {'✓' if s.oracle else 'rows-only'} | {doc} |")
+            g = graded.get(s.name)
+            out.append(f"| `{s.name}` | {'✓' if s.oracle else 'rows-only'} | "
+                       f"{'r%d' % g if g else '—'} | {doc} |")
         out.append("")
     with open("/root/repo/QUERIES.md", "w") as f:
         f.write("\n".join(out))

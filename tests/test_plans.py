@@ -1057,3 +1057,39 @@ def test_shard_skew_sixteen_groups_one_fold(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "shard_load_skew")
     assert "Join" not in plan
     assert "partial_sum" in plan
+
+
+def test_sequence_packing_no_global_sort(spark, sf_dir):
+    """sequence_packing_ffd (VERDICT r9 #5): the pack is sharded by
+    (length-bucket, salt) — one hash exchange feeding the per-group
+    pandas FFD, and NO global sort / single-partition collapse
+    anywhere (the naive form would orderBy(toks) the whole corpus)."""
+    plan = plan_of(spark, sf_dir, "sequence_packing_ffd")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange hashpartitioning(bucket" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_doc_chunking_is_map_side_only(spark, sf_dir):
+    """doc_chunk_fixed_stride: explode(sequence(...)) + md5 is a pure
+    map-side fan-out — zero exchanges in the whole plan."""
+    plan = plan_of(spark, sf_dir, "doc_chunk_fixed_stride")
+    assert "Generate explode" in plan
+    assert "Exchange" not in plan
+
+
+def test_chunk_dedup_no_broadcast_of_owner_index(spark, sf_dir):
+    """chunk_dedup_survivor_map: the owners side is O(distinct chunk
+    hashes) — corpus-sized — so there must be NO broadcast HINT on it
+    (at fixture scale AQE may still pick broadcast via the size
+    threshold; the pin is that the logical plan carries no hint and
+    the pair join is hash-equi on the fingerprint)."""
+    from glue_parquet_splitter_spark.queries import curation6_q
+    import inspect
+
+    src = inspect.getsource(curation6_q.chunk_dedup_survivor_map)
+    assert "F.broadcast(" not in src and ".hint(" not in src
+    plan = plan_of(spark, sf_dir, "chunk_dedup_survivor_map")
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
