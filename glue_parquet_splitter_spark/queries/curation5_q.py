@@ -699,10 +699,10 @@ def stratified_kfold_assign(spark, sf_dir):
                      .alias("seg_share")))
 
 
-@register(
-    "curation_funnel_v2",
-    oracle=f"""
-    WITH toks AS (
+# the funnel's SIGNAL CTEs (winnowing dup pairs, bigram-LM NLL + p95,
+# per-source quality percentile), shared verbatim by the v2 oracle and
+# the v3 oracle in curation6_q (which appends a classifier gate)
+FUNNEL_SIGNAL_CTES = f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), grams AS (
       SELECT doc_id, i AS pos,
@@ -755,7 +755,13 @@ def stratified_kfold_assign(spark, sf_dir):
       SELECT doc_id, source,
              ROUND(CAST(rn - 1 AS DOUBLE) / (n - 1), 6) AS pct
       FROM qscore
-    ), funnel AS (
+    )"""
+
+
+@register(
+    "curation_funnel_v2",
+    oracle=f"""
+    WITH {FUNNEL_SIGNAL_CTES}, funnel AS (
       SELECT p.doc_id, p.source, p.pct,
              (d.doc_id IS NULL) AS pass_dedup,
              (n.n_bigrams IS NULL OR n.n_bigrams < 5

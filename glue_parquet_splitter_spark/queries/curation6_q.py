@@ -249,3 +249,241 @@ def chunk_dedup_survivor_map(spark, sf_dir):
                     .alias("dup_frac"),
                     (F.col("n_dup_chunks") / F.col("n_chunks")
                      >= _DUP_FRAC).alias("drop_doc")))
+
+
+# ---- hash-n-gram linear classifier (fastText-style) -------------------
+from .curation4_q import hex_hash_expr  # noqa: E402
+
+_CLF_D = 512          # hashing-trick feature buckets
+_CLF_SCALE = 1_000_000  # micro-unit weight quantization (int math)
+
+# identical SQL on both engines: hashed feature id of a gram string g
+_CLF_H = f"(({hex_hash_expr('g', 5)}) % {_CLF_D})"
+
+
+def _clf_sql_ctes() -> str:
+    """The classifier pipeline as engine-portable SQL CTEs ending in
+    ``clf(doc_id, is_en, score_int, pred_en)`` — shared verbatim by the
+    classifier query's oracle and the funnel-v3 oracle."""
+    return f"""
+    ctoks AS (
+      SELECT doc_id, lang = 'en' AS is_en, string_split(text, ' ') AS t
+      FROM documents
+    ), cgrams AS (
+      SELECT doc_id, UNNEST(t) AS g FROM ctoks
+      UNION ALL
+      SELECT doc_id, t[i] || '_' || t[i+1] AS g
+      FROM ctoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+    ), cfeat AS (
+      SELECT doc_id, {_CLF_H} AS h, COUNT(*) AS cnt
+      FROM cgrams GROUP BY doc_id, {_CLF_H}
+    ), clab AS (
+      SELECT f.doc_id, f.h, f.cnt, d.is_en
+      FROM cfeat f JOIN ctoks d ON d.doc_id = f.doc_id
+    ), ccnt AS (
+      SELECT h,
+             SUM(CASE WHEN is_en THEN cnt ELSE 0 END) AS pos_h,
+             SUM(CASE WHEN is_en THEN 0 ELSE cnt END) AS neg_h
+      FROM clab GROUP BY h
+    ), ctot AS (
+      SELECT SUM(pos_h) AS pos_tot, SUM(neg_h) AS neg_tot FROM ccnt
+    ), cw AS (
+      SELECT h,
+             CAST(ROUND((ln(CAST(pos_h + 1 AS DOUBLE)
+                            / (pos_tot + {_CLF_D}))
+                         - ln(CAST(neg_h + 1 AS DOUBLE)
+                              / (neg_tot + {_CLF_D})))
+                        * {_CLF_SCALE}) AS BIGINT) AS w_int
+      FROM ccnt CROSS JOIN ctot
+    ), cbias AS (
+      SELECT CAST(ROUND(ln(CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END)
+                                AS DOUBLE)
+                           / SUM(CASE WHEN is_en THEN 0 ELSE 1 END))
+                        * {_CLF_SCALE}) AS BIGINT) AS b_int
+      FROM ctoks
+    ), clf AS (
+      SELECT l.doc_id, MIN(l.is_en) AS is_en,
+             SUM(l.cnt * w.w_int) + MIN(cbias.b_int) AS score_int,
+             SUM(l.cnt * w.w_int) + MIN(cbias.b_int) > 0 AS pred_en
+      FROM clab l JOIN cw w USING (h) CROSS JOIN cbias
+      GROUP BY l.doc_id
+    )"""
+
+
+def _clf_scores(spark, sf_dir):
+    """(doc_id, is_en, score_int, pred_en) — the Spark twin of
+    ``_clf_sql_ctes``, shared by the classifier query and funnel v3."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", (F.col("lang") == "en").alias("is_en"),
+                    F.split("text", " ").alias("t"))
+    uni = docs.select("doc_id", F.explode("t").alias("g"))
+    big = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> concat(a, '_', b))")).alias("g"))
+    feats = (uni.unionByName(big)
+             .select("doc_id", F.expr(_CLF_H).alias("h"))
+             .groupBy("doc_id", "h").agg(F.count("*").alias("cnt")))
+    lab = feats.join(docs.select("doc_id", "is_en"), "doc_id")
+    ccnt = lab.groupBy("h").agg(
+        F.sum(F.when(F.col("is_en"), F.col("cnt")).otherwise(0))
+         .alias("pos_h"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(F.col("cnt")))
+         .alias("neg_h"))
+    ctot = ccnt.agg(F.sum("pos_h").alias("pos_tot"),
+                    F.sum("neg_h").alias("neg_tot"))
+    w = (ccnt.crossJoin(F.broadcast(ctot))  # bounded: 1-row global totals
+         .select("h", F.round(
+             (F.log((F.col("pos_h") + 1).cast("double")
+                    / (F.col("pos_tot") + _CLF_D))
+              - F.log((F.col("neg_h") + 1).cast("double")
+                      / (F.col("neg_tot") + _CLF_D)))
+             * _CLF_SCALE).cast("long").alias("w_int")))
+    bias = docs.agg(F.round(
+        F.log(F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("double")
+              / F.sum(F.when(F.col("is_en"), 0).otherwise(1)))
+        * _CLF_SCALE).cast("long").alias("b_int"))
+    # bounded: weight table has at most D=512 hash-bucket rows
+    return (lab.join(F.broadcast(w), "h")
+            .crossJoin(F.broadcast(bias))  # bounded: 1-row bias scalar
+            .groupBy("doc_id")
+            .agg(F.min("is_en").alias("is_en"),
+                 (F.sum(F.col("cnt") * F.col("w_int")) + F.min("b_int"))
+                 .alias("score_int"))
+            .select("doc_id", "is_en", "score_int",
+                    (F.col("score_int") > 0).alias("pred_en")))
+
+
+@register(
+    "hashgram_classifier_score",
+    oracle=f"""
+    WITH {_clf_sql_ctes()}
+    SELECT doc_id, is_en, pred_en,
+           ROUND(score_int / {_CLF_SCALE}.0, 6) AS score
+    FROM clf
+    """,
+    tags=("curation", "quality", "classifier"),
+)
+def hashgram_classifier_score(spark, sf_dir):
+    """fastText-style linear classifier INFERENCE over hashed n-gram
+    features (VERDICT r9 #7) — the "quality classifier" stage of
+    production curation funnels (CCNet / GPT-3 style): every doc's
+    unigrams + adjacent bigrams are hashed into 512 buckets
+    (hashing trick, md5-arithmetic so both engines agree), dotted
+    against a weight table, plus a class-prior bias.  The weights are
+    SELF-TRAINED from the corpus for determinism — per-bucket
+    multinomial naive-Bayes log-odds of the `lang = 'en'` label (the
+    stand-in for "looks like target-domain text"); the mechanics
+    (hashed features, linear weights, map-side dot product) are
+    exactly the production classifier's.
+
+    Scale: featurization is map-side; training is TWO bucket-granular
+    aggregations (one keyed on at most D=512 buckets, one global
+    total); inference is a broadcast join of the <= 512-row weight
+    table against per-doc feature counts and a partial-aggregable
+    integer dot product.  Nothing is corpus x corpus; the weight
+    table is CONSTANT-bounded (D), the strongest broadcast proof.
+
+    Determinism: weights are quantized to integer micro-units
+    (ROUND(ln-odds * 1e6)) so the per-doc score is an INTEGER sum —
+    accumulation-order-free — and the float division/round happens
+    once per doc at the end.  Ties: pred is score_int > 0 (exact
+    integer compare).
+    """
+    return (_clf_scores(spark, sf_dir)
+            .select("doc_id", "is_en", "pred_en",
+                    F.round(F.col("score_int") / _CLF_SCALE, 6)
+                    .alias("score")))
+
+
+from .curation5_q import FUNNEL_SIGNAL_CTES, winnowing_fingerprints  # noqa: E402
+
+
+@register(
+    "curation_funnel_v3",
+    oracle=f"""
+    WITH {FUNNEL_SIGNAL_CTES}, {_clf_sql_ctes()}, funnel AS (
+      SELECT p.doc_id, p.source, p.pct,
+             (d.doc_id IS NULL) AS pass_dedup,
+             (n.n_bigrams IS NULL OR n.n_bigrams < 5
+              OR n.avg_nll <= p95.p) AS pass_ppl,
+             COALESCE(c.pred_en, false) AS pass_clf
+      FROM pct p
+      LEFT JOIN dup_drop d ON d.doc_id = p.doc_id
+      LEFT JOIN nll n ON n.doc_id = p.doc_id
+      LEFT JOIN clf c ON c.doc_id = p.doc_id
+      CROSS JOIN p95
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup) AS BIGINT)
+             AS n_after_dedup,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl) AS BIGINT)
+             AS n_after_ppl,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl
+                                   AND pass_clf) AS BIGINT)
+             AS n_after_clf,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl
+                                   AND pass_clf AND pct >= 0.4) AS BIGINT)
+             AS n_after_quality
+    FROM funnel GROUP BY source
+    """,
+    tags=("curation", "pipeline", "dedup", "quality", "classifier"),
+)
+def curation_funnel_v3(spark, sf_dir):
+    """The v2 funnel plus the production stage it was missing
+    (VERDICT r9 #7): a hashed-n-gram linear CLASSIFIER gate between
+    the perplexity filter and the quality percentile — the CCNet /
+    GPT-3 pipeline shape (dedup -> LM filter -> classifier ->
+    per-source selection).  Stage order and per-source survival
+    counts at each of the four gates are the audit table.
+
+    Scale: inherits v2's contract — every signal computed ONCE
+    (winnowing windows, vocab-granular LM counts, <= 512-row
+    classifier weights, per-source ranks), gates composed as
+    doc_id-keyed left joins, no broadcast hint on the O(N dup_rate)
+    drop set, and one partial-aggregable rollup at the end.  The
+    classifier gate adds one broadcast join (weights are
+    D-bounded) and an integer dot product — map-side against the
+    feature counts.
+
+    Determinism: each component's rules (packed-argmin fingerprints,
+    rounded NLL, integer micro-unit weights, rank percentiles).
+    """
+    from .quality_q import doc_avg_nll, score_percentile_by_source
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "source")
+    dup_drop = (winnowing_fingerprints(spark, sf_dir)
+                .select(F.col("doc_b").alias("doc_id")).distinct()
+                .withColumn("_dup", F.lit(1)))
+    nll = doc_avg_nll(spark, sf_dir)
+    p95 = (nll.filter(F.col("n_bigrams") >= 5)
+           .agg(F.percentile("avg_nll", 0.95).alias("p")))
+    pct = score_percentile_by_source(spark, sf_dir).select("doc_id", "pct")
+    clf = _clf_scores(spark, sf_dir).select("doc_id", "pred_en")
+    funnel = (raw
+              .join(dup_drop, "doc_id", "left")
+              .join(nll, "doc_id", "left")
+              .join(clf, "doc_id", "left")
+              .join(pct, "doc_id")
+              .crossJoin(F.broadcast(p95))  # bounded: 1-row threshold
+              .select("source", "pct",
+                      F.col("_dup").isNull().alias("pass_dedup"),
+                      (F.col("n_bigrams").isNull()
+                       | (F.col("n_bigrams") < 5)
+                       | (F.col("avg_nll") <= F.col("p")))
+                      .alias("pass_ppl"),
+                      F.coalesce(F.col("pred_en"), F.lit(False))
+                      .alias("pass_clf")))
+    return funnel.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.count_if(F.col("pass_dedup")).alias("n_after_dedup"),
+        F.count_if(F.col("pass_dedup") & F.col("pass_ppl"))
+         .alias("n_after_ppl"),
+        F.count_if(F.col("pass_dedup") & F.col("pass_ppl")
+                   & F.col("pass_clf")).alias("n_after_clf"),
+        F.count_if(F.col("pass_dedup") & F.col("pass_ppl")
+                   & F.col("pass_clf") & (F.col("pct") >= 0.4))
+         .alias("n_after_quality"))

@@ -1093,3 +1093,29 @@ def test_chunk_dedup_no_broadcast_of_owner_index(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "chunk_dedup_survivor_map")
     assert "Exchange rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_hashgram_classifier_weight_broadcast(spark, sf_dir):
+    """hashgram_classifier_score (VERDICT r9 #7): the weight table is
+    D=512-bucket-bounded, so inference must be a broadcast join (no
+    shuffle of the corpus-side feature counts against the weights) and
+    the dot product a partial-aggregable integer sum."""
+    plan = plan_of(spark, sf_dir, "hashgram_classifier_score")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan or "partial_min" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_funnel_v3_no_drop_set_broadcast(spark, sf_dir):
+    """curation_funnel_v3 inherits the r9 contract: no broadcast HINT
+    on the O(N dup_rate) winnowing drop set; gates compose as
+    doc_id-keyed joins (no cartesian anywhere but the 1-row p95)."""
+    from glue_parquet_splitter_spark.queries import curation6_q
+    import inspect
+
+    src = inspect.getsource(curation6_q.curation_funnel_v3)
+    # the only F.broadcast sites are the 1-row p95 threshold scalar
+    # (the drop set, clf scores, and nll signals are join-key sides)
+    assert src.count("F.broadcast(") == 1
+    plan = plan_of(spark, sf_dir, "curation_funnel_v3")
+    assert "Exchange rangepartitioning" not in plan
