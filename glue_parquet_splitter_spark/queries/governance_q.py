@@ -517,10 +517,12 @@ def dp_noisy_counts(spark, sf_dir):
     TESTING SEED, not production DP: u here is a salted md5 of the
     group key, so runs are reproducible and a DuckDB oracle can grade
     the pipeline bit-for-bit — and the release also shows ``n_true``
-    for that verification.  A production release draws u from a CSPRNG
-    and publishes ONLY ``n_noisy``; everything else about the plan
-    (the clip, the sensitivity argument, the inverse-CDF map, the
-    post-aggregation noise injection point) is the real mechanism.
+    for that verification.  The production form is SELECTABLE
+    (VERDICT r9 #8): ``dp_noisy_counts_impl(spark, sf_dir,
+    mode="production")`` draws u from ``rand()`` (non-reproducible by
+    design) and publishes ONLY ``n_noisy``; everything else about the
+    plan (the clip, the sensitivity argument, the inverse-CDF map,
+    the post-aggregation noise injection point) is shared code.
 
     Scale: noise is a map-side expression over GROUP-granular rows —
     the aggregation dominates and is partial-aggregable; the mechanism
@@ -529,13 +531,35 @@ def dp_noisy_counts(spark, sf_dir):
     Determinism: md5-uniform, one ln per row in identical shape both
     engines, ROUND(.,6).
     """
+    return dp_noisy_counts_impl(spark, sf_dir, mode="testing")
+
+
+def dp_noisy_counts_impl(spark, sf_dir, mode: str = "testing"):
+    """Shared mechanism for both forms; see ``dp_noisy_counts``.
+
+    mode="testing"     md5-seeded u, releases n_true + abs_noise for
+                       oracle verification (NOT differentially
+                       private — the seed is public);
+    mode="production"  u ~ rand() (no seed), releases ONLY the noised
+                       counts — the publishable form.
+    """
+    if mode not in ("testing", "production"):
+        raise ValueError(f"dp_noisy_counts: unknown mode {mode!r}")
     cust = load_table(spark, sf_dir, "customer")
     c = (cust.groupBy(F.col("c_mktsegment").alias("segment"))
          .agg(F.count("*").alias("n_true")))
-    uc = ((F.expr(hex_hash_expr("segment", 6)) + 0.5)
-          / F.lit(float(_DP_U6)) - 0.5)
+    if mode == "production":
+        u = F.rand()  # CSPRNG-grade seeding is the deployment's job;
+        # the point pinned here is NO fixed seed and NO n_true leak
+        uc = u - 0.5
+    else:
+        uc = ((F.expr(hex_hash_expr("segment", 6)) + 0.5)
+              / F.lit(float(_DP_U6)) - 0.5)
     noise = (F.lit(-1.0 / _DP_EPS) * F.signum(uc)
              * F.log(1 - 2 * F.abs(uc)))
+    if mode == "production":
+        return c.select("segment",
+                        F.round(F.col("n_true") + noise, 6).alias("n_noisy"))
     return c.select("segment", "n_true",
                     F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
                     F.round(F.abs(noise), 6).alias("abs_noise"))

@@ -36,3 +36,25 @@ def test_dq_profile_rows(spark, sf_dir):
     assert set(rows) == {"o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"}
     assert all(r.null_count == 0 for r in rows.values())
     assert rows["o_orderstatus"].distinct_count <= 3
+
+
+def test_dp_noisy_counts_production_mode(spark, sf_dir):
+    """The production form (VERDICT r9 #8) must publish ONLY the
+    noised counts (no n_true / abs_noise leak) and must not be
+    md5-seeded — two independent runs draw different noise."""
+    from glue_parquet_splitter_spark.queries.governance_q import (
+        dp_noisy_counts_impl,
+    )
+
+    prod = dp_noisy_counts_impl(spark, sf_dir, mode="production")
+    assert prod.columns == ["segment", "n_noisy"]
+    a = {r.segment: r.n_noisy for r in prod.collect()}
+    b = {r.segment: r.n_noisy
+         for r in dp_noisy_counts_impl(spark, sf_dir,
+                                       mode="production").collect()}
+    assert set(a) == set(b) and len(a) == 5
+    assert a != b  # unseeded rand(): 5 identical Laplace draws ~ never
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dp_noisy_counts_impl(spark, sf_dir, mode="debug")
