@@ -118,6 +118,12 @@ BENCH_QUERIES = [
     # against an O(corpus) unbroadcastable index side
     "knn_graph_lsh",
     "dedup_incremental_index",
+    # round-10 breadth: the sharded FFD pack (pandas-group cost shape
+    # worth tracking as data grows) and the four-gate funnel (the
+    # round's widest composed plan: winnowing + LM + classifier +
+    # percentile signals joined on doc_id)
+    "sequence_packing_ffd",
+    "curation_funnel_v3",
 ]
 
 

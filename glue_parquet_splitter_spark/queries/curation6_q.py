@@ -93,19 +93,34 @@ def sequence_packing_ffd(spark, sf_dir):
     salt count scales with corpus/target-group-rows (fixed at
     4 here for oracle determinism); the only orderings are
     group-local (inside applyInPandas); the one shuffle is the hash
-    exchange on (bucket, salt).  Cross-group packing quality loss is
-    bounded: every group is length-homogeneous (bucket width
-    32 tokens), which is what makes FFD's 11/9-OPT bound
-    hold per shard.
+    exchange on (bucket, salt).  The sharding's measured tradeoff
+    (tests/test_scale_smoke.py, 1M docs / 256 salts): the small-length
+    bucket packs >90% fill, but a length-HOMOGENEOUS bucket whose
+    lengths sit in (cap/2, cap] holds one doc per bin (~62% there,
+    ~74% overall) — a production pack that needs those bins full
+    routes the mid-length bucket's leftovers through a second
+    small-doc backfill pass; the fill accounting here is the audit
+    that decides it.
 
     Plan pin (tests/test_plans.py): FlatMapGroupsInPandas over a hash
     exchange; NO rangepartitioning / single-partition exchange.
     """
     d = load_table(spark, sf_dir, "documents")
-    docs = (d.select("doc_id",
-                     F.size(F.split("text", " ")).cast("long").alias("toks"))
-            .withColumn("bucket", F.expr(f"toks div {_PACK_BUCKET}"))
-            .withColumn("salt", F.col("doc_id") % _PACK_SALTS))
+    docs = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks"))
+    return ffd_pack(docs)
+
+
+def ffd_pack(docs, cap: int = _PACK_CAP, bucket_w: int = _PACK_BUCKET,
+             salts: int = _PACK_SALTS):
+    """The sharded FFD operator behind ``sequence_packing_ffd``:
+    ``docs(doc_id, toks)`` → per-doc bin assignment, grouped by
+    (length bucket, doc_id salt).  ``salts`` is the scale knob — pick
+    it so corpus_rows / (n_buckets * salts) fits a pandas group (the
+    1M-doc smoke in tests/test_scale_smoke.py runs salts=256)."""
+    docs = (docs
+            .withColumn("bucket", F.expr(f"toks div {bucket_w}"))
+            .withColumn("salt", F.col("doc_id") % salts))
 
     def _ffd(pdf):
         pdf = pdf.sort_values(["toks", "doc_id"],
@@ -120,7 +135,7 @@ def sequence_packing_ffd(spark, sf_dir):
                     assigned.append(i)
                     break
             else:
-                resid.append(_PACK_CAP - t)
+                resid.append(cap - t)
                 assigned.append(len(resid) - 1)
         pdf = pdf.assign(bin_idx=assigned)
         return pdf[["doc_id", "bucket", "salt", "bin_idx", "toks"]]

@@ -570,3 +570,55 @@ def test_knn_graph_100k_vectors_bits_scale(spark):
     # all vectors with at least one bucket-mate appear
     assert row.mx == 3
     assert row.n_nodes > n * 0.99, row
+
+
+def test_sequence_packing_1m_docs_salted(spark):
+    """``sequence_packing_ffd``'s scale claim made measurable
+    (VERDICT r9 #5): FFD is sequential, so the scalable form SHARDS it
+    — at 1M docs the salt knob (256 here vs the fixture's 4) bounds
+    every pandas group to ~corpus/(buckets*salts) rows, the pack runs
+    as ~1k independent group tasks behind ONE hash exchange, and the
+    capacity invariant holds in every bin."""
+    from glue_parquet_splitter_spark.plans import physical_plan
+    from glue_parquet_splitter_spark.queries.curation6_q import ffd_pack
+
+    n, salts, cap = 1_000_000, 256, 128
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # deterministic token lengths 5..99 (the fixture's range)
+        (F.col("id") * 2654435761 % 95 + 5).cast("long").alias("toks"))
+    packed = ffd_pack(docs, cap=cap, salts=salts)
+
+    bins = packed.groupBy("bucket", "salt", "bin_idx").agg(
+        F.sum("toks").alias("fill"), F.count("*").alias("n_docs"))
+    stats = bins.agg(
+        F.max("fill").alias("max_fill"),
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_assigned")).collect()[0]
+    # capacity invariant: NO bin exceeds cap; every doc assigned once
+    assert stats.max_fill <= cap
+    assert stats.n_assigned == n
+    # the salting claim: the largest group the pandas FFD ever sees is
+    # ~n/(buckets*salts); 3x headroom over the mean catches a broken
+    # salt silently funneling a bucket into one task
+    grp = (docs.withColumn("bucket", F.expr("toks div 32"))
+           .withColumn("salt", F.col("doc_id") % salts)
+           .groupBy("bucket", "salt").count()
+           .agg(F.max("count").alias("mx")).collect()[0])
+    n_groups = 4 * salts
+    assert grp.mx < 3 * n / n_groups, grp.mx
+    # packing efficiency — and the tradeoff the sharding makes,
+    # measured: homogeneous length buckets cap the fill of the
+    # (cap/2, cap) bucket at one doc per bin (toks 64..95 -> ~62%),
+    # while the small-length bucket packs near-perfectly.  Assert both
+    # ends: bucket 0 (toks 5..31) > 90% mean fill, overall > 70%.
+    per_bucket = {r.bucket: r.mf for r in
+                  bins.groupBy("bucket")
+                  .agg(F.avg("fill").alias("mf")).collect()}
+    assert per_bucket[0] > 0.9 * cap, per_bucket
+    mean_fill = bins.agg(F.avg("fill")).collect()[0][0]
+    assert mean_fill > 0.70 * cap, mean_fill
+    plan = physical_plan(packed)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
