@@ -1119,3 +1119,14 @@ def test_funnel_v3_no_drop_set_broadcast(spark, sf_dir):
     assert src.count("F.broadcast(") == 1
     plan = plan_of(spark, sf_dir, "curation_funnel_v3")
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_backfill_packing_single_salt_exchange(spark, sf_dir):
+    """sequence_packing_backfill: anchors and smalls of a shard pack
+    in ONE pandas group — a single hash exchange on the salt, no
+    global sort, no second shuffle to marry the two classes."""
+    plan = plan_of(spark, sf_dir, "sequence_packing_backfill")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
