@@ -377,3 +377,23 @@ def test_anchor_sf_guarded(tmp_path):
     _anchor_round(tmp_path, {"q": 1.0}, {"q": 0.5}, sf=0.1)
     assert bench.load_prev_anchor(str(tmp_path), 0.01) == {}
     assert bench.load_prev_anchor(str(tmp_path), 0.1) == {"q": 2.0}
+
+
+def test_anchor_armed_against_committed_baseline():
+    """The committed BENCH_METRICS.json must carry a seeded wall_anchor
+    map (r10+) covering every committed bench entry, and replaying the
+    committed timings against it must flag nothing — proof the anchor
+    is ARMED for the next canonical run, not just unit-tested."""
+    import json
+
+    with open("/root/repo/BENCH_METRICS.json") as f:
+        mdoc = json.load(f)
+    prev = bench.load_prev_anchor("/root/repo", mdoc["sf"])
+    assert prev, "wall_anchor missing from committed BENCH_METRICS.json"
+    cal = {k: float(v) for k, v in mdoc["cal_by_query"].items()}
+    timings = {k: float(v) for k, v in mdoc["queries"].items()}
+    assert set(prev) == set(k for k in timings if k in cal)
+    anchor, regs = bench.update_wall_anchor(prev, timings, cal)
+    assert regs == {}, regs
+    for v in anchor.values():
+        assert abs(v["cum"] - 1.0) < 1e-6
