@@ -623,3 +623,103 @@ def sequence_packing_backfill(spark, sf_dir):
         _backfill,
         schema="doc_id long, salt long, bin_idx long, toks long, "
                "backfilled boolean")
+
+
+@register(
+    "text_clean_normalize",
+    oracle=r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             regexp_replace(text, '(\w+ \w+ \w+) ',
+                            '\1' || chr(9) || ' ', 'g') || '  ' AS raw
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id, raw,
+             trim(regexp_replace(
+               regexp_replace(raw, '[\t\r\n]', ' ', 'g'),
+               ' +', ' ', 'g')) AS clean
+      FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS chars_raw,
+           CAST(length(clean) AS BIGINT) AS chars_clean,
+           CAST(length(raw) - length(clean) AS BIGINT) AS n_removed,
+           md5(clean) AS clean_md5,
+           trim(regexp_replace(
+             regexp_replace(clean, '[\t\r\n]', ' ', 'g'),
+             ' +', ' ', 'g')) = clean AS idempotent
+    FROM cleaned
+    """,
+    tags=("curation", "text", "string"),
+)
+def text_clean_normalize(spark, sf_dir):
+    """Text cleaning/normalization — the first transform every raw
+    crawl passes through before ANY quality/dedup signal is computed:
+    control-whitespace (tab/CR/LF) to space, runs of spaces collapsed,
+    edges trimmed.  The fixture corpus is already clean, so the query
+    plants deterministic dirt first (a tab after every third word, a
+    trailing double space — the same regexp on both engines) and then
+    cleans it, reporting per-doc before/after char counts, the cleaned
+    content fingerprint, and an IDEMPOTENCE bit (clean(clean(x)) ==
+    clean(x)) — the property that makes the stage safe to re-run on
+    partially-processed shards.
+
+    Scale: pure map-side (two regexp passes + trim per doc, zero
+    shuffle) — the same embarrassingly-parallel contract as chunking.
+    Engine notes: backreference is $1 in Spark (Java regex) vs \\1 in
+    DuckDB (RE2); replace-all is Spark's default vs DuckDB's 'g' flag
+    — the semantics agree on ASCII word runs, which the md5 fingerprint
+    verifies end-to-end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.regexp_replace("text", r"(\w+ \w+ \w+) ", "$1\t "),
+        F.lit("  "))
+
+    def clean_once(c):
+        return F.trim(F.regexp_replace(
+            F.regexp_replace(c, "[\\t\\r\\n]", " "), " +", " "))
+
+    dirty = d.select("doc_id", raw.alias("raw"))
+    cleaned = dirty.select("doc_id", "raw",
+                           clean_once(F.col("raw")).alias("clean"))
+    return cleaned.select(
+        "doc_id",
+        F.length("raw").cast("long").alias("chars_raw"),
+        F.length("clean").cast("long").alias("chars_clean"),
+        (F.length("raw") - F.length("clean")).cast("long")
+        .alias("n_removed"),
+        F.md5("clean").alias("clean_md5"),
+        (clean_once(F.col("clean")) == F.col("clean")).alias("idempotent"))
+
+
+@register(
+    "streaming_chunk_index",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(length(substr(text, CAST(s + 1 AS INT), {_CHUNK_W}))
+                AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(s + 1 AS INT), {_CHUNK_W})) AS chunk_md5
+    FROM documents, UNNEST(range(0, n_chars, {_CHUNK_S})) AS u(s)
+    """,
+    tags=("streaming", "curation", "chunking"),
+)
+def streaming_chunk_index(spark, sf_dir):
+    """`doc_chunk_fixed_stride` running AT INGEST as real Structured
+    Streaming (file source -> stateless chunk fan-out -> append memory
+    sink, availableNow drain) — the RAG chunk index built the moment
+    documents land rather than by a nightly batch.  Because the
+    transform is stateless there is no watermark restriction: the
+    streamed output must equal the batch chunking ROW FOR ROW, which
+    is exactly what the (batch) oracle grades — the strongest
+    stream==batch parity cell in the matrix.  See
+    :func:`..streaming.windows.run_chunk_index_stream` for the
+    exactly-once argument (file-source checkpoint).
+    """
+    from ..streaming.windows import run_chunk_index_stream
+
+    return run_chunk_index_stream(
+        spark, f"{sf_dir}/documents.parquet",
+        width=_CHUNK_W, stride=_CHUNK_S)

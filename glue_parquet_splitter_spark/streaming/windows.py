@@ -550,3 +550,48 @@ def run_stream_static_enrich(spark: SparkSession, events_path: str,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_chunk_index_stream(spark: SparkSession, docs_path: str,
+                           width: int = 120, stride: int = 80) -> DataFrame:
+    """Streaming chunk-index ingest: documents arriving as files are
+    chunked (fixed window/stride, md5 fingerprints) the moment they
+    land — the RAG-index build running AT INGEST instead of as a
+    nightly batch.  The transform is STATELESS (per-row fan-out, no
+    watermark, no state store), so append-mode streaming output equals
+    the batch chunking exactly — the strongest stream==batch parity
+    cell, complementing the stateful families.  availableNow drains
+    the backlog once; at scale the same query tails a landing bucket
+    and the file-source checkpoint guarantees each doc is chunked
+    exactly once."""
+    import tempfile
+    import uuid
+
+    batch_schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(batch_schema)
+    if docs_path.endswith(".parquet"):
+        parent, base = docs_path.rsplit("/", 1)
+        stream = reader.option("pathGlobFilter", base).parquet(parent)
+    else:
+        stream = reader.parquet(docs_path)
+    s = F.col("s")
+    chunk = F.substring(F.col("text"), (s + 1).cast("int"), width)
+    out = (stream
+           .select("doc_id", "text",
+                   F.explode(F.sequence(
+                       F.lit(0).cast("long"), F.col("n_chars") - 1,
+                       F.lit(stride).cast("long"))).alias("s"))
+           .select("doc_id",
+                   F.expr(f"s div {stride}").alias("chunk_id"),
+                   s.alias("chunk_start"),
+                   F.length(chunk).cast("long").alias("chunk_len"),
+                   F.md5(chunk).alias("chunk_md5")))
+    name = "chunk_index_" + uuid.uuid4().hex[:10]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ckpt_chunkidx_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

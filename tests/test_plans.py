@@ -1130,3 +1130,11 @@ def test_backfill_packing_single_salt_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_text_clean_is_map_side_only(spark, sf_dir):
+    """text_clean_normalize: two regexp passes + trim — zero
+    exchanges, like chunking (the first stage of every crawl
+    pipeline must never shuffle)."""
+    plan = plan_of(spark, sf_dir, "text_clean_normalize")
+    assert "Exchange" not in plan
