@@ -67,3 +67,32 @@ def test_rotation_regrades_stalest_green_first(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(both))
     ordered = list(ordered_registry(str(tmp_path)))
     assert ordered[-10:][:4] == names[1:5]  # names[0] moved to the r2 group
+
+
+def test_real_ledger_fronts_never_graded_then_stalest():
+    """Structural pin on the REAL committed ledger (VERDICT r9 #1):
+    iteration order must be never-graded first, then graded queries in
+    non-decreasing last-graded round — so the driver's ~50 slots are
+    always the most signal-starved slice, whatever the ledger says."""
+    import glob
+    import json
+    import re
+
+    green = {}
+
+    def rnd(p):
+        return int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"), key=rnd):
+        for n, row in json.load(open(p)).items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green[n] = rnd(p)
+    names = list(ordered_registry("/root/repo"))
+    graded_idx = [i for i, n in enumerate(names) if n in green]
+    ungraded_idx = [i for i, n in enumerate(names) if n not in green]
+    if ungraded_idx and graded_idx:
+        assert max(ungraded_idx) < min(graded_idx), (
+            "a graded query sorted ahead of a never-graded one")
+    rounds_in_order = [green[names[i]] for i in graded_idx]
+    assert rounds_in_order == sorted(rounds_in_order), (
+        "graded queries are not in stalest-first order")
