@@ -331,16 +331,18 @@ def _clf_scores(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", (F.col("lang") == "en").alias("is_en"),
                     F.split("text", " ").alias("t"))
-    uni = docs.select("doc_id", F.explode("t").alias("g"))
-    big = docs.select(
-        "doc_id",
+    # ONE explode over unigrams ++ bigrams with the label carried
+    # through the rows (vs the first cut's union of two scans plus a
+    # doc_id re-join to attach is_en): one corpus scan and one fewer
+    # shuffle join in the inference path
+    lab = (docs.select(
+        "doc_id", "is_en",
         F.explode(F.expr(
-            "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
-            " (a, b) -> concat(a, '_', b))")).alias("g"))
-    feats = (uni.unionByName(big)
-             .select("doc_id", F.expr(_CLF_H).alias("h"))
-             .groupBy("doc_id", "h").agg(F.count("*").alias("cnt")))
-    lab = feats.join(docs.select("doc_id", "is_en"), "doc_id")
+            "concat(t, zip_with(slice(t, 1, size(t) - 1),"
+            " slice(t, 2, size(t) - 1),"
+            " (a, b) -> concat(a, '_', b)))")).alias("g"))
+        .select("doc_id", "is_en", F.expr(_CLF_H).alias("h"))
+        .groupBy("doc_id", "is_en", "h").agg(F.count("*").alias("cnt")))
     ccnt = lab.groupBy("h").agg(
         F.sum(F.when(F.col("is_en"), F.col("cnt")).otherwise(0))
          .alias("pos_h"),
