@@ -465,6 +465,14 @@ def curation_funnel_v3(spark, sf_dir):
     D-bounded) and an integer dot product — map-side against the
     feature counts.
 
+    "Computed once" is a LOGICAL claim: in this single lazy plan the
+    branches re-scan the source (~36 pruned scans at fixture scale —
+    fine for an audit query).  A 100 TB funnel materializes each
+    signal as a checkpoint table between stages (dedup pairs, NLL
+    scores, classifier scores, percentiles) and this query becomes
+    the doc_id-keyed audit join OVER those tables — the plan shape
+    the gates already have.
+
     Determinism: each component's rules (packed-argmin fingerprints,
     rounded NLL, integer micro-unit weights, rank percentiles).
     """
