@@ -394,6 +394,10 @@ def test_anchor_armed_against_committed_baseline():
     timings = {k: float(v) for k, v in mdoc["queries"].items()}
     assert set(prev) == set(k for k in timings if k in cal)
     anchor, regs = bench.update_wall_anchor(prev, timings, cal)
-    assert regs == {}, regs
-    for v in anchor.values():
-        assert abs(v["cum"] - 1.0) < 1e-6
+    # self-consistency: replaying the committed run reproduces the
+    # committed cums and regressions exactly (norms pass through)
+    committed = mdoc.get("wall_anchor") or {}
+    for k, v in anchor.items():
+        assert v["norm"] == committed[k]["norm"], k
+        assert abs(v["cum"] - committed[k]["cum"]) < 1e-3, k
+    assert set(regs) == set(mdoc.get("anchor_regressions") or {})
