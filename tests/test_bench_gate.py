@@ -399,5 +399,8 @@ def test_anchor_armed_against_committed_baseline():
     committed = mdoc.get("wall_anchor") or {}
     for k, v in anchor.items():
         assert v["norm"] == committed[k]["norm"], k
-        assert abs(v["cum"] - committed[k]["cum"]) < 1e-3, k
+        # tolerance: the file stores cal/cum at 3 decimals, so the
+        # replay (rounded inputs) can differ from the committed cum
+        # (unrounded inputs) by a few millis
+        assert abs(v["cum"] - committed[k]["cum"]) < 5e-3, k
     assert set(regs) == set(mdoc.get("anchor_regressions") or {})
