@@ -622,3 +622,56 @@ def test_sequence_packing_1m_docs_salted(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_chunk_dedup_1m_docs_inverted_index(spark):
+    """``chunk_dedup_survivor_map``'s scale shape at 1M docs with a
+    planted 20% whole-doc dup rate: the owners table is one row per
+    DISTINCT chunk fingerprint, the pair path is fingerprint-equi
+    (never doc x doc), and with the broadcast threshold pushed below
+    the owners side the join degrades to a shuffle join — the r9
+    drop-set lesson applied to the chunk index."""
+    from glue_parquet_splitter_spark.plans import physical_plan
+
+    n, dup = 1_000_000, 200_000
+    # last 200k docs are content-duplicates of the first 200k: same
+    # deterministic "chunk hash" stream (content id = doc_id mod the
+    # originals), 4 chunks per doc
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= n - dup, F.col("id") - (n - dup))
+         .otherwise(F.col("id")).alias("content_id"))
+    chunks = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("ci"),
+        "content_id").select(
+        "doc_id",
+        F.concat_ws("_", F.col("content_id"), F.col("ci")).alias("h"))
+    owners = chunks.groupBy("h").agg(
+        F.min("doc_id").alias("canon"),
+        F.count_distinct("doc_id").alias("nd"))
+    dup_flag = F.when(
+        (F.col("nd") >= 2) & (F.col("doc_id") != F.col("canon")),
+        1).otherwise(0)
+    out = (chunks.join(owners, "h")
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_chunks"),
+                F.sum(dup_flag).alias("n_dup")))
+    agg = out.agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("n_dup") == 4).alias("full_dups"),
+        F.count_if(F.col("n_dup") > 0).alias("any_dup")).collect()[0]
+    assert agg.n_docs == n
+    # every planted copy (and ONLY the copies) has all 4 chunks dup
+    assert agg.full_dups == dup and agg.any_dup == dup
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                   str(1024 * 1024))
+    try:
+        plan = physical_plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # owners is O(distinct chunks) = 3.2M rows here — must shuffle-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
