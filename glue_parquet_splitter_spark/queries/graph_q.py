@@ -23,10 +23,10 @@ from .dedup_q import _MINHASH_ORACLE_CTE
 # The recursive closure needs the RECURSIVE keyword on the WITH list.
 _MINHASH_RECURSIVE_CTE = _MINHASH_ORACLE_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
 
-
-@register(
-    "dedup_connected_components",
-    oracle=_MINHASH_RECURSIVE_CTE + """
+# MinHash pairs -> verified duplicate edges -> transitive closure.  A
+# shared prefix: dedup_connected_components derives components from it,
+# leakage_safe_split_by_cluster additionally folds + audits leaks.
+_CC_ORACLE_CTES = _MINHASH_RECURSIVE_CTE + """
     , sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id),
     common AS (
       SELECT p.doc_a, p.doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
@@ -49,6 +49,25 @@ _MINHASH_RECURSIVE_CTE = _MINHASH_ORACLE_CTE.replace("WITH ", "WITH RECURSIVE ",
       UNION
       SELECT r.u, e.v FROM reach r JOIN und e ON e.u = r.v
     )
+"""
+
+
+def _verified_pairs(spark, sf_dir):
+    """Shared Spark prefix of the CC family: LSH candidate pairs
+    verified at exact Jaccard >= 0.5 -> (doc_a, doc_b) edges."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = D.shingles(d, distinct=True)
+    pairs = D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
+    return (
+        D.jaccard(pairs, toks)
+        .withColumn("jaccard", F.round("jaccard", 4))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE_CTES + """
     SELECT CAST(u AS BIGINT) AS doc_id,
            CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
     FROM reach GROUP BY u
@@ -63,16 +82,79 @@ def dedup_connected_components(spark, sf_dir):
     doc_id in the cluster) is the survivor the keep-policy retains.
     The oracle re-derives the closure with a recursive CTE — the
     algorithms differ, the fixpoint must not."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = D.shingles(d, distinct=True)
-    pairs = D.candidate_pairs(D.lsh_bands(D.minhash_signatures(d)))
-    verified = (
-        D.jaccard(pairs, toks)
-        .withColumn("jaccard", F.round("jaccard", 4))
-        .filter(F.col("jaccard") >= 0.5)
-    )
+    verified = _verified_pairs(spark, sf_dir)
     comp = connected_components(verified, "doc_a", "doc_b")
     return comp.select(F.col("vertex").alias("doc_id"), "component")
+
+
+@register(
+    "leakage_safe_split_by_cluster",
+    oracle=_CC_ORACLE_CTES + """
+    , comp AS (
+      SELECT CAST(u AS BIGINT) AS doc_id,
+             CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+      FROM reach GROUP BY u
+    ), fold AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             COALESCE(c.component, d.doc_id) % 5 AS fold
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ), leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS leak_pairs
+      FROM verified v
+      JOIN fold a ON a.doc_id = v.doc_a
+      JOIN fold b ON b.doc_id = v.doc_b
+      WHERE a.fold <> b.fold
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components,
+           (SELECT leak_pairs FROM leak) AS leak_pairs
+    FROM fold GROUP BY fold
+    """,
+    tags=("dedup", "graph", "curation"),
+)
+def leakage_safe_split_by_cluster(spark, sf_dir):
+    """Train/eval splitting that cannot leak near-duplicates across the
+    boundary: fold assignment is a function of the DEDUP CLUSTER, not
+    the document — every doc inherits its connected component's id
+    (singletons are their own component), and fold = component % 5.
+    Since fold is constant within a component, no verified duplicate
+    pair can straddle two folds; the query PROVES it by re-joining the
+    verified edges against the fold map (``leak_pairs`` must be 0 — a
+    per-doc random split would leak at the duplicate rate).
+
+    Output: per-fold doc count, cluster count, and the global leak
+    audit.
+
+    Scale: reuses the LSH candidate path (banded, no all-pairs) and
+    the iterative min-label CC operator; the fold map adds one
+    doc_id-keyed left join, and the leak audit joins edges (O(dup
+    pairs)) to the fold map on doc ids — all evenly-partitioned keys.
+    The 1-row leak count rides a bounded crossJoin (global agg).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    verified = _verified_pairs(spark, sf_dir)
+    comp = connected_components(verified, "doc_a", "doc_b")
+    folds = (d.select("doc_id")
+             .join(comp.withColumnRenamed("vertex", "doc_id"),
+                   "doc_id", "left")
+             .select("doc_id",
+                     F.coalesce("component", "doc_id").alias("component"))
+             .withColumn("fold", F.col("component") % 5))
+    fa = folds.select(F.col("doc_id").alias("doc_a"),
+                      F.col("fold").alias("fold_a"))
+    fb = folds.select(F.col("doc_id").alias("doc_b"),
+                      F.col("fold").alias("fold_b"))
+    leak = (verified.join(fa, "doc_a").join(fb, "doc_b")
+            .agg(F.sum(F.when(F.col("fold_a") != F.col("fold_b"), 1)
+                       .otherwise(0)).cast("long").alias("leak_pairs")))
+    return (folds.groupBy("fold")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("component").alias("n_components"))
+            .crossJoin(F.broadcast(leak))  # bounded: 1-row global agg
+            .select(F.col("fold").cast("long").alias("fold"),
+                    "n_docs", "n_components", "leak_pairs"))
 
 
 @register(

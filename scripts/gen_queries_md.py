@@ -56,6 +56,7 @@ FAMILIES = OrderedDict([
     ("curation5_q", "Curation wave 5 (exact-substring span dedup)"),
     ("similarity3_q", "ANN wave 3 (multi-probe IVF, hard-negative mining)"),
     ("curation6_q", "Curation wave 6 (FFD sequence packing, overlap chunking, chunk-dedup survivor map)"),
+    ("tokenizer_q", "Tokenizer ops (distributed BPE training, content-defined chunking, temperature mixture sampling)"),
 ])
 
 

@@ -1138,3 +1138,75 @@ def test_text_clean_is_map_side_only(spark, sf_dir):
     pipeline must never shuffle)."""
     plan = plan_of(spark, sf_dir, "text_clean_normalize")
     assert "Exchange" not in plan
+
+
+def test_cdc_chunking_is_map_side_only(spark, sf_dir):
+    """cdc_gear_chunking: the gear hash telescopes to a per-position
+    window sum, so the whole chunker is array expressions on the scan
+    — zero exchanges, like fixed-stride chunking (content-defined
+    boundaries must not cost a shuffle)."""
+    plan = plan_of(spark, sf_dir, "cdc_gear_chunking")
+    assert "Generate posexplode" in plan
+    assert "Exchange" not in plan
+
+
+def test_cdc_resilience_doc_keyed_joins(spark, sf_dir):
+    """cdc_shift_resilience: both chunkers are map-side; the md5
+    overlap joins are keyed by (doc_id, md5) — evenly partitioned —
+    and the only SinglePartition sits under the final 2x1-row means,
+    fed by partial aggregation."""
+    plan = plan_of(spark, sf_dir, "cdc_shift_resilience")
+    assert "partial_avg" in plan or "partial_count" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_step_topk_no_global_sort(spark, sf_dir):
+    """bpe_pair_merge_step: top-20 pairs via TakeOrderedAndProject
+    (per-partition top-k + merge), never a rangepartitioned sort; the
+    word-count agg partial-aggregates map-side."""
+    plan = plan_of(spark, sf_dir, "bpe_pair_merge_step")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bpe_learn_merges_bounded_argmax_broadcasts(spark, sf_dir):
+    """bpe_learn_merges: each of the K levels reduces to a 1-ROW
+    argmax (TakeOrderedAndProject) that rides a broadcast into the
+    symbol rewrite — the corpus-sized vocab table is never on a
+    broadcast side, and no level global-sorts."""
+    import inspect
+
+    from glue_parquet_splitter_spark.queries import tokenizer_q
+
+    src = inspect.getsource(tokenizer_q.bpe_learn_merges)
+    assert src.count("F.broadcast(") == 1  # the limit(1) argmax only
+    plan = plan_of(spark, sf_dir, "bpe_learn_merges")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_temperature_sampling_bounded_dim_join(spark, sf_dir):
+    """temperature_mixture_sampling: the corpus joins only the
+    |langs|-row rate table (broadcast at any scale); the scalar N and
+    Z totals ride 1-row crossJoins; no range exchange anywhere."""
+    plan = plan_of(spark, sf_dir, "temperature_mixture_sampling")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_sum" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_leakage_split_single_bounded_broadcast(spark, sf_dir):
+    """leakage_safe_split_by_cluster: the only broadcast HINT is the
+    1-row leak-count agg; the fold map and edge audit are doc_id-keyed
+    equi joins (the component map is O(clustered docs) — corpus-sized,
+    never hinted)."""
+    import inspect
+
+    from glue_parquet_splitter_spark.queries import graph_q
+
+    src = inspect.getsource(graph_q.leakage_safe_split_by_cluster)
+    assert src.count("F.broadcast(") == 1
+    plan = plan_of(spark, sf_dir, "leakage_safe_split_by_cluster")
+    assert "Exchange rangepartitioning" not in plan

@@ -162,3 +162,49 @@ def test_window_alias_W_is_matched(tmp_path):
     """))
     hits = scan_window_sites(str(tmp_path))
     assert len(hits) == 1, hits
+
+
+# ---------------------------------------------------------------------
+# lambda-CSE lint (check 4a): the f-string-interpolation branch is a
+# conservative overapproximation, so it gained a `# lambda-ok:` escape
+# hatch (round 10, cdc_gear_chunking's let-binding) — but the literal
+# split/md5/sha/regexp hits must stay a hard gate.
+
+from check_repo import scan_lambda_sites  # noqa: E402
+
+
+def test_repo_has_no_lambda_cse_hits():
+    hits = scan_lambda_sites("/root/repo/glue_parquet_splitter_spark")
+    assert hits == [], "lambda-CSE hits:\n" + "\n".join(hits)
+
+
+def test_seeded_interpolation_in_lambda_fails(tmp_path):
+    (tmp_path / "bad_q.py").write_text(textwrap.dedent("""\
+        H = "md5(x)"
+
+        def q(df):
+            return df.selectExpr(f"transform(a, x -> {H} || x)")
+    """))
+    hits = scan_lambda_sites(str(tmp_path))
+    assert len(hits) == 1 and "bad_q.py:4" in hits[0], hits
+
+
+def test_lambda_ok_comment_excuses_interpolation(tmp_path):
+    (tmp_path / "ok_q.py").write_text(textwrap.dedent("""\
+        H = "size(w)"
+
+        def q(df):
+            # lambda-ok: per-element window math over a let-bound array
+            return df.selectExpr(f"transform(a, x -> {H} + x)")
+    """))
+    assert scan_lambda_sites(str(tmp_path)) == []
+
+
+def test_lambda_ok_does_not_excuse_literal_md5(tmp_path):
+    (tmp_path / "bad2_q.py").write_text(textwrap.dedent("""\
+        def q(df):
+            # lambda-ok: (must NOT work: literal md5 is the hard gate)
+            return df.selectExpr("transform(a, x -> md5(x))")
+    """))
+    hits = scan_lambda_sites(str(tmp_path))
+    assert len(hits) == 1, hits
