@@ -107,13 +107,18 @@ def bpe_pair_merge_step(spark, sf_dir):
             .orderBy(F.desc("cnt"), F.asc("pair")).limit(20))
 
 
-def _bpe_oracle(k: int) -> str:
-    """Unrolled DuckDB twin of the K-merge BPE training loop: level i
-    picks the argmax pair (b{i}) and rewrites the symbol strings
-    (w{i}) with the same padded single-pass ``replace`` the Spark side
-    uses, so the learned merge tables match exactly."""
+def _bpe_oracle_ctes(k: int, apply_last: bool = False) -> str:
+    """Unrolled DuckDB CTE chain of the K-merge BPE training loop:
+    level i picks the argmax pair (b{i}) and rewrites the symbol
+    strings (w{i}) with the same padded single-pass ``replace`` the
+    Spark side uses, so the learned merge tables match exactly.  The
+    word column ``w`` rides along so the encode query can join the
+    final symbolization back to the corpus.  ``apply_last`` also emits
+    w{k} (training only needs the argmaxes; encoding needs every merge
+    APPLIED)."""
     parts = [f"WITH {_BPE_WF_SQL},",
-             "w0 AS (SELECT ' ' || array_to_string(string_split(w, ''), ' ')"
+             "w0 AS (SELECT w,"
+             " ' ' || array_to_string(string_split(w, ''), ' ')"
              " || ' ' AS sym, cnt FROM wf)"]
     for i in range(1, k + 1):
         prev = f"w{i - 1}"
@@ -126,18 +131,22 @@ def _bpe_oracle(k: int) -> str:
         FROM (SELECT string_split(trim(sym), ' ') AS a, cnt FROM {prev})
         WHERE len(a) >= 2)
       GROUP BY pair ORDER BY pcnt DESC, pair LIMIT 1)""")
-        if i < k:
+        if i < k or apply_last:
             parts.append(f""",
     w{i} AS (
-      SELECT replace(sym, ' ' || (SELECT pair FROM b{i}) || ' ',
+      SELECT w, replace(sym, ' ' || (SELECT pair FROM b{i}) || ' ',
                      ' ' || replace((SELECT pair FROM b{i}), ' ', '') || ' ')
              AS sym, cnt
       FROM {prev})""")
+    return "".join(parts)
+
+
+def _bpe_oracle(k: int) -> str:
     sel = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_rank, pair, replace(pair, ' ', '') AS merged,"
         f" CAST(pcnt AS BIGINT) AS pcnt FROM b{i}"
         for i in range(1, k + 1))
-    return "".join(parts) + "\n    " + sel
+    return _bpe_oracle_ctes(k) + "\n    " + sel
 
 
 @register(
@@ -166,31 +175,91 @@ def bpe_learn_merges(spark, sf_dir):
     word-count shuffle.  K is a constant (vocab-growth knob), not a
     data-dependent loop.
     """
-    wf = _word_freqs(spark, sf_dir)
-    sym = wf.select(
-        F.concat(F.lit(" "), F.concat_ws(" ", F.split("w", "")),
-                 F.lit(" ")).alias("sym"),
-        "cnt")
-    merge_rows = []
-    for k in range(1, _BPE_K + 1):
-        best = (_pair_counts(sym).groupBy("pair")
-                .agg(F.sum("cnt").alias("pcnt"))
-                .orderBy(F.desc("pcnt"), F.asc("pair")).limit(1))
-        merge_rows.append(best.select(
-            F.lit(k).alias("merge_rank"), "pair",
-            F.expr("replace(pair, ' ', '')").alias("merged"),
-            F.col("pcnt").cast("long").alias("pcnt")))
-        if k < _BPE_K:
-            sym = (sym.crossJoin(
-                       F.broadcast(best.select(F.col("pair").alias("bp"))))
-                   .select(F.expr(
-                       "replace(sym, concat(' ', bp, ' '),"
-                       " concat(' ', replace(bp, ' ', ''), ' '))")
-                       .alias("sym"), "cnt"))
+    merge_rows, _sym = _bpe_train(_word_freqs(spark, sf_dir))
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _bpe_train(wf, k: int = _BPE_K, apply_last: bool = False):
+    """The K-merge training loop shared by ``bpe_learn_merges`` (wants
+    the argmax rows) and ``bpe_encode_apply`` (wants every merge
+    APPLIED to the vocab symbolization).  Returns (merge-row DFs,
+    final (w, sym, cnt) DF)."""
+    sym = wf.select(
+        "w",
+        F.concat(F.lit(" "), F.concat_ws(" ", F.split("w", "")),
+                 F.lit(" ")).alias("sym"),
+        "cnt")
+    merge_rows = []
+    for i in range(1, k + 1):
+        best = (_pair_counts(sym).groupBy("pair")
+                .agg(F.sum("cnt").alias("pcnt"))
+                .orderBy(F.desc("pcnt"), F.asc("pair")).limit(1))
+        merge_rows.append(best.select(
+            F.lit(i).alias("merge_rank"), "pair",
+            F.expr("replace(pair, ' ', '')").alias("merged"),
+            F.col("pcnt").cast("long").alias("pcnt")))
+        if i < k or apply_last:
+            sym = (sym.crossJoin(
+                       F.broadcast(best.select(F.col("pair").alias("bp"))))
+                   .select("w", F.expr(
+                       "replace(sym, concat(' ', bp, ' '),"
+                       " concat(' ', replace(bp, ' ', ''), ' '))")
+                       .alias("sym"), "cnt"))
+    return merge_rows, sym
+
+
+@register(
+    "bpe_encode_apply",
+    oracle=_bpe_oracle_ctes(_BPE_K, apply_last=True) + f""",
+    enc AS (
+      SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
+               AS bpe_len
+      FROM w{_BPE_K})
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(bpe_len) AS BIGINT) AS n_bpe_tokens,
+           ROUND(SUM(len(tok)) / CAST(SUM(bpe_len) AS DOUBLE), 4)
+             AS chars_per_token
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents) d
+    JOIN enc ON enc.w = d.tok
+    WHERE len(tok) > 0
+    GROUP BY lang
+    """,
+    tags=("tokenizer", "text", "join", "agg"),
+)
+def bpe_encode_apply(spark, sf_dir):
+    """The other half of BPE — ENCODE with the learned merges: apply
+    all K=4 merges to the vocabulary symbolization, then join the
+    per-word BPE token length back to every corpus token and report
+    per-language compression (chars per BPE token; higher = the
+    tokenizer compresses that language better — the fertility metric
+    multilingual-tokenizer audits use).
+
+    Scale: the expensive string rewriting happens on the O(vocab)
+    table only (train and encode share the `_bpe_train` loop); the
+    corpus-side cost is one explode + an equi join on the word string
+    against the vocab (no hint — vocab grows with corpus, AQE decides)
+    + one per-lang agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    _merges, sym = _bpe_train(_word_freqs(spark, sf_dir),
+                              apply_last=True)
+    enc = sym.select(
+        "w",
+        F.size(F.split(F.trim(F.col("sym")), " ")).cast("long")
+        .alias("bpe_len"))
+    toks = (d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.length("tok") > 0))
+    return (toks.join(enc, toks["tok"] == enc["w"])
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("bpe_len").alias("n_bpe_tokens"),
+                 F.round(F.sum(F.length("tok"))
+                         / F.sum("bpe_len").cast("double"), 4)
+                 .alias("chars_per_token")))
 
 
 # ======================================================================
@@ -429,6 +498,168 @@ def cdc_shift_resilience(spark, sf_dir):
     cdc = mean_shared(_cdc_chunks(base), _cdc_chunks(shifted), "cdc")
     fix = mean_shared(_fixed_chunks(base), _fixed_chunks(shifted), "fixed")
     return cdc.unionByName(fix)
+
+
+@register(
+    "streaming_cdc_chunk_index",
+    oracle="WITH " + _cdc_sql("documents", "d") + """
+    SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5 FROM d_m
+    """,
+    tags=("tokenizer", "chunking", "streaming"),
+)
+def streaming_cdc_chunk_index(spark, sf_dir):
+    """``cdc_gear_chunking`` running AT INGEST as real Structured
+    Streaming (file source -> stateless CDC fan-out -> append memory
+    sink, availableNow drain) — the dedup-grade chunk index built the
+    moment documents land.  Stateless transform ⇒ no watermark
+    restriction: streamed rows must equal the batch CDC chunking ROW
+    FOR ROW, which is exactly what the (batch) oracle grades — the
+    same strongest-parity cell as ``streaming_chunk_index`` but for a
+    content-defined boundary function.  See
+    :func:`..streaming.windows.run_cdc_chunk_index_stream` for the
+    exactly-once argument (file-source checkpoint)."""
+    from ..streaming.windows import run_cdc_chunk_index_stream
+
+    return run_cdc_chunk_index_stream(
+        spark, f"{sf_dir}/documents.parquet", _cdc_chunk_list_expr())
+
+
+_CDC_DF_CAP = 10    # drop fingerprints owned by more than this many docs
+
+
+@register(
+    "cdc_containment_pairs",
+    oracle="WITH " + _cdc_sql("documents", "d") + f""",
+    idx AS (SELECT DISTINCT doc_id, chunk_md5 FROM d_m),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ch
+              FROM idx GROUP BY doc_id),
+    keep AS (SELECT chunk_md5 FROM idx GROUP BY chunk_md5
+             HAVING COUNT(*) BETWEEN 2 AND {_CDC_DF_CAP}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM idx a
+      JOIN keep k ON k.chunk_md5 = a.chunk_md5
+      JOIN idx b ON b.chunk_md5 = a.chunk_md5 AND b.doc_id > a.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, shared,
+           ROUND(shared / CAST(LEAST(sa.n_ch, sb.n_ch) AS DOUBLE), 4)
+             AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE shared >= 2
+    """,
+    tags=("tokenizer", "chunking", "dedup", "join"),
+)
+def cdc_containment_pairs(spark, sf_dir):
+    """Near-duplicate CANDIDATE PAIRS from content-defined chunk
+    fingerprints — the rsync/backup-dedup recipe applied to corpus
+    curation: docs sharing >= 2 CDC chunk md5s become a pair, scored
+    by containment = shared / min(chunks_a, chunks_b).  Because CDC
+    boundaries resynchronize around edits (``cdc_shift_resilience``),
+    this catches shifted/partially-edited copies that fixed-offset
+    fingerprints miss.
+
+    Scale: the same DF-capped inverted-index shape as
+    ``exact_substring_spans`` — fingerprints owned by more than
+    {cap} docs are dropped BEFORE the pair join (boilerplate chunks
+    are the skew hazard), so per-fingerprint fan-out is <= cap^2/2 and
+    the one pair-granular shuffle is on (doc_a, doc_b).  No broadcast
+    hints; raw text never leaves the map side (only 32-char md5s
+    shuffle).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    idx = (_cdc_chunks(d.select("doc_id", "text", "n_chars"))
+           .select("doc_id", "chunk_md5").distinct())
+    sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_ch"))
+    keep = (idx.groupBy("chunk_md5").agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= _CDC_DF_CAP))
+            .select("chunk_md5"))
+    a = idx.join(keep, "chunk_md5")
+    b = idx.select(F.col("doc_id").alias("doc_b"),
+                   F.col("chunk_md5").alias("b_md5"))
+    pairs = (a.join(b, (F.col("chunk_md5") == F.col("b_md5"))
+                    & (F.col("doc_b") > F.col("doc_id")))
+             .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+             .agg(F.count("*").alias("shared"))
+             .filter(F.col("shared") >= 2))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_ch").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_ch").alias("n_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "shared",
+                    F.round(F.col("shared")
+                            / F.least("n_a", "n_b").cast("double"), 4)
+                    .alias("containment")))
+
+
+_NOV_BATCHES = 8    # simulated ingest batches (doc_id % 8)
+
+
+@register(
+    "ngram_novelty_saturation",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id % {_NOV_BATCHES} AS batch,
+             a[CAST(i AS INT)] || ' ' || a[CAST(i + 1 AS INT)]
+               || ' ' || a[CAST(i + 2 AS INT)] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+           UNNEST(range(1, len(a) - 1)) AS u(i)
+      WHERE len(a) >= 3),
+    firsts AS (
+      SELECT gram, MIN(batch) AS first_batch FROM g GROUP BY gram)
+    SELECT CAST(g.batch AS BIGINT) AS batch,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           CAST(SUM(CASE WHEN f.first_batch = g.batch THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_first_seen,
+           ROUND(SUM(CASE WHEN f.first_batch = g.batch THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty_rate
+    FROM g JOIN firsts f ON f.gram = g.gram
+    GROUP BY g.batch
+    """,
+    tags=("tokenizer", "curation", "agg"),
+)
+def ngram_novelty_saturation(spark, sf_dir):
+    """Corpus novelty saturation — the dedup-ROI diagnostic every
+    crawl pipeline tracks: split ingest into batches (doc_id % 8 here)
+    and measure, per batch, what fraction of its distinct word
+    trigrams was NEVER seen in an earlier batch.  A declining
+    novelty_rate says additional crawl volume is mostly re-crawl;
+    flat-high says the source still yields new content.
+
+    Scale: trigram extraction is map-side (array slice over the token
+    array — the size >= 3 guard keeps ``sequence`` ascending); the
+    pipeline is two gram-keyed aggregations (distinct presence, then
+    MIN(batch) first-occurrence) and one gram-keyed equi join back —
+    all partition evenly on the gram hash; batch cardinality is a
+    constant.  Only md5-width strings shuffle at 100 TB if grams are
+    pre-hashed; here raw trigrams shuffle for oracle legibility.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select((F.col("doc_id") % _NOV_BATCHES).alias("batch"),
+                    F.split("text", " ").alias("a"))
+    g = (toks.filter(F.size("a") >= 3)
+         .select("batch", F.explode(F.expr(
+             "transform(sequence(1, size(a) - 2),"
+             " i -> concat(element_at(a, CAST(i AS INT)), ' ',"
+             "             element_at(a, CAST(i + 1 AS INT)), ' ',"
+             "             element_at(a, CAST(i + 2 AS INT))))"))
+             .alias("gram"))
+         .distinct())
+    firsts = g.groupBy("gram").agg(F.min("batch").alias("first_batch"))
+    return (g.join(firsts, "gram")
+            .groupBy("batch")
+            .agg(F.count("*").alias("n_distinct_grams"),
+                 F.sum(F.when(F.col("first_batch") == F.col("batch"), 1)
+                       .otherwise(0)).cast("long").alias("n_first_seen"),
+                 F.round(F.sum(F.when(F.col("first_batch")
+                                      == F.col("batch"), 1).otherwise(0))
+                         / F.count("*").cast("double"), 4)
+                 .alias("novelty_rate"))
+            .select(F.col("batch").cast("long").alias("batch"),
+                    "n_distinct_grams", "n_first_seen", "novelty_rate"))
 
 
 # ======================================================================

@@ -595,3 +595,44 @@ def run_chunk_index_stream(spark: SparkSession, docs_path: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_cdc_chunk_index_stream(spark: SparkSession, docs_path: str,
+                               chunk_list_expr: str) -> DataFrame:
+    """Content-defined chunking AT INGEST: same stateless file-source →
+    append-memory-sink shape as :func:`run_chunk_index_stream`, but the
+    fan-out is the caller-supplied CDC chunk-struct-list expression
+    (queries.tokenizer_q builds it; passed as SQL text so this module
+    needs no import from the queries layer).  Stateless ⇒ streamed
+    rows equal batch CDC chunking row for row — the parity the batch
+    oracle grades.  availableNow drains the backlog once; at scale the
+    query tails a landing bucket and the file-source checkpoint
+    guarantees each doc is chunked exactly once."""
+    import tempfile
+    import uuid
+
+    batch_schema = spark.read.parquet(docs_path).schema
+    reader = spark.readStream.schema(batch_schema)
+    if docs_path.endswith(".parquet"):
+        parent, base = docs_path.rsplit("/", 1)
+        stream = reader.option("pathGlobFilter", base).parquet(parent)
+    else:
+        stream = reader.parquet(docs_path)
+    out = (stream.filter(F.col("n_chars") >= 1)
+           .select("doc_id", "text",
+                   F.posexplode(F.expr(chunk_list_expr))
+                   .alias("chunk_idx", "c"))
+           .select("doc_id", "chunk_idx",
+                   F.col("c.s").alias("chunk_start"),
+                   F.col("c.l").alias("chunk_len"),
+                   F.md5(F.expr("substr(text, CAST(c.s + 1 AS INT),"
+                                " CAST(c.l AS INT))")).alias("chunk_md5")))
+    name = "cdc_chunk_index_" + uuid.uuid4().hex[:10]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ckpt_cdcidx_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -155,6 +155,19 @@ SHOWCASE = {
         "(cid, sub_id), so no task's pairwise work exceeds the cap "
         "regardless of cluster skew."
     ),
+    "cdc_gear_chunking": (
+        "Content-defined chunking with ZERO exchanges: the Gear rolling "
+        "hash telescopes to an independent per-position window sum, so "
+        "boundary detection, chunk fan-out (posexplode) and md5 "
+        "fingerprints all sit in one map-side stage on the scan."
+    ),
+    "bpe_learn_merges": (
+        "Distributed BPE training: the corpus collapses to the O(vocab) "
+        "word-frequency aggregate once; each of the K=4 merge levels is "
+        "a pair-count aggregate plus a 1-row TakeOrderedAndProject "
+        "argmax broadcast into the symbol rewrite — no global sort, no "
+        "corpus-sized broadcast."
+    ),
     "entity_resolution_multipass_block": (
         "Multi-pass blocking ER: the dirty side broadcasts into BOTH "
         "blocking passes and the scoring join-back; the union's pair "

@@ -1210,3 +1210,44 @@ def test_leakage_split_single_bounded_broadcast(spark, sf_dir):
     assert src.count("F.broadcast(") == 1
     plan = plan_of(spark, sf_dir, "leakage_safe_split_by_cluster")
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_bpe_encode_vocab_join_unhinted(spark, sf_dir):
+    """bpe_encode_apply: the vocab side grows with the corpus, so the
+    corpus-token join must carry NO broadcast hint (the only hinted
+    broadcast anywhere in the lineage is _bpe_train's 1-row argmax);
+    no level global-sorts."""
+    import inspect
+
+    from glue_parquet_splitter_spark.queries import tokenizer_q
+
+    src = inspect.getsource(tokenizer_q.bpe_encode_apply)
+    assert "F.broadcast(" not in src and ".hint(" not in src
+    plan = plan_of(spark, sf_dir, "bpe_encode_apply")
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_sum" in plan
+
+
+def test_cdc_containment_df_capped_no_hints(spark, sf_dir):
+    """cdc_containment_pairs: the inverted index is DF-capped BEFORE
+    the pair self-join and nothing is broadcast-hinted (boilerplate
+    fingerprints are the skew hazard; the cap bounds fan-out)."""
+    import inspect
+
+    from glue_parquet_splitter_spark.queries import tokenizer_q
+
+    src = inspect.getsource(tokenizer_q.cdc_containment_pairs)
+    assert "F.broadcast(" not in src and ".hint(" not in src
+    plan = plan_of(spark, sf_dir, "cdc_containment_pairs")
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_gram_keyed(spark, sf_dir):
+    """ngram_novelty_saturation: trigram fan-out is map-side; the two
+    aggs and the join-back all key on the gram (even partitioning);
+    no range exchange, no cartesian."""
+    plan = plan_of(spark, sf_dir, "ngram_novelty_saturation")
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
