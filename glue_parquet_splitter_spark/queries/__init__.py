@@ -160,4 +160,5 @@ def load_all_modules() -> dict[str, QuerySpec]:
     from . import functions4_q  # noqa: F401
     from . import curation6_q  # noqa: F401
     from . import tokenizer_q  # noqa: F401
+    from . import curation7_q  # noqa: F401
     return REGISTRY

@@ -1,0 +1,199 @@
+"""Curation wave 7 (round 10, wave 3): source-level mirror detection,
+dedup at the streaming ingest boundary, and deterministic quota
+apportionment — the operations that sit between per-doc curation and
+fleet-level corpus management.
+
+Reference anchor: the reference pipeline stops at per-key parquet
+fan-out (src/Split/parquet-splitter.py:166-168); everything here is
+north-star LLM-pipeline surface with no reference analogue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from . import register
+
+_XS_GRAM = 8        # word n-gram width for cross-source fingerprints
+_XS_DF_CAP = 10     # drop fingerprints owned by more than this many docs
+_QUOTA_B = 1000     # shards to apportion across sources
+
+
+@register(
+    "cross_source_overlap_matrix",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT source, doc_id, md5(gram) AS h
+      FROM (
+        SELECT source, doc_id,
+               array_to_string(a[CAST(i AS INT):CAST(i + {_XS_GRAM} - 1
+                 AS INT)], ' ') AS gram
+        FROM (SELECT source, doc_id, string_split(text, ' ') AS a
+              FROM documents),
+             UNNEST(range(1, len(a) - {_XS_GRAM} + 2)) AS u(i)
+        WHERE len(a) >= {_XS_GRAM})),
+    keep AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+      GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {_XS_DF_CAP}),
+    sg AS (SELECT DISTINCT source, h FROM g JOIN keep USING (h)),
+    szs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h
+            FROM (SELECT DISTINCT source, h FROM g) GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM sg a JOIN sg b ON b.h = a.h AND b.source > a.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, shared,
+           ROUND(shared / CAST(LEAST(sa.n_h, sb.n_h) AS DOUBLE), 4)
+             AS containment
+    FROM pairs
+    JOIN szs sa ON sa.source = src_a
+    JOIN szs sb ON sb.source = src_b
+    """,
+    tags=("curation", "dedup", "join"),
+)
+def cross_source_overlap_matrix(spark, sf_dir):
+    """Mirror/syndication detection at SOURCE granularity: the
+    source-pair matrix of shared word-8-gram fingerprints, scored by
+    containment = shared / min(|grams_a|, |grams_b|).  A high-overlap
+    pair is a mirror site or syndication feed — dedup at the source
+    level (drop the mirror) before per-doc dedup ever runs, the
+    cheapest duplicate removal a crawl pipeline has.
+
+    Scale: gram fan-out is map-side (array slice over the token
+    array); fingerprints owned by more than {cap} DOCS are dropped
+    before anything pairs (boilerplate grams are the skew hazard —
+    note the cap is per-doc ownership, catching boilerplate even when
+    it lives inside two giant sources); the source-level pair join
+    runs on the deduplicated (source, hash) index, so fan-out per
+    fingerprint is bounded by min(cap, |sources|).  Only md5s shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("source", "doc_id", F.split("text", " ").alias("a"))
+    g = (toks.filter(F.size("a") >= _XS_GRAM)
+         .select("source", "doc_id", F.explode(F.expr(
+             f"transform(sequence(1, size(a) - {_XS_GRAM} + 1),"
+             f" i -> array_join(slice(a, CAST(i AS INT), {_XS_GRAM}),"
+             f" ' '))")).alias("gram"))
+         .select("source", "doc_id", F.md5("gram").alias("h"))
+         .distinct())
+    keep = (g.select("doc_id", "h").distinct()
+            .groupBy("h").agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= _XS_DF_CAP))
+            .select("h"))
+    sg = g.join(keep, "h").select("source", "h").distinct()
+    szs = (g.select("source", "h").distinct()
+           .groupBy("source").agg(F.count("*").alias("n_h")))
+    b = sg.select(F.col("source").alias("src_b"), F.col("h").alias("bh"))
+    pairs = (sg.join(b, (F.col("h") == F.col("bh"))
+                    & (F.col("src_b") > F.col("source")))
+             .groupBy(F.col("source").alias("src_a"), "src_b")
+             .agg(F.count("*").alias("shared")))
+    sa = szs.select(F.col("source").alias("src_a"),
+                    F.col("n_h").alias("n_a"))
+    sb = szs.select(F.col("source").alias("src_b"),
+                    F.col("n_h").alias("n_b"))
+    return (pairs.join(sa, "src_a").join(sb, "src_b")
+            .select("src_a", "src_b", "shared",
+                    F.round(F.col("shared")
+                            / F.least("n_a", "n_b").cast("double"), 4)
+                    .alias("containment")))
+
+
+@register(
+    "streaming_ingest_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 < 8)
+    SELECT d.doc_id, d.lang, md5(d.text) AS h
+    FROM documents d
+    LEFT JOIN hist ON hist.h = md5(d.text)
+    WHERE d.doc_id % 10 >= 8 AND hist.h IS NULL
+    """,
+    tags=("streaming", "dedup"),
+)
+def streaming_ingest_dedup(spark, sf_dir):
+    """Exact dedup AT THE INGEST BOUNDARY as real Structured
+    Streaming: new documents arriving as files (the ``doc_id % 10 >=
+    8`` slice plays the landing batch) are content-hashed and
+    stream-static LEFT ANTI joined against the already-ingested
+    history's hash set — only genuinely-new docs pass downstream.
+    This is ``dedup_against_history`` moved from nightly batch to
+    per-file latency; stateless on the stream side (the static side
+    carries all the memory), so append-mode output equals the batch
+    anti join row for row — which is what the oracle grades.
+
+    Scale: the static history is a hash-only column (32-char md5s, no
+    text); Spark re-plans the static side per micro-batch, so the join
+    degrades gracefully from broadcast to shuffle as history grows.
+    See :func:`..streaming.windows.run_ingest_dedup_stream`.
+    """
+    from ..streaming.windows import run_ingest_dedup_stream
+
+    return run_ingest_dedup_stream(spark, f"{sf_dir}/documents.parquet")
+
+
+@register(
+    "shard_quota_largest_remainder",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM s),
+    q AS (
+      SELECT source, n_docs,
+             CAST(FLOOR({_QUOTA_B} * n_docs / (SELECT n FROM t))
+                  AS BIGINT) AS base,
+             {_QUOTA_B} * n_docs / (SELECT n FROM t)
+               - FLOOR({_QUOTA_B} * n_docs / (SELECT n FROM t)) AS rem
+      FROM s),
+    r AS (
+      SELECT source, n_docs, base, rem,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q),
+    left_over AS (
+      SELECT {_QUOTA_B} - SUM(base) AS lo FROM q)
+    SELECT source, n_docs, base,
+           CAST(base + CASE WHEN rk <= (SELECT lo FROM left_over)
+                            THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r
+    """,
+    tags=("curation", "sampling", "window"),
+)
+def shard_quota_largest_remainder(spark, sf_dir):
+    """Deterministic quota apportionment (Hamilton / largest-remainder
+    method): split a fixed shard/sampling budget B={b} across sources
+    proportional to their doc counts so the quotas are integers AND
+    sum to exactly B — floor the proportional share, then hand the
+    leftover units to the largest fractional remainders (source-name
+    tie-break).  The allocator behind balanced shard layouts and
+    per-source sampling budgets; the exactness property (Σ quota = B)
+    is what naive rounding loses.
+
+    Scale: one corpus agg to |sources| rows; everything after runs on
+    the source dimension.  The unpartitioned remainder-rank window is
+    bounded by that dimension's cardinality.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = s.agg(F.sum("n_docs").cast("double").alias("n"))
+    q = (s.crossJoin(F.broadcast(t))
+         .select("source", "n_docs",
+                 F.floor(_QUOTA_B * F.col("n_docs") / F.col("n"))
+                 .cast("long").alias("base"),
+                 (_QUOTA_B * F.col("n_docs") / F.col("n")
+                  - F.floor(_QUOTA_B * F.col("n_docs") / F.col("n")))
+                 .alias("rem")))
+    from pyspark.sql import Window
+
+    # bounded: |sources| rows — the post-aggregate source dimension
+    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.withColumn("rk", F.row_number().over(w))
+    lo = q.agg((F.lit(_QUOTA_B) - F.sum("base")).alias("lo"))
+    return (r.crossJoin(F.broadcast(lo))
+            .select("source", "n_docs", "base",
+                    (F.col("base")
+                     + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0))
+                    .cast("long").alias("quota")))

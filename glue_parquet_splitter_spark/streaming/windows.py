@@ -636,3 +636,41 @@ def run_cdc_chunk_index_stream(spark: SparkSession, docs_path: str,
          .start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_ingest_dedup_stream(spark: SparkSession,
+                            docs_path: str) -> DataFrame:
+    """Exact dedup at the ingest boundary: a file-source stream of
+    documents (the doc_id % 10 >= 8 slice plays the landing batch) is
+    content-hashed and stream-static LEFT ANTI joined against the
+    history's md5 set (docs with doc_id % 10 < 8) — only
+    genuinely-new documents are emitted.  Stateless on the stream side
+    (no watermark, no state store; the static side carries all the
+    memory and is re-planned per micro-batch), so append-mode output
+    equals the batch anti join row for row.  availableNow drains the
+    backlog once; the file-source checkpoint guarantees each landing
+    file is deduped exactly once."""
+    import tempfile
+    import uuid
+
+    batch = spark.read.parquet(docs_path)
+    hist = (batch.filter(F.col("doc_id") % 10 < 8)
+            .select(F.md5("text").alias("h")).distinct())
+    reader = spark.readStream.schema(batch.schema)
+    if docs_path.endswith(".parquet"):
+        parent, base = docs_path.rsplit("/", 1)
+        stream = reader.option("pathGlobFilter", base).parquet(parent)
+    else:
+        stream = reader.parquet(docs_path)
+    incoming = (stream.filter(F.col("doc_id") % 10 >= 8)
+                .select("doc_id", "lang", F.md5("text").alias("h")))
+    out = incoming.join(hist, "h", "left_anti")
+    name = "ingest_dedup_" + uuid.uuid4().hex[:10]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ckpt_ingestdd_"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(name)

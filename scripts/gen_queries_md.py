@@ -57,6 +57,7 @@ FAMILIES = OrderedDict([
     ("similarity3_q", "ANN wave 3 (multi-probe IVF, hard-negative mining)"),
     ("curation6_q", "Curation wave 6 (FFD sequence packing, overlap chunking, chunk-dedup survivor map)"),
     ("tokenizer_q", "Tokenizer ops (distributed BPE training, content-defined chunking, temperature mixture sampling)"),
+    ("curation7_q", "Curation wave 7 (cross-source mirror detection, streaming ingest dedup, quota apportionment)"),
 ])
 
 

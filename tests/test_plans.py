@@ -1251,3 +1251,28 @@ def test_ngram_novelty_gram_keyed(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_cross_source_overlap_df_capped_no_hints(spark, sf_dir):
+    """cross_source_overlap_matrix: per-doc DF cap lands BEFORE the
+    source-pair join and nothing is broadcast-hinted — boilerplate
+    grams are the skew hazard, same contract as the chunk/span
+    inverted indexes."""
+    import inspect
+
+    from glue_parquet_splitter_spark.queries import curation7_q
+
+    src = inspect.getsource(curation7_q.cross_source_overlap_matrix)
+    assert "F.broadcast(" not in src and ".hint(" not in src
+    plan = plan_of(spark, sf_dir, "cross_source_overlap_matrix")
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_quota_window_is_dimension_bounded(spark, sf_dir):
+    """shard_quota_largest_remainder: the only unpartitioned window
+    ranks the |sources|-row POST-AGGREGATE dimension (justified via
+    the boundedness comment); the corpus itself sees exactly one agg."""
+    plan = plan_of(spark, sf_dir, "shard_quota_largest_remainder")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Exchange rangepartitioning" not in plan

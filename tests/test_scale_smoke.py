@@ -675,3 +675,63 @@ def test_chunk_dedup_1m_docs_inverted_index(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_cdc_chunking_100k_docs_map_side(spark):
+    """``cdc_gear_chunking``'s scale shape at 100k synthetic docs
+    (~197 ASCII chars each, md5-derived so hashes are uniform): the
+    whole chunker must stay ONE map-side stage (zero exchanges), tile
+    every doc exactly (sum of chunk lengths == total chars), and land
+    the mean chunk length near the 1/64 cut probability's ~64-char
+    expectation — the invariants that make it safe to fan this across
+    a 100 TB scan with no shuffle at all."""
+    from glue_parquet_splitter_spark.plans import physical_plan
+    from glue_parquet_splitter_spark.queries.tokenizer_q import _cdc_chunks
+
+    n = 100_000
+    docs = (spark.range(n)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat_ws(
+                        " ",
+                        F.md5(F.col("id").cast("string")),
+                        F.md5((F.col("id") + 1).cast("string")),
+                        F.md5((F.col("id") * 7).cast("string")),
+                        F.md5((F.col("id") * 13).cast("string")),
+                        F.md5((F.col("id") * 31).cast("string")),
+                        F.md5((F.col("id") * 57).cast("string"))
+                    ).alias("text"))
+            .withColumn("n_chars", F.length("text").cast("long")))
+    ch = _cdc_chunks(docs)
+    assert "Exchange" not in physical_plan(ch)
+    agg = ch.agg(F.sum("chunk_len").alias("total"),
+                 F.count("*").alias("n_ch"),
+                 F.count_distinct("doc_id").alias("nd")).collect()[0]
+    assert agg.nd == n
+    assert agg.total == n * 197          # exact tiling, no loss/dup
+    mean_len = agg.total / agg.n_ch
+    assert 25 <= mean_len <= 130         # ~E[chunk] = 64 + min-offset
+
+
+def test_bpe_train_100k_vocab(spark):
+    """``_bpe_train`` at a realistic vocabulary size (100k distinct
+    8-char words): 4 merges complete, every level's argmax is a 1-row
+    reduction (never a corpus-sized broadcast), and applying the
+    merges strictly shrinks the total symbol count — the property
+    that makes K sequential distributed passes worth their barriers."""
+    from glue_parquet_splitter_spark.queries.tokenizer_q import _bpe_train
+
+    wf = (spark.range(100_000)
+          .select(F.substring(F.md5(F.col("id").cast("string")),
+                              1, 8).alias("w"),
+                  (F.col("id") % 50 + 1).alias("cnt"))
+          .groupBy("w").agg(F.sum("cnt").alias("cnt")))
+    merges, sym = _bpe_train(wf, apply_last=True)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    rows = out.collect()
+    assert len(rows) == 4 and all(r.pcnt > 0 for r in rows)
+    tot = sym.select(F.sum(F.size(F.split(F.trim("sym"), " ")))
+                     .alias("t")).collect()[0].t
+    base = wf.select(F.sum(F.length("w")).alias("t")).collect()[0].t
+    assert tot < base                    # merges actually compressed
