@@ -124,6 +124,13 @@ BENCH_QUERIES = [
     # percentile signals joined on doc_id)
     "sequence_packing_ffd",
     "curation_funnel_v3",
+    # round-10 wave 2: content-defined chunking — a new cost shape
+    # (O(16·n_chars) expression work per doc on a ZERO-exchange scan),
+    # wall-gated only; its 0 shuffle bytes sit below the shuffle
+    # gate's floor by design.  (bpe_learn_merges is deliberately NOT
+    # here: its cost is vocab-bound, near-constant in sf — pinned by
+    # test_scale_smoke.py's 100k-vocab smoke instead.)
+    "cdc_gear_chunking",
 ]
 
 

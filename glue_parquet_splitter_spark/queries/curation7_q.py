@@ -13,11 +13,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import similarity as S
 from . import register
 
 _XS_GRAM = 8        # word n-gram width for cross-source fingerprints
 _XS_DF_CAP = 10     # drop fingerprints owned by more than this many docs
 _QUOTA_B = 1000     # shards to apportion across sources
+_SWEEP_TH = (0.5, 0.6, 0.7, 0.8, 0.9, 0.95)   # eps sweep grid
+_SWEEP_BLOCKS = 8   # vec_id % blocks bounds the pairwise work
+_NEYMAN_B = 500     # eval-set sample budget
 
 
 @register(
@@ -132,6 +136,160 @@ def streaming_ingest_dedup(spark, sf_dir):
     from ..streaming.windows import run_ingest_dedup_stream
 
     return run_ingest_dedup_stream(spark, f"{sf_dir}/documents.parquet")
+
+
+@register(
+    "embedding_dedup_threshold_sweep",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id % {_SWEEP_BLOCKS} AS cid, i,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+    norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v
+              GROUP BY vec_id),
+    ids AS (SELECT DISTINCT vec_id, cid FROM v),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(SUM(xa.x * xb.x) / (MIN(na.nrm) * MIN(nb.nrm)), 4) AS c
+      FROM ids a JOIN ids b ON b.cid = a.cid AND a.vec_id < b.vec_id
+      JOIN v xa ON xa.vec_id = a.vec_id
+      JOIN v xb ON xb.vec_id = b.vec_id AND xb.i = xa.i
+      JOIN norms na ON na.vec_id = a.vec_id
+      JOIN norms nb ON nb.vec_id = b.vec_id
+      GROUP BY a.vec_id, b.vec_id),
+    th AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SWEEP_TH)}])
+             AS DOUBLE) AS thresh),
+    nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+    SELECT th.thresh,
+           CAST(SUM(CASE WHEN p.c >= th.thresh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN p.c >= th.thresh THEN p.ib END)
+                AS BIGINT) AS n_dropped,
+           ROUND(COUNT(DISTINCT CASE WHEN p.c >= th.thresh THEN p.ib END)
+                 / (SELECT n FROM nv), 4) AS drop_rate
+    FROM th CROSS JOIN pairs p
+    GROUP BY th.thresh
+    """,
+    tags=("similarity", "dedup", "curation"),
+)
+def embedding_dedup_threshold_sweep(spark, sf_dir):
+    """The eps-sensitivity audit SemDeDup deployments run BEFORE
+    picking a threshold: compute within-block cosine pairs ONCE, then
+    report, for every eps on the grid, how many pairs exceed it and
+    how much of the corpus a keep-lowest-id policy would drop.  A
+    cliff between adjacent thresholds means the corpus has a dense
+    near-dup band and eps needs care; a flat curve means any eps in
+    the band is safe.
+
+    Scale: one pass builds the pair similarities (blocked by
+    vec_id % {blocks} — the same bounded-pairwise contract as the
+    SemDeDup family; production swaps in the k-means assignment) and
+    the 6-threshold grid is a map-side literal fan-out over the pair
+    rows — the sweep costs one extra agg, NOT six recomputed dedups.
+    Cosines round to 4 decimals before the comparison in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", (F.col("vec_id") % _SWEEP_BLOCKS).alias("cid"),
+                 "embedding")
+    b = v.select(F.col("vec_id").alias("ib"), F.col("cid").alias("bcid"),
+                 F.col("embedding").alias("be"))
+    pairs = (v.join(b, (F.col("cid") == F.col("bcid"))
+                    & (F.col("ib") > F.col("vec_id")))
+             .select(F.col("vec_id").alias("ia"), "ib",
+                     F.round(S.cosine(F.col("embedding"), F.col("be")), 4)
+                     .alias("c")))
+    swept = pairs.select(
+        "ia", "ib", "c",
+        F.explode(F.array(*[F.lit(t) for t in _SWEEP_TH])).alias("thresh"))
+    nv = e.agg(F.count("*").cast("double").alias("n"))
+    return (swept.groupBy("thresh")
+            .agg(F.sum(F.when(F.col("c") >= F.col("thresh"), 1)
+                       .otherwise(0)).cast("long").alias("n_pairs"),
+                 F.countDistinct(F.when(F.col("c") >= F.col("thresh"),
+                                        F.col("ib"))).alias("n_dropped"))
+            .crossJoin(F.broadcast(nv))
+            .select("thresh", "n_pairs", "n_dropped",
+                    F.round(F.col("n_dropped") / F.col("n"), 4)
+                    .alias("drop_rate")))
+
+
+@register(
+    "neyman_allocation_sampling",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) AS wgt
+      FROM s),
+    tot AS (SELECT SUM(wgt) AS tw FROM w),
+    q AS (
+      SELECT source, n_docs, wgt,
+             CAST(FLOOR({_NEYMAN_B} * wgt / (SELECT tw FROM tot))
+                  AS BIGINT) AS base,
+             {_NEYMAN_B} * wgt / (SELECT tw FROM tot)
+               - FLOOR({_NEYMAN_B} * wgt / (SELECT tw FROM tot)) AS rem
+      FROM w),
+    r AS (SELECT source, n_docs, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q),
+    lo AS (SELECT {_NEYMAN_B} - SUM(base) AS l FROM q)
+    SELECT source, n_docs, base,
+           CAST(base + CASE WHEN rk <= (SELECT l FROM lo)
+                            THEN 1 ELSE 0 END AS BIGINT) AS n_sample
+    FROM r
+    """,
+    tags=("curation", "sampling", "window"),
+)
+def neyman_allocation_sampling(spark, sf_dir):
+    """Neyman allocation for a stratified eval set: per-source sample
+    sizes n_h ∝ N_h·σ_h (σ over doc length here), so high-variance
+    strata get proportionally MORE eval budget than raw-count
+    allocation would give — the minimum-variance estimator's
+    allocation.  Integerized with the largest-remainder method so the
+    quotas sum to exactly B={b}.
+
+    Determinism note: N_h·σ_h = sqrt(N·Σx² − (Σx)²) — the moments are
+    EXACT integer sums and IEEE sqrt is correctly rounded, so the
+    weights are bit-identical in Spark and DuckDB; only the 20-term
+    weight total is float-ordered, and the stability sweep guards the
+    floor boundary.
+
+    Scale: one corpus agg to |sources| rows of integer moments;
+    everything after runs on the source dimension (the unpartitioned
+    remainder-rank window is bounded by it).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"))
+    w = s.select(
+        "source", "n_docs",
+        F.sqrt((F.col("n_docs") * F.col("sxx")
+                - F.col("sx") * F.col("sx")).cast("double")).alias("wgt"))
+    tot = w.agg(F.sum("wgt").alias("tw"))
+    q = (w.crossJoin(F.broadcast(tot))
+         .select("source", "n_docs", "wgt",
+                 F.floor(_NEYMAN_B * F.col("wgt") / F.col("tw"))
+                 .cast("long").alias("base"),
+                 (_NEYMAN_B * F.col("wgt") / F.col("tw")
+                  - F.floor(_NEYMAN_B * F.col("wgt") / F.col("tw")))
+                 .alias("rem")))
+    from pyspark.sql import Window
+
+    # bounded: |sources| rows — the post-aggregate source dimension
+    win = Window.orderBy(F.desc("rem"), F.asc("source"))
+    r = q.withColumn("rk", F.row_number().over(win))
+    lo = q.agg((F.lit(_NEYMAN_B) - F.sum("base")).alias("l"))
+    return (r.crossJoin(F.broadcast(lo))
+            .select("source", "n_docs", "base",
+                    (F.col("base")
+                     + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0))
+                    .cast("long").alias("n_sample")))
 
 
 @register(

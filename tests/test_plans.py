@@ -1180,8 +1180,11 @@ def test_bpe_learn_merges_bounded_argmax_broadcasts(spark, sf_dir):
 
     from glue_parquet_splitter_spark.queries import tokenizer_q
 
-    src = inspect.getsource(tokenizer_q.bpe_learn_merges)
-    assert src.count("F.broadcast(") == 1  # the limit(1) argmax only
+    # the shared train loop's limit(1) argmax is the ONLY hint site
+    assert inspect.getsource(
+        tokenizer_q._bpe_train).count("F.broadcast(") == 1
+    assert "F.broadcast(" not in inspect.getsource(
+        tokenizer_q.bpe_learn_merges)
     plan = plan_of(spark, sf_dir, "bpe_learn_merges")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
@@ -1275,4 +1278,29 @@ def test_shard_quota_window_is_dimension_bounded(spark, sf_dir):
     the boundedness comment); the corpus itself sees exactly one agg."""
     plan = plan_of(spark, sf_dir, "shard_quota_largest_remainder")
     assert "partial_count" in plan or "partial_sum" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_threshold_sweep_single_pair_pass(spark, sf_dir):
+    """embedding_dedup_threshold_sweep: the 6-threshold grid fans out
+    map-side over pair rows computed ONCE (blocked self-join) — no
+    per-threshold recompute, no range exchange, no cartesian."""
+    import inspect
+
+    from glue_parquet_splitter_spark.queries import curation7_q
+
+    src = inspect.getsource(curation7_q.embedding_dedup_threshold_sweep)
+    assert src.count("F.broadcast(") == 1  # the 1-row corpus count only
+    plan = plan_of(spark, sf_dir, "embedding_dedup_threshold_sweep")
+    assert plan.count("Generate explode") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_neyman_moments_single_corpus_agg(spark, sf_dir):
+    """neyman_allocation_sampling: the corpus is touched by exactly
+    one aggregate (integer moments); everything downstream runs on the
+    |sources| dimension."""
+    plan = plan_of(spark, sf_dir, "neyman_allocation_sampling")
+    assert "partial_sum" in plan
     assert "Exchange rangepartitioning" not in plan
