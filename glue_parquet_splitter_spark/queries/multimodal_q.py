@@ -172,3 +172,39 @@ def multimodal_decode_ppm(spark, sf_dir):
     both engines, so neither accumulation order nor the half-even/
     half-up rounding split can drift it."""
     return M.decode_ppm(M.pack_ppm(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, n_chars, ord(substr(text, CAST(i AS INT), 1)) AS b
+      FROM documents, UNNEST(range(1, n_chars + 1)) AS t(i)
+      WHERE n_chars >= 1)
+    SELECT doc_id, 8000 AS sample_rate,
+           CAST(n_chars AS BIGINT) AS n_samples,
+           CAST(n_chars * 125 AS BIGINT) AS duration_us,
+           ((SUM(b) * 20000 + COUNT(*)) // (2 * COUNT(*))) / 10000.0
+             AS mean_amp
+    FROM bytes GROUP BY doc_id, n_chars
+    """,
+    tags=("multimodal", "pandas_udf"),
+)
+def multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode with zero external libs — the RIFF/WAVE twin
+    of ``multimodal_decode_ppm``: each document is packed JVM-side
+    into a genuine canonical-header WAV file (PCM, mono, 8 kHz,
+    8-bit; the text bytes are the sample plane) and a pure-Python
+    chunk-walking parser extracts sample rate, sample count, exact
+    integer-µs duration, and the half-up integer mean amplitude
+    inside the same Arrow-batched ``mapInPandas`` path.  The parser
+    walks the chunk list like a real reader (id + LE32 size, even
+    padding, unknown chunks skipped), so bytes from any canonical WAV
+    writer would also parse.
+
+    Scale: identical to the PPM path — decode parallelism ==
+    partition count, bytes cross into Python once per Arrow batch,
+    output a fixed-width metadata row.  The oracle reproduces the
+    sample plane character-wise (ASCII corpus ⇒ chars == bytes) and
+    pushes the mean through the same integer half-up formula."""
+    return M.decode_wav(M.pack_wav(load_table(spark, sf_dir, "documents")))

@@ -595,6 +595,60 @@ def cdc_containment_pairs(spark, sf_dir):
                     .alias("containment")))
 
 
+_VOCAB_V = 100      # top-V vocabulary for the coverage audit
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH {_BPE_WF_SQL},
+    vocab AS (
+      SELECT w FROM wf ORDER BY cnt DESC, w LIMIT {_VOCAB_V}),
+    toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_vocab,
+           ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS oov_rate
+    FROM toks LEFT JOIN vocab v ON v.w = toks.tok
+    WHERE len(tok) > 0
+    GROUP BY lang
+    """,
+    tags=("tokenizer", "text", "agg"),
+)
+def tokenizer_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage / OOV audit: freeze the top-{v} words by
+    corpus frequency (count DESC, word ASC tie-break) as the
+    vocabulary, then measure per language what fraction of token
+    INSTANCES falls outside it — the coverage number that decides
+    vocabulary size for any frequency-based tokenizer, and the
+    per-language fairness check (a shared vocab under-covers minority
+    languages first).
+
+    Scale: the vocab is a top-k over the word-frequency aggregate
+    (TakeOrdered — never a global sort of the corpus) and is
+    k-bounded, so the coverage join broadcasts it at any corpus size;
+    the per-lang agg partial-aggregates map-side.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (_word_freqs(spark, sf_dir)
+             .orderBy(F.desc("cnt"), F.asc("w")).limit(_VOCAB_V)
+             .select(F.col("w").alias("vw")))
+    toks = (d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.length("tok") > 0))
+    return (toks.join(F.broadcast(vocab), toks["tok"] == F.col("vw"),
+                      "left")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("vw").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_in_vocab"),
+                 F.round(F.sum(F.when(F.col("vw").isNull(), 1)
+                               .otherwise(0))
+                         / F.count("*").cast("double"), 4)
+                 .alias("oov_rate")))
+
+
 _NOV_BATCHES = 8    # simulated ingest batches (doc_id % 8)
 
 
