@@ -60,7 +60,9 @@ def dedup_exact_hash(spark, sf_dir):
 # The 8-hash family = 8-hex chunks of md5(shingle) and md5('x'||shingle);
 # bands of 2 → 4 bucket signatures; elements are 3-word shingles.
 # Mirrors operators/dedup.py exactly.
-_MINHASH_ORACLE_CTE = """
+# toks + mh only (no banding): the band-tuning audit re-bands the same
+# 8-hash signature four ways, so the signature CTEs are shared.
+_MINHASH_MH_CTE = """
     WITH toks AS (
       SELECT DISTINCT doc_id, tok FROM (
         SELECT doc_id,
@@ -78,7 +80,11 @@ _MINHASH_ORACLE_CTE = """
              MIN(substr(md5('x' || tok), 17, 8)) AS m6,
              MIN(substr(md5('x' || tok), 25, 8)) AS m7
       FROM toks GROUP BY doc_id
-    ), bands AS (
+    )
+"""
+
+_MINHASH_ORACLE_CTE = _MINHASH_MH_CTE + """
+    , bands AS (
       SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS sig FROM mh UNION ALL
       SELECT doc_id, 1 AS band, md5(m2 || '|' || m3) AS sig FROM mh UNION ALL
       SELECT doc_id, 2 AS band, md5(m4 || '|' || m5) AS sig FROM mh UNION ALL
@@ -373,3 +379,65 @@ def minhash_eval_pr(spark, sf_dir):
                     F.round(F.col("n_hit").cast("double")
                             / F.greatest(F.col("n_truth"), F.lit(1)), 6)
                      .alias("recall_at_05")))
+
+
+def _band_tuning_oracle() -> str:
+    """Re-band the SAME 8-hash signature four ways — (bands, rows):
+    (8,1), (4,2), (2,4), (1,8) — and count candidate pairs for each;
+    the LSH S-curve tuning table."""
+    parts = [_MINHASH_MH_CTE]
+    selects = []
+    sep = " || '|' || "
+    for r in (1, 2, 4, 8):
+        b = 8 // r
+        bands = " UNION ALL ".join(
+            f"SELECT doc_id, {i} AS band, "
+            f"md5({sep.join(f'm{i * r + j}' for j in range(r))})"
+            f" AS sig FROM mh"
+            for i in range(b))
+        parts.append(f""",
+    bands_r{r} AS ({bands}),
+    pairs_r{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_r{r} a JOIN bands_r{r} b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""")
+        selects.append(
+            f"SELECT {b} AS n_bands, {r} AS rows_per_band,"
+            f" CAST((SELECT COUNT(*) FROM pairs_r{r}) AS BIGINT)"
+            f" AS n_candidates,"
+            f" CAST({round((1 / b) ** (1 / r), 4)} AS DOUBLE) AS thresh_est")
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "lsh_band_tuning_audit",
+    oracle=_band_tuning_oracle(),
+    tags=("dedup", "lsh", "agg"),
+)
+def lsh_band_tuning_audit(spark, sf_dir):
+    """The LSH S-curve tuning table: one 8-hash MinHash signature,
+    re-banded four ways — (bands×rows) = 8×1, 4×2, 2×4, 1×8 — with
+    the candidate-pair count each banding yields and its estimated
+    Jaccard threshold t ≈ (1/b)^(1/r).  More bands → lower threshold
+    → more candidates (recall↑, verify cost↑); the table is how a
+    deployment picks the banding BEFORE running the expensive verify
+    stage at full scale.
+
+    Scale: the signature aggregation (the only corpus-sized work)
+    is computed from one shared lineage; each banding adds a
+    band-keyed self-join over (doc, band, sig) rows — the same
+    bucket-join shape as production LSH, never all-pairs.  Both
+    engines compute the threshold constant from the same literal.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d)
+    out = None
+    for r in (1, 2, 4, 8):
+        b = 8 // r
+        cnt = (D.candidate_pairs(D.lsh_bands(sig, band_size=r))
+               .agg(F.lit(b).alias("n_bands"),
+                    F.lit(r).alias("rows_per_band"),
+                    F.count("*").alias("n_candidates"),
+                    F.lit(round((1 / b) ** (1 / r), 4)).alias("thresh_est")))
+        out = cnt if out is None else out.unionByName(cnt)
+    return out

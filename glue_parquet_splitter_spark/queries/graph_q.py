@@ -462,3 +462,61 @@ def dup_cluster_canonical_pick(spark, sf_dir):
         F.col("n_chars").alias("canonical_chars"),
         "n_members",
     )
+
+
+@register(
+    "dedup_cluster_size_distribution",
+    oracle=_CC_ORACLE_CTES + """
+    , comp AS (
+      SELECT CAST(u AS BIGINT) AS doc_id,
+             CAST(LEAST(u, MIN(v)) AS BIGINT) AS component
+      FROM reach GROUP BY u
+    ), cs AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM cs GROUP BY sz
+    UNION ALL
+    SELECT 1,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM comp) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM comp) AS BIGINT)
+    """,
+    tags=("dedup", "graph", "agg"),
+)
+def dedup_cluster_size_distribution(spark, sf_dir):
+    """The duplicate-cluster SIZE histogram — the power-law audit run
+    before choosing a dedup execution strategy: web corpora follow a
+    heavy-tailed cluster-size law, and whether the largest cluster
+    holds 10 docs or 10 million decides between a plain groupBy
+    survivor pick and the capped/salted machinery
+    (``semdedup_capped_*``, the DF caps).  One row per observed
+    cluster size (verified-duplicate connected components; size-1 =
+    docs with no duplicate), with cluster and doc counts.
+
+    Scale: the CC input path is the banded LSH pipeline (never
+    all-pairs); the histogram itself is two tiny aggs over the
+    component map plus a 1-row singleton count — the audit costs
+    nothing beyond the clustering it audits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    comp = connected_components(_verified_pairs(spark, sf_dir),
+                                "doc_a", "doc_b")
+    cs = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    hist = (cs.groupBy("sz")
+            .agg(F.count("*").alias("n_clusters"),
+                 F.sum("sz").alias("n_docs"))
+            .select(F.col("sz").cast("long").alias("cluster_size"),
+                    "n_clusters", F.col("n_docs").cast("long")
+                    .alias("n_docs")))
+    totals = d.agg(F.count("*").alias("n_total"))
+    clustered = comp.agg(F.count("*").alias("n_clustered"))
+    singles = (totals.crossJoin(F.broadcast(clustered))
+               .select(F.lit(1).cast("long").alias("cluster_size"),
+                       (F.col("n_total") - F.col("n_clustered"))
+                       .alias("n_clusters"),
+                       (F.col("n_total") - F.col("n_clustered"))
+                       .alias("n_docs")))
+    return hist.unionByName(singles)

@@ -1304,3 +1304,21 @@ def test_neyman_moments_single_corpus_agg(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "neyman_allocation_sampling")
     assert "partial_sum" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_band_tuning_shares_signature_lineage(spark, sf_dir):
+    """lsh_band_tuning_audit: four bandings over ONE signature
+    aggregation — each arm is a band-keyed bucket self-join (the
+    production LSH shape), never a cartesian; no range exchange."""
+    plan = plan_of(spark, sf_dir, "lsh_band_tuning_audit")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_cluster_size_histogram_costs_two_aggs(spark, sf_dir):
+    """dedup_cluster_size_distribution: the audit on top of the CC map
+    is two small aggs + a 1-row singleton count — no cartesian, no
+    range exchange."""
+    plan = plan_of(spark, sf_dir, "dedup_cluster_size_distribution")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
