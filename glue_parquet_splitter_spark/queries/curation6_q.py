@@ -29,9 +29,9 @@ _TCHUNK_S = 4       # token-chunk stride
 _DUP_FRAC = 0.5     # drop a doc when >= half its chunks are copies
 
 
-@register(
-    "sequence_packing_ffd",
-    oracle=f"""
+# the sharded-FFD recursive CTEs (seq, pack) — shared by the packing
+# query's oracle and the fill-report audit
+_PACK_ORACLE_CTES = f"""
     WITH RECURSIVE seq AS (
       SELECT doc_id, toks,
              toks // {_PACK_BUCKET} AS bucket,
@@ -63,6 +63,12 @@ _DUP_FRAC = 0.5     # drop a doc when >= half its chunks are copies
           ON s.bucket = p.bucket AND s.salt = p.salt AND s.rn = p.rn + 1
       )
     )
+"""
+
+
+@register(
+    "sequence_packing_ffd",
+    oracle=_PACK_ORACLE_CTES + """
     SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
            CAST(salt AS BIGINT) AS salt, bin_idx,
            CAST(toks AS BIGINT) AS toks
@@ -733,3 +739,113 @@ def streaming_chunk_index(spark, sf_dir):
     return run_chunk_index_stream(
         spark, f"{sf_dir}/documents.parquet",
         width=_CHUNK_W, stride=_CHUNK_S)
+
+
+_CLF_SWEEP_T = (-200000, -100000, 0, 100000, 200000)  # micro-log-odds
+
+
+@register(
+    "classifier_threshold_sweep",
+    oracle="WITH " + _clf_sql_ctes() + f""",
+    th AS (SELECT CAST(unnest([{', '.join(str(t) for t in _CLF_SWEEP_T)}])
+             AS BIGINT) AS thresh)
+    SELECT th.thresh,
+           CAST(SUM(CASE WHEN score_int > th.thresh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_pos,
+           ROUND(CASE WHEN SUM(CASE WHEN score_int > th.thresh
+                                    THEN 1 ELSE 0 END) = 0 THEN 0.0
+                 ELSE SUM(CASE WHEN score_int > th.thresh AND is_en
+                               THEN 1 ELSE 0 END)
+                      / CAST(SUM(CASE WHEN score_int > th.thresh
+                                      THEN 1 ELSE 0 END) AS DOUBLE)
+                 END, 4) AS precision4,
+           ROUND(SUM(CASE WHEN score_int > th.thresh AND is_en
+                          THEN 1 ELSE 0 END)
+                 / CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE),
+                 4) AS recall4
+    FROM th CROSS JOIN clf
+    GROUP BY th.thresh
+    """,
+    tags=("curation", "classifier", "agg"),
+)
+def classifier_threshold_sweep(spark, sf_dir):
+    """The precision/recall operating-point table for the hash-n-gram
+    quality classifier — the audit that picks the funnel's gate
+    threshold: scores computed ONCE (integer micro-log-odds,
+    accumulation-order-free), then a 5-threshold grid fans out
+    map-side and each point reports predicted-positive count,
+    precision, and recall against the language label.  Production
+    funnels pick the highest-recall point that clears a precision
+    floor; this table IS that decision.
+
+    Scale: the classifier inference is the broadcast-weight shape
+    pinned for ``hashgram_classifier_score``; the sweep adds one
+    literal fan-out and one agg over |grid|x|docs| rows — never a
+    re-score.  Zero-denominator points report 0.0 in both engines.
+    """
+    scores = _clf_scores(spark, sf_dir)
+    swept = scores.select(
+        "is_en", "score_int",
+        F.explode(F.array(*[F.lit(t).cast("long")
+                            for t in _CLF_SWEEP_T])).alias("thresh"))
+    pos = F.when(F.col("score_int") > F.col("thresh"), 1).otherwise(0)
+    tp = F.when((F.col("score_int") > F.col("thresh"))
+                & F.col("is_en"), 1).otherwise(0)
+    return (swept.groupBy("thresh")
+            .agg(F.sum(pos).cast("long").alias("n_pred_pos"),
+                 F.round(F.when(F.sum(pos) == 0, 0.0)
+                         .otherwise(F.sum(tp)
+                                    / F.sum(pos).cast("double")), 4)
+                 .alias("precision4"),
+                 F.round(F.sum(tp)
+                         / F.sum(F.when(F.col("is_en"), 1).otherwise(0))
+                         .cast("double"), 4).alias("recall4")))
+
+
+@register(
+    "packing_fill_report",
+    oracle=_PACK_ORACLE_CTES + f"""
+    , per_shard AS (
+      SELECT bucket, salt, MAX(bin_idx) + 1 AS n_bins,
+             COUNT(*) AS n_docs, SUM(toks) AS total_toks
+      FROM pack GROUP BY bucket, salt)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bins) AS BIGINT) AS n_bins,
+           CAST(SUM(total_toks) AS BIGINT) AS total_toks,
+           ROUND(SUM(total_toks)
+                 / CAST(SUM(n_bins) * {_PACK_CAP} AS DOUBLE), 4) AS fill4
+    FROM per_shard GROUP BY bucket
+    """,
+    tags=("curation", "packing", "agg"),
+)
+def packing_fill_report(spark, sf_dir):
+    """The per-length-bucket fill accounting for the sharded FFD pack
+    — REGISTERED (not just smoke-tested), so the known tradeoff is a
+    graded number: buckets whose lengths sit in (cap/2, cap] hold one
+    doc per bin and read low fill, small-length buckets pack high.
+    This is the audit that routes a production pack's mid-length
+    leftovers into the backfill pass (``sequence_packing_backfill``).
+
+    Scale: one aggregation over the pack assignment (which itself is
+    the plan pinned for ``sequence_packing_ffd``) — per-(bucket,salt)
+    bin counts, then per-bucket rollup; nothing heavier than the pack
+    it audits.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks"))
+    packed = ffd_pack(docs)
+    per_shard = (packed.groupBy("bucket", "salt")
+                 .agg((F.max("bin_idx") + 1).alias("n_bins"),
+                      F.count("*").alias("n_docs"),
+                      F.sum("toks").alias("total_toks")))
+    return (per_shard.groupBy("bucket")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"),
+                 F.sum("n_bins").cast("long").alias("n_bins"),
+                 F.sum("total_toks").cast("long").alias("total_toks"),
+                 F.round(F.sum("total_toks")
+                         / (F.sum("n_bins") * _PACK_CAP).cast("double"),
+                         4).alias("fill4"))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "n_docs", "n_bins", "total_toks", "fill4"))

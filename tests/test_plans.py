@@ -1322,3 +1322,24 @@ def test_cluster_size_histogram_costs_two_aggs(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_cluster_size_distribution")
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_classifier_sweep_scores_once(spark, sf_dir):
+    """classifier_threshold_sweep: scores computed once (broadcast
+    weight join), the grid a single literal fan-out — exactly one
+    Generate explode for the grid beyond the featurization's own, no
+    range exchange."""
+    plan = plan_of(spark, sf_dir, "classifier_threshold_sweep")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fill_report_rides_the_pack_plan(spark, sf_dir):
+    """packing_fill_report: the audit adds two aggs on the pack's own
+    FlatMapGroupsInPandas plan — still one hash exchange into the
+    pack, no global sort."""
+    plan = plan_of(spark, sf_dir, "packing_fill_report")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
