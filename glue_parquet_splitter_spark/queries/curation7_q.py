@@ -355,3 +355,131 @@ def shard_quota_largest_remainder(spark, sf_dir):
                     (F.col("base")
                      + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0))
                     .cast("long").alias("quota")))
+
+
+@register(
+    "embedding_health_audit",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY nrm), 4)
+             AS median_norm
+    FROM n
+    """,
+    tags=("similarity", "agg", "quality"),
+)
+def embedding_health_audit(spark, sf_dir):
+    """The embedding-health check every ANN/semantic-dedup pipeline
+    runs BEFORE trusting its vectors: corpus size, zero-norm count
+    (collapsed/failed encodes — cosine is undefined on them and they
+    poison centroid assignment), and the norm distribution
+    (min/median/max).  A median norm far from the expected scale or a
+    nonzero zero-norm count fails the batch before any expensive
+    pairwise work runs.
+
+    Scale: one map-side norm per vector and a single global
+    aggregate; the median is an exact percentile over the norm column
+    (at 100 TB swap in ``approx_percentile`` — the sketch family's
+    audited path).  Norms are rounded AFTER aggregation; the per-sum
+    accumulation order is fixed by the array fold, not partitioning.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+    n = e.select(nrm.alias("nrm"))
+    return n.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_zero_norm"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("median_norm"))
+
+
+@register(
+    "training_mix_manifest",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM s),
+    q AS (
+      SELECT source, n_docs,
+             CAST(FLOOR({_QUOTA_B} * n_docs / (SELECT n FROM t))
+                  AS BIGINT) AS base,
+             {_QUOTA_B} * n_docs / (SELECT n FROM t)
+               - FLOOR({_QUOTA_B} * n_docs / (SELECT n FROM t)) AS rem
+      FROM s),
+    r AS (SELECT source, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+          FROM q),
+    lo AS (SELECT {_QUOTA_B} - SUM(base) AS l FROM q),
+    quota AS (
+      SELECT source,
+             base + CASE WHEN rk <= (SELECT l FROM lo)
+                         THEN 1 ELSE 0 END AS quota
+      FROM r),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                         d.doc_id) AS rn
+      FROM documents d)
+    SELECT ranked.source, CAST(ranked.doc_id AS BIGINT) AS doc_id
+    FROM ranked JOIN quota ON quota.source = ranked.source
+    WHERE rn <= quota.quota
+    """,
+    tags=("curation", "sampling", "window", "join"),
+)
+def training_mix_manifest(spark, sf_dir):
+    """The SHIPPABLE artifact at the end of the mixture pipeline: the
+    actual (source, doc_id) manifest of the training mix — Hamilton
+    quotas per source (exact-sum, as in
+    ``shard_quota_largest_remainder``) filled by a DETERMINISTIC
+    hash-ordered selection within each source (md5(doc_id) order,
+    doc_id tie-break), so the manifest is a pure function of the
+    corpus and any two runs ship identical bytes.
+
+    Scale: quota math runs on the |sources| dimension; the selection
+    window partitions BY SOURCE (bounded per-partition work, no
+    global sort) and the quota join is a |sources|-row bounded dim.
+    Hash-ordered selection = uniform sampling without an RNG — the
+    reproducibility property training-data audits require.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    t = s.agg(F.sum("n_docs").cast("double").alias("n"))
+    q = (s.crossJoin(F.broadcast(t))
+         .select("source", "n_docs",
+                 F.floor(_QUOTA_B * F.col("n_docs") / F.col("n"))
+                 .cast("long").alias("base"),
+                 (_QUOTA_B * F.col("n_docs") / F.col("n")
+                  - F.floor(_QUOTA_B * F.col("n_docs") / F.col("n")))
+                 .alias("rem")))
+    # bounded: |sources| rows — the post-aggregate source dimension
+    wq = Window.orderBy(F.desc("rem"), F.asc("source"))
+    lo = q.agg((F.lit(_QUOTA_B) - F.sum("base")).alias("l"))
+    quota = (q.withColumn("rk", F.row_number().over(wq))
+             .crossJoin(F.broadcast(lo))
+             .select("source",
+                     (F.col("base")
+                      + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0))
+                     .alias("quota")))
+    ws = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = d.select("doc_id", "source",
+                      F.row_number().over(ws).alias("rn"))
+    return (ranked.join(F.broadcast(quota), "source")  # bounded: |sources|
+            .filter(F.col("rn") <= F.col("quota"))
+            .select("source", F.col("doc_id").cast("long").alias("doc_id")))

@@ -1343,3 +1343,21 @@ def test_fill_report_rides_the_pack_plan(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan
     assert "Exchange rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_embedding_health_single_pass(spark, sf_dir):
+    """embedding_health_audit: one map-side norm per vector + a single
+    global aggregate — no joins, no range exchange (the exact median
+    is the only sort and it lives inside the percentile aggregate)."""
+    plan = plan_of(spark, sf_dir, "embedding_health_audit")
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_training_mix_manifest_source_partitioned_selection(spark, sf_dir):
+    """training_mix_manifest: the selection window partitions BY
+    SOURCE (never a global sort of the corpus); the quota side is a
+    |sources|-row bounded broadcast."""
+    plan = plan_of(spark, sf_dir, "training_mix_manifest")
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
