@@ -836,3 +836,62 @@ def curation_funnel_v2(spark, sf_dir):
          .alias("n_after_ppl"),
         F.count_if(F.col("pass_dedup") & F.col("pass_ppl")
                    & (F.col("pct") >= 0.4)).alias("n_after_quality"))
+
+
+@register(
+    "source_quality_leaderboard",
+    oracle=f"""
+    WITH {FUNNEL_SIGNAL_CTES}, per AS (
+      SELECT d.source, d.doc_id,
+             (dd.doc_id IS NOT NULL) AS is_dup,
+             n.avg_nll, n.n_bigrams
+      FROM documents d
+      LEFT JOIN dup_drop dd ON dd.doc_id = d.doc_id
+      LEFT JOIN nll n ON n.doc_id = d.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 4)
+             AS dup_rate,
+           CAST(COUNT(*) FILTER (WHERE n_bigrams >= 5) AS BIGINT)
+             AS n_scored,
+           ROUND(COALESCE(AVG(avg_nll) FILTER (WHERE n_bigrams >= 5),
+                          0.0), 4) AS mean_nll
+    FROM per GROUP BY source
+    """,
+    tags=("curation", "quality", "agg"),
+)
+def source_quality_leaderboard(spark, sf_dir):
+    """The per-SOURCE quality leaderboard — the table a data-sourcing
+    team reads to decide which feeds to drop, renegotiate, or
+    up-weight: near-duplicate rate (winnowing fingerprints — the
+    funnel's dedup signal aggregated to source granularity instead of
+    gated per doc) and mean bigram-LM negative log-likelihood over
+    scorable docs (lower = more natural text).  Signals are the SAME
+    CTEs the curation funnel consumes, so the leaderboard and the
+    funnel can never disagree about a source.
+
+    Scale: signal computation is the funnel's (computed once,
+    doc_id-keyed joins); the leaderboard adds one |sources|-row
+    aggregate.  Sources with no scorable docs report mean_nll 0.0
+    identically in both engines.
+    """
+    from .quality_q import doc_avg_nll
+
+    d = load_table(spark, sf_dir, "documents")
+    dup_drop = (winnowing_fingerprints(spark, sf_dir)
+                .select(F.col("doc_b").alias("doc_id")).distinct()
+                .withColumn("_dup", F.lit(1)))
+    nll = doc_avg_nll(spark, sf_dir)
+    per = (d.select("source", "doc_id")
+           .join(dup_drop, "doc_id", "left")
+           .join(nll, "doc_id", "left"))
+    scored = F.col("n_bigrams") >= 5
+    return (per.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg(F.when(F.col("_dup").isNotNull(), 1.0)
+                               .otherwise(0.0)), 4).alias("dup_rate"),
+                 F.sum(F.when(scored, 1).otherwise(0)).cast("long")
+                 .alias("n_scored"),
+                 F.round(F.coalesce(
+                     F.avg(F.when(scored, F.col("avg_nll"))), F.lit(0.0)),
+                     4).alias("mean_nll")))

@@ -441,3 +441,50 @@ def lsh_band_tuning_audit(spark, sf_dir):
                     F.lit(round((1 / b) ** (1 / r), 4)).alias("thresh_est")))
         out = cnt if out is None else out.unionByName(cnt)
     return out
+
+
+@register(
+    "lsh_bucket_skew_audit",
+    oracle=_MINHASH_ORACLE_CTE + """
+    , bs AS (
+      SELECT band, sig, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bands GROUP BY band, sig)
+    SELECT CAST(band AS INT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(c) AS BIGINT) AS max_bucket,
+           CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS implied_pairs,
+           ROUND(MAX(c * (c - 1) / 2)
+                 / CAST(GREATEST(SUM(c * (c - 1) / 2), 1) AS DOUBLE), 4)
+             AS skew_frac
+    FROM bs GROUP BY band
+    """,
+    tags=("dedup", "lsh", "agg"),
+)
+def lsh_bucket_skew_audit(spark, sf_dir):
+    """THE production LSH incident detector: per band, the bucket-size
+    distribution and the fraction of the band's implied pairwise work
+    (Σ c·(c−1)/2) concentrated in its single hottest bucket.  A
+    boilerplate-dominated bucket makes one task do a c² self-join
+    while every other task idles — ``skew_frac`` near 1 says salt the
+    bucket key or DF-cap the fingerprints BEFORE running the pair
+    join; the audit costs one aggregate over (band, sig) counts,
+    nothing pairs.
+
+    All-integer arithmetic (counts and exact pair formulas) — the
+    only double is the final ratio of two exact integers, identical
+    in both engines.
+    """
+    d = _docs(spark, sf_dir)
+    bands = D.lsh_bands(D.minhash_signatures(d))
+    bs = bands.groupBy("band", "sig").agg(F.count("*").alias("c"))
+    pairs_c = (F.col("c") * (F.col("c") - 1) / 2).cast("long")
+    return (bs.groupBy("band")
+            .agg(F.count("*").alias("n_buckets"),
+                 F.max("c").cast("long").alias("max_bucket"),
+                 F.sum(pairs_c).cast("long").alias("implied_pairs"),
+                 F.round(F.max(pairs_c)
+                         / F.greatest(F.sum(pairs_c), F.lit(1))
+                         .cast("double"), 4).alias("skew_frac"))
+            .select(F.col("band").cast("int").alias("band"),
+                    "n_buckets", "max_bucket", "implied_pairs",
+                    "skew_frac"))

@@ -1361,3 +1361,27 @@ def test_training_mix_manifest_source_partitioned_selection(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "training_mix_manifest")
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucket_skew_audit_never_pairs(spark, sf_dir):
+    """lsh_bucket_skew_audit: the audit is aggregates over (band, sig)
+    counts — NO pair self-join anywhere in the plan (that is the
+    point: estimate the pair cost without paying it)."""
+    plan = plan_of(spark, sf_dir, "lsh_bucket_skew_audit")
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_leaderboard_doc_keyed_signal_joins(spark, sf_dir):
+    """source_quality_leaderboard: the funnel's signals compose as
+    doc_id-keyed left joins (no hint on the O(N·dup_rate) drop set),
+    then one |sources|-row aggregate."""
+    import inspect
+
+    from glue_parquet_splitter_spark.queries import curation5_q
+
+    src = inspect.getsource(curation5_q.source_quality_leaderboard)
+    assert "F.broadcast(" not in src and ".hint(" not in src
+    plan = plan_of(spark, sf_dir, "source_quality_leaderboard")
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
