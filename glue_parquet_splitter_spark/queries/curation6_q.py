@@ -849,3 +849,123 @@ def packing_fill_report(spark, sf_dir):
                          4).alias("fill4"))
             .select(F.col("bucket").cast("long").alias("bucket"),
                     "n_docs", "n_bins", "total_toks", "fill4"))
+
+
+@register(
+    "hashgram_collision_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT g FROM (
+        SELECT UNNEST(t) AS g FROM toks
+        UNION ALL
+        SELECT t[i] || '_' || t[i+1] AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i))
+    ), buckets AS (
+      SELECT {_CLF_H} AS h, CAST(COUNT(*) AS BIGINT) AS k
+      FROM grams GROUP BY {_CLF_H})
+    SELECT k AS grams_per_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM buckets GROUP BY k
+    """,
+    tags=("curation", "classifier", "agg"),
+)
+def hashgram_collision_audit(spark, sf_dir):
+    """The collision profile that sizes the hashing trick: how many of
+    the classifier's D={d} buckets hold 1, 2, 3… distinct n-grams.  A
+    heavy tail means semantically-unrelated grams share a weight and
+    the classifier's capacity is the bottleneck — the signal to grow
+    D (production fastText uses 2^20); a mostly-1 profile means D is
+    already generous.  Uses the SAME bucket hash as
+    ``hashgram_classifier_score``, so the audit describes exactly the
+    table that model broadcasts.
+
+    Scale: distinct grams collapse the corpus to vocabulary size
+    (unigram+bigram), then two D-granular aggregates — the same
+    featurization cost shape as classifier training, with no label or
+    weight math.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split("text", " ").alias("t"))
+    grams = (docs.select(F.explode("t").alias("g"))
+             .unionAll(
+                 docs.filter(F.size("t") >= 2)
+                 .select(F.explode(F.expr(
+                     "transform(sequence(1, size(t) - 1),"
+                     " i -> concat(element_at(t, CAST(i AS INT)), '_',"
+                     "             element_at(t, CAST(i + 1 AS INT))))"))
+                     .alias("g")))
+             .distinct())
+    buckets = grams.groupBy(F.expr(_CLF_H).alias("h")).agg(
+        F.count("*").alias("k"))
+    return (buckets.groupBy("k")
+            .agg(F.count("*").alias("n_buckets"))
+            .select(F.col("k").cast("long").alias("grams_per_bucket"),
+                    "n_buckets"))
+
+
+@register(
+    "dedup_normalization_impact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             upper(text) || '  ' AS text
+      FROM documents WHERE doc_id % 4 = 0
+    ), raw AS (
+      SELECT md5(text) AS h, COUNT(*) AS c FROM corpus GROUP BY md5(text)
+    ), norm AS (
+      SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+             COUNT(*) AS c
+      FROM corpus
+      GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+    )
+    SELECT 'raw' AS method,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clusters
+    FROM raw
+    UNION ALL
+    SELECT 'normalized',
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM norm
+    """,
+    tags=("curation", "dedup", "string"),
+)
+def dedup_normalization_impact(spark, sf_dir):
+    """WHY dedup runs after normalization, measured: plant a
+    case-flipped, trailing-whitespace twin of every 4th doc, then
+    compare exact-dup detection on raw md5(text) vs md5 of the
+    normalized form (lower + collapse spaces + trim).  Raw hashing
+    misses every planted twin (case/whitespace differ); normalized
+    hashing catches them all — the delta is the duplicate mass a
+    pipeline silently ships when it skips the cleaning stage
+    (``text_clean_normalize``) before hashing.
+
+    Scale: two hash-groupBys over the corpus (32-byte keys shuffle,
+    never text) — the before/after comparison costs one extra
+    aggregate over the same scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    corpus = (d.select("doc_id", "text")
+              .unionAll(d.filter(F.col("doc_id") % 4 == 0)
+                        .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                                F.concat(F.upper("text"), F.lit("  "))
+                                .alias("text"))))
+    norm_h = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
+
+    def dup_stats(hcol, method):
+        c = corpus.groupBy(hcol.alias("h")).agg(F.count("*").alias("c"))
+        return c.agg(
+            F.lit(method).alias("method"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("long").alias("n_dup_docs"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_clusters"))
+
+    return (dup_stats(F.md5("text"), "raw")
+            .unionByName(dup_stats(norm_h, "normalized")))

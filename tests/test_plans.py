@@ -1385,3 +1385,21 @@ def test_leaderboard_doc_keyed_signal_joins(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "source_quality_leaderboard")
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_collision_audit_vocab_granular(spark, sf_dir):
+    """hashgram_collision_audit: distinct grams collapse the corpus to
+    vocab size before the two D-granular aggs — no joins at all in
+    the audit."""
+    plan = plan_of(spark, sf_dir, "hashgram_collision_audit")
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_normalization_impact_hash_keyed(spark, sf_dir):
+    """dedup_normalization_impact: both arms are md5-keyed groupBys
+    (32-byte keys shuffle, never text); no join, no range exchange."""
+    plan = plan_of(spark, sf_dir, "dedup_normalization_impact")
+    assert "Join" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
