@@ -246,16 +246,25 @@ def pack_wav(docs: DataFrame) -> DataFrame:
     followed by exactly n_chars sample bytes (the document text — the
     audio twin of ``pack_ppm``).  All JVM-side; the same
     octet-length guard makes a non-ASCII corpus fail loudly instead of
-    desyncing the sample plane from the header's data size."""
+    desyncing the sample plane from the header's data size.
+
+    RIFF requires every chunk padded to EVEN length, pad byte excluded
+    from the chunk's declared size but included in the enclosing RIFF
+    size (ADVICE r10): odd-n_chars payloads carry a trailing zero pad
+    byte — ``decode_wav``'s chunk walker already skips it (it assumes
+    even padding when stepping), and stdlib ``wave`` sees the same
+    sample plane either way."""
     samples = F.encode(F.col("text"), "UTF-8")
     n = F.col("n_chars").cast("long")
+    pad = F.expr("IF(n_chars % 2 = 1, unhex('00'), unhex(''))")
     payload = F.when(
         F.octet_length(samples) == n,
         F.concat(F.encode(F.lit("RIFF"), "UTF-8"),
-                 _le32("n_chars + 36"),
+                 _le32("n_chars + 36 + n_chars % 2"),
                  F.unhex(F.lit(_WAV_FIXED_HEX)),
                  _le32("n_chars"),
-                 samples),
+                 samples,
+                 pad),
     ).otherwise(F.raise_error(F.format_string(
         "pack_wav: non-ASCII text for doc_id=%d (%d chars but %d UTF-8 "
         "bytes) would desync the PCM sample plane",

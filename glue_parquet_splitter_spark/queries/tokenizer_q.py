@@ -162,11 +162,18 @@ def bpe_learn_merges(spark, sf_dir):
     DISTRIBUTED passes, which is exactly how production BPE trainers
     scale (each merge is a full map-reduce over the vocab table).
 
-    Merge application contract: symbols padded with spaces and
-    rewritten by single-pass left-to-right non-overlapping ``replace``
-    (' a a a a ' -> ' aa a a ') — identical semantics in Spark and
-    DuckDB (probed; module docstring), deterministic in both.  Ties in
-    pair counts break lexicographically.
+    Merge application contract — DOCUMENTED DEVIATION from textbook
+    BPE (ADVICE r10): symbols padded with spaces and rewritten by
+    single-pass left-to-right non-overlapping ``replace``
+    (' a a a a ' -> ' aa a a ') — the replace CONSUMES the shared
+    space between back-to-back occurrences, so consecutive repeats
+    are under-merged relative to a fixpoint rewriter
+    (' a b a b ' -> ' ab a b ', not ' ab ab ').  Both engines apply
+    the identical contract (probed; module docstring), so pair counts
+    and merges agree cross-engine and are deterministic, but the
+    learned statistics are NOT faithful textbook-BPE statistics on
+    repeat-heavy vocabularies.  Ties in pair counts break
+    lexicographically.
 
     Scale: the corpus collapses to the O(vocab) word-frequency table
     before the loop; each of the K levels is one agg over O(vocab)
@@ -182,11 +189,21 @@ def bpe_learn_merges(spark, sf_dir):
     return out
 
 
-def _bpe_train(wf, k: int = _BPE_K, apply_last: bool = False):
+def _bpe_train(wf, k: int = _BPE_K, apply_last: bool = False,
+               checkpoint: bool = False):
     """The K-merge training loop shared by ``bpe_learn_merges`` (wants
     the argmax rows) and ``bpe_encode_apply`` (wants every merge
     APPLIED to the vocab symbolization).  Returns (merge-row DFs,
-    final (w, sym, cnt) DF)."""
+    final (w, sym, cnt) DF).
+
+    ``checkpoint=True`` cuts the ``sym`` lineage per level with a lazy
+    ``localCheckpoint`` so level i reuses level i-1's materialized
+    vocab table instead of recomputing the whole replace chain —
+    without it total work is O(K²) in the number of merges and the
+    plan grows linearly (ADVICE r10).  Off by default: at the
+    registered K=4 the recompute is cheaper than the materialization
+    and the plan-pinned single-broadcast shape stays byte-stable; at
+    production K (32k merges, DEPLOY.md) checkpointing is REQUIRED."""
     sym = wf.select(
         "w",
         F.concat(F.lit(" "), F.concat_ws(" ", F.split("w", "")),
@@ -208,6 +225,8 @@ def _bpe_train(wf, k: int = _BPE_K, apply_last: bool = False):
                        "replace(sym, concat(' ', bp, ' '),"
                        " concat(' ', replace(bp, ' ', ''), ' '))")
                        .alias("sym"), "cnt"))
+            if checkpoint:
+                sym = sym.localCheckpoint(eager=False)
     return merge_rows, sym
 
 
@@ -237,6 +256,13 @@ def bpe_encode_apply(spark, sf_dir):
     per-language compression (chars per BPE token; higher = the
     tokenizer compresses that language better — the fertility metric
     multilingual-tokenizer audits use).
+
+    DOCUMENTED DEVIATION (ADVICE r10, shared with
+    ``bpe_learn_merges``): merge application is single-pass
+    non-overlapping ``replace``, which under-merges back-to-back
+    occurrences (' a b a b ' -> ' ab a b '); both engines agree, but
+    ``chars_per_token`` is this contract's compression number, not a
+    faithful textbook-BPE fertility metric on repeat-heavy text.
 
     Scale: the expensive string rewriting happens on the O(vocab)
     table only (train and encode share the `_bpe_train` loop); the
@@ -731,15 +757,19 @@ _DOC_H = hex_hash_expr("doc_id", 4, offset=8)
       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
       FROM documents GROUP BY lang),
     t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM l),
-    z AS (SELECT SUM(pow(n_docs / (SELECT n FROM t), {_TEMP_ALPHA})) AS z
+    q AS (SELECT lang, n_docs,
+                 CAST(ROUND(pow(n_docs / (SELECT n FROM t),
+                                {_TEMP_ALPHA}) * 1e12) AS BIGINT)
+                   AS qp
           FROM l),
+    z AS (SELECT SUM(qp) AS zp FROM q),
     r AS (
       SELECT lang, n_docs,
              ROUND(n_docs / (SELECT n FROM t), 4) AS share4,
-             ROUND(pow(n_docs / (SELECT n FROM t), {_TEMP_ALPHA})
-                   / (SELECT z FROM z) * (SELECT n FROM t) / n_docs, 4)
+             ROUND(qp / CAST((SELECT zp FROM z) AS DOUBLE)
+                   * (SELECT n FROM t) / n_docs, 4)
                AS rate4
-      FROM l)
+      FROM q)
     SELECT r.lang, r.n_docs, r.share4, r.rate4,
            CAST(SUM(CASE WHEN r.rate4 >= 1
                          OR ({_DOC_H}) / 65536.0 < r.rate4
@@ -758,6 +788,15 @@ def temperature_mixture_sampling(spark, sf_dir):
     round(r_l, 4) (both engines compare the identical 4-decimal
     rational, so the gate cannot drift on a pow() ulp).
 
+    Accumulation-order hardening (ADVICE r10): Z is NOT a float sum —
+    each language's q_l = p_l^α is quantized to integer picounits
+    (ROUND(·×1e12), exact in a 53-bit mantissa since q_l ≤ 1) and Z
+    is the INTEGER sum of those, so Spark's and DuckDB's differing
+    float-accumulation orders cannot move rate4 across a half-ulp
+    rounding boundary and flip the inclusion gate; rate4 then divides
+    two exact integers.  The only remaining float op per language is
+    the single pow() both engines already agree on.
+
     Output per language: corpus count, corpus share, sampling rate,
     and the gated inclusion count.
 
@@ -769,14 +808,16 @@ def temperature_mixture_sampling(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     l = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
     t = l.agg(F.sum("n_docs").cast("double").alias("n"))
-    lp = l.crossJoin(F.broadcast(t))
-    z = lp.agg(F.sum(F.pow(F.col("n_docs") / F.col("n"),
-                           _TEMP_ALPHA)).alias("z"))
+    lp = (l.crossJoin(F.broadcast(t))
+          .withColumn("qp", F.round(F.pow(F.col("n_docs") / F.col("n"),
+                                          _TEMP_ALPHA) * 1e12)
+                      .cast("long")))
+    z = lp.agg(F.sum("qp").alias("zp"))  # integer sum — order-free
     r = (lp.crossJoin(F.broadcast(z))
          .select("lang", "n_docs",
                  F.round(F.col("n_docs") / F.col("n"), 4).alias("share4"),
-                 F.round(F.pow(F.col("n_docs") / F.col("n"), _TEMP_ALPHA)
-                         / F.col("z") * F.col("n") / F.col("n_docs"), 4)
+                 F.round(F.col("qp") / F.col("zp").cast("double")
+                         * F.col("n") / F.col("n_docs"), 4)
                  .alias("rate4")))
     gate = (F.col("rate4") >= 1) | (F.expr(_DOC_H) / 65536.0
                                     < F.col("rate4"))

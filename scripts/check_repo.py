@@ -588,6 +588,31 @@ def _tail_checks(reg):
     else:
         print("warn: no STABILITY.json — run scripts/check_float_stability.py")
 
+    # 4c. staleness ledger (VERDICT r10 #8): the latest-driver-grade
+    # distribution, so the re-certification burn-down is visible in
+    # every run (ordered_registry fronts never-graded then stalest).
+    import collections as _collections
+    import glob as _g
+    import re as _re
+    latest: dict[str, int] = {}
+    for path in sorted(_g.glob("/root/repo/CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, _json.JSONDecodeError):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), int(m.group(1)))
+    hist = _collections.Counter(latest.values())
+    never = sorted(set(reg) - set(latest))
+    print("ok: staleness ledger — latest-grade histogram "
+          + " ".join(f"r{r}:{c}" for r, c in sorted(hist.items()))
+          + f"; never-graded: {len(never)}"
+          + (f" {never[:6]}" if never else ""))
+
     # 5. environment-gate probe (VERDICT r6 #4): make the two known
     # env-gated gaps driver-visible evidence, not docstring claims.
     # Neither is fixable in-container: no network, and pip installs are
