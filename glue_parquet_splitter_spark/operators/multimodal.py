@@ -214,6 +214,68 @@ def decode_ppm(packed: DataFrame) -> DataFrame:
     return packed.mapInPandas(_decode, schema=PPM_SCHEMA)
 
 
+DHASH_SCHEMA = "doc_id long, h_lo long, h_hi long"
+
+
+def dhash_ppm(packed: DataFrame) -> DataFrame:
+    """64-bit perceptual dHash over the DECODED P6 pixel plane
+    (VERDICT r10 #3): parse the P6 header, grayscale the plane
+    ((r+g+b)//3, pure integers), nearest-neighbor-sample a fixed 8×9
+    grid (sy=(gy·h)//8, sx=(gx·w)//9 — the integer resize), and set
+    bit (8·gy+gx) when the row-wise brightness gradient is positive
+    (g[gy][gx] > g[gy][gx+1]).  Constant brightness shifts and
+    re-encodes (header comments, whitespace variants) leave the hash
+    unchanged — that is the perceptual property the dedup composition
+    exploits.
+
+    Returned as two non-negative 32-bit halves in BIGINTs (h_lo =
+    bits 0–31, h_hi = bits 32–63) so Hamming distance is
+    ``bit_count(xor)`` per half in BOTH engines with no int64
+    sign/overflow edge (bit 63 of a single packed hash would be the
+    sign bit).  Arrow-batched ``mapInPandas``, vectorized numpy per
+    image — same decode shape as :func:`decode_ppm`."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def parse(buf: bytes):
+            if buf[:2] != b"P6":
+                raise ValueError("not a P6 PPM")
+            pos, tokens = 2, []
+            while len(tokens) < 3:
+                while pos < len(buf) and buf[pos:pos + 1].isspace():
+                    pos += 1
+                if buf[pos:pos + 1] == b"#":
+                    while pos < len(buf) and buf[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(buf) and not buf[pos:pos + 1].isspace():
+                    pos += 1
+                tokens.append(int(buf[start:pos]))
+            pos += 1
+            w, h, _maxval = tokens
+            pix = np.frombuffer(buf, dtype=np.uint8, count=w * h * 3,
+                                offset=pos).astype(np.int64)
+            gray = pix.reshape(h, w, 3).sum(axis=2) // 3
+            sy = (np.arange(8) * h) // 8
+            sx = (np.arange(9) * w) // 9
+            g = gray[np.ix_(sy, sx)]                    # 8×9 samples
+            bits = (g[:, :8] > g[:, 1:]).astype(np.uint64)
+            pos_w = (np.uint64(8) * np.arange(8, dtype=np.uint64)[:, None]
+                     + np.arange(8, dtype=np.uint64)[None, :])
+            val = int((bits << pos_w).sum(dtype=np.uint64))
+            return val & 0xFFFFFFFF, val >> 32
+
+        for pdf in batches:
+            rows = [parse(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(rows, columns=["h_lo", "h_hi"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return packed.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
 WAV_SCHEMA = ("doc_id long, sample_rate int, n_samples long, "
               "duration_us long, mean_amp double")
 

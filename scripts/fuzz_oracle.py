@@ -1,0 +1,405 @@
+#!/usr/bin/env python
+"""Adversarial-fixture oracle fuzz harness (VERDICT r10 #2).
+
+The driver fixtures (TESTDATA.md) are deterministic and FRIENDLY:
+ASCII-only text, valid JSON props, no nulls, near-tie-free ranking
+keys, mild skew.  Every registered query is graded against its DuckDB
+oracle only on that friendly shape, so a parity bug that needs a null,
+a unicode code point, a heavy tie, or a 90 %-skewed key to fire stays
+invisible.  This harness regenerates the ten fixture tables with
+HOSTILE distributions — same schemas, nasty content — then re-runs the
+standard query-vs-oracle compare (``oracle.run_one``) on them.  Both
+engines read the identical hostile parquet, so a mismatch is a real
+cross-engine parity bug, not a fixture-invariant violation.
+
+Hostilities (seeded, reproducible):
+- nulls in every non-key column (text/lang/source/n_chars, events
+  value/props, c_acctbal, l_tax, embeddings label);
+- empty, whitespace-only, unicode (CJK / emoji / RTL / combining
+  accents), and repeat-heavy document text; exact- and near-duplicate
+  texts for the dedup family;
+- heavy ties: 10 distinct event timestamps for 800 events, quantities
+  from 3-value pools, prices from 8-value pools, quantized embeddings
+  (tied distances);
+- 90 % key skew (one hot source / user / part / customer) plus a
+  300-lineitem mega-order;
+- degenerate groups: singleton lang / event_type / mktsegment, regions
+  with no nations, nations with no customers, customers with no
+  orders;
+- dangling foreign keys (orders→customer, lineitem→part) to stress
+  anti/semi/outer joins;
+- zero vectors and exact/near-duplicate embeddings.
+
+Classification per query:
+- PASS   — query vs oracle agree on the hostile tables;
+- GUARD  — the query raised one of its OWN documented fixture-invariant
+  guards (e.g. pack_ppm/pack_wav's non-ASCII raise_error): the guard
+  firing loudly on hostile input is the designed behavior, graded by
+  matching the raise message against _GUARD_PATTERNS;
+- FAIL   — value/count/schema mismatch (a parity bug) or an
+  unclassified exception.
+
+Usage:
+  python scripts/fuzz_oracle.py [--seed N] [--dir OUT] [--keep]
+                                [name ... | --module text_q ...]
+No names/modules → the full registry.  Exit 1 on any FAIL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+# ---------------------------------------------------------------- guards
+# A raise is the CORRECT response to hostile data when it comes from one
+# of the engine's own documented invariant guards.  Matched against the
+# full exception text.
+_GUARD_PATTERNS = (
+    r"non-ASCII text for doc_id",          # pack_ppm / pack_wav desync guard
+    r"octet_length",                        # multimodal byte-plane guards
+)
+
+# Driver-fixture invariants a hostility knob may violate BY DESIGN; any
+# oracle-side exception matching these is adjudicated in FUZZ.md rather
+# than auto-classified.
+_VOCAB = ("the a data spark join merge sort scan table row column key "
+          "value batch stream window agg group filter order part line "
+          "hash query big small fast slow dup vector customer").split()
+_UNI = ["héllo", "naïve", "日本語テキスト", "😀emoji😀", "Ωμέγα",
+        "مرحبا", "straße", "étude", "ＦＵＬＬＷＩＤＴＨ", "零一二三"]
+
+
+def _text_pool(rng: np.random.Generator, n: int) -> list:
+    """Hostile document texts: nulls, empties, whitespace, unicode,
+    repeat-heavy, plus exact/near duplicates of earlier rows."""
+    texts: list = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.08:
+            texts.append(None)
+        elif r < 0.12:
+            texts.append("")
+        elif r < 0.16:
+            texts.append(" \t  ")
+        elif r < 0.28:
+            k = int(rng.integers(3, 12))
+            words = [str(rng.choice(_UNI)) for _ in range(k)]
+            texts.append(" ".join(words))
+        elif r < 0.38:
+            w = str(rng.choice(_VOCAB[:4]))
+            texts.append(" ".join([w] * int(rng.integers(4, 40))))
+        else:
+            k = int(rng.integers(5, 60))
+            texts.append(" ".join(str(w) for w in rng.choice(_VOCAB, k)))
+    # exact dups (15 %) and near-dups (10 %) of earlier non-null rows
+    idx = [i for i, t in enumerate(texts) if t]
+    for i in idx:
+        r = rng.random()
+        if r < 0.15 and i > 10:
+            texts[i] = texts[int(rng.choice(idx[: idx.index(i)] or [idx[0]]))]
+        elif r < 0.25 and texts[i] and " " in texts[i]:
+            words = texts[i].split(" ")
+            words[int(rng.integers(0, len(words)))] = "mutant"
+            texts[i] = " ".join(words)
+    return texts
+
+
+def _skewed(rng, n, values, hot_frac=0.9, null_frac=0.0):
+    """n draws: hot_frac goes to values[0], rest uniform over values[1:],
+    null_frac nulls sprinkled on top."""
+    out = np.where(rng.random(n) < hot_frac,
+                   np.full(n, values[0], dtype=object),
+                   rng.choice(np.array(values[1:], dtype=object), n))
+    if null_frac:
+        out[rng.random(n) < null_frac] = None
+    return out.tolist()
+
+
+def gen_fixtures(out_dir: str, seed: int = 0) -> None:
+    """Write the ten fixture tables with hostile content, driver schemas."""
+    rng = np.random.default_rng(seed)
+
+    # -- documents ----------------------------------------------------
+    n = 400
+    texts = _text_pool(rng, n)
+    langs = _skewed(rng, n, ["en", "de", "fr", "zh"], 0.85, null_frac=0.05)
+    langs[7] = "xx"                                   # singleton lang
+    srcs = _skewed(rng, n, ["src0", "src1", "src2", "src3"], 0.9,
+                   null_frac=0.05)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) if t is not None else None
+                             for t in texts], pa.int64()),
+    }), f"{out_dir}/documents.parquet")
+
+    # -- embeddings ---------------------------------------------------
+    m, dim = 300, 64
+    vecs = np.round(rng.standard_normal((m, dim)), 3).astype(np.float32)
+    vecs[:5] = 0.0                                     # zero vectors
+    for i in range(10):                                # exact dup pairs
+        vecs[20 + 2 * i + 1] = vecs[20 + 2 * i]
+    for i in range(10):                                # near dups
+        vecs[50 + 2 * i + 1] = vecs[50 + 2 * i] + np.float32(0.001)
+    labels = np.asarray(
+        _skewed(rng, m, [0, 1, 2], 0.8, null_frac=0.05), dtype=object)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(1, m + 1), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([None if v is None else int(v) for v in labels],
+                          pa.int32()),
+    }), f"{out_dir}/embeddings.parquet")
+
+    # -- events ---------------------------------------------------------
+    e = 800
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts_pool = base + (np.arange(10) * np.timedelta64(7200, "s")).astype(
+        "timedelta64[us]")
+    ts = rng.choice(ts_pool, e)                        # HEAVY ties
+    props = []
+    for _ in range(e):
+        r = rng.random()
+        if r < 0.10:
+            props.append(None)
+        elif r < 0.15:
+            props.append("")
+        elif r < 0.20:
+            props.append("not json")
+        elif r < 0.23:
+            props.append('{"k": ')
+        else:
+            props.append('{"k": %d}' % int(rng.integers(0, 100)))
+    vals = np.round(rng.choice([0.0, 1.5, -2.25, 10.0, 99.5], e), 2
+                    ).astype(object)
+    vals[rng.random(e) < 0.10] = None
+    etype = _skewed(rng, e, ["click", "view", "purchase"], 0.8)
+    etype[3] = "singleton"
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(1, e + 1), pa.int64()),
+        "ts": pa.array(ts.tolist(), pa.timestamp("us")),
+        "user_id": pa.array([int(u) for u in
+                             _skewed(rng, e, list(range(1, 11)), 0.9)],
+                            pa.int64()),
+        "event_type": pa.array(etype, pa.string()),
+        "value": pa.array([None if v is None else float(v) for v in vals],
+                          pa.float64()),
+        "props": pa.array(props, pa.string()),
+    }), f"{out_dir}/events.parquet")
+
+    # -- region / nation (regions 3,4 have NO nations) -----------------
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array([f"REGION{i}" for i in range(5)], pa.string()),
+    }), f"{out_dir}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION{i:02d}" for i in range(25)],
+                           pa.string()),
+        "n_regionkey": pa.array([i % 3 for i in range(25)], pa.int32()),
+    }), f"{out_dir}/nation.parquet")
+
+    # -- customer (nations 6..24 have NO customers; hot nation 0) ------
+    c = 150
+    acct = np.round(rng.choice([0.0, -10.5, 500.25, 999.99], c), 2
+                    ).astype(object)
+    acct[rng.random(c) < 0.03] = None
+    seg = _skewed(rng, c, ["BUILDING", "MACHINERY", "FURNITURE"], 0.8)
+    seg[0] = "SINGLETON"
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(1, c + 1), pa.int64()),
+        "c_name": pa.array([f"Customer#{i:06d}" for i in range(1, c + 1)],
+                           pa.string()),
+        "c_nationkey": pa.array([int(v) for v in
+                                 _skewed(rng, c, list(range(6)), 0.8)],
+                                pa.int32()),
+        "c_acctbal": pa.array([None if v is None else float(v)
+                               for v in acct], pa.float64()),
+        "c_mktsegment": pa.array(seg, pa.string()),
+    }), f"{out_dir}/customer.parquet")
+
+    # -- supplier -------------------------------------------------------
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(range(1, 11), pa.int64()),
+        "s_name": pa.array([f"Supplier#{i}" for i in range(1, 11)],
+                           pa.string()),
+        "s_nationkey": pa.array([i % 4 for i in range(10)], pa.int32()),
+        "s_acctbal": pa.array(
+            np.round(rng.choice([1.0, 250.5], 10), 2).tolist(),
+            pa.float64()),
+    }), f"{out_dir}/supplier.parquet")
+
+    # -- part (tied sizes/prices) --------------------------------------
+    p = 200
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(1, p + 1), pa.int64()),
+        "p_name": pa.array([f"part {i} {_VOCAB[i % len(_VOCAB)]}"
+                            for i in range(1, p + 1)], pa.string()),
+        "p_brand": pa.array(_skewed(rng, p, ["Brand#1", "Brand#2"], 0.85),
+                            pa.string()),
+        "p_type": pa.array([f"TYPE#{i % 3}" for i in range(p)],
+                           pa.string()),
+        "p_size": pa.array([int(v) for v in
+                            rng.choice([1, 5, 50], p)], pa.int32()),
+        "p_retailprice": pa.array(
+            np.round(rng.choice([9.99, 100.0, 100.0, 2500.5], p), 2
+                     ).tolist(), pa.float64()),
+    }), f"{out_dir}/part.parquet")
+
+    # -- orders (hot customer 1; 3 % dangling custkeys; tied prices) ----
+    o = 1500
+    cust = np.asarray([int(v) for v in
+                       _skewed(rng, o, list(range(1, 31)), 0.85)])
+    cust[rng.random(o) < 0.03] += 10_000               # dangling FK
+    odate = (np.datetime64("2024-01-01", "us")
+             + rng.choice((np.arange(5) * np.timedelta64(86400, "s")
+                           ).astype("timedelta64[us]"), o))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(1, o + 1), pa.int64()),
+        "o_custkey": pa.array(cust.tolist(), pa.int64()),
+        "o_orderstatus": pa.array(_skewed(rng, o, ["O", "F", "P"], 0.7),
+                                  pa.string()),
+        "o_totalprice": pa.array(
+            np.round(rng.choice([10.0, 10.0, 55.5, 100.0, 100.0, 2000.25,
+                                 31415.9, 0.01], o), 2).tolist(),
+            pa.float64()),
+        "o_orderdate": pa.array(odate.tolist(), pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            _skewed(rng, o, ["1-URGENT", "3-MEDIUM", "5-LOW"], 0.6),
+            pa.string()),
+    }), f"{out_dir}/orders.parquet")
+
+    # -- lineitem (mega-order, hot part, dangling parts, tied measures) -
+    okeys: list[int] = [1] * 300                       # 300-line mega-order
+    while len(okeys) < 6000:
+        k = int(rng.integers(2, o + 1))
+        okeys.extend([k] * int(rng.integers(1, 8)))
+    okeys = okeys[:6000]
+    li = len(okeys)
+    pkey = np.asarray([int(v) for v in
+                       _skewed(rng, li, list(range(1, p + 1)), 0.9)])
+    pkey[rng.random(li) < 0.02] += p                   # dangling FK
+    linenum: list[int] = []
+    prev, c_ = None, 0
+    for k in okeys:
+        c_ = c_ + 1 if k == prev else 1
+        linenum.append(c_)
+        prev = k
+    tax = np.round(rng.choice([0.0, 0.08], li), 2).astype(object)
+    tax[rng.random(li) < 0.02] = None
+    sdate = (np.datetime64("2024-02-01", "us")
+             + rng.choice((np.arange(6) * np.timedelta64(86400, "s")
+                           ).astype("timedelta64[us]"), li))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_partkey": pa.array(pkey.tolist(), pa.int64()),
+        "l_suppkey": pa.array([int(v) for v in rng.integers(1, 11, li)],
+                              pa.int64()),
+        "l_linenumber": pa.array(linenum, pa.int32()),
+        "l_quantity": pa.array(rng.choice([1.0, 25.0, 50.0], li).tolist(),
+                               pa.float64()),
+        "l_extendedprice": pa.array(
+            np.round(rng.choice([5.0, 5.0, 77.7, 100.0, 100.0, 999.99,
+                                 12345.6, 0.01, 42.0, 1e6], li), 2
+                     ).tolist(), pa.float64()),
+        "l_discount": pa.array(rng.choice([0.0, 0.05, 0.1], li).tolist(),
+                               pa.float64()),
+        "l_tax": pa.array([None if v is None else float(v) for v in tax],
+                          pa.float64()),
+        "l_returnflag": pa.array(_skewed(rng, li, ["N", "R", "A"], 0.7),
+                                 pa.string()),
+        "l_linestatus": pa.array(_skewed(rng, li, ["O", "F"], 0.6),
+                                 pa.string()),
+        "l_shipdate": pa.array(sdate.tolist(), pa.timestamp("us")),
+    }), f"{out_dir}/lineitem.parquet")
+
+
+def classify_exception(exc: BaseException) -> str:
+    msg = f"{type(exc).__name__}: {exc}"
+    for pat in _GUARD_PATTERNS:
+        if re.search(pat, msg):
+            return "GUARD"
+    return "FAIL"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dir", default=None,
+                    help="fixture output dir (default: fresh tempdir)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the generated fixture dir")
+    ap.add_argument("--module", action="append", default=[],
+                    help="run every query from this queries/ module "
+                         "(e.g. text_q); repeatable")
+    ap.add_argument("--json", default=None,
+                    help="also write a {name: status} JSON ledger here")
+    args = ap.parse_args()
+
+    from glue_parquet_splitter_spark.oracle import run_one
+    from glue_parquet_splitter_spark.queries import load_all_modules
+    from glue_parquet_splitter_spark.session import get_spark
+
+    reg = load_all_modules()
+    todo = list(args.names)
+    for mod in args.module:
+        todo += [n for n, s in reg.items()
+                 if s.fn.__module__.rsplit(".", 1)[-1] == mod]
+    if not todo:
+        todo = list(reg)
+    unknown = [n for n in todo if n not in reg]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+
+    out_dir = args.dir or tempfile.mkdtemp(prefix="fuzz_fixtures_")
+    gen_fixtures(out_dir, args.seed)
+    print(f"hostile fixtures (seed={args.seed}) -> {out_dir}")
+
+    spark = get_spark("fuzz_oracle", shuffle_partitions=8)
+    statuses: dict[str, str] = {}
+    details: dict[str, str] = {}
+    for name in todo:
+        t0 = time.time()
+        try:
+            ok, msg = run_one(spark, out_dir, name)
+            status = "PASS" if ok else "FAIL"
+        except BaseException as exc:  # noqa: BLE001 — classify guards
+            status = classify_exception(exc)
+            msg = f"{type(exc).__name__}: {str(exc)[:300]}"
+        statuses[name] = status
+        details[name] = msg
+        print(f"{status:5s} {name:40s} {time.time() - t0:6.1f}s  "
+              f"{msg[:160]}")
+    counts = {s: sum(1 for v in statuses.values() if v == s)
+              for s in ("PASS", "GUARD", "FAIL")}
+    print(f"\nFUZZ: {counts['PASS']} pass, {counts['GUARD']} guard, "
+          f"{counts['FAIL']} fail / {len(todo)} (seed={args.seed})")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"seed": args.seed, "statuses": statuses,
+                       "details": {k: v for k, v in details.items()
+                                   if statuses[k] != "PASS"}}, f, indent=1)
+    if counts["FAIL"]:
+        print("failing:", " ".join(n for n, s in statuses.items()
+                                   if s == "FAIL"))
+    if not args.keep and args.dir is None:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    sys.exit(1 if counts["FAIL"] else 0)
+
+
+if __name__ == "__main__":
+    main()
