@@ -43,8 +43,13 @@ def fake_decode(payload: bytes) -> dict:
 
 def pack_binary(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload binary, meta struct). In production
-    the payload is the media object; here it's the UTF-8 text bytes."""
-    return docs.select(
+    the payload is the media object; here it's the UTF-8 text bytes.
+
+    NULL-text docs are dropped: a missing object has no bytes to pack,
+    and every downstream decoder would otherwise crash on a NULL
+    payload (found by scripts/fuzz_oracle.py); the paired oracles
+    carry the same ``text IS NOT NULL`` filter."""
+    return docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.encode("text", "UTF-8").alias("payload"),
         F.struct(
@@ -118,7 +123,10 @@ def byte_features(packed: DataFrame) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return packed.mapInPandas(
+    # empty payloads have no byte histogram (prob = 0/0) — excluded,
+    # matching the oracle's per-char UNNEST which yields no rows for
+    # an empty string (found by scripts/fuzz_oracle.py)
+    return packed.filter(F.octet_length("payload") > 0).mapInPandas(
         _feats, schema="doc_id long, n_distinct_bytes long, byte_entropy double")
 
 
@@ -162,7 +170,10 @@ def pack_ppm(docs: DataFrame) -> DataFrame:
         "pack_ppm: non-ASCII text for doc_id=%d (padded to %d chars but "
         "%d UTF-8 bytes) would desync the P6 pixel plane",
         F.col("doc_id"), npix, F.octet_length(pixels))))
-    return docs.select("doc_id", payload.alias("payload"))
+    # NULL text = missing object: nothing to pack (oracles filter the
+    # same rows); non-ASCII still raises loudly above
+    return (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", payload.alias("payload")))
 
 
 def decode_ppm(packed: DataFrame) -> DataFrame:
@@ -331,7 +342,9 @@ def pack_wav(docs: DataFrame) -> DataFrame:
         "pack_wav: non-ASCII text for doc_id=%d (%d chars but %d UTF-8 "
         "bytes) would desync the PCM sample plane",
         F.col("doc_id"), n, F.octet_length(samples))))
-    return (docs.filter(F.col("n_chars") >= 1)   # zero-sample file has no mean
+    # NULL text = missing object (nothing to pack); a zero-sample file
+    # has no mean amplitude — both filtered, mirrored in the oracles
+    return (docs.filter(F.col("text").isNotNull() & (F.col("n_chars") >= 1))
             .select("doc_id", payload.alias("payload")))
 
 

@@ -37,8 +37,16 @@ def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
 
 
 def cosine(a, b):
-    """Cosine similarity between two array<double> columns."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity between two array<double> columns.
+
+    NULL when either vector has zero norm (cosine is undefined there;
+    a 100 TB embedding corpus WILL contain zero vectors from failed
+    encodes/padding).  NULL matches DuckDB's division-by-zero → NULL
+    contract, so oracles need no special-casing, and NULL similarity
+    drops out of ≥-threshold filters and top-k ranks in both engines.
+    Found by scripts/fuzz_oracle.py (zero-vector hostility)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3) -> DataFrame:

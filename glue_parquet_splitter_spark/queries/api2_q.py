@@ -24,7 +24,7 @@ from . import register
     )
     SELECT CAST(label AS INT) AS label,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
-             WHERE e.label = dims.label) AS n_vecs,
+             WHERE e.label IS NOT DISTINCT FROM dims.label) AS n_vecs,
            ROUND(sqrt(SUM(m * m)), 3) AS centroid_norm
     FROM dims GROUP BY label
     """,
@@ -50,8 +50,11 @@ def arrow_grouped_centroid(spark, sf_dir):
         vecs = np.array(table.column("embedding").to_pylist(),
                         dtype=np.float64)
         m = vecs.mean(axis=0)
+        lab = table.column("label")[0].as_py()   # None-safe: the NULL
+        #                                          label group is a real
+        #                                          group in both engines
         return pa.table({
-            "label": pa.array([int(table.column("label")[0].as_py())],
+            "label": pa.array([None if lab is None else int(lab)],
                               type=pa.int32()),
             "n_vecs": pa.array([vecs.shape[0]], type=pa.int64()),
             "centroid_norm": pa.array(

@@ -91,12 +91,17 @@ def collection_funcs2(spark, sf_dir):
 @register(
     "variant_props_extract",
     oracle="""
+    WITH j AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS INT) END AS k
+      FROM events)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_min,
-           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max,
-           ROUND(AVG(CAST(json_extract(props, '$.k') AS INT)), 3) AS k_avg
-    FROM events GROUP BY event_type
+           CAST(MIN(k) AS INT) AS k_min,
+           CAST(MAX(k) AS INT) AS k_max,
+           ROUND(AVG(k), 3) AS k_avg
+    FROM j GROUP BY event_type
     """,
     tags=("functions", "variant", "json"),
 )
@@ -112,7 +117,10 @@ def variant_props_extract(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
         "event_type",
-        F.variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+        # try_parse_json: malformed/NULL props -> NULL variant (the
+        # strict parse_json THROWS on malformed JSON; get_json_object/
+        # from_json are permissive - found by scripts/fuzz_oracle.py)
+        F.variant_get(F.try_parse_json("props"), "$.k", "int").alias("k"),
     )
     return v.groupBy("event_type").agg(
         F.count("*").alias("n"),

@@ -186,11 +186,15 @@ def timestamp_funcs(spark, sf_dir):
 @register(
     "json_funcs",
     oracle="""
-    SELECT event_id,
-           json_extract_string(props, '$.k')                 AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
-    FROM events
+    WITH j AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.k') END AS k
+      FROM events)
+    SELECT event_id, k AS k_str,
+           CAST(k AS BIGINT)      AS k_int,
+           CAST(k AS BIGINT) % 10 AS k_mod
+    FROM j
     """,
     tags=("scalar", "json"),
 )
@@ -212,7 +216,9 @@ def json_funcs(spark, sf_dir):
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           CAST(SUM(CASE WHEN json_valid(props)
+                         THEN CAST(json_extract_string(props, '$.k')
+                                   AS BIGINT) END) AS BIGINT) AS sum_k
     FROM events GROUP BY event_type
     """,
     tags=("scalar", "json"),

@@ -149,11 +149,14 @@ def top_event_type_per_hour(spark, sf_dir):
 @register(
     "multimodal_resize_stub",
     oracle="""
+    WITH nb AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
-           CAST(64 + (n_chars % 512) AS INT)         AS width,
-           CAST((64 + (n_chars % 512)) // 2 AS INT)  AS thumb_w,
-           CAST((64 + ((n_chars * 7) % 512)) // 2 AS INT) AS thumb_h
-    FROM documents
+           CAST(64 + (n % 512) AS INT)         AS width,
+           CAST((64 + (n % 512)) // 2 AS INT)  AS thumb_w,
+           CAST((64 + ((n * 7) % 512)) // 2 AS INT) AS thumb_h
+    FROM nb
     """,
     tags=("multimodal", "pandas_udf"),
 )

@@ -28,6 +28,7 @@ def _packed(spark, sf_dir):
            source     AS origin,
            CAST(n_chars AS BIGINT) AS content_len
     FROM documents
+    WHERE text IS NOT NULL
     """,
     tags=("multimodal",),
 )
@@ -46,12 +47,15 @@ def multimodal_pack_meta(spark, sf_dir):
 @register(
     "multimodal_decode_stub",
     oracle="""
+    WITH nb AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL)
     SELECT doc_id,
-           CAST(n_chars AS BIGINT)              AS n_bytes,
-           CAST(64 + (n_chars % 512) AS INT)    AS width,
-           CAST(64 + ((n_chars * 7) % 512) AS INT) AS height,
-           CAST(1 + (n_chars % 30) AS INT)      AS n_frames
-    FROM documents
+           CAST(n AS BIGINT)              AS n_bytes,
+           CAST(64 + (n % 512) AS INT)    AS width,
+           CAST(64 + ((n * 7) % 512) AS INT) AS height,
+           CAST(1 + (n % 30) AS INT)      AS n_frames
+    FROM nb
     """,
     tags=("multimodal", "pandas_udf"),
 )
@@ -64,8 +68,11 @@ def multimodal_decode_stub(spark, sf_dir):
 @register(
     "multimodal_frame_sample",
     oracle="""
-    SELECT doc_id, CAST(UNNEST(generate_series(0, (1 + (n_chars % 30)) - 1, 5)) AS BIGINT) AS frame_idx
-    FROM documents
+    WITH nb AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, CAST(UNNEST(generate_series(0, (1 + (n % 30)) - 1, 5)) AS BIGINT) AS frame_idx
+    FROM nb
     """,
     tags=("multimodal",),
 )
@@ -80,11 +87,18 @@ def multimodal_frame_sample(spark, sf_dir):
 @register(
     "multimodal_byte_features",
     oracle="""
-    WITH chars AS (
-      SELECT doc_id, ord(substr(text, CAST(i AS INT), 1)) AS b
-      FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i)
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h
+      FROM documents WHERE text IS NOT NULL AND len(text) > 0
+    ), bytes AS (
+      SELECT doc_id,
+             (strpos('0123456789ABCDEF',
+                     substr(h, CAST(2 * i - 1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF',
+                     substr(h, CAST(2 * i AS INT), 1)) - 1) AS b
+      FROM hx, UNNEST(range(1, len(h) // 2 + 1)) AS t(i)
     ), hist AS (
-      SELECT doc_id, b, COUNT(*) AS c FROM chars GROUP BY doc_id, b
+      SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY doc_id, b
     ), tot AS (SELECT doc_id, SUM(c) AS n FROM hist GROUP BY doc_id)
     SELECT h.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
@@ -107,11 +121,14 @@ def multimodal_byte_features(spark, sf_dir):
 @register(
     "multimodal_resize_meta",
     oracle="""
-    WITH dims AS (
+    WITH nb AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), dims AS (
       SELECT doc_id,
-             CAST(64 + (n_chars % 512) AS INT)       AS width,
-             CAST(64 + ((n_chars * 7) % 512) AS INT) AS height
-      FROM documents
+             CAST(64 + (n % 512) AS INT)       AS width,
+             CAST(64 + ((n * 7) % 512) AS INT) AS height
+      FROM nb
     )
     SELECT doc_id, width, height,
            CAST(FLOOR(width  * 256.0 / GREATEST(width, height)) AS INT) AS new_width,
@@ -137,6 +154,7 @@ def multimodal_resize_meta(spark, sf_dir):
              CAST(4 + (n_chars % 13) AS INT) AS width,
              CAST(3 + (n_chars % 7) AS INT)  AS height
       FROM documents
+      WHERE text IS NOT NULL
     ), plane AS (
       SELECT doc_id, width, height,
              rpad(text, width * height * 3, 'x') AS px
@@ -181,7 +199,7 @@ def multimodal_decode_ppm(spark, sf_dir):
     WITH bytes AS (
       SELECT doc_id, n_chars, ord(substr(text, CAST(i AS INT), 1)) AS b
       FROM documents, UNNEST(range(1, n_chars + 1)) AS t(i)
-      WHERE n_chars >= 1)
+      WHERE text IS NOT NULL AND n_chars >= 1)
     SELECT doc_id, 8000 AS sample_rate,
            CAST(n_chars AS BIGINT) AS n_samples,
            CAST(n_chars * 125 AS BIGINT) AS duration_us,
@@ -228,7 +246,8 @@ _DHASH_MAX_HAM = 6       # near-dup threshold (of 64 bits)
              rpad(text,
                   CAST((4 + (n_chars % 13)) * (3 + (n_chars % 7)) * 3
                        AS INT), 'x') AS px
-      FROM documents),
+      FROM documents
+      WHERE text IS NOT NULL),
     grid AS (
       SELECT doc_id, w, px, gy, gx,
              (gy * h) // 8 AS sy, (gx * w) // 9 AS sx

@@ -409,8 +409,13 @@ def ann_jl_projection_topk(spark, sf_dir):
         F.col("nrm").alias("qn"))
     # bounded: q is the fixed query set (5 vectors)
     cand = pv.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    pc = F.aggregate(F.zip_with("p", "qp", lambda a, b: a * b),
-                     F.lit(0.0), lambda a, x: a + x) / (F.col("nrm") * F.col("qn"))
+    # NULL when either projected norm is zero (zero input vectors
+    # project to zero) — matches DuckDB's division-by-zero → NULL
+    pc = F.when(
+        F.col("nrm") * F.col("qn") != 0,
+        F.aggregate(F.zip_with("p", "qp", lambda a, b: a * b),
+                    F.lit(0.0), lambda a, x: a + x)
+        / (F.col("nrm") * F.col("qn")))
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), pc.alias("pc"))
     w = Window.partitionBy("query_id").orderBy(

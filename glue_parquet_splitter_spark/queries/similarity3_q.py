@@ -747,7 +747,8 @@ def mmr_diversified_topk(spark, sf_dir):
     ), new_lab AS (
       SELECT src, nb_label AS new_label
       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-                                         ORDER BY n DESC, nb_label) AS rn
+                                         ORDER BY n DESC,
+                                                  nb_label NULLS LAST) AS rn
             FROM votes)
       WHERE rn = 1
     )
@@ -789,7 +790,12 @@ def label_propagation_knn(spark, sf_dir):
     votes = (knn.join(lab.withColumnRenamed("vec_id", "dst"), "dst")
              .groupBy("src", F.col("label").alias("nb_label"))
              .agg(F.count("*").alias("n")))
-    w = W.partitionBy("src").orderBy(F.desc("n"), "nb_label")
+    # EXPLICIT null ordering: an unlabeled (NULL) neighbor loses a tie
+    # against any real label.  Spark's bare ASC is NULLS FIRST while
+    # DuckDB's is NULLS LAST — left implicit, a null-vs-real tie flips
+    # the vote cross-engine (found by scripts/fuzz_oracle.py).
+    w = W.partitionBy("src").orderBy(F.desc("n"),
+                                     F.asc_nulls_last("nb_label"))
     new_lab = (votes.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") == 1)
                .select("src", F.col("nb_label").alias("new_label")))

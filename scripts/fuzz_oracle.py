@@ -366,6 +366,8 @@ def main() -> None:
         sys.exit(f"unknown queries: {unknown}")
 
     out_dir = args.dir or tempfile.mkdtemp(prefix="fuzz_fixtures_")
+    import os
+    os.makedirs(out_dir, exist_ok=True)
     gen_fixtures(out_dir, args.seed)
     print(f"hostile fixtures (seed={args.seed}) -> {out_dir}")
 
