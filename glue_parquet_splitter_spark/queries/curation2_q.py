@@ -45,7 +45,10 @@ def doc_chunk_overlap_sql(spark, sf_dir):
     copy of the corpus.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    # NULL text = no chunks (oracle's range(len(NULL)) yields no rows;
+    # found by scripts/fuzz_oracle.py)
+    toks = (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.split("text", " ").alias("tokens")))
     starts = toks.select(
         "doc_id", "tokens",
         F.explode(
@@ -191,7 +194,9 @@ def linechunk_dedup_rebuild(spark, sf_dir):
     unique docs).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # NULL text = no spans (matches the oracle's range-over-NULL)
+    toks = (docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.split("text", " ").alias("t")))
     chunks = toks.select(
         "doc_id", "t",
         F.explode(F.sequence(F.lit(0),

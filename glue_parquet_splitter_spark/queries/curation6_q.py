@@ -40,7 +40,7 @@ _PACK_ORACLE_CTES = f"""
                PARTITION BY toks // {_PACK_BUCKET}, doc_id % {_PACK_SALTS}
                ORDER BY toks DESC, doc_id) AS rn
       FROM (SELECT doc_id, len(string_split(text, ' ')) AS toks
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
     ), pack AS (
       SELECT bucket, salt, rn, doc_id, toks,
              CAST(0 AS BIGINT) AS bin_idx,
@@ -112,7 +112,9 @@ def sequence_packing_ffd(spark, sf_dir):
     exchange; NO rangepartitioning / single-partition exchange.
     """
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
+    # NULL text has no tokens to pack — excluded in both engines
+    # (found by scripts/fuzz_oracle.py: int(NaN) crash in the pandas FFD)
+    docs = d.filter(F.col("text").isNotNull()).select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks"))
     return ffd_pack(docs)
 
@@ -183,6 +185,10 @@ def doc_chunk_fixed_stride(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     s = F.col("s")
     chunk = F.substring(F.col("text"), (s + 1).cast("int"), _CHUNK_W)
+    # empty/NULL docs chunk to nothing; without the filter an ANSI
+    # sequence(0, -1) raises on n_chars = 0 (found by fuzz_oracle.py),
+    # while the oracle's range(0, 0) is just empty
+    d = d.filter(F.col("n_chars") >= 1)
     return (d.select(
         "doc_id", "text",
         F.explode(F.sequence(
@@ -833,7 +839,7 @@ def packing_fill_report(spark, sf_dir):
     it audits.
     """
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
+    docs = d.filter(F.col("text").isNotNull()).select(   # as in the pack
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("toks"))
     packed = ffd_pack(docs)
     per_shard = (packed.groupBy("bucket", "salt")

@@ -67,11 +67,12 @@ def nullsafe_join(spark, sf_dir):
     "doc_fingerprint_rolling",
     oracle="""
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                list_transform(string_split(text, ' '),
                               t -> CAST(ascii(t) * 1000 + length(t) AS BIGINT))),
-             (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+             (a, b) -> (a * 31 + b) % 1000000007) END AS rolling_hash
     FROM documents
     """,
     tags=("text", "fingerprint"),

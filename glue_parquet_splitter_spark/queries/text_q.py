@@ -175,7 +175,9 @@ def doc_fingerprint_bag(spark, sf_dir):
     distinct token bag — catches shuffled near-identical docs that
     defeat raw-text hashing."""
     d = _docs(spark, sf_dir)
-    return d.select(
+    # NULL text = no bag (concat_ws would silently collapse NULL to ''
+    # while the oracle's UNNEST drops the doc — fuzz_oracle.py)
+    return d.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))).alias("bag_fingerprint"),
     )

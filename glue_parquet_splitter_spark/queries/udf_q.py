@@ -61,6 +61,8 @@ def python_udtf_chunks(spark, sf_dir):
     @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk_text string")
     class Chunker:
         def eval(self, doc_id: int, text: str):
+            if text is None:       # NULL text chunks to nothing (the
+                return             # oracle's UNNEST over NULL is empty)
             toks = text.split(" ")
             for c, start in enumerate(range(0, len(toks), 10)):
                 yield doc_id, c, " ".join(toks[start:start + 10])
@@ -242,7 +244,10 @@ def pandas_udf_scalar_iter(spark, sf_dir):
 
         splitter = re.compile(r" ")  # stands in for tokenizer init
         for s in batches:
-            yield s.map(lambda t: len(splitter.split(t)))
+            # None-safe: NULL text -> NULL count (SUM skips it in both
+            # engines; found by scripts/fuzz_oracle.py)
+            yield s.map(lambda t: None if t is None
+                        else len(splitter.split(t)))
 
     d = load_table(spark, sf_dir, "documents")
     return (
@@ -371,6 +376,8 @@ def python_udtf_polymorphic_topk(spark, sf_dir):
             return AnalyzeResult(st)
 
         def eval(self, doc_id: int, text: str, k: int):
+            if text is None:       # NULL text: no token rows -> the
+                return             # doc is absent in BOTH engines
             counts = Counter(text.split(" "))
             top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
             vals = [t for t, _ in top] + [None] * (k - len(top))

@@ -577,6 +577,10 @@ def run_chunk_index_stream(spark: SparkSession, docs_path: str,
     s = F.col("s")
     chunk = F.substring(F.col("text"), (s + 1).cast("int"), width)
     out = (stream
+           # empty/NULL docs chunk to nothing — same contract as the
+           # batch twin doc_chunk_fixed_stride (an ANSI sequence(0, -1)
+           # would kill the whole stream on one empty doc)
+           .filter(F.col("n_chars") >= 1)
            .select("doc_id", "text",
                    F.explode(F.sequence(
                        F.lit(0).cast("long"), F.col("n_chars") - 1,
