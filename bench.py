@@ -127,10 +127,27 @@ BENCH_QUERIES = [
     # round-10 wave 2: content-defined chunking — a new cost shape
     # (O(16·n_chars) expression work per doc on a ZERO-exchange scan),
     # wall-gated only; its 0 shuffle bytes sit below the shuffle
-    # gate's floor by design.  (bpe_learn_merges is deliberately NOT
-    # here: its cost is vocab-bound, near-constant in sf — pinned by
-    # test_scale_smoke.py's 100k-vocab smoke instead.)
+    # gate's floor by design.
     "cdc_gear_chunking",
+    # round-11 (VERDICT r10 #7): the r10 audit family becomes gated —
+    # bucket-skew audit (agg-only pair-mass math), the quota-ranked
+    # mix manifest, streaming ingest dedup's stream-static anti join,
+    # and bpe_learn_merges (previously excluded as vocab-bound/near-
+    # constant in sf — the judge asked for the wall signal anyway;
+    # read its entry as trainer fixed-cost, not a data-scaling curve)
+    "lsh_bucket_skew_audit",
+    "training_mix_manifest",
+    "streaming_ingest_dedup",
+    "bpe_learn_merges",
+    # round-11 wave 2: one gated representative per new family — dHash
+    # banded image dedup, WAV band-energy containment dedup, the
+    # unigram-LM EM trainer (vocab-bound like BPE), and the
+    # materialized funnel (4 signal writes + the table-join audit —
+    # the production funnel's true cost, vs v3's 36-scan lazy form)
+    "phash_image_dedup",
+    "audio_fingerprint_dedup",
+    "unigram_lm_train",
+    "curation_funnel_materialized",
 ]
 
 

@@ -348,6 +348,61 @@ def pack_wav(docs: DataFrame) -> DataFrame:
             .select("doc_id", payload.alias("payload")))
 
 
+BAND_SCHEMA = "doc_id long, win_idx int, energy long, n_windows int"
+
+
+def wav_band_energy(packed: DataFrame, window: int = 8) -> DataFrame:
+    """Band-energy fingerprints over the DECODED PCM plane (VERDICT
+    r10 #6): walk the RIFF chunks exactly like :func:`decode_wav`,
+    then split the 8-bit sample plane into fixed ``window``-sample
+    frames and emit each frame's integer energy (sum of sample
+    values) — one (doc_id, win_idx, energy, n_windows) row per FULL
+    frame (the ragged tail is dropped, so a re-padded clip keeps its
+    original's frame grid).  Pure integer ops — oracle-exact — and
+    the grid is aligned from sample 0, which is what makes
+    clipped/re-padded duplicates containment-detectable: their frame
+    sequences are prefixes of each other.
+
+    Arrow-batched ``mapInPandas``; vectorized numpy reshape+sum per
+    clip."""
+
+    def _bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def frames(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE file")
+            pos, samples = 12, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos:pos + 4]
+                (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+                if cid == b"data":
+                    samples = np.frombuffer(
+                        buf, dtype=np.uint8, count=size, offset=pos + 8)
+                pos += 8 + size + (size & 1)
+            if samples is None:
+                raise ValueError("missing data chunk")
+            k = samples.size // window
+            e = (samples[:k * window].astype(np.int64)
+                 .reshape(k, window).sum(axis=1))
+            return k, e
+
+        for pdf in batches:
+            ids, wins, energies, nw = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                k, e = frames(bytes(p))
+                ids.extend([doc_id] * k)
+                wins.extend(range(k))
+                energies.extend(int(x) for x in e)
+                nw.extend([k] * k)
+            yield pd.DataFrame({"doc_id": ids, "win_idx": wins,
+                                "energy": energies, "n_windows": nw})
+
+    return packed.mapInPandas(_bands, schema=BAND_SCHEMA)
+
+
 def decode_wav(packed: DataFrame) -> DataFrame:
     """A REAL audio decoder needing no media libs — the RIFF twin of
     :func:`decode_ppm`: verifies the RIFF/WAVE magic, WALKS the chunk

@@ -432,7 +432,7 @@ def exp_decay_trending_score(spark, sf_dir):
       SELECT user_id,
              NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
              NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
-             NTILE(5) OVER (ORDER BY monetary, user_id) AS m
+             NTILE(5) OVER (ORDER BY monetary NULLS FIRST, user_id) AS m
       FROM per_user
     )
     SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
@@ -470,7 +470,12 @@ def rfm_segmentation(spark, sf_dir):
     # (quality_decile_mix_histogram) is the registered scale form
     r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
     f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))  # bounded: ^
-    m = F.ntile(5).over(Window.orderBy("monetary", "user_id"))  # bounded: ^
+    # NULLS FIRST explicit: a purchaser whose every purchase value is
+    # NULL has unknown spend and ranks below the lowest known spender —
+    # Spark's bare ASC already does this; DuckDB's default is NULLS
+    # LAST (fuzz_oracle.py)
+    m = F.ntile(5).over(Window.orderBy(F.asc_nulls_first("monetary"),
+                                       "user_id"))  # bounded: ^
     return (
         per_user.select(r.cast("long").alias("r"), f.cast("long").alias("f"),
                         m.cast("long").alias("m"))

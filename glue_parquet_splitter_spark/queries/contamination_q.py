@@ -181,10 +181,11 @@ def winsorize_prices(spark, sf_dir):
              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS seq
       FROM documents
     ), topk AS (
-      SELECT * FROM seqd ORDER BY seq, source, doc_id LIMIT 500
+      SELECT * FROM seqd ORDER BY seq, source NULLS LAST, doc_id LIMIT 500
     )
     SELECT doc_id, source, seq,
-           row_number() OVER (ORDER BY seq, source, doc_id) AS position
+           row_number() OVER (ORDER BY seq, source NULLS LAST, doc_id)
+             AS position
     FROM topk
     """,
     tags=("curation", "sampling", "topk"),
@@ -204,8 +205,11 @@ def train_mix_interleave(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy("doc_id")
     seqd = d.select("doc_id", "source", F.row_number().over(w).alias("seq"))
-    topk = seqd.orderBy("seq", "source", "doc_id").limit(500)
-    wg = Window.orderBy("seq", "source", "doc_id")
+    # NULLS LAST explicit on the nullable source key (fuzz_oracle.py:
+    # Spark bare ASC = nulls first, DuckDB = nulls last)
+    topk = seqd.orderBy("seq", F.asc_nulls_last("source"),
+                        "doc_id").limit(500)
+    wg = Window.orderBy("seq", F.asc_nulls_last("source"), "doc_id")
     return topk.withColumn("position", F.row_number().over(wg))
 
 

@@ -109,6 +109,7 @@ def domain_cap_sample(spark, sf_dir):
       SELECT n_chars,
              ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
       FROM documents
+      WHERE n_chars IS NOT NULL
     )
     SELECT CAST(decile AS INT) AS decile,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -132,7 +133,10 @@ def quality_decile_mix(spark, sf_dir):
     small-side oracle of that pattern.
     """
     docs = load_table(spark, sf_dir, "documents")
-    dec = docs.select(
+    # NULL n_chars cannot be length-binned — excluded in both engines
+    # (fuzz_oracle.py: the null-ordering flip put the null docs in
+    # decile 1 on one engine and decile 10 on the other)
+    dec = docs.filter(F.col("n_chars").isNotNull()).select(
         "n_chars",
         # bounded: corpus-row ordering — deliberately the EXACT oracle
         # form; quality_decile_mix_histogram is the REGISTERED scale
@@ -227,7 +231,8 @@ def linechunk_dedup_rebuild(spark, sf_dir):
     "quality_decile_mix_histogram",
     oracle="""
     WITH c AS (
-      SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY n_chars
+      SELECT n_chars, COUNT(*) AS cnt FROM documents
+      WHERE n_chars IS NOT NULL GROUP BY n_chars
     ), cum AS (
       SELECT n_chars, cnt,
              SUM(cnt) OVER (ORDER BY n_chars) AS cum,
@@ -264,7 +269,8 @@ def quality_decile_mix_histogram(spark, sf_dir):
     needing a tolerance gate.
     """
     docs = load_table(spark, sf_dir, "documents")
-    c = docs.groupBy("n_chars").agg(F.count("*").alias("cnt"))
+    c = (docs.filter(F.col("n_chars").isNotNull())   # as in the exact twin
+         .groupBy("n_chars").agg(F.count("*").alias("cnt")))
     cum = c.select(
         "n_chars", "cnt",
         # bounded: fed by groupBy(n_chars) — one row per distinct

@@ -67,11 +67,12 @@ def train_shard_assignment(spark, sf_dir):
              md5('curr-' || CAST(doc_id AS VARCHAR)) AS h
       FROM documents, bounds
     ), topk AS (
-      SELECT * FROM staged ORDER BY stage, h, doc_id LIMIT 200
+      SELECT * FROM staged
+      ORDER BY stage NULLS LAST, h, doc_id LIMIT 200
     )
     SELECT doc_id, CAST(stage AS BIGINT) AS stage,
-           CAST(row_number() OVER (ORDER BY stage, h, doc_id) AS BIGINT)
-             AS position
+           CAST(row_number() OVER (ORDER BY stage NULLS LAST, h, doc_id)
+                AS BIGINT) AS position
     FROM topk
     """,
     tags=("curation", "ordering", "topk"),
@@ -103,9 +104,11 @@ def curriculum_stage_order(spark, sf_dir):
         F.md5(F.concat(F.lit("curr-"), F.col("doc_id").cast("string")))
         .alias("h"),
     )
-    topk = staged.orderBy("stage", "h", "doc_id").limit(200)
+    # NULLS LAST explicit: unknown-length docs schedule after every
+    # staged doc in BOTH engines (fuzz_oracle.py null-ordering flip)
+    topk = staged.orderBy(F.asc_nulls_last("stage"), "h", "doc_id").limit(200)
     from pyspark.sql import Window
-    w = Window.orderBy("stage", "h", "doc_id")
+    w = Window.orderBy(F.asc_nulls_last("stage"), "h", "doc_id")
     return topk.select(
         "doc_id",
         F.col("stage").cast("long").alias("stage"),
@@ -327,7 +330,7 @@ def curation_pipeline_end_to_end(spark, sf_dir):
     FROM (
       SELECT doc_id, lang,
              row_number() OVER (PARTITION BY lang
-                                ORDER BY pkey, doc_id) AS rn
+                                ORDER BY pkey NULLS LAST, doc_id) AS rn
       FROM keyed
     ) WHERE rn <= 5
     """,
@@ -357,9 +360,16 @@ def weighted_priority_sample(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    pkey = ((((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
-             .cast("double") + 1) / F.col("n_chars"))
-    w = Window.partitionBy("lang").orderBy("pkey", "doc_id")
+    # zero/NULL-length docs have weight 0 -> priority key = infinity:
+    # NULL key, ranked LAST in both engines (explicit — Spark's bare
+    # ASC is NULLS FIRST, DuckDB's NULLS LAST; fuzz_oracle.py found
+    # both the ANSI /0 raise and the ordering flip)
+    pkey = F.when(
+        F.col("n_chars") > 0,
+        (((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+         .cast("double") + 1) / F.col("n_chars"))
+    w = Window.partitionBy("lang").orderBy(F.asc_nulls_last("pkey"),
+                                           "doc_id")
     return (
         docs.select("doc_id", "lang", pkey.alias("pkey"))
         .withColumn("rn", F.row_number().over(w))

@@ -526,6 +526,61 @@ def curation_funnel_v3(spark, sf_dir):
          .alias("n_after_quality"))
 
 
+@register(
+    "curation_funnel_materialized",
+    oracle=f"""
+    WITH {FUNNEL_SIGNAL_CTES}, {_clf_sql_ctes()}, funnel AS (
+      SELECT p.doc_id, p.source, p.pct,
+             (d.doc_id IS NULL) AS pass_dedup,
+             (n.n_bigrams IS NULL OR n.n_bigrams < 5
+              OR n.avg_nll <= p95.p) AS pass_ppl,
+             COALESCE(c.pred_en, false) AS pass_clf
+      FROM pct p
+      LEFT JOIN dup_drop d ON d.doc_id = p.doc_id
+      LEFT JOIN nll n ON n.doc_id = p.doc_id
+      LEFT JOIN clf c ON c.doc_id = p.doc_id
+      CROSS JOIN p95
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup) AS BIGINT)
+             AS n_after_dedup,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl) AS BIGINT)
+             AS n_after_ppl,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl
+                                   AND pass_clf) AS BIGINT)
+             AS n_after_clf,
+           CAST(COUNT(*) FILTER (WHERE pass_dedup AND pass_ppl
+                                   AND pass_clf AND pct >= 0.4) AS BIGINT)
+             AS n_after_quality
+    FROM funnel GROUP BY source
+    """,
+    tags=("curation", "pipeline", "dedup", "quality", "classifier"),
+)
+def curation_funnel_materialized(spark, sf_dir):
+    """The PRODUCTION form of ``curation_funnel_v3`` (VERDICT r10 #4):
+    each funnel signal (winnowing dedup drops, bigram-LM NLL,
+    classifier verdicts, per-source percentiles) is computed ONCE and
+    MATERIALIZED as a parquet stage table
+    (``pipeline/funnel.py:materialize_funnel_signals``), then the
+    audit table is rebuilt purely from those tables
+    (:func:`..pipeline.funnel.funnel_audit`): four signal scans +
+    doc_id-keyed left joins + one rollup — versus v3's single lazy
+    plan whose branches re-scan the source ~36 times.  Same gate
+    semantics, same determinism contracts, graded against the SAME
+    oracle as v3.
+
+    Scale: this IS the 100 TB shape v3's docstring prescribes — each
+    signal is a separate restartable job whose output other consumers
+    reuse (classifier scores → threshold sweep, percentiles → mix
+    manifest); the audit joins cost |docs|-keyed hash joins over
+    narrow tables.  Plan-pinned to signal-table scans only
+    (tests/test_funnel_pipeline.py)."""
+    from ..pipeline.funnel import run_materialized_funnel
+
+    return run_materialized_funnel(spark, sf_dir)
+
+
 _BF_SALTS = 4  # backfill shard count (scale knob, like ffd_pack's)
 
 
@@ -918,15 +973,17 @@ def hashgram_collision_audit(spark, sf_dir):
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
-             upper(text) || '  ' AS text
+             translate(text, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '  ' AS text
       FROM documents WHERE doc_id % 4 = 0
     ), raw AS (
       SELECT md5(text) AS h, COUNT(*) AS c FROM corpus GROUP BY md5(text)
     ), norm AS (
-      SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+      SELECT md5(trim(regexp_replace(
+               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' +', ' ', 'g'))) AS h,
              COUNT(*) AS c
       FROM corpus
-      GROUP BY md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+      GROUP BY md5(trim(regexp_replace(
+                 translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' +', ' ', 'g')))
     )
     SELECT 'raw' AS method,
            CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
@@ -957,12 +1014,22 @@ def dedup_normalization_impact(spark, sf_dir):
     aggregate over the same scan.
     """
     d = load_table(spark, sf_dir, "documents")
+    # ASCII-only case folding via translate: full-Unicode lower()/
+    # upper() are ENGINE-DIVERGENT ('ß' uppercases to 'SS' in the JVM
+    # but 'ẞ' in DuckDB, and only the JVM's round-trips to 'ss'), so
+    # locale-tailored folding can silently change which twins a dedup
+    # catches — fuzz_oracle.py caught the cluster-count flip.  ASCII
+    # folding is deterministic everywhere and is what normalize-before-
+    # dedup pipelines actually want.
+    _UP, _LO = "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
     corpus = (d.select("doc_id", "text")
               .unionAll(d.filter(F.col("doc_id") % 4 == 0)
                         .select((F.col("doc_id") + 1000000).alias("doc_id"),
-                                F.concat(F.upper("text"), F.lit("  "))
+                                F.concat(F.translate("text", _LO, _UP),
+                                         F.lit("  "))
                                 .alias("text"))))
-    norm_h = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
+    norm_h = F.md5(F.trim(F.regexp_replace(
+        F.translate("text", _UP, _LO), " +", " ")))
 
     def dup_stats(hcol, method):
         c = corpus.groupBy(hcol.alias("h")).agg(F.count("*").alias("c"))

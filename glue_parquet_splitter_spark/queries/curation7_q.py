@@ -234,7 +234,8 @@ def embedding_dedup_threshold_sweep(spark, sf_dir):
                - FLOOR({_NEYMAN_B} * wgt / (SELECT tw FROM tot)) AS rem
       FROM w),
     r AS (SELECT source, n_docs, base, rem,
-                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+                 row_number() OVER (ORDER BY rem DESC, source NULLS LAST)
+               AS rk
           FROM q),
     lo AS (SELECT {_NEYMAN_B} - SUM(base) AS l FROM q)
     SELECT source, n_docs, base,
@@ -309,7 +310,8 @@ def neyman_allocation_sampling(spark, sf_dir):
       FROM s),
     r AS (
       SELECT source, n_docs, base, rem,
-             row_number() OVER (ORDER BY rem DESC, source) AS rk
+             row_number() OVER (ORDER BY rem DESC, source NULLS LAST)
+               AS rk
       FROM q),
     left_over AS (
       SELECT {_QUOTA_B} - SUM(base) AS lo FROM q)
@@ -347,7 +349,9 @@ def shard_quota_largest_remainder(spark, sf_dir):
     from pyspark.sql import Window
 
     # bounded: |sources| rows — the post-aggregate source dimension
-    w = Window.orderBy(F.desc("rem"), F.asc("source"))
+    # NULLS LAST on the tie-break: with tied remainders the NULL-source
+    # group must sit at the same rank in both engines (fuzz_oracle.py)
+    w = Window.orderBy(F.desc("rem"), F.asc_nulls_last("source"))
     r = q.withColumn("rk", F.row_number().over(w))
     lo = q.agg((F.lit(_QUOTA_B) - F.sum("base")).alias("lo"))
     return (r.crossJoin(F.broadcast(lo))
@@ -420,7 +424,8 @@ def embedding_health_audit(spark, sf_dir):
                - FLOOR({_QUOTA_B} * n_docs / (SELECT n FROM t)) AS rem
       FROM s),
     r AS (SELECT source, base, rem,
-                 row_number() OVER (ORDER BY rem DESC, source) AS rk
+                 row_number() OVER (ORDER BY rem DESC, source NULLS LAST)
+               AS rk
           FROM q),
     lo AS (SELECT {_QUOTA_B} - SUM(base) AS l FROM q),
     quota AS (

@@ -116,6 +116,7 @@ def bit_aggregates(spark, sf_dir):
       SELECT event_type, value,
              cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
       FROM events
+      WHERE value IS NOT NULL
     )
     SELECT event_type,
            ROUND(MIN(CASE WHEN cd >= 0.5 THEN value END), 2) AS p50_disc,

@@ -325,10 +325,13 @@ def sorted_neighborhood_neardup(spark, sf_dir):
     ).where(F.col("nb.id").isNotNull())
     shared = F.size(F.array_intersect("toks", F.col("nb.t")))
     denom = F.size("toks") + F.size(F.col("nb.t")) - shared
+    # two empty shingle sets -> 0/0: NULL jaccard (dropped by the
+    # threshold filter), matching DuckDB's /0 -> NULL (fuzz_oracle.py)
     pairs = nb.select(
         F.col("doc_id").alias("doc_a"),
         F.col("nb.id").alias("doc_b"),
-        F.round(shared.cast("double") / denom, 4).alias("jaccard"),
+        F.round(F.when(denom != 0, shared.cast("double") / denom), 4)
+         .alias("jaccard"),
     )
     return pairs.where(F.col("jaccard") >= 0.5).select(
         "doc_a", "doc_b", "jaccard",

@@ -358,3 +358,127 @@ def phash_image_dedup(spark, sf_dir):
     return (pairs.withColumn("hamming", ham.cast("int"))
             .filter(F.col("hamming") <= _DHASH_MAX_HAM)
             .select("doc_a", "doc_b", "hamming"))
+
+
+_AB_DF_CAP = 16  # window keys owned by more docs are boilerplate — dropped
+#                 BEFORE pairing (the cdc_containment_pairs DF-cap)
+
+
+@register(
+    "audio_fingerprint_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE text IS NOT NULL AND n_chars >= 1
+    ), corpus AS (
+      SELECT doc_id, text, n_chars FROM base
+      UNION ALL
+      SELECT doc_id + 200000, substr(text, 1, 64), 64
+      FROM base WHERE doc_id % 7 = 0 AND n_chars >= 72
+      UNION ALL
+      SELECT doc_id + 300000, text || repeat('x', 24), n_chars + 24
+      FROM base WHERE doc_id % 11 = 0
+    ), chars AS (
+      SELECT doc_id, n_chars, i,
+             ord(substr(text, CAST(i AS INT), 1)) AS b
+      FROM corpus, UNNEST(range(1, n_chars + 1)) AS t(i)
+    ), bands AS (
+      SELECT doc_id, CAST((i - 1) // 8 AS INT) AS win_idx,
+             CAST(SUM(b) AS BIGINT) AS energy
+      FROM chars
+      GROUP BY doc_id, (i - 1) // 8
+      HAVING COUNT(*) = 8
+    ), keep AS (
+      SELECT win_idx, energy FROM bands GROUP BY win_idx, energy
+      HAVING COUNT(*) BETWEEN 2 AND {_AB_DF_CAP}
+    ), kept AS (
+      SELECT b.doc_id, b.win_idx, b.energy
+      FROM bands b JOIN keep USING (win_idx, energy)
+    ), n_rare AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nr
+      FROM kept GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_windows
+      FROM kept a
+      JOIN kept b ON a.win_idx = b.win_idx AND a.energy = b.energy
+                 AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, shared_windows,
+           ROUND(shared_windows * 1.0 / LEAST(ra.nr, rb.nr), 4)
+             AS containment,
+           (doc_b - doc_a = 200000 OR doc_b - doc_a = 300000) AS planted
+    FROM pairs
+    JOIN n_rare ra ON ra.doc_id = doc_a
+    JOIN n_rare rb ON rb.doc_id = doc_b
+    WHERE shared_windows * 1.0 / LEAST(ra.nr, rb.nr) >= 0.9
+    """,
+    tags=("multimodal", "dedup", "pandas_udf"),
+)
+def audio_fingerprint_dedup(spark, sf_dir):
+    """Audio fingerprint dedup on the WAV path (VERDICT r10 #6) — the
+    audio twin of ``phash_image_dedup``: CLIPPED (first-64-sample)
+    and RE-PADDED (24 trailing pad samples) duplicate clips are
+    planted, every clip is packed into a genuine RIFF/WAVE file, the
+    REAL chunk-walking decoder extracts the PCM plane, and each clip
+    fingerprints as its 8-sample-frame band-energy sequence (integer
+    sums, grid aligned from sample 0, ragged tail dropped).  A clip
+    that is a prefix-or-padded variant of another shares that clip's
+    ENTIRE frame sequence, so containment over the discriminative
+    frames hits 1.0 — the ``cdc_containment_pairs`` metric on the
+    decoded modality.
+
+    Scale — the cdc DF-cap shape, not a per-bucket rank cap: a
+    (win_idx, energy) key owned by more than {cap} clips is
+    boilerplate (the shared-first-word problem: many clips open with
+    the same 8 samples) and is dropped BEFORE the pair join, so
+    per-key fan-out is <= cap²/2; containment counts each clip's KEPT
+    keys only, so dropping boilerplate consistently from numerator
+    and denominator cannot push a true twin below 1.0 (a rank cap
+    could — it silently severed planted pairs in hot buckets, caught
+    by tests/test_audio_dedup.py).  The decode is one Arrow-batched
+    map pass; only (int, int) keys shuffle.  The oracle reproduces
+    the sample plane char-wise (ASCII corpus; non-ASCII raises at
+    pack time by contract) and the identical window/DF-cap/
+    containment pipeline.
+    """.format(cap=_AB_DF_CAP)
+    base = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull() & (F.col("n_chars") >= 1))
+            .select("doc_id", "text", "n_chars"))
+    clip = (base.filter((F.col("doc_id") % 7 == 0)
+                        & (F.col("n_chars") >= 72))
+            .select((F.col("doc_id") + 200000).alias("doc_id"),
+                    F.substring("text", 1, 64).alias("text"),
+                    F.lit(64).cast("long").alias("n_chars")))
+    pad = (base.filter(F.col("doc_id") % 11 == 0)
+           .select((F.col("doc_id") + 300000).alias("doc_id"),
+                   F.concat("text", F.lit("x" * 24)).alias("text"),
+                   (F.col("n_chars") + 24).alias("n_chars")))
+    corpus = base.unionByName(clip).unionByName(pad)
+    bands = (M.wav_band_energy(M.pack_wav(corpus), window=8)
+             .select("doc_id", "win_idx", "energy"))
+    keep = (bands.groupBy("win_idx", "energy")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= _AB_DF_CAP))
+            .select("win_idx", "energy"))
+    kept = bands.join(keep, ["win_idx", "energy"])
+    n_rare = kept.groupBy("doc_id").agg(F.count("*").alias("nr"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "win_idx", "energy")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "win_idx", "energy")
+    pairs = (a.join(b, ["win_idx", "energy"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("shared_windows")))
+    ra = n_rare.select(F.col("doc_id").alias("doc_a"),
+                       F.col("nr").alias("ra"))
+    rb = n_rare.select(F.col("doc_id").alias("doc_b"),
+                       F.col("nr").alias("rb"))
+    cont = F.col("shared_windows") / F.least("ra", "rb")
+    return (pairs.join(ra, "doc_a").join(rb, "doc_b")
+            .filter(cont >= 0.9)
+            .select("doc_a", "doc_b", "shared_windows",
+                    F.round(cont, 4).alias("containment"),
+                    ((F.col("doc_b") - F.col("doc_a") == 200000)
+                     | (F.col("doc_b") - F.col("doc_a") == 300000))
+                    .alias("planted")))

@@ -475,7 +475,7 @@ def stratified_fixed_n_sample(spark, sf_dir):
     ), ranked AS (
       SELECT doc_id, source, score,
              ROW_NUMBER() OVER (PARTITION BY source
-                                ORDER BY score, doc_id) AS rn,
+                                ORDER BY score NULLS LAST, doc_id) AS rn,
              COUNT(*) OVER (PARTITION BY source) AS n
       FROM scored
     )
@@ -518,7 +518,11 @@ def score_percentile_by_source(spark, sf_dir):
     ws = W.partitionBy("source")
     ranked = scored.select(
         "doc_id", "source", "score",
-        F.row_number().over(ws.orderBy("score", "doc_id")).alias("rn"),
+        # NULLS LAST explicit (unscoreable NULL-text docs rank above
+        # every scored doc — same in DuckDB, whose default differs
+        # from Spark's bare ASC; fuzz_oracle.py)
+        F.row_number().over(ws.orderBy(F.asc_nulls_last("score"),
+                                       "doc_id")).alias("rn"),
         F.count("*").over(ws).alias("n"))
     return ranked.select(
         "doc_id", "source", "score",

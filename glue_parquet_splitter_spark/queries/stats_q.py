@@ -26,6 +26,7 @@ from . import register
       SELECT event_type, round(value, 1) AS v,
              CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS ref
       FROM events
+      WHERE value IS NOT NULL
     ), cnt AS (
       SELECT event_type, v,
              SUM(ref) AS na, SUM(1 - ref) AS nb
@@ -71,7 +72,10 @@ def ks_drift_test(spark, sf_dir):
     relation.
     """
     ev = load_table(spark, sf_dir, "events")
-    pts = ev.select(
+    # a value distribution has no NULL support point; and NULL v would
+    # land at opposite ends of the two engines' cumulative windows
+    # (fuzz_oracle.py)
+    pts = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.round("value", 1).alias("v"),
         F.when(F.col("ts") < F.lit("2024-01-08").cast("timestamp"), 1)
@@ -90,11 +94,15 @@ def ks_drift_test(spark, sf_dir):
         F.sum("na").over(w_all).alias("ta"),
         F.sum("nb").over(w_all).alias("tb"),
     )
-    diff = F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb"))
+    # try_divide: an empty reference or current sample leaves the KS
+    # statistic NULL (DuckDB's /0 -> NULL does the same; ANSI division
+    # would kill the query — fuzz_oracle.py)
+    diff = F.abs(F.try_divide(F.col("ca"), F.col("ta"))
+                 - F.try_divide(F.col("cb"), F.col("tb")))
     ks = F.round(F.max(diff), 4)
     crit = F.round(
-        1.358 * F.sqrt((F.max("ta") + F.max("tb"))
-                       / (F.max("ta") * F.max("tb"))), 4)
+        1.358 * F.sqrt(F.try_divide(F.max("ta") + F.max("tb"),
+                                    F.max("ta") * F.max("tb"))), 4)
     return cum.groupBy("event_type").agg(
         F.max("ta").cast("long").alias("n_ref"),
         F.max("tb").cast("long").alias("n_cur"),

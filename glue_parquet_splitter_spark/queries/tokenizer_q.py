@@ -826,3 +826,301 @@ def temperature_mixture_sampling(spark, sf_dir):
             .agg(F.sum(F.when(gate, 1).otherwise(0)).cast("long")
                  .alias("n_included"))
             .select("lang", "n_docs", "share4", "rate4", "n_included"))
+
+
+# ---------------------------------------------------------------- unigram LM
+
+_UNI_K = 3        # EM rounds (driver-sequenced, like kmeans_lloyd_iters)
+_UNI_PLEN = 3     # max piece length
+_UNI_MAXW = 12    # words longer than this are excluded from training
+_UNI_VMULTI = 32  # multi-char vocab budget at init (singles always kept)
+
+
+def _uni_words(spark, sf_dir):
+    """The O(vocab) word-frequency table every unigram-LM stage runs
+    on — the same corpus collapse as ``_word_freqs`` but capped at
+    ``_UNI_MAXW`` chars (segmentation enumeration is bounded by word
+    length; production trainers cap identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("w"))
+            .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+            .groupBy("w").agg(F.count("*").alias("wf")))
+
+
+def _uni_segmenter(costs: dict):
+    """mapInPandas segmenter: per word, pick the BEST segmentation
+    into vocab pieces — minimum total integer cost, then fewest
+    pieces, then lexicographically-smallest path string (space-joined
+    pieces; words cannot contain spaces).  Exhaustive enumeration, not
+    DP: with pieces <= 3 chars and words <= 12, a word has at most
+    tribonacci(12) = 927 segmentations, and enumeration lets BOTH
+    engines (this closure and the oracle's recursive CTE) apply the
+    identical total-order tie-break with no backpointer ambiguity."""
+
+    def seg_fn(batches):
+        def best(w):
+            best_key = None
+            stack = [(0, 0, 0, "")]
+            while stack:
+                pos, cost, np_, path = stack.pop()
+                if pos == len(w):
+                    key = (cost, np_, path)
+                    if best_key is None or key < best_key:
+                        best_key = key
+                    continue
+                for ln in (1, 2, 3):
+                    piece = w[pos:pos + ln]
+                    q = costs.get(piece)
+                    if len(piece) == ln and q is not None:
+                        stack.append((pos + ln, cost + q, np_ + 1,
+                                      piece if not path
+                                      else path + " " + piece))
+            return best_key
+
+        import pandas as _pd
+        for pdf in batches:
+            rows = [best(w) for w in pdf["w"]]
+            out = _pd.DataFrame(
+                {"w": pdf["w"].values, "wf": pdf["wf"].values,
+                 "cost": [r[0] for r in rows],
+                 "path": [r[2] for r in rows]})
+            yield out
+
+    return seg_fn
+
+
+@register(
+    "unigram_lm_train",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) BETWEEN 1 AND 12
+      GROUP BY w
+    ), inv AS (
+      SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+             CAST(SUM(wf) AS BIGINT) AS wt
+      FROM words,
+           UNNEST(range(1, length(w) + 1)) AS a(i),
+           UNNEST(range(1, 4)) AS b(l)
+      WHERE i + l - 1 <= length(w)
+      GROUP BY piece
+    ), kept AS (
+      SELECT piece, wt FROM inv WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, wt FROM (
+        SELECT piece, wt,
+               ROW_NUMBER() OVER (ORDER BY wt DESC, piece) AS rk
+        FROM inv WHERE length(piece) > 1) WHERE rk <= 32
+    ), t0 AS (SELECT CAST(SUM(wt) AS DOUBLE) AS tu FROM kept),
+    costs0 AS (
+      SELECT piece, CAST(length(piece) AS INT) AS len,
+             CAST(ROUND(ln((SELECT tu FROM t0) / wt) * 1e6) AS BIGINT)
+               AS qcost
+      FROM kept
+    ),
+    seg1 AS (
+      SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np,
+             '' AS path
+      FROM words
+      UNION ALL
+      SELECT s.w, s.wf, s.pos + p.len, s.cost + p.qcost, s.np + 1,
+             CASE WHEN s.path = '' THEN p.piece
+                  ELSE s.path || ' ' || p.piece END
+      FROM seg1 s JOIN costs0 p
+        ON substr(s.w, s.pos + 1, p.len) = p.piece
+      WHERE s.pos < length(s.w)
+    ), best1 AS (
+      SELECT w, wf, cost, np, path,
+             ROW_NUMBER() OVER (PARTITION BY w
+                                ORDER BY cost, np, path) AS rk
+      FROM seg1 WHERE pos = length(w)
+    ), use1 AS (
+      SELECT UNNEST(string_split(path, ' ')) AS piece, wf
+      FROM best1 WHERE rk = 1
+    ), u1 AS (SELECT piece, CAST(SUM(wf) AS BIGINT) AS u
+                FROM use1 GROUP BY piece),
+    w1 AS (
+      SELECT piece, u FROM u1
+      UNION ALL
+      SELECT p.piece, CAST(1 AS BIGINT) AS u
+      FROM costs0 p
+      WHERE p.len = 1 AND p.piece NOT IN (SELECT piece FROM u1)
+    ), t1 AS (SELECT CAST(SUM(u) AS DOUBLE) AS tu FROM w1),
+    costs1 AS (
+      SELECT piece, CAST(length(piece) AS INT) AS len,
+             CAST(ROUND(ln((SELECT tu FROM t1) / u) * 1e6) AS BIGINT)
+               AS qcost
+      FROM w1
+    ),
+    seg2 AS (
+      SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np,
+             '' AS path
+      FROM words
+      UNION ALL
+      SELECT s.w, s.wf, s.pos + p.len, s.cost + p.qcost, s.np + 1,
+             CASE WHEN s.path = '' THEN p.piece
+                  ELSE s.path || ' ' || p.piece END
+      FROM seg2 s JOIN costs1 p
+        ON substr(s.w, s.pos + 1, p.len) = p.piece
+      WHERE s.pos < length(s.w)
+    ), best2 AS (
+      SELECT w, wf, cost, np, path,
+             ROW_NUMBER() OVER (PARTITION BY w
+                                ORDER BY cost, np, path) AS rk
+      FROM seg2 WHERE pos = length(w)
+    ), use2 AS (
+      SELECT UNNEST(string_split(path, ' ')) AS piece, wf
+      FROM best2 WHERE rk = 1
+    ), u2 AS (SELECT piece, CAST(SUM(wf) AS BIGINT) AS u
+                FROM use2 GROUP BY piece),
+    w2 AS (
+      SELECT piece, u FROM u2
+      UNION ALL
+      SELECT p.piece, CAST(1 AS BIGINT) AS u
+      FROM costs1 p
+      WHERE p.len = 1 AND p.piece NOT IN (SELECT piece FROM u2)
+    ), t2 AS (SELECT CAST(SUM(u) AS DOUBLE) AS tu FROM w2),
+    costs2 AS (
+      SELECT piece, CAST(length(piece) AS INT) AS len,
+             CAST(ROUND(ln((SELECT tu FROM t2) / u) * 1e6) AS BIGINT)
+               AS qcost
+      FROM w2
+    ),
+    seg3 AS (
+      SELECT w, wf, 0 AS pos, CAST(0 AS BIGINT) AS cost, 0 AS np,
+             '' AS path
+      FROM words
+      UNION ALL
+      SELECT s.w, s.wf, s.pos + p.len, s.cost + p.qcost, s.np + 1,
+             CASE WHEN s.path = '' THEN p.piece
+                  ELSE s.path || ' ' || p.piece END
+      FROM seg3 s JOIN costs2 p
+        ON substr(s.w, s.pos + 1, p.len) = p.piece
+      WHERE s.pos < length(s.w)
+    ), best3 AS (
+      SELECT w, wf, cost, np, path,
+             ROW_NUMBER() OVER (PARTITION BY w
+                                ORDER BY cost, np, path) AS rk
+      FROM seg3 WHERE pos = length(w)
+    ), use3 AS (
+      SELECT UNNEST(string_split(path, ' ')) AS piece, wf
+      FROM best3 WHERE rk = 1
+    ), u3 AS (SELECT piece, CAST(SUM(wf) AS BIGINT) AS u
+                FROM use3 GROUP BY piece),
+    w3 AS (
+      SELECT piece, u FROM u3
+      UNION ALL
+      SELECT p.piece, CAST(1 AS BIGINT) AS u
+      FROM costs2 p
+      WHERE p.len = 1 AND p.piece NOT IN (SELECT piece FROM u3)
+    ), t3 AS (SELECT CAST(SUM(u) AS DOUBLE) AS tu FROM w3),
+    costs3 AS (
+      SELECT piece, CAST(length(piece) AS INT) AS len,
+             CAST(ROUND(ln((SELECT tu FROM t3) / u) * 1e6) AS BIGINT)
+               AS qcost
+      FROM w3
+    )
+    SELECT r AS round, n_pieces, total_cost_micro FROM (
+      SELECT 1 AS r, (SELECT CAST(COUNT(*) AS BIGINT) FROM costs0) AS n_pieces, (SELECT CAST(SUM(wf * cost) AS BIGINT) FROM best1 WHERE rk = 1) AS total_cost_micro UNION ALL SELECT 2 AS r, (SELECT CAST(COUNT(*) AS BIGINT) FROM costs1) AS n_pieces, (SELECT CAST(SUM(wf * cost) AS BIGINT) FROM best2 WHERE rk = 1) AS total_cost_micro UNION ALL SELECT 3 AS r, (SELECT CAST(COUNT(*) AS BIGINT) FROM costs2) AS n_pieces, (SELECT CAST(SUM(wf * cost) AS BIGINT) FROM best3 WHERE rk = 1) AS total_cost_micro
+    ) ORDER BY round
+""",
+    tags=("tokenizer", "curation", "pandas_udf", "recursive"),
+)
+def unigram_lm_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer training (VERDICT
+    r10 #5) — the OTHER production tokenizer family next to BPE
+    (``bpe_learn_merges``): start from a substring inventory (all
+    single chars, forced, plus the top-32 multi-char substrings of
+    length <= 3 by corpus weight), then run K=3 EM rounds — E-step:
+    each word takes its Viterbi-best segmentation under the current
+    integer piece costs; M-step: piece usage is re-counted
+    (word-frequency weighted), unused multi-char pieces PRUNE out
+    (singles survive with smoothing weight 1 so every word stays
+    segmentable), and costs re-quantize.  Output: per-round vocab size
+    and total corpus loss in integer micro-nats — the trainer's
+    convergence ledger (loss is non-increasing from round 2 on,
+    pytest-pinned).
+
+    Determinism: costs are ROUND(ln(total/usage)*1e6) integer
+    micro-nats (the classifier family's micro-unit discipline — the
+    single ln() both engines agree on, then pure integer sums);
+    segmentation tie-breaks are (cost, piece count, path string), a
+    total order identical under Python tuple compare, Spark binary
+    string order, and DuckDB's codepoint collation; losses are exact
+    integer sums — accumulation-order-free.
+
+    Scale: EXACTLY the ``bpe_learn_merges`` shape — the corpus
+    collapses to the O(vocab) word-frequency table first (the only
+    corpus-sized stage); each EM round is one Arrow-batched map over
+    that table (the piece table is O(V)<=64 rows, collected as
+    metadata and closed over — the same bounded-broadcast pattern as
+    the classifier weights) plus one piece-granular agg.  K rounds =
+    K fast barriers, not K corpus scans.
+
+    The oracle replays the identical EM in SQL: segmentations
+    enumerate through a recursive CTE (bounded: tribonacci(12) paths
+    per word), the per-word argmin is the same (cost, np, path)
+    ROW_NUMBER, and vocab merge uses UNION ALL + NOT IN (a plain
+    UNION inside DuckDB's WITH RECURSIVE clause fails to dedup —
+    engine quirk found while building this oracle)."""
+    words = _uni_words(spark, sf_dir)
+
+    # init vocab: singles (forced) + top-V multi-char substrings
+    inv = (words.select(
+        "w", "wf",
+        F.explode(F.expr(
+            "flatten(transform(sequence(1, length(w)), i -> "
+            f"transform(sequence(1, {_UNI_PLEN}), l -> struct(i, l))))"
+        )).alias("s"))
+        .filter(F.expr("s.i + s.l - 1 <= length(w)"))
+        .select(F.expr("substring(w, s.i, s.l)").alias("piece"), "wf")
+        .groupBy("piece").agg(F.sum("wf").alias("wt")))
+    from pyspark.sql import Window as W
+    singles = inv.filter(F.length("piece") == 1)
+    # bounded: distinct <=3-char substrings of a bounded alphabet —
+    # value-domain-bounded, not corpus-sized
+    wv = W.orderBy(F.desc("wt"), F.asc("piece"))
+    multi = (inv.filter(F.length("piece") > 1)
+             .withColumn("rk", F.row_number().over(wv))
+             .filter(F.col("rk") <= _UNI_VMULTI).drop("rk"))
+    kept = singles.unionByName(multi)
+    t0 = kept.agg(F.sum("wt").cast("double").alias("tu"))
+    costs_df = (kept.crossJoin(F.broadcast(t0))  # bounded: 1-row total
+                .select("piece",
+                        F.length("piece").cast("int").alias("len"),
+                        F.round(F.log(F.col("tu") / F.col("wt")) * 1e6)
+                        .cast("long").alias("qcost")))
+
+    losses = None
+    for r in range(1, _UNI_K + 1):
+        # O(V) <= 64 rows — metadata-bounded collect, closed over by
+        # the Arrow-batched segmenter (the E-step's "model broadcast")
+        costs = {row["piece"]: row["qcost"] for row in costs_df.collect()}
+        seg = words.mapInPandas(
+            _uni_segmenter(costs),
+            schema="w string, wf long, cost long, path string")
+        loss_r = seg.agg(
+            F.lit(r).alias("round"),
+            F.lit(len(costs)).cast("long").alias("n_pieces"),
+            F.sum(F.col("wf") * F.col("cost")).cast("long")
+            .alias("total_cost_micro"))
+        losses = loss_r if losses is None else losses.unionByName(loss_r)
+        if r == _UNI_K:
+            break
+        # M-step: recount usage, prune unused multis, keep singles
+        # with smoothing weight 1, re-quantize costs
+        use = seg.select(F.explode(F.split("path", " ")).alias("piece"),
+                         "wf")
+        u = use.groupBy("piece").agg(F.sum("wf").alias("u"))
+        miss = (costs_df.filter(F.col("len") == 1).select("piece")
+                .join(u, "piece", "left_anti")
+                .select("piece", F.lit(1).cast("long").alias("u")))
+        w_r = u.unionByName(miss)
+        t_r = w_r.agg(F.sum("u").cast("double").alias("tu"))
+        costs_df = (w_r.crossJoin(F.broadcast(t_r))  # bounded: 1-row
+                    .select("piece",
+                            F.length("piece").cast("int").alias("len"),
+                            F.round(F.log(F.col("tu") / F.col("u")) * 1e6)
+                            .cast("long").alias("qcost")))
+    return losses

@@ -301,8 +301,12 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x, y = pdf["x"], pdf["y"]
-        n = len(pdf)
+        n = len(pdf)                      # COUNT(*) — all rows
+        # regr_slope/regr_intercept fit over complete (x, y) PAIRS
+        # only; pandas' NaN-skipping .sum() would otherwise mix
+        # all-x variance with non-null-y covariance (fuzz_oracle.py)
+        fitp = pdf.dropna(subset=["x", "y"])
+        x, y = fitp["x"], fitp["y"]
         mx, my = x.mean(), y.mean()
         cov = ((x - mx) * (y - my)).sum()
         var = ((x - mx) ** 2).sum()

@@ -164,7 +164,7 @@ def window_first_last(spark, sf_dir):
     WITH t AS (
       SELECT c_mktsegment,
              NTILE(4) OVER (PARTITION BY c_mktsegment
-                            ORDER BY c_acctbal, c_custkey) AS q,
+                            ORDER BY c_acctbal NULLS LAST, c_custkey) AS q,
              c_acctbal
       FROM customer
     )
@@ -188,7 +188,11 @@ def ntile_balance_quartiles(spark, sf_dir):
     (``quality_decile_mix_histogram``) is the scale substitute.
     """
     cust = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    # explicit NULLS LAST: unknown balances band into the top tile in
+    # BOTH engines (Spark bare ASC = nulls first, DuckDB = nulls last —
+    # fuzz_oracle.py)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey")
     t = cust.select(
         "c_mktsegment", "c_acctbal",
         F.ntile(4).over(w).cast("long").alias("quartile"))
