@@ -44,9 +44,15 @@ def cosine(a, b):
     encodes/padding).  NULL matches DuckDB's division-by-zero → NULL
     contract, so oracles need no special-casing, and NULL similarity
     drops out of ≥-threshold filters and top-k ranks in both engines.
-    Found by scripts/fuzz_oracle.py (zero-vector hostility)."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom != 0, dot(a, b) / denom)
+    Found by scripts/fuzz_oracle.py (zero-vector hostility).
+
+    ``try_divide``, not ``F.when(denom != 0, ...)``: the when-form
+    names the norm-product fold in BOTH the predicate and the
+    divisor, and codegen does not CSE the aggregate-HOF across the
+    branches — it re-folded every candidate pair (knn_graph_lsh
+    +64 % wall in the r11 canonical run); try_divide evaluates the
+    denominator once and returns NULL on zero."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3) -> DataFrame:
