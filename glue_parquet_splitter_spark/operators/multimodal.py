@@ -348,6 +348,87 @@ def pack_wav(docs: DataFrame) -> DataFrame:
             .select("doc_id", payload.alias("payload")))
 
 
+def dhash_band_pairs(hashes: DataFrame, cap: int = 16,
+                     max_hamming: int = 6) -> DataFrame:
+    """Banded-LSH near-dup pairs over (doc_id, h_lo, h_hi) dHash rows
+    — the candidate+verify stage of ``phash_image_dedup``, factored so
+    the 1M-hash scale smoke exercises the exact production path: two
+    images within Hamming ``max_hamming`` <= 6 of 64 bits agree on at
+    least one of the four 16-bit bands (pigeonhole), so candidates are
+    4 bucket equi-joins, capped at ``cap`` docs per (band, value) by
+    deterministic doc_id rank; the verify is bit_count over per-half
+    XOR.  Returns (doc_a, doc_b, hamming)."""
+    from pyspark.sql import Window
+
+    band_exprs = ["h_lo & 65535", "shiftright(h_lo, 16) & 65535",
+                  "h_hi & 65535", "shiftright(h_hi, 16) & 65535"]
+    bands = (hashes.select(
+        "doc_id", "h_lo", "h_hi",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band_idx"),
+                     F.expr(e).alias("band_val"))
+            for i, e in enumerate(band_exprs)])).alias("b"))
+        .select("doc_id", "h_lo", "h_hi", "b.band_idx", "b.band_val"))
+    w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
+    capped = (bands.withColumn("rk", F.row_number().over(w))
+              .filter(F.col("rk") <= cap))
+    a = capped.select(F.col("doc_id").alias("doc_a"),
+                      F.col("h_lo").alias("alo"),
+                      F.col("h_hi").alias("ahi"),
+                      "band_idx", "band_val")
+    b = capped.select(F.col("doc_id").alias("doc_b"),
+                      F.col("h_lo").alias("blo"),
+                      F.col("h_hi").alias("bhi"),
+                      "band_idx", "band_val")
+    pairs = (a.join(b, ["band_idx", "band_val"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "alo", "ahi", "blo", "bhi")
+             .distinct())
+    ham = F.expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi)")
+    return (pairs.withColumn("hamming", ham.cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming"))
+
+
+def band_containment_pairs(bands: DataFrame, df_cap: int = 16,
+                           threshold: float = 0.9,
+                           min_shared: int = 2) -> DataFrame:
+    """DF-capped positional-fingerprint containment pairs over
+    (doc_id, win_idx, energy) rows — the candidate+verify stage of
+    ``audio_fingerprint_dedup``, factored for the 1M-window scale
+    smoke: keys owned by more than ``df_cap`` docs are boilerplate and
+    drop BEFORE pairing (fan-out <= cap²/2 per key); containment
+    counts each doc's KEPT keys only, so dropping boilerplate cannot
+    push a true prefix/padded twin below 1.0.  Returns
+    (doc_a, doc_b, shared_windows, containment)."""
+    keep = (bands.groupBy("win_idx", "energy")
+            .agg(F.count("*").alias("df"))
+            .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+            .select("win_idx", "energy"))
+    kept = bands.select("doc_id", "win_idx", "energy").join(
+        keep, ["win_idx", "energy"])
+    n_rare = kept.groupBy("doc_id").agg(F.count("*").alias("nr"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "win_idx", "energy")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "win_idx", "energy")
+    pairs = (a.join(b, ["win_idx", "energy"])
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("shared_windows")))
+    ra = n_rare.select(F.col("doc_id").alias("doc_a"),
+                       F.col("nr").alias("ra"))
+    rb = n_rare.select(F.col("doc_id").alias("doc_b"),
+                       F.col("nr").alias("rb"))
+    cont = F.col("shared_windows") / F.least("ra", "rb")
+    # min_shared (cdc_containment_pairs' `shared >= 2` rule): a single
+    # colliding key between two one-rare-window clips would otherwise
+    # read as containment 1.0 (seen at the 1M-window scale smoke)
+    return (pairs.filter(F.col("shared_windows") >= min_shared)
+            .join(ra, "doc_a").join(rb, "doc_b")
+            .filter(cont >= threshold)
+            .select("doc_a", "doc_b", "shared_windows",
+                    F.round(cont, 4).alias("containment")))
+
+
 BAND_SCHEMA = "doc_id long, win_idx int, energy long, n_windows int"
 
 

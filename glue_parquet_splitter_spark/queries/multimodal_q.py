@@ -7,7 +7,6 @@ verified by the checksum fields)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -330,34 +329,8 @@ def phash_image_dedup(spark, sf_dir):
     """.format(cap=_DHASH_CAP)
     docs = load_table(spark, sf_dir, "documents")
     hashes = M.dhash_ppm(M.pack_ppm(docs))
-    band_exprs = ["h_lo & 65535", "shiftright(h_lo, 16) & 65535",
-                  "h_hi & 65535", "shiftright(h_hi, 16) & 65535"]
-    bands = (hashes.select(
-        "doc_id", "h_lo", "h_hi",
-        F.explode(F.array(*[
-            F.struct(F.lit(i).alias("band_idx"),
-                     F.expr(e).alias("band_val"))
-            for i, e in enumerate(band_exprs)])).alias("b"))
-        .select("doc_id", "h_lo", "h_hi", "b.band_idx", "b.band_val"))
-    w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
-    capped = (bands.withColumn("rk", F.row_number().over(w))
-              .filter(F.col("rk") <= _DHASH_CAP))
-    a = capped.select(F.col("doc_id").alias("doc_a"),
-                      F.col("h_lo").alias("alo"),
-                      F.col("h_hi").alias("ahi"),
-                      "band_idx", "band_val")
-    b = capped.select(F.col("doc_id").alias("doc_b"),
-                      F.col("h_lo").alias("blo"),
-                      F.col("h_hi").alias("bhi"),
-                      "band_idx", "band_val")
-    pairs = (a.join(b, ["band_idx", "band_val"])
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b", "alo", "ahi", "blo", "bhi")
-             .distinct())
-    ham = F.expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi)")
-    return (pairs.withColumn("hamming", ham.cast("int"))
-            .filter(F.col("hamming") <= _DHASH_MAX_HAM)
-            .select("doc_a", "doc_b", "hamming"))
+    return M.dhash_band_pairs(hashes, cap=_DHASH_CAP,
+                              max_hamming=_DHASH_MAX_HAM)
 
 
 _AB_DF_CAP = 16  # window keys owned by more docs are boilerplate — dropped
@@ -412,7 +385,8 @@ _AB_DF_CAP = 16  # window keys owned by more docs are boilerplate — dropped
     FROM pairs
     JOIN n_rare ra ON ra.doc_id = doc_a
     JOIN n_rare rb ON rb.doc_id = doc_b
-    WHERE shared_windows * 1.0 / LEAST(ra.nr, rb.nr) >= 0.9
+    WHERE shared_windows >= 2
+      AND shared_windows * 1.0 / LEAST(ra.nr, rb.nr) >= 0.9
     """,
     tags=("multimodal", "dedup", "pandas_udf"),
 )
@@ -458,27 +432,9 @@ def audio_fingerprint_dedup(spark, sf_dir):
     corpus = base.unionByName(clip).unionByName(pad)
     bands = (M.wav_band_energy(M.pack_wav(corpus), window=8)
              .select("doc_id", "win_idx", "energy"))
-    keep = (bands.groupBy("win_idx", "energy")
-            .agg(F.count("*").alias("df"))
-            .filter((F.col("df") >= 2) & (F.col("df") <= _AB_DF_CAP))
-            .select("win_idx", "energy"))
-    kept = bands.join(keep, ["win_idx", "energy"])
-    n_rare = kept.groupBy("doc_id").agg(F.count("*").alias("nr"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "win_idx", "energy")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "win_idx", "energy")
-    pairs = (a.join(b, ["win_idx", "energy"])
-             .filter(F.col("doc_a") < F.col("doc_b"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("shared_windows")))
-    ra = n_rare.select(F.col("doc_id").alias("doc_a"),
-                       F.col("nr").alias("ra"))
-    rb = n_rare.select(F.col("doc_id").alias("doc_b"),
-                       F.col("nr").alias("rb"))
-    cont = F.col("shared_windows") / F.least("ra", "rb")
-    return (pairs.join(ra, "doc_a").join(rb, "doc_b")
-            .filter(cont >= 0.9)
-            .select("doc_a", "doc_b", "shared_windows",
-                    F.round(cont, 4).alias("containment"),
+    return (M.band_containment_pairs(bands, df_cap=_AB_DF_CAP,
+                                     threshold=0.9)
+            .select("doc_a", "doc_b", "shared_windows", "containment",
                     ((F.col("doc_b") - F.col("doc_a") == 200000)
                      | (F.col("doc_b") - F.col("doc_a") == 300000))
                     .alias("planted")))

@@ -735,3 +735,106 @@ def test_bpe_train_100k_vocab(spark):
                      .alias("t")).collect()[0].t
     base = wf.select(F.sum(F.length("w")).alias("t")).collect()[0].t
     assert tot < base                    # merges actually compressed
+
+
+def test_phash_banded_dedup_1m_hashes(spark):
+    """``dhash_band_pairs`` at 1M synthetic 64-bit hashes: candidates
+    come only from the 4 banded bucket joins (plan has no cartesian),
+    the per-bucket cap bounds fan-out, and a planted 1-bit-flip twin
+    cluster is recovered exactly while the uniform bulk produces no
+    false pairs beyond band coincidences that Hamming-verify away."""
+    from glue_parquet_splitter_spark.operators.multimodal import (
+        dhash_band_pairs,
+    )
+
+    n = 1_000_000
+    # uniform 64-bit hashes via two 32-bit md5-derived halves
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8),
+               16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 9, 8),
+               16, 10).cast("long").alias("h_hi"))
+    # planted twins: ids 2M+i carry id i's hash with bit 40 flipped
+    twins = (base.filter(F.col("doc_id") < 50)
+             .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                     "h_lo",
+                     F.expr("h_hi ^ CAST(256 AS BIGINT)").alias("h_hi")))
+    # cap scales with corpus / 2^16 bucket values: 1M hashes put ~15
+    # docs in an average (band, value) bucket, so the fixture's cap=16
+    # would drop twins from crowded buckets — cap is the recall knob
+    pairs = dhash_band_pairs(base.unionByName(twins), cap=64,
+                             max_hamming=6)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    for i in range(50):
+        assert got.get((i, i + 2_000_000)) == 1, i
+    # every survivor is Hamming-verified <= 6 — no unverified bucket
+    # coincidence leaks through
+    assert all(h <= 6 for h in got.values())
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_audio_containment_1m_windows(spark):
+    """``band_containment_pairs`` at 1M fingerprint windows (10k clips
+    x 100 frames): a planted clipped twin (first 40 frames) of every
+    200th clip is recovered at containment 1.0, and the DF cap keeps
+    the pair join bounded even though one boilerplate key (win 0,
+    energy 0) is shared by every clip."""
+    from glue_parquet_splitter_spark.operators.multimodal import (
+        band_containment_pairs,
+    )
+
+    clips, frames = 10_000, 100
+    rows = spark.range(clips * frames).select(
+        (F.col("id") / frames).cast("long").alias("doc_id"),
+        (F.col("id") % frames).cast("int").alias("win_idx"),
+        # per-clip pseudo-random energies; win 0 is boilerplate 0
+        F.when(F.col("id") % frames == 0, F.lit(0).cast("long"))
+        .otherwise(F.conv(F.substring(
+            F.md5(F.col("id").cast("string")), 1, 7), 16, 10)
+            .cast("long")).alias("energy"))
+    twins = (rows.filter((F.col("doc_id") % 200 == 0)
+                         & (F.col("win_idx") < 40))
+             .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                     "win_idx", "energy"))
+    pairs = band_containment_pairs(rows.unionByName(twins),
+                                   df_cap=16, threshold=0.9)
+    got = {(r.doc_a, r.doc_b): r.containment for r in pairs.collect()}
+    planted = [d for d in range(0, clips, 200)]
+    for d in planted:
+        assert got.get((d, d + 1_000_000)) == 1.0, d
+    # nothing else reaches 0.9: random 28-bit energies don't collide
+    assert len(got) == len(planted)
+
+
+def test_unigram_segmenter_100k_words(spark):
+    """The unigram-LM E-step at a 100k-word vocabulary: one
+    Arrow-batched map pass segments every word under a fixed cost
+    table (no shuffle, no driver loop), and the exact integer loss of
+    a known cost table is reproduced."""
+    from glue_parquet_splitter_spark.queries.tokenizer_q import (
+        _uni_segmenter,
+    )
+
+    words = (spark.range(100_000)
+             .select(F.substring(F.md5(F.col("id").cast("string")),
+                                 1, 8).alias("w"),
+                     F.lit(1).cast("long").alias("wf"))
+             .groupBy("w").agg(F.sum("wf").alias("wf")))
+    # hex alphabet singles cost 10, all hex digrams cost 15: the best
+    # segmentation of an 8-char hex word is four digrams (cost 60)
+    hexd = "0123456789abcdef"
+    costs = {c: 10 for c in hexd}
+    costs.update({a + b: 15 for a in hexd for b in hexd})
+    seg = words.mapInPandas(
+        _uni_segmenter(costs),
+        schema="w string, wf long, cost long, path string")
+    agg = seg.agg(F.count("*").alias("n"),
+                  F.sum(F.col("wf") * F.col("cost")).alias("loss"),
+                  F.max("cost").alias("mx")).collect()[0]
+    n_words = words.count()
+    assert agg.n == n_words
+    assert agg.mx == 60                       # 4 digrams x 15
+    assert agg.loss == 60 * words.agg(
+        F.sum("wf")).collect()[0][0]
