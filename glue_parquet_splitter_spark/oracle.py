@@ -35,6 +35,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "∅"
+            if math.isinf(v):          # int(inf) would overflow (seen
+                return repr(v)         # in the --nan fuzz sweep)
             if v == int(v) and abs(v) < 1e15:
                 return str(int(v))
             return repr(round(v, 9))

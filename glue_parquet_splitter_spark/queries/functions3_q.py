@@ -28,7 +28,8 @@ from . import register
            ROUND(regr_slope(value, hour(ts)), 4) AS slope,
            ROUND(regr_intercept(value, hour(ts)), 4) AS intercept,
            ROUND(regr_r2(value, hour(ts)), 6) AS r2
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NULL OR isfinite(value)
+    GROUP BY event_type
     """,
     tags=("functions", "stats", "agg"),
 )
@@ -40,6 +41,15 @@ def linear_regression_aggs(spark, sf_dir):
     Map-side-combinable (sums of x, y, xy, x², y²), one exchange.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract: IEEE specials (NaN/±Inf) are
+    # un-binnable/un-fittable and their ordering/cast semantics are
+    # engine-divergent — dropped on BOTH sides, NULLs kept (they carry
+    # their usual aggregate-skip/own-group semantics).  Found by the
+    # --nan fuzz sweep (FUZZ.md).
+    ev = ev.filter(F.col("value").isNull()
+                   | (~F.isnan("value")
+                      & (F.abs("value")
+                         != F.lit(float("inf")))))
     x = F.hour("ts")
     return ev.groupBy("event_type").agg(
         F.regr_count("value", x).cast("long").alias("n"),
@@ -151,7 +161,8 @@ def percentile_disc_stats(spark, sf_dir):
                      WHEN value >= 500 THEN 11
                      ELSE FLOOR(value / 50) + 1 END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM events GROUP BY event_type, bucket
+    FROM events WHERE value IS NULL OR isfinite(value)
+    GROUP BY event_type, bucket
     """,
     tags=("functions", "agg", "histogram"),
 )
@@ -164,6 +175,15 @@ def width_bucket_histogram(spark, sf_dir):
     engine-independent definition explicit.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract: IEEE specials (NaN/±Inf) are
+    # un-binnable/un-fittable and their ordering/cast semantics are
+    # engine-divergent — dropped on BOTH sides, NULLs kept (they carry
+    # their usual aggregate-skip/own-group semantics).  Found by the
+    # --nan fuzz sweep (FUZZ.md).
+    ev = ev.filter(F.col("value").isNull()
+                   | (~F.isnan("value")
+                      & (F.abs("value")
+                         != F.lit(float("inf")))))
     return (
         ev.groupBy(
             "event_type",

@@ -114,11 +114,13 @@ def ks_drift_test(spark, sf_dir):
 @register(
     "mad_robust_outliers",
     oracle="""
-    WITH med AS (
-      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    WITH fin AS (
+      SELECT * FROM events WHERE value IS NULL OR isfinite(value)
+    ), med AS (
+      SELECT event_type, median(value) AS med FROM fin GROUP BY event_type
     ), dev AS (
       SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS ad
-      FROM events e JOIN med m USING (event_type)
+      FROM fin e JOIN med m USING (event_type)
     ), mad AS (
       SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
     )
@@ -150,6 +152,10 @@ def mad_robust_outliers(spark, sf_dir):
     collapses to one scan.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract (see woe_information_value / FUZZ.md)
+    ev = ev.filter(F.col("value").isNull()
+                   | (~F.isnan("value")
+                      & (F.abs("value") != F.lit(float("inf")))))
     med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
     # bounded: med/mad are one row per event_type (bounded enum)
     dev = ev.join(F.broadcast(med), "event_type").select(
@@ -229,7 +235,7 @@ def attribution_last_touch(spark, sf_dir):
     WITH base AS (
       SELECT LEAST(CAST(FLOOR(value / 10) AS BIGINT), 9) AS bin,
              CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS bad
-      FROM events
+      FROM events WHERE value IS NULL OR isfinite(value)
     ), tot AS (
       SELECT SUM(1 - bad) AS g_tot, SUM(bad) AS b_tot FROM base
     ), bins AS (
@@ -269,6 +275,14 @@ def woe_information_value(spark, sf_dir):
     identical association order in both engines.
     """
     e = load_table(spark, sf_dir, "events")
+    # finite-measure contract: IEEE specials (NaN/±Inf) are
+    # un-binnable/un-fittable and their ordering/cast semantics are
+    # engine-divergent — dropped on BOTH sides, NULLs kept (they carry
+    # their usual aggregate-skip/own-group semantics).  Found by the
+    # --nan fuzz sweep (FUZZ.md).
+    e = e.filter(F.col("value").isNull()
+                 | (~F.isnan("value")
+                    & (F.abs("value") != F.lit(float("inf")))))
     base = e.select(
         F.least(F.floor(F.col("value") / 10).cast("long"),
                 F.lit(9).cast("long")).alias("bin"),

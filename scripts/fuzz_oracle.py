@@ -126,8 +126,13 @@ def _skewed(rng, n, values, hot_frac=0.9, null_frac=0.0):
     return out.tolist()
 
 
-def gen_fixtures(out_dir: str, seed: int = 0) -> None:
-    """Write the ten fixture tables with hostile content, driver schemas."""
+def gen_fixtures(out_dir: str, seed: int = 0,
+                 nan: bool = False) -> None:
+    """Write the ten fixture tables with hostile content, driver
+    schemas.  ``nan=True`` additionally injects IEEE specials (NaN and
+    ±Infinity) into events.value and embedding components — OPT-IN
+    because NaN canonicalizes like NULL in the compare (a masked
+    divergence class), so NaN runs are adjudicated separately."""
     rng = np.random.default_rng(seed)
 
     # -- documents ----------------------------------------------------
@@ -150,6 +155,10 @@ def gen_fixtures(out_dir: str, seed: int = 0) -> None:
     m, dim = 300, 64
     vecs = np.round(rng.standard_normal((m, dim)), 3).astype(np.float32)
     vecs[:5] = 0.0                                     # zero vectors
+    if nan:
+        vecs[90, 3] = np.nan                           # IEEE specials
+        vecs[91, 5] = np.inf
+        vecs[92, 7] = -np.inf
     for i in range(10):                                # exact dup pairs
         vecs[20 + 2 * i + 1] = vecs[20 + 2 * i]
     for i in range(10):                                # near dups
@@ -186,6 +195,11 @@ def gen_fixtures(out_dir: str, seed: int = 0) -> None:
     vals = np.round(rng.choice([0.0, 1.5, -2.25, 10.0, 99.5], e), 2
                     ).astype(object)
     vals[rng.random(e) < 0.10] = None
+    if nan:
+        idx = rng.random(e)
+        vals[idx < 0.03] = float("nan")
+        vals[(idx >= 0.03) & (idx < 0.04)] = float("inf")
+        vals[(idx >= 0.04) & (idx < 0.05)] = float("-inf")
     etype = _skewed(rng, e, ["click", "view", "purchase"], 0.8)
     etype[3] = "singleton"
     pq.write_table(pa.table({
@@ -346,6 +360,9 @@ def main() -> None:
     ap.add_argument("--module", action="append", default=[],
                     help="run every query from this queries/ module "
                          "(e.g. text_q); repeatable")
+    ap.add_argument("--nan", action="store_true",
+                    help="inject NaN/±Inf into events.value and "
+                         "embeddings (adjudicated separately)")
     ap.add_argument("--json", default=None,
                     help="also write a {name: status} JSON ledger here")
     args = ap.parse_args()
@@ -368,8 +385,9 @@ def main() -> None:
     out_dir = args.dir or tempfile.mkdtemp(prefix="fuzz_fixtures_")
     import os
     os.makedirs(out_dir, exist_ok=True)
-    gen_fixtures(out_dir, args.seed)
-    print(f"hostile fixtures (seed={args.seed}) -> {out_dir}")
+    gen_fixtures(out_dir, args.seed, nan=args.nan)
+    print(f"hostile fixtures (seed={args.seed}, nan={args.nan}) "
+          f"-> {out_dir}")
 
     spark = get_spark("fuzz_oracle", shuffle_partitions=8)
     statuses: dict[str, str] = {}
