@@ -889,9 +889,61 @@ def _uni_segmenter(costs: dict):
     return seg_fn
 
 
-@register(
-    "unigram_lm_train",
-    oracle="""
+def _uni_init(words):
+    """Init vocab + integer micro-nat costs: all single chars (forced)
+    plus the top-``_UNI_VMULTI`` multi-char substrings of length <=
+    ``_UNI_PLEN`` by word-frequency-weighted corpus weight."""
+    from pyspark.sql import Window as W
+
+    inv = (words.select(
+        "w", "wf",
+        F.explode(F.expr(
+            "flatten(transform(sequence(1, length(w)), i -> "
+            f"transform(sequence(1, {_UNI_PLEN}), l -> struct(i, l))))"
+        )).alias("s"))
+        .filter(F.expr("s.i + s.l - 1 <= length(w)"))
+        .select(F.expr("substring(w, s.i, s.l)").alias("piece"), "wf")
+        .groupBy("piece").agg(F.sum("wf").alias("wt")))
+    singles = inv.filter(F.length("piece") == 1)
+    # bounded: distinct <=3-char substrings of a bounded alphabet —
+    # value-domain-bounded, not corpus-sized
+    wv = W.orderBy(F.desc("wt"), F.asc("piece"))
+    multi = (inv.filter(F.length("piece") > 1)
+             .withColumn("rk", F.row_number().over(wv))
+             .filter(F.col("rk") <= _UNI_VMULTI).drop("rk"))
+    kept = singles.unionByName(multi)
+    t0 = kept.agg(F.sum("wt").cast("double").alias("tu"))
+    return (kept.crossJoin(F.broadcast(t0))  # bounded: 1-row total
+            .select("piece",
+                    F.length("piece").cast("int").alias("len"),
+                    F.round(F.log(F.col("tu") / F.col("wt")) * 1e6)
+                    .cast("long").alias("qcost")))
+
+
+def _uni_mstep(seg, costs_df):
+    """M-step: recount piece usage from the round's segmentations
+    (word-frequency weighted), prune unused multi-char pieces, keep
+    singles with smoothing weight 1 (every word stays segmentable),
+    re-quantize costs."""
+    use = seg.select(F.explode(F.split("path", " ")).alias("piece"),
+                     "wf")
+    u = use.groupBy("piece").agg(F.sum("wf").alias("u"))
+    miss = (costs_df.filter(F.col("len") == 1).select("piece")
+            .join(u, "piece", "left_anti")
+            .select("piece", F.lit(1).cast("long").alias("u")))
+    w_r = u.unionByName(miss)
+    t_r = w_r.agg(F.sum("u").cast("double").alias("tu"))
+    return (w_r.crossJoin(F.broadcast(t_r))  # bounded: 1-row total
+            .select("piece",
+                    F.length("piece").cast("int").alias("len"),
+                    F.round(F.log(F.col("tu") / F.col("u")) * 1e6)
+                    .cast("long").alias("qcost")))
+
+
+
+# The shared EM CTE chain (words -> inventory -> costs0 -> 3 EM
+# rounds of seg/best/usage/re-cost) used by BOTH unigram oracles.
+_UNI_ORACLE_CTES = """
     WITH RECURSIVE words AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
       FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
@@ -1021,7 +1073,12 @@ def _uni_segmenter(costs: dict):
                AS qcost
       FROM w3
     )
-    SELECT r AS round, n_pieces, total_cost_micro FROM (
+"""
+
+
+@register(
+    "unigram_lm_train",
+    oracle=_UNI_ORACLE_CTES + """    SELECT r AS round, n_pieces, total_cost_micro FROM (
       SELECT 1 AS r, (SELECT CAST(COUNT(*) AS BIGINT) FROM costs0) AS n_pieces, (SELECT CAST(SUM(wf * cost) AS BIGINT) FROM best1 WHERE rk = 1) AS total_cost_micro UNION ALL SELECT 2 AS r, (SELECT CAST(COUNT(*) AS BIGINT) FROM costs1) AS n_pieces, (SELECT CAST(SUM(wf * cost) AS BIGINT) FROM best2 WHERE rk = 1) AS total_cost_micro UNION ALL SELECT 3 AS r, (SELECT CAST(COUNT(*) AS BIGINT) FROM costs2) AS n_pieces, (SELECT CAST(SUM(wf * cost) AS BIGINT) FROM best3 WHERE rk = 1) AS total_cost_micro
     ) ORDER BY round
 """,
@@ -1065,32 +1122,7 @@ def unigram_lm_train(spark, sf_dir):
     UNION inside DuckDB's WITH RECURSIVE clause fails to dedup —
     engine quirk found while building this oracle)."""
     words = _uni_words(spark, sf_dir)
-
-    # init vocab: singles (forced) + top-V multi-char substrings
-    inv = (words.select(
-        "w", "wf",
-        F.explode(F.expr(
-            "flatten(transform(sequence(1, length(w)), i -> "
-            f"transform(sequence(1, {_UNI_PLEN}), l -> struct(i, l))))"
-        )).alias("s"))
-        .filter(F.expr("s.i + s.l - 1 <= length(w)"))
-        .select(F.expr("substring(w, s.i, s.l)").alias("piece"), "wf")
-        .groupBy("piece").agg(F.sum("wf").alias("wt")))
-    from pyspark.sql import Window as W
-    singles = inv.filter(F.length("piece") == 1)
-    # bounded: distinct <=3-char substrings of a bounded alphabet —
-    # value-domain-bounded, not corpus-sized
-    wv = W.orderBy(F.desc("wt"), F.asc("piece"))
-    multi = (inv.filter(F.length("piece") > 1)
-             .withColumn("rk", F.row_number().over(wv))
-             .filter(F.col("rk") <= _UNI_VMULTI).drop("rk"))
-    kept = singles.unionByName(multi)
-    t0 = kept.agg(F.sum("wt").cast("double").alias("tu"))
-    costs_df = (kept.crossJoin(F.broadcast(t0))  # bounded: 1-row total
-                .select("piece",
-                        F.length("piece").cast("int").alias("len"),
-                        F.round(F.log(F.col("tu") / F.col("wt")) * 1e6)
-                        .cast("long").alias("qcost")))
+    costs_df = _uni_init(words)
 
     losses = None
     for r in range(1, _UNI_K + 1):
@@ -1108,19 +1140,67 @@ def unigram_lm_train(spark, sf_dir):
         losses = loss_r if losses is None else losses.unionByName(loss_r)
         if r == _UNI_K:
             break
-        # M-step: recount usage, prune unused multis, keep singles
-        # with smoothing weight 1, re-quantize costs
-        use = seg.select(F.explode(F.split("path", " ")).alias("piece"),
-                         "wf")
-        u = use.groupBy("piece").agg(F.sum("wf").alias("u"))
-        miss = (costs_df.filter(F.col("len") == 1).select("piece")
-                .join(u, "piece", "left_anti")
-                .select("piece", F.lit(1).cast("long").alias("u")))
-        w_r = u.unionByName(miss)
-        t_r = w_r.agg(F.sum("u").cast("double").alias("tu"))
-        costs_df = (w_r.crossJoin(F.broadcast(t_r))  # bounded: 1-row
-                    .select("piece",
-                            F.length("piece").cast("int").alias("len"),
-                            F.round(F.log(F.col("tu") / F.col("u")) * 1e6)
-                            .cast("long").alias("qcost")))
+        costs_df = _uni_mstep(seg, costs_df)
     return losses
+
+
+@register(
+    "unigram_lm_encode",
+    oracle=_UNI_ORACLE_CTES + """
+    , lw AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE length(w) BETWEEN 1 AND 12
+      GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(lw.wf) AS BIGINT) AS n_words,
+           CAST(SUM(lw.wf * length(lw.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(lw.wf * b.np) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lw.wf * length(lw.w)) * 1.0
+                 / SUM(lw.wf * b.np), 4) AS chars_per_token
+    FROM lw JOIN (SELECT w, np FROM best3 WHERE rk = 1) b USING (w)
+    GROUP BY lang
+    """,
+    tags=("tokenizer", "curation", "pandas_udf", "recursive"),
+)
+def unigram_lm_encode(spark, sf_dir):
+    """ENCODE with the trained unigram-LM vocabulary — the family twin
+    of ``bpe_encode_apply``: run the same K=3 EM loop as
+    ``unigram_lm_train``, take the FINAL round's per-word best
+    segmentations, and report per-language token counts and fertility
+    (chars per token — lower = the tokenizer compresses that language
+    better, the multilingual-tokenizer audit number).
+
+    Scale: identical to training — the corpus collapses to the
+    (lang, word) frequency table (O(|langs|·vocab) rows); the final
+    segmentation is joined back on the word string, so the corpus-side
+    cost is one explode + one equi-join.  Both engines aggregate
+    exact integer (chars, tokens) sums and divide once; word-length
+    cap and tie-break contracts inherit from training.
+    """
+    words = _uni_words(spark, sf_dir)
+    costs_df = _uni_init(words)
+    seg = None
+    for _ in range(_UNI_K):
+        # O(V) <= 64 rows — metadata-bounded collect (see train)
+        costs = {row["piece"]: row["qcost"] for row in costs_df.collect()}
+        seg = words.mapInPandas(
+            _uni_segmenter(costs),
+            schema="w string, wf long, cost long, path string")
+        costs_df = _uni_mstep(seg, costs_df)
+    np_col = F.size(F.split("path", " ")).alias("np")
+    final = seg.select("w", np_col)
+    d = load_table(spark, sf_dir, "documents")
+    lw = (d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+          .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+          .groupBy("lang", "w").agg(F.count("*").alias("wf")))
+    j = lw.join(final, "w")
+    return (j.groupBy("lang").agg(
+        F.sum("wf").cast("long").alias("n_words"),
+        F.sum(F.col("wf") * F.length("w")).cast("long").alias("n_chars"),
+        F.sum(F.col("wf") * F.col("np")).cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("wf") * F.length("w"))
+                / F.sum(F.col("wf") * F.col("np")), 4)
+        .alias("chars_per_token")))
