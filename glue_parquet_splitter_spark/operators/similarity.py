@@ -32,6 +32,23 @@ def l2_norm(v) -> F.Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def finite_vectors(df: DataFrame,
+                   vec: str = "embedding") -> DataFrame:
+    """Drop vectors containing any non-finite component (NaN/±Inf —
+    failed encodes).  A non-finite component makes every downstream
+    similarity NaN, and NaN's "greater than everything" rank ordering
+    is engine-divergent, so the contract is EXCLUSION, mirrored in the
+    oracles as ``isfinite(list_sum(list_transform(v, abs)))`` (abs
+    folds ±Inf to +Inf and NaN stays NaN, so the sum is finite iff
+    every component is).  ``embedding_health_audit`` is the detector
+    that reports such vectors before a pipeline runs.  Found by the
+    --nan fuzz sweep (FUZZ.md)."""
+    s = F.aggregate(F.transform(F.col(vec).cast("array<double>"),
+                                lambda x: F.abs(x)),
+                    F.lit(0.0), lambda a, x: a + x)
+    return df.filter(~F.isnan(s) & (s != F.lit(float("inf"))))
+
+
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     return df.withColumn("_norm", l2_norm(F.col(vec).cast("array<double>")))
 

@@ -886,7 +886,7 @@ def grouped_split_no_leakage(spark, sf_dir):
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              md5(event_type || '/' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR))
                AS h
-      FROM events
+      FROM events WHERE isfinite(value)
     ), firsts AS (
       SELECT h, MIN(day) AS first_day FROM d GROUP BY h
     )
@@ -923,6 +923,11 @@ def daily_content_novelty_rate(spark, sf_dir):
     history — first_day carries the entire history in one value.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract (FUZZ.md --nan sweep): the fingerprint
+    # floor() cannot bin non-finite values; NULLs drop with them here
+    # (both engines' filter is isfinite-only)
+    ev = ev.filter(~F.isnan("value")
+                   & (F.abs("value") != F.lit(float("inf"))))
     # F.concat, not concat_ws: concat_ws SKIPS nulls while the oracle's
     # `||` propagates them through md5 — a NULL event_type/value must
     # fingerprint identically (as NULL) on both engines

@@ -370,11 +370,16 @@ def shard_quota_largest_remainder(spark, sf_dir):
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN NOT isfinite(nrm) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonfinite,
            CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_norm,
-           ROUND(MIN(nrm), 4) AS min_norm,
-           ROUND(MAX(nrm), 4) AS max_norm,
-           ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY nrm), 4)
+           ROUND(MIN(CASE WHEN isfinite(nrm) THEN nrm END), 4)
+             AS min_norm,
+           ROUND(MAX(CASE WHEN isfinite(nrm) THEN nrm END), 4)
+             AS max_norm,
+           ROUND(percentile_cont(0.5) WITHIN GROUP (
+                 ORDER BY CASE WHEN isfinite(nrm) THEN nrm END), 4)
              AS median_norm
     FROM n
     """,
@@ -400,13 +405,21 @@ def embedding_health_audit(spark, sf_dir):
         "aggregate(embedding, CAST(0.0 AS DOUBLE),"
         " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
     n = e.select(nrm.alias("nrm"))
+    # non-finite norms (NaN/±Inf components — failed encodes) are the
+    # audit's OTHER red flag (FUZZ.md --nan sweep): counted explicitly,
+    # excluded from the distribution stats in both engines
+    fin = F.when(~F.isnan("nrm") & (F.col("nrm") != F.lit(float("inf"))),
+                 F.col("nrm"))
+    n = n.withColumn("fin", fin)
     return n.agg(
         F.count("*").alias("n_vectors"),
-        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).cast("long")
+        F.sum(F.when(F.col("fin").isNull(), 1).otherwise(0)).cast("long")
+        .alias("n_nonfinite"),
+        F.sum(F.when(F.col("fin") == 0, 1).otherwise(0)).cast("long")
         .alias("n_zero_norm"),
-        F.round(F.min("nrm"), 4).alias("min_norm"),
-        F.round(F.max("nrm"), 4).alias("max_norm"),
-        F.round(F.expr("percentile(nrm, 0.5)"), 4).alias("median_norm"))
+        F.round(F.min("fin"), 4).alias("min_norm"),
+        F.round(F.max("fin"), 4).alias("max_norm"),
+        F.round(F.expr("percentile(fin, 0.5)"), 4).alias("median_norm"))
 
 
 @register(

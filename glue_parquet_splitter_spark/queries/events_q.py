@@ -240,7 +240,8 @@ def streaming_late_data_append(spark, sf_dir):
     oracle="""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(value), 2) AS total_value
-    FROM events GROUP BY user_id
+    FROM events WHERE value IS NULL OR isfinite(value)
+    GROUP BY user_id
     """,
     tags=("events", "streaming", "stateful"),
 )

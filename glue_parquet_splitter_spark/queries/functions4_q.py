@@ -199,7 +199,7 @@ def try_arithmetic_family(spark, sf_dir):
       SELECT 'et:' || event_type || ',ub:' ||
              CAST(user_id % 10 AS VARCHAR) || ',vb:' ||
              CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS kv
-      FROM events
+      FROM events WHERE isfinite(value)
     )
     SELECT regexp_extract(kv, 'et:([^,]*)', 1) AS et,
            CAST(regexp_extract(kv, 'ub:([^,]*)', 1) AS BIGINT) AS ub,
@@ -226,6 +226,11 @@ def str_to_map_extract(spark, sf_dir):
     hash maps) — values are extracted and typed in the same select.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract (FUZZ.md --nan sweep): the fingerprint
+    # floor() cannot bin non-finite values; NULLs drop with them here
+    # (both engines' filter is isfinite-only)
+    ev = ev.filter(~F.isnan("value")
+                   & (F.abs("value") != F.lit(float("inf"))))
     kv = F.concat(
         F.lit("et:"), F.col("event_type"),
         F.lit(",ub:"), (F.col("user_id") % 10).cast("string"),

@@ -306,7 +306,7 @@ def pii_redact_planted(spark, sf_dir):
       SELECT event_type,
              LEAST(CAST(FLOOR(value / 50) AS BIGINT), 9) AS bucket,
              CASE WHEN ts < TIMESTAMP '2024-01-08' THEN 1 ELSE 0 END AS ref
-      FROM events
+      FROM events WHERE value IS NULL OR isfinite(value)
     ), counts AS (
       SELECT event_type, bucket,
              SUM(ref) AS na, SUM(1 - ref) AS nb
@@ -345,6 +345,12 @@ def psi_feature_drift(spark, sf_dir):
     no per-row state; the same plan at any event volume.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract (FUZZ.md --nan sweep): non-finite values
+    # are un-binnable and engine-divergent; NULLs keep their usual
+    # semantics
+    ev = ev.filter(F.col("value").isNull()
+                   | (~F.isnan("value")
+                      & (F.abs("value") != F.lit(float("inf")))))
     bucketed = ev.select(
         "event_type",
         F.least(F.floor(F.col("value") / 50), F.lit(9)).alias("bucket"),

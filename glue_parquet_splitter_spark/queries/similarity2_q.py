@@ -28,8 +28,10 @@ from . import register
 # engines, unlike round/cast whose tie and truncation rules differ)
 _QUANT_CTE = """
     WITH v AS (
+      -- finite-vector contract (FUZZ.md --nan sweep)
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), sc AS (
       SELECT vec_id, GREATEST(MAX(ABS(x)), 1e-12) AS maxabs FROM v GROUP BY vec_id
     ), q8 AS (
@@ -69,7 +71,8 @@ def ann_topk_quantized(spark, sf_dir):
     smaller than float32; ``tests/test_similarity_recall.py`` shows
     the quantized top-1 matches the exact top-1.  floor (not
     round/cast) keeps the codes bit-identical across engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     v = F.col("v")
     maxabs = F.greatest(
         F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),

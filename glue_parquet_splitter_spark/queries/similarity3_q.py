@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import similarity as S
 from ..operators.similarity import cosine
 from . import register
 
@@ -25,7 +26,8 @@ def _assigned(spark, sf_dir):
     the round cannot flip a cluster choice)."""
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", "label",
                     F.col("embedding").cast("array<double>").alias("v"))
     cents = (vecs.filter(F.col("vec_id") < 4)
@@ -49,6 +51,7 @@ def _assigned(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -138,6 +141,7 @@ def ann_ivf_multiprobe(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -182,7 +186,8 @@ def hard_negative_mining(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", "label",
                     F.col("embedding").cast("array<double>").alias("v"))
     q = (vecs.filter(F.col("vec_id") < 8)
@@ -211,6 +216,7 @@ def hard_negative_mining(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -274,7 +280,8 @@ def retrieval_eval_metrics(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", "label",
                     F.col("embedding").cast("array<double>").alias("v"))
     q = (vecs.filter(F.col("vec_id") < 8)
@@ -320,8 +327,12 @@ def retrieval_eval_metrics(spark, sf_dir):
 
 _KNN_COS_CTE = """
     WITH v AS (
+      -- finite-vector contract (FUZZ.md --nan sweep): a NaN/±Inf
+      -- component poisons every cosine and ranks engine-divergently;
+      -- embedding_health_audit is the detector, the family EXCLUDES
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     )
@@ -398,7 +409,8 @@ def _knn_edges(spark, sf_dir):
 
     from ..operators import similarity as S
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     bk = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"),
         S.signbit_bucket(F.col("embedding")).alias("bucket"))
@@ -473,7 +485,8 @@ def ranking_eval_auc(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", "label",
                     F.col("embedding").cast("array<double>").alias("v"))
     q = (vecs.filter(F.col("vec_id") < 4)
@@ -556,7 +569,8 @@ def calibration_ece_bins(spark, sf_dir):
     computed from the two ALREADY-rounded means identically in both
     engines, so double noise cannot reach the compare.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", "label",
                     F.col("embedding").cast("array<double>").alias("v"))
     q = (vecs.filter(F.col("vec_id") == 0)
@@ -683,7 +697,8 @@ def mmr_diversified_topk(spark, sf_dir):
 
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id",
                     F.col("embedding").cast("array<double>").alias("v"))
     q = (vecs.filter(F.col("vec_id") < 4)
@@ -784,7 +799,8 @@ def label_propagation_knn(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     lab = e.select("vec_id", F.col("label").cast("long").alias("label"))
     knn = _knn_edges(spark, sf_dir)
     votes = (knn.join(lab.withColumnRenamed("vec_id", "dst"), "dst")
@@ -814,6 +830,7 @@ def label_propagation_knn(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -951,6 +968,7 @@ def mutual_knn_pairs(spark, sf_dir):
       SELECT vec_id, label, vec_id % 2 AS half, i,
              CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), cent AS (
       SELECT label, half, i, AVG(x) AS c,
              COUNT(DISTINCT vec_id) AS n
@@ -991,7 +1009,8 @@ def embedding_centroid_drift(spark, sf_dir):
     the final cosine (noise ~1e-15 vs the 1e-6 round); integer
     half-counts; label-keyed output.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     v = (e.select("vec_id", "label", (F.col("vec_id") % 2).alias("half"),
                   F.posexplode(F.col("embedding").cast("array<double>"))
                   .alias("i0", "x")))

@@ -541,9 +541,12 @@ def approx_quantile_error_by_group(spark, sf_dir):
     is O(accuracy) memory, map-side combinable, and shuffles only
     sketch summaries).  Graded the sketch way (``hll_union_daily``'s
     pattern): the oracle pins the exact value and asserts the
-    within-5 % flag TRUE; Spark computes the flag from its own sketch
-    at accuracy=1000, where the rank error n/1000 is far inside 5 %
-    of value on this distribution.
+    flag TRUE; Spark computes the flag from its own sketch at
+    accuracy=1000 as a RANK-band check (approx between the exact DISCRETE 45th
+    and 55th percentile values — the GK guarantee is rank error <=
+    n/accuracy, and a value-relative band is ill-defined near
+    zero-crossing medians; the --nan fuzz sweep's tie-heavy draw
+    proved it).
 
     Determinism: Spark's approx_percentile is a deterministic
     function of the value multiset at fixed accuracy (merge order
@@ -552,12 +555,24 @@ def approx_quantile_error_by_group(spark, sf_dir):
     ``percentile_cont_by_group``.
     """
     cust = load_table(spark, sf_dir, "customer")
+    # the flag asserts the sketch's ACTUAL guarantee — rank error —
+    # not a relative-value band: |approx − exact| ≤ 5 %·|exact| is
+    # meaningless when the median sits near a zero crossing (a
+    # tie-heavy fuzz draw put the exact median at −5.25 between
+    # actual values −10.5 and 0.0, and the flag flipped).  The GK
+    # sketch guarantees the returned value's RANK is within n/accuracy
+    # of the target, so the honest check is approx ∈ [p45, p55].
     return (cust.groupBy(F.col("c_mktsegment").alias("segment"))
             .agg(F.count("*").alias("n"),
                  F.round(F.percentile("c_acctbal", F.lit(0.5)), 2)
                   .alias("median_exact"),
-                 (F.abs(F.approx_percentile("c_acctbal", F.lit(0.5),
-                                            F.lit(1000))
-                        - F.percentile("c_acctbal", F.lit(0.5)))
-                  <= 0.05 * F.abs(F.percentile("c_acctbal", F.lit(0.5))))
+                 F.approx_percentile("c_acctbal", F.lit(0.5), F.lit(1000))
+                 # DISCRETE band edges: the sketch returns an ACTUAL
+                 # value, and interpolated p45/p55 can sit strictly
+                 # between two actual values, excluding a rank-correct
+                 # answer (the tie-heavy draw again)
+                 .between(F.expr("percentile_disc(0.45) WITHIN GROUP "
+                                 "(ORDER BY c_acctbal)"),
+                          F.expr("percentile_disc(0.55) WITHIN GROUP "
+                                 "(ORDER BY c_acctbal)"))
                  .alias("approx_within_5pct")))

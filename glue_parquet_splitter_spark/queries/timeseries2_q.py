@@ -225,7 +225,8 @@ def capped_running_balance(spark, sf_dir):
              CAST(strftime(CAST(ts AS DATE), '%w') AS BIGINT) AS dow,
              CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value IS NULL OR isfinite(value)
+      GROUP BY 1, 2
     ), base AS (
       SELECT dow, SUM(cents) AS sum_cents,
              CAST(COUNT(*) AS BIGINT) AS n_days
@@ -276,6 +277,12 @@ def seasonal_dow_decomposition(spark, sf_dir):
     the seasonality join never touches them.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract (FUZZ.md --nan sweep): non-finite values
+    # are un-binnable and engine-divergent; NULLs keep their usual
+    # semantics
+    ev = ev.filter(F.col("value").isNull()
+                   | (~F.isnan("value")
+                      & (F.abs("value") != F.lit(float("inf")))))
     cents_row = F.floor(F.col("value") * 100 + 0.5).cast("long")
     daily = ev.groupBy(
         F.col("ts").cast("date").alias("day"),

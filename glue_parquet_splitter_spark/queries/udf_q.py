@@ -264,7 +264,8 @@ def pandas_udf_scalar_iter(spark, sf_dir):
            ROUND(regr_slope(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 4) + 0 AS slope,
            ROUND(regr_intercept(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 2) + 0
              AS intercept
-    FROM events GROUP BY event_type
+    FROM events WHERE value IS NULL OR isfinite(value)
+    GROUP BY event_type
     """,
     tags=("udf", "pandas", "stats"),
 )
@@ -292,7 +293,14 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     algebraic ``regr_*``/``linear_regression_aggs`` form instead,
     which never materializes a group).
     """
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events")
+    # finite-measure contract (FUZZ.md --nan sweep): pandas' NaN-skip
+    # and ±Inf arithmetic diverge from regr_* moment handling — drop
+    # non-finite on both sides, keep NULLs (regr skips null pairs)
+    ev = ev.filter(F.col("value").isNull()
+                   | (~F.isnan("value")
+                      & (F.abs("value") != F.lit(float("inf")))))
+    ev = ev.select(
         "event_type",
         ((F.col("ts").cast("double")
           - F.lit("2024-01-01").cast("timestamp").cast("double"))

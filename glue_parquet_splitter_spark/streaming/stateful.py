@@ -49,7 +49,14 @@ def run_user_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
     (count, total_value) state; emits the final per-user totals."""
     from .windows import events_stream
 
-    stream = events_stream(spark, events_path).select("user_id", "value")
+    stream = (events_stream(spark, events_path)
+              .select("user_id", "value")
+              # finite-measure contract (FUZZ.md --nan sweep): the
+              # pandas state sum SKIPS NaN while SQL SUM propagates it
+              # — drop non-finite on both sides, keep NULLs
+              .filter(F.col("value").isNull()
+                      | (~F.isnan("value")
+                         & (F.abs("value") != F.lit(float("inf"))))))
     out = stream.groupBy("user_id").applyInPandasWithState(
         _update_user,
         outputStructType=OUTPUT_SCHEMA,
@@ -141,7 +148,14 @@ def run_user_stats_tws_stream(spark: SparkSession,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider")
     try:
-        stream = events_stream(spark, events_path).select("user_id", "value")
+        stream = (events_stream(spark, events_path)
+              .select("user_id", "value")
+              # finite-measure contract (FUZZ.md --nan sweep): the
+              # pandas state sum SKIPS NaN while SQL SUM propagates it
+              # — drop non-finite on both sides, keep NULLs
+              .filter(F.col("value").isNull()
+                      | (~F.isnan("value")
+                         & (F.abs("value") != F.lit(float("inf"))))))
         out = stream.groupBy("user_id").transformWithStateInPandas(
             UserStats(),
             outputStructType=OUTPUT_SCHEMA,
