@@ -25,16 +25,23 @@ def token_table(docs: DataFrame) -> DataFrame:
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
+    # ratios are integer-HALF-UP to 4 digits ((num·2e4 + den) div 2den):
+    # a float ROUND sits on a half-ulp boundary whenever num·10⁴ is an
+    # exact multiple of den/2 — a 20k-token fuzz doc hit
+    # 88807/20000 = 4.44035 and the engines' accumulate-then-round
+    # paths split (FUZZ.md --big); integer arithmetic is boundary-free
     toks = F.split("text", " ")
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.round(
-            F.aggregate(F.transform(toks, lambda t: F.length(t).cast("double")),
-                        F.lit(0.0), lambda a, x: a + x) / F.size(toks), 4,
-        ).alias("avg_tok_len"),
-    )
+    sum_len = F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                          F.lit(0).cast("long"),
+                          lambda a, x: a + x.cast("long"))
+    return (docs
+            .select("doc_id", sum_len.alias("_sl"),
+                    F.size(toks).cast("long").alias("n_tokens"),
+                    F.size(F.array_distinct(toks)).cast("long")
+                    .alias("n_distinct"))
+            .select("doc_id", "n_tokens", "n_distinct",
+                    (F.expr("(_sl * 20000 + n_tokens) div (2 * n_tokens)")
+                     / 1e4).alias("avg_tok_len")))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -43,14 +50,21 @@ def quality_score(docs: DataFrame) -> DataFrame:
     toks = F.split("text", " ")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    return docs.select(
-        "doc_id",
-        F.round(n_stop / F.size(toks), 4).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("type_token_ratio"),
-        F.when(F.col("n_chars") < 100, "short")
-        .when(F.col("n_chars") < 300, "medium")
-        .otherwise("long").alias("len_bucket"),
-    )
+    # integer half-up ratios — see token_stats (FUZZ.md --big)
+    return (docs
+            .select("doc_id", "n_chars",
+                    n_stop.cast("long").alias("_ns"),
+                    F.size(F.array_distinct(toks)).cast("long").alias("_nd"),
+                    F.size(toks).cast("long").alias("_nt"))
+            .select(
+                "doc_id",
+                (F.expr("(_ns * 20000 + _nt) div (2 * _nt)") / 1e4)
+                .alias("stopword_ratio"),
+                (F.expr("(_nd * 20000 + _nt) div (2 * _nt)") / 1e4)
+                .alias("type_token_ratio"),
+                F.when(F.col("n_chars") < 100, "short")
+                .when(F.col("n_chars") < 300, "medium")
+                .otherwise("long").alias("len_bucket")))
 
 
 def language_id(docs: DataFrame) -> DataFrame:

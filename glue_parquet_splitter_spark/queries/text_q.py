@@ -19,8 +19,9 @@ def _docs(spark, sf_dir):
     SELECT doc_id,
            CAST(array_length(t) AS BIGINT)                 AS n_tokens,
            CAST(array_length(list_distinct(t)) AS BIGINT)  AS n_distinct,
-           ROUND(list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE)))
-                 / array_length(t), 4)                     AS avg_tok_len
+           ((list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))
+              * 20000 + array_length(t)) // (2 * array_length(t)))
+             / 10000.0                                     AS avg_tok_len
     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
     """,
     tags=("text",),
@@ -33,11 +34,13 @@ def token_stats(spark, sf_dir):
     "doc_quality_score",
     oracle="""
     SELECT doc_id,
-           ROUND(CAST(array_length(list_filter(t,
-                 x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
-                 / array_length(t), 4)                                        AS stopword_ratio,
-           ROUND(CAST(array_length(list_distinct(t)) AS DOUBLE)
-                 / array_length(t), 4)                                        AS type_token_ratio,
+           ((CAST(array_length(list_filter(t,
+                 x -> list_contains(['the','a','of','and','to','in'], x)))
+                  AS BIGINT) * 20000 + array_length(t))
+             // (2 * array_length(t))) / 10000.0    AS stopword_ratio,
+           ((CAST(array_length(list_distinct(t)) AS BIGINT) * 20000
+             + array_length(t)) // (2 * array_length(t))) / 10000.0
+                                                    AS type_token_ratio,
            CASE WHEN n_chars < 100 THEN 'short'
                 WHEN n_chars < 300 THEN 'medium'
                 ELSE 'long' END                                               AS len_bucket

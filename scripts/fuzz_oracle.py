@@ -127,7 +127,7 @@ def _skewed(rng, n, values, hot_frac=0.9, null_frac=0.0):
 
 
 def gen_fixtures(out_dir: str, seed: int = 0,
-                 nan: bool = False) -> None:
+                 nan: bool = False, big: bool = False) -> None:
     """Write the ten fixture tables with hostile content, driver
     schemas.  ``nan=True`` additionally injects IEEE specials (NaN and
     ±Infinity) into events.value and embedding components — OPT-IN
@@ -138,6 +138,14 @@ def gen_fixtures(out_dir: str, seed: int = 0,
     # -- documents ----------------------------------------------------
     n = 400
     texts = _text_pool(rng, n)
+    if big:
+        # extreme-length hostility: giant docs stress O(n²) lambda
+        # traps, chunk fan-out, rolling-hash folds, and the oracle's
+        # per-char UNNEST; one is a single 20k-char WORD (no spaces —
+        # the token every per-word operator must cap or survive)
+        texts[0] = " ".join(str(w) for w in rng.choice(_VOCAB, 20_000))
+        texts[1] = "z" * 20_000
+        texts[2] = ("the quick " * 5_000).strip()
     langs = _skewed(rng, n, ["en", "de", "fr", "zh"], 0.85, null_frac=0.05)
     langs[7] = "xx"                                   # singleton lang
     srcs = _skewed(rng, n, ["src0", "src1", "src2", "src3"], 0.9,
@@ -360,6 +368,8 @@ def main() -> None:
     ap.add_argument("--module", action="append", default=[],
                     help="run every query from this queries/ module "
                          "(e.g. text_q); repeatable")
+    ap.add_argument("--big", action="store_true",
+                    help="plant extreme-length documents (20k chars)")
     ap.add_argument("--nan", action="store_true",
                     help="inject NaN/±Inf into events.value and "
                          "embeddings (adjudicated separately)")
@@ -385,9 +395,9 @@ def main() -> None:
     out_dir = args.dir or tempfile.mkdtemp(prefix="fuzz_fixtures_")
     import os
     os.makedirs(out_dir, exist_ok=True)
-    gen_fixtures(out_dir, args.seed, nan=args.nan)
-    print(f"hostile fixtures (seed={args.seed}, nan={args.nan}) "
-          f"-> {out_dir}")
+    gen_fixtures(out_dir, args.seed, nan=args.nan, big=args.big)
+    print(f"hostile fixtures (seed={args.seed}, nan={args.nan}, "
+          f"big={args.big}) -> {out_dir}")
 
     spark = get_spark("fuzz_oracle", shuffle_partitions=8)
     statuses: dict[str, str] = {}
