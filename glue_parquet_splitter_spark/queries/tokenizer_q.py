@@ -1121,6 +1121,14 @@ def unigram_lm_train(spark, sf_dir):
     ROW_NUMBER, and vocab merge uses UNION ALL + NOT IN (a plain
     UNION inside DuckDB's WITH RECURSIVE clause fails to dedup —
     engine quirk found while building this oracle)."""
+    # NOTE (measured, r11): each EM round's collect() replays the
+    # corpus collapse — the same O(K·corpus) lineage trap as
+    # uncheckpointed BPE (ADVICE r10).  At fixture scale the replay is
+    # CHEAPER than a cache (.cache() benched 5.2 s -> 12.9 s at sf0.1:
+    # the InMemoryRelation breaks whole-stage pipelining on a tiny
+    # table), so the registered query runs uncached; at 100 TB land
+    # the word-frequency table as a parquet stage first (the
+    # pipeline/funnel.py pattern) and train from that.
     words = _uni_words(spark, sf_dir)
     costs_df = _uni_init(words)
 
@@ -1180,8 +1188,8 @@ def unigram_lm_encode(spark, sf_dir):
     exact integer (chars, tokens) sums and divide once; word-length
     cap and tie-break contracts inherit from training.
     """
-    words = _uni_words(spark, sf_dir)
-    costs_df = _uni_init(words)
+    words = _uni_words(spark, sf_dir)   # uncached by measurement —
+    costs_df = _uni_init(words)         # see unigram_lm_train's note
     seg = None
     for _ in range(_UNI_K):
         # O(V) <= 64 rows — metadata-bounded collect (see train)
