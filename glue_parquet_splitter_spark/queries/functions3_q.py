@@ -145,6 +145,10 @@ def percentile_disc_stats(spark, sf_dir):
     itself via ``cume_dist``.
     """
     ev = load_table(spark, sf_dir, "events")
+    # drop NULL values BEFORE grouping (not just in the aggregate): a
+    # group whose values are ALL NULL must vanish in both engines —
+    # the oracle's ranked CTE already filters (fuzz seed-3)
+    ev = ev.filter(F.col("value").isNotNull())
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"),
                 2).alias("p50_disc"),

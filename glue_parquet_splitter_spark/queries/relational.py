@@ -78,7 +78,15 @@ def q3_top_unshipped_orders(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("_rev_u"))
+        .withColumn("revenue",
+                    # CAST: a bare 100.0 literal is DECIMAL in Spark
+                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap
+                    F.expr("((_rev_u + 50) div 100)"
+                           " / CAST(100.0 AS DOUBLE)"))
+        .drop("_rev_u")
         .select("o_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -114,7 +122,15 @@ def q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("_rev_u"))
+        .withColumn("revenue",
+                    # CAST: a bare 100.0 literal is DECIMAL in Spark
+                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap
+                    F.expr("((_rev_u + 50) div 100)"
+                           " / CAST(100.0 AS DOUBLE)"))
+        .drop("_rev_u")
     )
 
 
@@ -143,7 +159,9 @@ def q6_forecast_revenue(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT))
+             + 50) // 100) / 100.0 AS revenue,
            n.n_name AS n_name
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
@@ -157,6 +175,12 @@ def q6_forecast_revenue(spark, sf_dir):
     tags=("join", "agg", "topk", "headline"),
 )
 def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10.  Revenue is an EXACT integer sum: prices/discounts
+    are 2-decimal by data contract, so price·(1−disc) quantizes to
+    integer 10⁻⁴ dollars with no float accumulation — a tie-heavy
+    fuzz draw (seed 3) flipped ROUND(SUM(double), 2)'s last cent
+    between the engines' summation orders; integer cents cannot.
+    Half-up to cents at the end, order-free."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -166,7 +190,15 @@ def q10_returned_items(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")
+                   * (100 - F.round(F.col("l_discount") * 100)
+                      .cast("long"))).alias("_rev_u"))
+        .withColumn("revenue",
+                    # CAST: a bare 100.0 literal is DECIMAL in Spark
+                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap
+                    F.expr("((_rev_u + 50) div 100)"
+                           " / CAST(100.0 AS DOUBLE)"))
+        .drop("_rev_u")
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
