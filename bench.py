@@ -330,7 +330,8 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
                        cal_by_query: dict[str, float] | None = None,
                        wall_anchor: dict[str, dict] | None = None,
                        anchor_regs: dict | None = None,
-                       baselines: dict | None = None) -> None:
+                       baselines: dict | None = None,
+                       loadavg_start: float | None = None) -> None:
     """Full-precision per-query metrics, committed alongside the BENCH
     line.  The stdout line must fit the driver's 2000-char tail
     capture (BENCH_r06 outgrew it and nearly disarmed the r7 gate), so
@@ -371,6 +372,12 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
            # outliers (r5 recorded a 4.83 s min-of-3 for a 0.8 s
            # query); moved off the stdout line in r9 for headroom
            "loadavg": [round(x, 2) for x in os.getloadavg()]}
+    if loadavg_start is not None:
+        # host state BEFORE the suite warmed up: the anchor-freeze
+        # quiet-host check (< ANCHOR_FREEZE_MAX_LOAD) uses this value,
+        # so record what it saw (bench itself drives loadavg to ~32,
+        # making the end-of-run triple useless for that judgment)
+        doc["loadavg_start"] = round(loadavg_start, 2)
     if compact:
         # compaction replay detail (files_before/after) lives here,
         # not the stdout line — every field on the line costs tail-
@@ -554,7 +561,22 @@ WALL_GATE_MIN_SEC = 0.3
 # 1.5x per-round gate, while round-local noise (1.3x then 0.8x)
 # cancels out.  Re-anchor deliberately (a justified plan change) by
 # deleting the query's wall_anchor entry from BENCH_METRICS.json.
+#
+# Regime robustness (VERDICT r11 #1): an anchor frozen against
+# CONTENDED probes (r9-era bursts ran 0.85-0.9 s where a quiet host
+# runs 0.44-0.50 s) doubles every compute-bound query's norm the
+# moment the host quiets, because a lambda-fold query's wall does not
+# track probe wall across contention regimes.  So each anchor now
+# freezes the RAW wall and the PROBE floor alongside the norm, and the
+# gate fires only when the norm ratio AND the raw-wall ratio agree
+# (both > ANCHOR_GATE_RATIO): a probe-regime shift moves the norm but
+# not the raw wall; uniform host contention moves the raw wall but not
+# the norm; only a real code regression moves both.  New anchors
+# freeze only on a quiet host (loadavg < ANCHOR_FREEZE_MAX_LOAD at
+# suite start) — a contended first sighting would bake the regime
+# defect right back in.
 ANCHOR_GATE_RATIO = 2.0
+ANCHOR_FREEZE_MAX_LOAD = 1.0
 
 
 def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
@@ -596,10 +618,13 @@ def wall_regressions(prev_t: dict[str, float], prev_cal: float | None,
 
 
 def load_prev_anchor(repo_dir: str, sf: float | None = None,
-                     ) -> dict[str, float]:
-    """Frozen per-query anchor norms (t/probe at first calibrated
-    sighting) from the committed BENCH_METRICS.json.  Same sf guard as
-    the other baseline loaders; absent for pre-r10 metrics files."""
+                     ) -> dict[str, dict]:
+    """Frozen per-query anchors from the committed BENCH_METRICS.json:
+    ``{name: {"norm": t/probe, "raw": t, "probe": probe}}``, all frozen
+    at first quiet-host sighting.  Legacy entries (pre-r12) carry only
+    ``norm``; ``raw``/``probe`` are then absent and the gate falls back
+    to norm-only for them until a deliberate re-freeze.  Same sf guard
+    as the other baseline loaders."""
     try:
         with open(os.path.join(repo_dir, METRICS_FILE)) as f:
             mdoc = json.load(f)
@@ -611,26 +636,46 @@ def load_prev_anchor(repo_dir: str, sf: float | None = None,
         out = {}
         for k, v in m.items():
             norm = v.get("norm") if isinstance(v, dict) else v
-            if isinstance(norm, (int, float)) and norm > 0:
-                out[k] = float(norm)
+            if not (isinstance(norm, (int, float)) and norm > 0):
+                continue
+            entry = {"norm": float(norm)}
+            if isinstance(v, dict):
+                for fld in ("raw", "probe"):
+                    fv = v.get(fld)
+                    if isinstance(fv, (int, float)) and fv > 0:
+                        entry[fld] = float(fv)
+            out[k] = entry
         return out
     except (OSError, json.JSONDecodeError, ValueError):
         return {}
 
 
-def update_wall_anchor(prev_anchor: dict[str, float],
+def update_wall_anchor(prev_anchor: dict[str, dict],
                        cur_t: dict[str, float],
                        cur_cal_map: dict[str, float],
+                       freeze_ok: bool = True,
                        ) -> tuple[dict[str, dict], dict[str, dict]]:
     """(new anchor map, cumulative regressions).
 
-    The anchor map stores, per query, the FROZEN normalized time
-    (``norm``, set the first calibrated round and passed through
-    unchanged — so local bench re-runs cannot random-walk it) and this
-    run's cumulative ratio against it (``cum`` — informational; the
-    telescoped product of the per-round normalized ratios).  Entries
-    with ``cum > ANCHOR_GATE_RATIO`` and a gate-worthy wall time are
-    returned as regressions."""
+    The anchor map stores, per query, the FROZEN first-sighting triple
+    — ``norm`` (t/probe), ``raw`` (wall seconds), ``probe`` (the
+    bracketing-probe floor) — passed through unchanged on every later
+    run (so local bench re-runs cannot random-walk it), plus this
+    run's cumulative ratios against it (``cum`` = norm ratio,
+    ``raw_ratio`` = wall ratio — informational).
+
+    Gate (VERDICT r11 #1 — the regime-robust form): an entry flags
+    only when ``cum`` AND ``raw_ratio`` BOTH exceed
+    ``ANCHOR_GATE_RATIO`` on a gate-worthy wall time.  A probe-regime
+    shift (quiet host after a contended freeze) moves cum but not
+    raw_ratio; uniform host contention moves raw_ratio but not cum;
+    only a genuine code slowdown moves both.  Legacy norm-only anchors
+    (no frozen raw) gate on cum alone until re-frozen.
+
+    ``freeze_ok=False`` (contended host at suite start) skips CREATING
+    anchors for queries that have none — a burst-inflated first
+    sighting is exactly the calibration-regime defect — while existing
+    anchors still grade normally."""
     anchor: dict[str, dict] = {}
     regs: dict[str, dict] = {}
     for name, t in cur_t.items():
@@ -638,13 +683,33 @@ def update_wall_anchor(prev_anchor: dict[str, float],
         if not cal or cal <= 0:
             continue
         cur_norm = t / cal
-        base = prev_anchor.get(name) or cur_norm
+        prev = prev_anchor.get(name)
+        if prev is None:
+            if not freeze_ok:
+                continue  # wait for a quiet host to freeze this one
+            anchor[name] = {"norm": round(cur_norm, 4), "raw": round(t, 3),
+                            "probe": round(cal, 3), "cum": 1.0,
+                            "raw_ratio": 1.0}
+            continue
+        base = prev["norm"]
         cum = cur_norm / base if base else 1.0
-        anchor[name] = {"norm": round(base, 4), "cum": round(cum, 3)}
-        if cum > ANCHOR_GATE_RATIO and t >= WALL_GATE_MIN_SEC \
+        raw0 = prev.get("raw")
+        raw_ratio = t / raw0 if raw0 else None
+        entry = {"norm": round(base, 4), "cum": round(cum, 3)}
+        if raw0:
+            entry["raw"] = round(raw0, 3)
+            entry["raw_ratio"] = round(raw_ratio, 3)
+        if prev.get("probe"):
+            entry["probe"] = round(prev["probe"], 3)
+        anchor[name] = entry
+        both_over = cum > ANCHOR_GATE_RATIO and (
+            raw_ratio is None or raw_ratio > ANCHOR_GATE_RATIO)
+        if both_over and t >= WALL_GATE_MIN_SEC \
                 and base * cal >= WALL_GATE_MIN_SEC:
             regs[name] = {"cum": round(cum, 3), "anchor_norm": round(base, 4),
                           "cur_norm": round(cur_norm, 4)}
+            if raw_ratio is not None:
+                regs[name]["raw_ratio"] = round(raw_ratio, 3)
     return anchor, regs
 
 
@@ -709,6 +774,12 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = 0.0  # non-standard dir name; don't lose the run's output
+    # host state before any Spark work: the anchor-freeze guard
+    # (VERDICT r11 #1 / quiet-host protocol) — new anchors may only be
+    # frozen when the suite STARTS on a quiet host
+    loadavg_start = os.getloadavg()[0]
+    freeze_ok = loadavg_start < ANCHOR_FREEZE_MAX_LOAD
+
     reg = load_all_modules()
     spark = get_spark("bench")
 
@@ -853,12 +924,20 @@ def main() -> None:
     # contention burst doesn't enter the telescoped product)
     prev_anchor = load_prev_anchor(repo_dir, sf)
     wall_anchor, anchor_regs = update_wall_anchor(prev_anchor, timings,
-                                                  cal_by_query)
+                                                  cal_by_query, freeze_ok)
+    unfrozen = [n for n in timings
+                if n in cal_by_query and n not in wall_anchor]
+    if unfrozen:
+        print(f"bench: {len(unfrozen)} entries left UNANCHORED "
+              f"(loadavg_start {loadavg_start:.2f} >= "
+              f"{ANCHOR_FREEZE_MAX_LOAD} — freeze needs a quiet host): "
+              f"{' '.join(sorted(unfrozen)[:8])}", file=sys.stderr)
 
     write_metrics_file(repo_dir, sf, timings, shuffle_bytes, calibration,
                        compact_summary, wregs, regressions, cal_by_query,
                        wall_anchor, anchor_regs,
-                       {"shuffle": prev_file, "wall": wall_file})
+                       {"shuffle": prev_file, "wall": wall_file},
+                       loadavg_start)
 
     total = round(sum(timings.values()), 3)
     # streaming queries carry fixed micro-batch overhead that is noise
@@ -903,9 +982,16 @@ def main() -> None:
         # BENCH_METRICS.json for diagnosis
         "wall_over": len(wregs),
         # cumulative-anchor gate: count of queries whose calibrated
-        # time exceeds 2x their frozen first-round anchor (full map in
-        # BENCH_METRICS.json "anchor_regressions")
+        # time AND raw wall both exceed 2x their frozen anchor (full
+        # map in BENCH_METRICS.json "anchor_regressions")
         "anchor_over": len(anchor_regs),
+        # context for flagged entries so a flagged round is
+        # self-adjudicating under the driver's tail cap (VERDICT r11
+        # #9): top-3 by cum, each as [cum, raw_ratio]
+        "anchor_regs": {
+            n: [v["cum"], v.get("raw_ratio")]
+            for n, v in sorted(anchor_regs.items(),
+                               key=lambda kv: -kv[1]["cum"])[:3]},
     }, separators=(",", ":")))
 
 

@@ -349,15 +349,24 @@ def pack_wav(docs: DataFrame) -> DataFrame:
 
 
 def dhash_band_pairs(hashes: DataFrame, cap: int = 16,
-                     max_hamming: int = 6) -> DataFrame:
+                     max_hamming: int = 3) -> DataFrame:
     """Banded-LSH near-dup pairs over (doc_id, h_lo, h_hi) dHash rows
     — the candidate+verify stage of ``phash_image_dedup``, factored so
-    the 1M-hash scale smoke exercises the exact production path: two
-    images within Hamming ``max_hamming`` <= 6 of 64 bits agree on at
-    least one of the four 16-bit bands (pigeonhole), so candidates are
-    4 bucket equi-joins, capped at ``cap`` docs per (band, value) by
-    deterministic doc_id rank; the verify is bit_count over per-half
-    XOR.  Returns (doc_a, doc_b, hamming)."""
+    the 1M-hash scale smoke exercises the exact production path.
+    Candidates are 4 bucket equi-joins on 16-bit hash slices, capped at
+    ``cap`` docs per (band, value) by deterministic doc_id rank; the
+    verify is bit_count over per-half XOR.
+
+    Recall contract (ADVICE r11): pigeonhole guarantees COMPLETE recall
+    only for Hamming < 4 (the band count) — at most 3 differing bits
+    cannot touch all four bands, so one band always matches exactly.
+    For ``max_hamming`` in 4..6 the differing bits CAN spread 2/2/1/1
+    across all bands, so recall in that range is heuristic (bounded,
+    not complete).  Widening the guarantee to 6 needs >= 7 bands
+    (multi-index hashing), i.e. ~9-bit bands — at corpus scale that
+    puts ~N/512 docs in every bucket and the DF-cap destroys recall
+    anyway, so the engine keeps 16-bit bands and the tight default.
+    Returns (doc_a, doc_b, hamming)."""
     from pyspark.sql import Window
 
     band_exprs = ["h_lo & 65535", "shiftright(h_lo, 16) & 65535",

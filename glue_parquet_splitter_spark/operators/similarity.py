@@ -34,19 +34,35 @@ def l2_norm(v) -> F.Column:
 
 def finite_vectors(df: DataFrame,
                    vec: str = "embedding") -> DataFrame:
-    """Drop vectors containing any non-finite component (NaN/±Inf —
-    failed encodes).  A non-finite component makes every downstream
+    """Keep only well-formed, all-finite vectors.  The EXCLUSION
+    contract (explicit on both engines, ADVICE r11) drops a vector
+    that is (a) NULL, (b) empty, (c) has any NULL component, or
+    (d) has any non-finite component (NaN/±Inf — failed encodes).
+
+    Rationale: a non-finite component makes every downstream
     similarity NaN, and NaN's "greater than everything" rank ordering
-    is engine-divergent, so the contract is EXCLUSION, mirrored in the
-    oracles as ``isfinite(list_sum(list_transform(v, abs)))`` (abs
-    folds ±Inf to +Inf and NaN stays NaN, so the sum is finite iff
-    every component is).  ``embedding_health_audit`` is the detector
-    that reports such vectors before a pipeline runs.  Found by the
-    --nan fuzz sweep (FUZZ.md)."""
-    s = F.aggregate(F.transform(F.col(vec).cast("array<double>"),
-                                lambda x: F.abs(x)),
+    is engine-divergent; NULL components and empty arrays are
+    engine-divergent in the OPPOSITE direction (DuckDB ``list_sum``
+    skips NULL elements and returns NULL for ``[]``, Spark
+    ``aggregate`` propagates NULL and returns 0.0 for ``[]``), so the
+    contract names all four shapes rather than letting the fold's
+    engine semantics decide.  Oracle mirror::
+
+        v IS NOT NULL AND len(v) > 0
+        AND len(list_filter(v, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(v, x -> abs(x))))
+
+    (abs folds ±Inf to +Inf and NaN stays NaN, so the sum is finite
+    iff every component is).  ``embedding_health_audit`` is the
+    detector that reports such vectors before a pipeline runs.  Found
+    by the --nan fuzz sweep (FUZZ.md); NULL-component/empty shapes
+    are in the fuzzer's embedding generator."""
+    v = F.col(vec).cast("array<double>")
+    s = F.aggregate(F.transform(v, lambda x: F.abs(x)),
                     F.lit(0.0), lambda a, x: a + x)
-    return df.filter(~F.isnan(s) & (s != F.lit(float("inf"))))
+    return df.filter(F.col(vec).isNotNull() & (F.size(v) > 0)
+                     & ~F.exists(v, lambda x: x.isNull())
+                     & ~F.isnan(s) & (s != F.lit(float("inf"))))
 
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:

@@ -102,14 +102,35 @@ def funnel_audit(spark: SparkSession, signals_dir: str) -> DataFrame:
          .alias("n_after_quality"))
 
 
+_DEFAULT_SIGNALS_DIR: str | None = None
+
+
+def _default_signals_dir() -> str:
+    """Per-process singleton stage dir for the default path (ADVICE
+    r11): the audit DataFrame is LAZY over the stage tables, so the
+    dir cannot be removed before the caller collects — instead every
+    default-path call overwrites the SAME four tables (no /tmp growth
+    across bench/fuzz repetitions) and atexit removes the dir when the
+    process ends.  Concurrent default-path audits in one process would
+    race on overwrite; production passes an explicit ``out_dir``."""
+    global _DEFAULT_SIGNALS_DIR
+    if _DEFAULT_SIGNALS_DIR is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="funnel_signals_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _DEFAULT_SIGNALS_DIR = d
+    return _DEFAULT_SIGNALS_DIR
+
+
 def run_materialized_funnel(spark: SparkSession, sf_dir: str,
                             out_dir: str | None = None) -> DataFrame:
     """materialize → audit, end to end.  ``out_dir`` defaults to a
-    fresh temp dir (tests/registered query); production passes a
-    durable warehouse path and re-runs only the stages whose inputs
-    changed."""
-    import tempfile
-
-    out_dir = out_dir or tempfile.mkdtemp(prefix="funnel_signals_")
+    per-process temp dir, overwritten each call and removed at exit
+    (tests/registered query); production passes a durable warehouse
+    path and re-runs only the stages whose inputs changed."""
+    out_dir = out_dir or _default_signals_dir()
     materialize_funnel_signals(spark, sf_dir, out_dir)
     return funnel_audit(spark, out_dir)

@@ -232,7 +232,14 @@ _DHASH_CAP = 16          # per-(band, value) candidate cap — the same
 #                          DF-cap discipline as the MinHash/SemDeDup
 #                          families: worst-case fan-out per bucket is
 #                          C(16,2) pairs, never |bucket|²
-_DHASH_MAX_HAM = 6       # near-dup threshold (of 64 bits)
+_DHASH_MAX_HAM = 3       # near-dup threshold (of 64 bits).  MUST stay
+#                          < the band count (4) for the pigeonhole
+#                          recall guarantee: <=3 differing bits cannot
+#                          touch all four 16-bit bands, so one band
+#                          always collides.  4-6 bits CAN spread
+#                          2/2/1/1 (ADVICE r11) — that range is only
+#                          heuristically recalled by banding, so the
+#                          registered contract keeps the tight bound.
 
 
 @register(
@@ -312,21 +319,26 @@ def phash_image_dedup(spark, sf_dir):
     gradient of an 8×9 integer-resampled grayscale grid — invariant to
     constant brightness shifts and to re-encodes that preserve pixels),
     then find near-duplicate images with the banded-LSH trick on
-    4×16-bit hash slices: two images within Hamming distance 6 of 64
-    must agree exactly on at least one 16-bit band (pigeonhole: 6 < 4
-    bands·2), so candidates come from 4 bucket self-joins, never
-    all-pairs.  Candidates verify with the exact Hamming distance
+    4×16-bit hash slices: two images within Hamming distance 3 of 64
+    must agree exactly on at least one 16-bit band (pigeonhole: 3
+    differing bits cannot touch all 4 bands), so candidates come from
+    4 bucket self-joins, never all-pairs.  The threshold is pinned
+    BELOW the band count because 4-6 differing bits can spread 2/2/1/1
+    across all bands (ADVICE r11) — banding recall in that range is
+    heuristic, and a guaranteed Hamming-6 contract would need >= 7
+    bands of ~9 bits whose ~N/512-doc buckets the DF-cap would gut at
+    corpus scale.  Candidates verify with the exact Hamming distance
     (bit_count over per-half XOR — the hash rides as two non-negative
     32-bit halves so int64 sign never enters).
 
     Scale: the decode is one Arrow-batched map pass; banding explodes
-    4 rows/doc; each (band, value) bucket is capped at {cap} docs by
+    4 rows/doc; each (band, value) bucket is capped at 16 docs by
     deterministic doc_id rank (the MinHash-family DF-cap), bounding
-    worst-case bucket fan-out at C({cap},2) pairs; the verify join
+    worst-case bucket fan-out at C(16,2) pairs; the verify join
     carries only the four hash ints.  The oracle reproduces the pixel
     plane char-wise (ASCII corpus ⇒ chars == bytes) and the identical
     integer resample/gradient/band/cap pipeline in SQL.
-    """.format(cap=_DHASH_CAP)
+    """
     docs = load_table(spark, sf_dir, "documents")
     hashes = M.dhash_ppm(M.pack_ppm(docs))
     return M.dhash_band_pairs(hashes, cap=_DHASH_CAP,
@@ -404,7 +416,7 @@ def audio_fingerprint_dedup(spark, sf_dir):
     decoded modality.
 
     Scale — the cdc DF-cap shape, not a per-bucket rank cap: a
-    (win_idx, energy) key owned by more than {cap} clips is
+    (win_idx, energy) key owned by more than 16 clips is
     boilerplate (the shared-first-word problem: many clips open with
     the same 8 samples) and is dropped BEFORE the pair join, so
     per-key fan-out is <= cap²/2; containment counts each clip's KEPT
@@ -416,7 +428,7 @@ def audio_fingerprint_dedup(spark, sf_dir):
     the sample plane char-wise (ASCII corpus; non-ASCII raises at
     pack time by contract) and the identical window/DF-cap/
     containment pipeline.
-    """.format(cap=_AB_DF_CAP)
+    """
     base = (load_table(spark, sf_dir, "documents")
             .filter(F.col("text").isNotNull() & (F.col("n_chars") >= 1))
             .select("doc_id", "text", "n_chars"))

@@ -31,7 +31,9 @@ _QUANT_CTE = """
       -- finite-vector contract (FUZZ.md --nan sweep)
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), sc AS (
       SELECT vec_id, GREATEST(MAX(ABS(x)), 1e-12) AS maxabs FROM v GROUP BY vec_id
     ), q8 AS (

@@ -51,7 +51,9 @@ def _assigned(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -141,7 +143,9 @@ def ann_ivf_multiprobe(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -216,7 +220,9 @@ def hard_negative_mining(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -332,7 +338,9 @@ _KNN_COS_CTE = """
       -- embedding_health_audit is the detector, the family EXCLUDES
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     )
@@ -830,7 +838,9 @@ def label_propagation_knn(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -968,7 +978,9 @@ def mutual_knn_pairs(spark, sf_dir):
       SELECT vec_id, label, vec_id % 2 AS half, i,
              CAST(embedding[i] AS DOUBLE) AS x
       FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+      WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
     ), cent AS (
       SELECT label, half, i, AVG(x) AS c,
              COUNT(DISTINCT vec_id) AS n

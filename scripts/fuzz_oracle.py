@@ -41,6 +41,7 @@ Classification per query:
 
 Usage:
   python scripts/fuzz_oracle.py [--seed N] [--dir OUT] [--keep]
+                                [--nan] [--big] [--malformed]
                                 [name ... | --module text_q ...]
 No names/modules → the full registry.  Exit 1 on any FAIL.
 """
@@ -63,11 +64,22 @@ sys.path.insert(0, "/root/repo")
 
 # ---------------------------------------------------------------- guards
 # A raise is the CORRECT response to hostile data when it comes from one
-# of the engine's own documented invariant guards.  Matched against the
-# full exception text.
+# of the engine's own documented invariant guards.  Two requirements
+# (VERDICT r11 #8 + ADVICE r11): the raise must carry Spark's
+# USER_RAISED marker (so an engine/binder error whose MESSAGE happens to
+# mention a guard function — e.g. a DuckDB error in an
+# octet_length(encode(text)) oracle — classifies FAIL, not GUARD), and
+# the match runs over the UNWRAPPED exception cause chain (a Py4J
+# awaitResult wrapper truncates the user message out of str(exc); the
+# real raise sits in the Java cause chain).
+_GUARD_MARKER = "USER_RAISED_EXCEPTION"
 _GUARD_PATTERNS = (
-    r"non-ASCII text for doc_id",          # pack_ppm / pack_wav desync guard
-    r"octet_length",                        # multimodal byte-plane guards
+    # pack_ppm / pack_wav byte-plane desync guards — the exact
+    # raise_error message texts (operators/multimodal.py)
+    r"pack_ppm: non-ASCII text for doc_id=\S+ .* would desync the P6 "
+    r"pixel plane",
+    r"pack_wav: non-ASCII text for doc_id=\S+ .* would desync the PCM "
+    r"sample plane",
 )
 
 # Driver-fixture invariants a hostility knob may violate BY DESIGN; any
@@ -127,12 +139,18 @@ def _skewed(rng, n, values, hot_frac=0.9, null_frac=0.0):
 
 
 def gen_fixtures(out_dir: str, seed: int = 0,
-                 nan: bool = False, big: bool = False) -> None:
+                 nan: bool = False, big: bool = False,
+                 malformed: bool = False) -> None:
     """Write the ten fixture tables with hostile content, driver
     schemas.  ``nan=True`` additionally injects IEEE specials (NaN and
     ±Infinity) into events.value and embedding components — OPT-IN
     because NaN canonicalizes like NULL in the compare (a masked
-    divergence class), so NaN runs are adjudicated separately."""
+    divergence class), so NaN runs are adjudicated separately.
+    ``malformed=True`` injects structurally broken embeddings (NULL
+    vector, empty vector, NULL components, ragged short vector —
+    ADVICE r11): the shapes the well-formedness contract
+    (``finite_vectors`` + its oracle mirror) must exclude identically
+    in both engines."""
     rng = np.random.default_rng(seed)
 
     # -- documents ----------------------------------------------------
@@ -173,9 +191,18 @@ def gen_fixtures(out_dir: str, seed: int = 0,
         vecs[50 + 2 * i + 1] = vecs[50 + 2 * i] + np.float32(0.001)
     labels = np.asarray(
         _skewed(rng, m, [0, 1, 2], 0.8, null_frac=0.05), dtype=object)
+    emb_lists: list = [v.tolist() for v in vecs]
+    if malformed:
+        # structurally broken vectors (ADVICE r11) — rows chosen clear
+        # of the planted zero/dup/near-dup blocks above
+        emb_lists[94] = None                           # NULL vector
+        emb_lists[95] = []                             # empty vector
+        emb_lists[96] = [None] + emb_lists[96][1:]     # NULL component
+        emb_lists[97] = emb_lists[97][:10]             # ragged (short)
+        emb_lists[98] = [None] * dim                   # all-NULL comps
     pq.write_table(pa.table({
         "vec_id": pa.array(range(1, m + 1), pa.int64()),
-        "embedding": pa.array([v.tolist() for v in vecs],
+        "embedding": pa.array(emb_lists,
                               pa.list_(pa.float32())),
         "label": pa.array([None if v is None else int(v) for v in labels],
                           pa.int32()),
@@ -349,8 +376,43 @@ def gen_fixtures(out_dir: str, seed: int = 0,
     }), f"{out_dir}/lineitem.parquet")
 
 
+def exception_chain_text(exc: BaseException) -> str:
+    """Full match text for classification: every exception in the
+    Python __cause__/__context__ chain PLUS, for Py4J-wrapped Spark
+    errors, the Java exception's own cause chain (``getCause``), where
+    the real raise_error message lives when str(exc) is a truncated
+    ``awaitResult`` wrapper (VERDICT r11 #8)."""
+    parts: list[str] = []
+    seen: set[int] = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        parts.append(f"{type(e).__name__}: {e}")
+        # Java throwables hide in three places: py4j's Py4JJavaError
+        # exposes .java_exception; pyspark 4's CapturedException wraps
+        # the Py4JJavaError in _origin/_cause instead.
+        throwables = [getattr(e, "java_exception", None)]
+        for attr in ("_origin", "_cause"):
+            wrapped = getattr(e, attr, None)
+            throwables.append(getattr(wrapped, "java_exception", None))
+        for je in throwables:
+            if je is None:
+                continue
+            try:
+                cause, depth = je, 0
+                while cause is not None and depth < 8:
+                    parts.append(cause.toString())
+                    cause, depth = cause.getCause(), depth + 1
+            except Exception:
+                pass  # JVM gone / not a real Java throwable
+        e = e.__cause__ or e.__context__
+    return "\n".join(parts)
+
+
 def classify_exception(exc: BaseException) -> str:
-    msg = f"{type(exc).__name__}: {exc}"
+    msg = exception_chain_text(exc)
+    if _GUARD_MARKER not in msg:
+        return "FAIL"  # not a designed raise_error, whatever it mentions
     for pat in _GUARD_PATTERNS:
         if re.search(pat, msg):
             return "GUARD"
@@ -373,6 +435,9 @@ def main() -> None:
     ap.add_argument("--nan", action="store_true",
                     help="inject NaN/±Inf into events.value and "
                          "embeddings (adjudicated separately)")
+    ap.add_argument("--malformed", action="store_true",
+                    help="inject structurally broken embeddings (NULL/"
+                         "empty/ragged vectors, NULL components)")
     ap.add_argument("--json", default=None,
                     help="also write a {name: status} JSON ledger here")
     args = ap.parse_args()
@@ -395,9 +460,10 @@ def main() -> None:
     out_dir = args.dir or tempfile.mkdtemp(prefix="fuzz_fixtures_")
     import os
     os.makedirs(out_dir, exist_ok=True)
-    gen_fixtures(out_dir, args.seed, nan=args.nan, big=args.big)
+    gen_fixtures(out_dir, args.seed, nan=args.nan, big=args.big,
+                 malformed=args.malformed)
     print(f"hostile fixtures (seed={args.seed}, nan={args.nan}, "
-          f"big={args.big}) -> {out_dir}")
+          f"big={args.big}, malformed={args.malformed}) -> {out_dir}")
 
     spark = get_spark("fuzz_oracle", shuffle_partitions=8)
     statuses: dict[str, str] = {}
@@ -409,7 +475,16 @@ def main() -> None:
             status = "PASS" if ok else "FAIL"
         except BaseException as exc:  # noqa: BLE001 — classify guards
             status = classify_exception(exc)
-            msg = f"{type(exc).__name__}: {str(exc)[:300]}"
+            if status == "GUARD":
+                # record the ROOT-CAUSE raise message, not the (possibly
+                # truncated) Py4J wrapper head (VERDICT r11 #8)
+                chain = exception_chain_text(exc)
+                m = next((re.search(p, chain) for p in _GUARD_PATTERNS
+                          if re.search(p, chain)), None)
+                msg = (f"{type(exc).__name__}: "
+                       f"{m.group(0)[:260] if m else str(exc)[:260]}")
+            else:
+                msg = f"{type(exc).__name__}: {str(exc)[:300]}"
         statuses[name] = status
         details[name] = msg
         print(f"{status:5s} {name:40s} {time.time() - t0:6.1f}s  "

@@ -376,7 +376,68 @@ def test_anchor_sf_guarded(tmp_path):
     the loader rejects a mismatched-sf metrics file."""
     _anchor_round(tmp_path, {"q": 1.0}, {"q": 0.5}, sf=0.1)
     assert bench.load_prev_anchor(str(tmp_path), 0.01) == {}
-    assert bench.load_prev_anchor(str(tmp_path), 0.1) == {"q": 2.0}
+    assert bench.load_prev_anchor(str(tmp_path), 0.1) == {
+        "q": {"norm": 2.0, "raw": 1.0, "probe": 0.5}}
+
+
+def test_anchor_probe_regime_shift_does_not_flag(tmp_path):
+    """VERDICT r11 #1 synthetic case 1: the probe floor halves (quiet
+    host after a contended-era freeze) while the RAW wall is unchanged
+    — cum doubles but raw_ratio stays 1.0, so the regime-robust gate
+    must NOT flag (this is exactly the r11 knn_graph_lsh /
+    hybrid_rrf_fusion_ivf false-positive mechanism)."""
+    _anchor_round(tmp_path, {"q": 4.0}, {"q": 0.9})    # contended freeze
+    anchor, regs = _anchor_round(tmp_path, {"q": 4.0}, {"q": 0.44})
+    assert regs == {}, regs
+    assert anchor["q"]["cum"] > bench.ANCHOR_GATE_RATIO  # visible...
+    assert anchor["q"]["raw_ratio"] == 1.0               # ...but benign
+
+
+def test_anchor_raw_slowdown_at_constant_probe_flags(tmp_path):
+    """VERDICT r11 #1 synthetic case 2: the raw wall more than doubles
+    while the probe is unchanged — cum and raw_ratio agree, the gate
+    fires."""
+    _anchor_round(tmp_path, {"q": 1.0}, {"q": 0.5})
+    anchor, regs = _anchor_round(tmp_path, {"q": 2.2}, {"q": 0.5})
+    assert "q" in regs
+    assert regs["q"]["cum"] == 2.2 and regs["q"]["raw_ratio"] == 2.2
+
+
+def test_anchor_contention_plus_regime_never_flags(tmp_path):
+    """Mixed benign case: host contention inflates the raw wall 2.2x
+    while the probe inflates with it (norm flat) — raw_ratio is over
+    but cum is not; no flag."""
+    _anchor_round(tmp_path, {"q": 1.0}, {"q": 0.5})
+    anchor, regs = _anchor_round(tmp_path, {"q": 2.2}, {"q": 1.1})
+    assert regs == {}
+    assert anchor["q"]["raw_ratio"] == 2.2 and anchor["q"]["cum"] == 1.0
+
+
+def test_anchor_legacy_norm_only_gates_on_cum(tmp_path):
+    """Pre-r12 anchors carry only the norm: until a deliberate
+    re-freeze they keep the old cum-only gate (no silent disarm)."""
+    import json as _json
+
+    m = {"sf": 0.1, "queries": {"q": 1.0}, "cal_by_query": {"q": 0.5},
+         "wall_anchor": {"q": {"norm": 1.0}}, "calibration_sec": [0.5]}
+    (tmp_path / "BENCH_METRICS.json").write_text(_json.dumps(m))
+    prev = bench.load_prev_anchor(str(tmp_path), 0.1)
+    assert prev == {"q": {"norm": 1.0}}
+    anchor, regs = bench.update_wall_anchor(prev, {"q": 1.2}, {"q": 0.5})
+    assert "q" in regs and "raw_ratio" not in regs["q"]
+
+
+def test_anchor_freeze_requires_quiet_host(tmp_path):
+    """freeze_ok=False (loadavg >= 1 at suite start) must not CREATE
+    anchors — a contended first sighting bakes the regime defect in —
+    while existing anchors still grade."""
+    anchor, regs = bench.update_wall_anchor({}, {"q": 1.0}, {"q": 0.5},
+                                            freeze_ok=False)
+    assert anchor == {} and regs == {}
+    prev = {"q": {"norm": 2.0, "raw": 1.0, "probe": 0.5}}
+    anchor, regs = bench.update_wall_anchor(prev, {"q": 2.2}, {"q": 0.5},
+                                            freeze_ok=False)
+    assert "q" in regs  # grading continues on a loaded host
 
 
 def test_anchor_armed_against_committed_baseline():

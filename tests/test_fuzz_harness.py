@@ -81,10 +81,101 @@ def test_generation_is_seed_deterministic(tmp_path):
     assert digest(a) == digest(b)
 
 
+class _FakeThrowable:
+    """Stand-in for a py4j Java throwable: toString + getCause."""
+
+    def __init__(self, text, cause=None):
+        self._t, self._c = text, cause
+
+    def toString(self):  # noqa: N802 — py4j camelCase
+        return self._t
+
+    def getCause(self):  # noqa: N802
+        return self._c
+
+
+_DESIGNED = ("org.apache.spark.SparkRuntimeException: "
+             "[USER_RAISED_EXCEPTION] pack_wav: non-ASCII text for "
+             "doc_id=7 (10 chars but 12 UTF-8 bytes) would desync the "
+             "PCM sample plane")
+
+
 def test_guard_classification():
+    """GUARD needs the USER_RAISED marker AND a designed raise message,
+    found anywhere in the unwrapped cause chain (VERDICT r11 #8 +
+    ADVICE r11)."""
+    # direct captured form: marker + message in str(exc)
+    assert classify_exception(ValueError(_DESIGNED)) == "GUARD"
+    # truncated Py4J awaitResult wrapper: str(exc) lacks the user
+    # message entirely; the real raise sits in the Java cause chain
+    wrapper = RuntimeError(
+        "An error occurred while calling o123.save: "
+        "org.apache.spark.SparkException: Exception thrown in "
+        "awaitResult:")
+    wrapper.java_exception = _FakeThrowable(
+        "org.apache.spark.SparkException: Exception thrown in "
+        "awaitResult:", _FakeThrowable(_DESIGNED))
+    assert classify_exception(wrapper) == "GUARD"
+    # a NON-guard engine error that merely MENTIONS a guard function
+    # name (the old bare 'octet_length' pattern auto-GUARDed this)
+    binder = RuntimeError(
+        'Binder Error: No function matches octet_length(encode(text))')
+    binder.java_exception = _FakeThrowable(
+        "java.lang.RuntimeException: octet_length broke in codegen")
+    assert classify_exception(binder) == "FAIL"
+    # marker without a designed message is not a known guard
     assert classify_exception(
-        ValueError("pack_wav: non-ASCII text for doc_id=7")) == "GUARD"
+        ValueError("[USER_RAISED_EXCEPTION] some other user error")
+    ) == "FAIL"
     assert classify_exception(ValueError("boom")) == "FAIL"
+
+
+def test_malformed_embedding_shapes(tmp_path):
+    """--malformed plants the structurally broken vectors the
+    well-formedness contract must exclude (ADVICE r11)."""
+    import duckdb
+
+    gen_fixtures(str(tmp_path), seed=0, malformed=True)
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT vec_id, embedding FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet') "
+        f"WHERE vec_id IN (95, 96, 97, 98, 99) ORDER BY vec_id"
+    ).fetchall()
+    by_id = {r[0]: r[1] for r in rows}
+    assert by_id[95] is None                       # NULL vector
+    assert by_id[96] == []                         # empty vector
+    assert by_id[97][0] is None                    # NULL component
+    assert len(by_id[98]) == 10                    # ragged (short)
+    assert all(x is None for x in by_id[99])       # all-NULL comps
+
+
+def test_finite_vectors_contract_both_engines(spark, tmp_path):
+    """finite_vectors and its oracle mirror keep the SAME vec_id set on
+    the malformed shapes — the exact divergence class ADVICE r11 names
+    (DuckDB list_sum skips NULL elements / NULLs on empty lists; Spark
+    aggregate propagates NULL / 0.0 on empty arrays)."""
+    import duckdb
+
+    from glue_parquet_splitter_spark.operators.similarity import (
+        finite_vectors,
+    )
+
+    gen_fixtures(str(tmp_path), seed=0, malformed=True, nan=True)
+    df = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    spark_ids = {r.vec_id for r in
+                 finite_vectors(df).select("vec_id").collect()}
+    con = duckdb.connect()
+    oracle_ids = {r[0] for r in con.sql(
+        f"SELECT vec_id FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet') "
+        f"WHERE embedding IS NOT NULL AND len(embedding) > 0 "
+        f"AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
+        f"AND isfinite(list_sum(list_transform("
+        f"CAST(embedding AS DOUBLE[]), x -> abs(x))))").fetchall()}
+    assert spark_ids == oracle_ids
+    # the planted malformed/non-finite rows are all excluded
+    assert spark_ids.isdisjoint({91, 92, 93, 95, 96, 97, 99})
 
 
 def test_query_vs_oracle_on_hostile_data(spark, fuzz_dir):

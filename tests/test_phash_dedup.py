@@ -1,7 +1,8 @@
 """Perceptual-hash image dedup (VERDICT r10 #3): planted near-dup
 twins — re-encoded (header comment) and brightness-shifted copies of
 the same pixel plane — must land in the same dHash bucket and verify
-at Hamming <= 6, while an unrelated image must not pair with them."""
+at Hamming <= 3 (the 4-band pigeonhole-complete range, ADVICE r11),
+while an unrelated image must not pair with them."""
 
 import pyspark.sql.functions as F
 import pytest

@@ -762,7 +762,10 @@ def test_phash_banded_dedup_1m_hashes(spark):
                      F.expr("h_hi ^ CAST(256 AS BIGINT)").alias("h_hi")))
     # cap scales with corpus / 2^16 bucket values: 1M hashes put ~15
     # docs in an average (band, value) bucket, so the fixture's cap=16
-    # would drop twins from crowded buckets — cap is the recall knob
+    # would drop twins from crowded buckets — cap is the recall knob.
+    # max_hamming=6 exercises the wider HEURISTIC verify range (the
+    # pigeonhole guarantee covers <4 only); the planted 1-bit twins
+    # sit inside the guaranteed range either way.
     pairs = dhash_band_pairs(base.unionByName(twins), cap=64,
                              max_hamming=6)
     got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
