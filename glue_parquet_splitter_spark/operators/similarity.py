@@ -32,37 +32,72 @@ def l2_norm(v) -> F.Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def finite_vectors(df: DataFrame,
-                   vec: str = "embedding") -> DataFrame:
+def finite_vectors(df: DataFrame, vec: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
     """Keep only well-formed, all-finite vectors.  The EXCLUSION
     contract (explicit on both engines, ADVICE r11) drops a vector
-    that is (a) NULL, (b) empty, (c) has any NULL component, or
-    (d) has any non-finite component (NaN/±Inf — failed encodes).
+    that is (a) NULL, (b) empty, (c) has any NULL component,
+    (d) has any non-finite component (NaN/±Inf — failed encodes), or
+    (e) is RAGGED — its length differs from the corpus dimension
+    (``dim`` when the caller declares it; else the modal well-formed
+    length, smallest on ties — deterministic in both engines).
 
     Rationale: a non-finite component makes every downstream
     similarity NaN, and NaN's "greater than everything" rank ordering
     is engine-divergent; NULL components and empty arrays are
     engine-divergent in the OPPOSITE direction (DuckDB ``list_sum``
     skips NULL elements and returns NULL for ``[]``, Spark
-    ``aggregate`` propagates NULL and returns 0.0 for ``[]``), so the
-    contract names all four shapes rather than letting the fold's
-    engine semantics decide.  Oracle mirror::
+    ``aggregate`` propagates NULL and returns 0.0 for ``[]``); a
+    ragged vector partial-dots silently in a position-joined oracle
+    while Spark's ANSI ``element_at`` throws.  So the contract names
+    all five shapes rather than letting engine semantics decide.
+    Oracle mirror: :func:`wf_embeddings_sql`.
 
-        v IS NOT NULL AND len(v) > 0
-        AND len(list_filter(v, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(v, x -> abs(x))))
-
-    (abs folds ±Inf to +Inf and NaN stays NaN, so the sum is finite
-    iff every component is).  ``embedding_health_audit`` is the
-    detector that reports such vectors before a pipeline runs.  Found
-    by the --nan fuzz sweep (FUZZ.md); NULL-component/empty shapes
-    are in the fuzzer's embedding generator."""
+    Scale: the modal-dim derivation is one map-side int agg over the
+    corpus plus a 1-row broadcast — production pipelines should pass
+    the encoder's declared ``dim`` instead and skip that pass.
+    ``embedding_health_audit`` is the detector that reports malformed
+    vectors before a pipeline runs.  Found by the --nan and
+    --malformed fuzz sweeps (FUZZ.md)."""
     v = F.col(vec).cast("array<double>")
     s = F.aggregate(F.transform(v, lambda x: F.abs(x)),
                     F.lit(0.0), lambda a, x: a + x)
-    return df.filter(F.col(vec).isNotNull() & (F.size(v) > 0)
-                     & ~F.exists(v, lambda x: x.isNull())
-                     & ~F.isnan(s) & (s != F.lit(float("inf"))))
+    wf = df.filter(F.col(vec).isNotNull() & (F.size(v) > 0)
+                   & ~F.exists(v, lambda x: x.isNull())
+                   & ~F.isnan(s) & (s != F.lit(float("inf"))))
+    if dim is not None:
+        return wf.filter(F.size(v) == dim)
+    modal = (wf.groupBy(F.size(v).alias("_wf_dim"))
+             .agg(F.count("*").alias("_wf_n"))
+             .orderBy(F.desc("_wf_n"), F.asc("_wf_dim")).limit(1)
+             .select("_wf_dim"))
+    # bounded: modal is exactly one row (the corpus dimension)
+    return (wf.join(F.broadcast(modal), F.size(v) == F.col("_wf_dim"))
+            .drop("_wf_dim"))
+
+
+def wf_embedding_pred(vec: str = "embedding") -> str:
+    """DuckDB predicate half of the :func:`finite_vectors` contract
+    (shapes a-d; the modal-dim shape needs the table, see
+    :func:`wf_embeddings_sql`)."""
+    return (f"{vec} IS NOT NULL AND len({vec}) > 0"
+            f" AND len(list_filter({vec}, x -> x IS NULL)) = 0"
+            f" AND isfinite(list_sum(list_transform("
+            f"CAST({vec} AS DOUBLE[]), x -> abs(x))))")
+
+
+def wf_embeddings_sql(table: str = "embeddings",
+                      vec: str = "embedding") -> str:
+    """DuckDB mirror of :func:`finite_vectors` (modal-dim form), as a
+    SELECT usable as a CTE body::
+
+        WITH wf AS ({wf_embeddings_sql()}), ...
+    """
+    pred = wf_embedding_pred(vec)
+    return (f"SELECT * FROM {table} WHERE {pred}"
+            f" AND len({vec}) = (SELECT len({vec}) FROM {table}"
+            f" WHERE {pred} GROUP BY len({vec})"
+            f" ORDER BY COUNT(*) DESC, len({vec}) LIMIT 1)")
 
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
@@ -181,3 +216,101 @@ def pq_adc_topk(emb: DataFrame, query_id: int, m: int = 4, dsub: int = 16,
         .orderBy("est_dist2", "vec_id")
         .limit(k)
     )
+
+
+def ivfpq_topk(vecs: DataFrame, n_coarse: int = 4, m: int = 4,
+               dsub: int = 16, nc: int = 8, stride: int = 5,
+               k: int = 10) -> DataFrame:
+    """IVF-PQ composed ANN (VERDICT r11 #5) — the FAISS IVFPQ recipe
+    on DataFrames, composing the repo's two existing halves
+    (``ivf_topk_search``: coarse quantize + probe; ``pq_adc_topk``:
+    PQ codes + ADC):
+
+    1. COARSE: assign every vector to its nearest of ``n_coarse``
+       centroids (vectors 0..n_coarse-1) by L2 — round(d2,6)/cid
+       tie-break, the ``_semdedup_assign`` convention.
+    2. RESIDUAL PQ: encode each corpus vector's RESIDUAL (v − its
+       coarse centroid) as ``m`` sub-codes — nearest of ``nc``
+       codebook entries per subspace; the codebook is the residuals
+       of a deterministic corpus sample (vec_id ∈ {stride, 2·stride,
+       …, nc·stride}), standing in for per-subspace k-means.
+    3. SEARCH: each query (the ``ivf_topk_search`` query set,
+       vec_id n_coarse..n_coarse+7) probes ONLY its own inverted
+       list; its residual → one (m·nc)-row ADC table; a candidate's
+       estimated distance is m table LOOKUPS summed — no full-vector
+       arithmetic per candidate.
+
+    Scale: the coarse assignment is one broadcast-centroid corpus
+    pass (at 100 TB a prebuilt cid-partitioned layout); codes ride as
+    m small ints per vector; the per-query ADC table is metadata
+    (m·nc rows) and broadcasts; scoring joins codes⋈ADC inside the
+    probed list only — never a full-corpus scan per query.  Because
+    query and candidates share a list, both residuals reference the
+    SAME coarse centroid, which is what makes residual-ADC coherent.
+
+    ``vecs``: (vec_id, v: array<double>) — pre-filtered through
+    :func:`finite_vectors`.  Returns (query_id, neighbor_id,
+    est_d2, rank) for rank <= k.
+    """
+    cents = (vecs.filter(F.col("vec_id") < n_coarse)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    d2 = F.round(F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        # bounded: cents is the n_coarse-row centroid table
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", "cv", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid",
+                F.zip_with("v", "cv", lambda a, b: a - b).alias("r"))
+    )
+    corpus = assign.filter(F.col("vec_id") >= n_coarse)
+    s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
+    sub = corpus.select("vec_id", "cid", "r", s_col).select(
+        "vec_id", "cid", "s",
+        F.slice("r", F.col("s") * dsub + 1, dsub).alias("sv"))
+    book = (corpus.filter((F.col("vec_id") % stride == 0)
+                          & (F.col("vec_id") >= stride)
+                          & (F.col("vec_id") <= stride * nc))
+            .select((F.col("vec_id") / stride).cast("long").alias("j"),
+                    "r", s_col)
+            .select("j", "s",
+                    F.slice("r", F.col("s") * dsub + 1, dsub).alias("bv")))
+    sd2 = F.round(F.aggregate(
+        F.zip_with("sv", "bv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w_code = Window.partitionBy("vec_id", "s").orderBy("sd2", "j")
+    codes = (
+        # bounded: book is the PQ codebook (m x nc rows, constant)
+        sub.join(F.broadcast(book), "s")
+        .select("vec_id", "cid", "s", "j", sd2.alias("sd2"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "s", "j"))
+    queries = (corpus.filter(F.col("vec_id") < n_coarse + 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("cid").alias("qcid"),
+                       F.col("r").alias("qr")))
+    qd2 = F.round(F.aggregate(
+        F.zip_with(F.slice("qr", F.col("s") * dsub + 1, dsub), F.col("bv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    # bounded: queries is the fixed 8-vector query set
+    adc = (book.crossJoin(F.broadcast(queries))
+           .select("query_id", "qcid", "s", "j", qd2.alias("qd2")))
+    # bounded: adc = query set x codebook (8 x m x nc rows, constant)
+    scored = (codes.join(F.broadcast(adc),
+                         (codes["cid"] == adc["qcid"])
+                         & (codes["s"] == adc["s"])
+                         & (codes["j"] == adc["j"]))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("qd2"), 4).alias("est_d2")))
+    w_rank = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "est_d2", F.col("rank").cast("long").alias("rank")))

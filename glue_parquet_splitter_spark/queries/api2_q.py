@@ -15,15 +15,16 @@ from . import register
 @register(
     "arrow_grouped_centroid",
     oracle="""
-    WITH u AS (
+    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    u AS (
       SELECT label, i, embedding[i] AS x
-      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+      FROM wf, UNNEST(range(1, len(embedding) + 1)) AS t(i)
     ), dims AS (
       SELECT label, i, AVG(x) AS m
       FROM u GROUP BY label, i
     )
     SELECT CAST(label AS INT) AS label,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM wf e
              WHERE e.label IS NOT DISTINCT FROM dims.label) AS n_vecs,
            ROUND(sqrt(SUM(m * m)), 3) AS centroid_norm
     FROM dims GROUP BY label
@@ -42,7 +43,13 @@ def arrow_grouped_centroid(spark, sf_dir):
     """
     import pyarrow as pa
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import finite_vectors
+
+    # well-formedness contract BEFORE the grouped Arrow pass: np.array
+    # over a ragged/NULL-bearing group would silently build an object
+    # array (or throw) — the contract excludes those rows identically
+    # in both engines
+    emb = finite_vectors(load_table(spark, sf_dir, "embeddings"))
 
     def centroid(table: pa.Table) -> pa.Table:
         import numpy as np

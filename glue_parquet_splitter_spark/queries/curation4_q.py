@@ -63,8 +63,10 @@ def _semdedup_assign(spark, sf_dir):
     """Shared SemDeDup front half: planted corpus + nearest-centroid
     assignment (cosine, broadcast centroids).  Returns (vec_id, v, cid)
     for every corpus vector (vec_id >= _K, plus the 25 planted
-    perturbed copies at vec_id + 1,000,000)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    perturbed copies at vec_id + 1,000,000).  The corpus enters
+    through the finite_vectors well-formedness contract (mirrored by
+    the wf CTE in each oracle)."""
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     planted = (
         base.filter((F.col("vec_id") >= _K) & (F.col("vec_id") < _K + 25))
@@ -105,9 +107,10 @@ def _semdedup_assign(spark, sf_dir):
 @register(
     "semdedup_cluster_prune",
     oracle="""
-    WITH base AS (
+    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    base AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), v AS (
       SELECT vec_id, i, x FROM base
       UNION ALL
@@ -214,9 +217,10 @@ def semdedup_cluster_prune(spark, sf_dir):
 @register(
     "semdedup_capped_cluster_prune",
     oracle=f"""
-    WITH base AS (
+    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    base AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), v AS (
       SELECT vec_id, i, x FROM base
       UNION ALL
@@ -354,9 +358,10 @@ def semdedup_capped_cluster_prune(spark, sf_dir):
 @register(
     "semdedup_capped_two_salt",
     oracle=f"""
-    WITH base AS (
+    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    base AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), v AS (
       SELECT vec_id, i, x FROM base
       UNION ALL

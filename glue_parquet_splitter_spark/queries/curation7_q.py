@@ -364,62 +364,119 @@ def shard_quota_largest_remainder(spark, sf_dir):
 @register(
     "embedding_health_audit",
     oracle="""
-    WITH n AS (
-      SELECT vec_id,
-             sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings)
+    WITH c AS (
+      SELECT embedding AS v,
+             CAST(embedding AS DOUBLE[]) AS vd,
+             embedding IS NULL AS f_null,
+             embedding IS NOT NULL AND len(embedding) = 0 AS f_empty,
+             embedding IS NOT NULL AND len(embedding) > 0
+               AND len(list_filter(embedding, x -> x IS NULL)) > 0
+               AS f_nullcomp
+      FROM embeddings),
+    c2 AS (
+      SELECT *,
+             NOT f_null AND NOT f_empty AND NOT f_nullcomp AS pre,
+             CASE WHEN NOT f_null AND NOT f_empty AND NOT f_nullcomp
+                  THEN NOT isfinite(list_sum(list_transform(vd,
+                                               x -> abs(x))))
+                  ELSE FALSE END AS f_nonfinite
+      FROM c),
+    c3 AS (
+      SELECT *, pre AND NOT f_nonfinite AS f_wfpre,
+             CASE WHEN pre AND NOT f_nonfinite
+                  THEN sqrt(list_sum(list_transform(vd, x -> x * x)))
+             END AS nrm
+      FROM c2),
+    m AS (
+      SELECT len(v) AS modal FROM c3 WHERE f_wfpre
+      GROUP BY len(v) ORDER BY COUNT(*) DESC, len(v) LIMIT 1)
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(CASE WHEN NOT isfinite(nrm) THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_nonfinite,
-           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN f_null THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_vec,
+           CAST(SUM(CASE WHEN f_empty THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(SUM(CASE WHEN f_nullcomp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_comp,
+           CAST(SUM(CASE WHEN f_nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           CAST(SUM(CASE WHEN f_wfpre AND len(v) <> (SELECT modal FROM m)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ragged,
+           CAST(SUM(CASE WHEN f_wfpre AND len(v) = (SELECT modal FROM m)
+                          AND nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_zero_norm,
-           ROUND(MIN(CASE WHEN isfinite(nrm) THEN nrm END), 4)
-             AS min_norm,
-           ROUND(MAX(CASE WHEN isfinite(nrm) THEN nrm END), 4)
-             AS max_norm,
+           ROUND(MIN(CASE WHEN f_wfpre AND len(v) = (SELECT modal FROM m)
+                          THEN nrm END), 4) AS min_norm,
+           ROUND(MAX(CASE WHEN f_wfpre AND len(v) = (SELECT modal FROM m)
+                          THEN nrm END), 4) AS max_norm,
            ROUND(percentile_cont(0.5) WITHIN GROUP (
-                 ORDER BY CASE WHEN isfinite(nrm) THEN nrm END), 4)
-             AS median_norm
-    FROM n
+                 ORDER BY CASE WHEN f_wfpre
+                                AND len(v) = (SELECT modal FROM m)
+                               THEN nrm END), 4) AS median_norm
+    FROM c3
     """,
     tags=("similarity", "agg", "quality"),
 )
 def embedding_health_audit(spark, sf_dir):
     """The embedding-health check every ANN/semantic-dedup pipeline
-    runs BEFORE trusting its vectors: corpus size, zero-norm count
-    (collapsed/failed encodes — cosine is undefined on them and they
-    poison centroid assignment), and the norm distribution
-    (min/median/max).  A median norm far from the expected scale or a
-    nonzero zero-norm count fails the batch before any expensive
+    runs BEFORE trusting its vectors — the DETECTOR side of the
+    ``finite_vectors`` well-formedness contract (ADVICE r11): it
+    counts every malformed class that contract excludes (NULL vector,
+    empty vector, NULL components, non-finite components, ragged
+    length vs the modal corpus dimension) plus the zero-norm count
+    (collapsed encodes — cosine is undefined on them) and the norm
+    distribution (min/median/max) over the well-formed remainder.
+    A nonzero malformed count fails the batch before any expensive
     pairwise work runs.
 
-    Scale: one map-side norm per vector and a single global
-    aggregate; the median is an exact percentile over the norm column
-    (at 100 TB swap in ``approx_percentile`` — the sketch family's
-    audited path).  Norms are rounded AFTER aggregation; the per-sum
-    accumulation order is fixed by the array fold, not partitioning.
+    Scale: one map-side flag/norm row per vector, a 1-row modal-dim
+    aggregate, and a single global aggregate; the median is an exact
+    percentile over the norm column (at 100 TB swap in
+    ``approx_percentile`` — the sketch family's audited path).  Norms
+    are rounded AFTER aggregation; the per-sum accumulation order is
+    fixed by the array fold, not partitioning.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    nrm = F.sqrt(F.expr(
-        "aggregate(embedding, CAST(0.0 AS DOUBLE),"
-        " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-    n = e.select(nrm.alias("nrm"))
-    # non-finite norms (NaN/±Inf components — failed encodes) are the
-    # audit's OTHER red flag (FUZZ.md --nan sweep): counted explicitly,
-    # excluded from the distribution stats in both engines
-    fin = F.when(~F.isnan("nrm") & (F.col("nrm") != F.lit(float("inf"))),
-                 F.col("nrm"))
-    n = n.withColumn("fin", fin)
-    return n.agg(
+    v = F.col("embedding").cast("array<double>")
+    is_null = F.col("embedding").isNull()
+    is_empty = ~is_null & (F.size(v) == 0)
+    null_comp = (~is_null & (F.size(v) > 0)
+                 & F.exists(v, lambda x: x.isNull()))
+    pre = ~is_null & ~is_empty & ~null_comp
+    s_abs = F.aggregate(F.transform(v, lambda x: F.abs(x)),
+                        F.lit(0.0), lambda a, x: a + x)
+    nonfinite = F.when(pre, F.isnan(s_abs)
+                       | (s_abs == F.lit(float("inf")))).otherwise(F.lit(False))
+    wfpre = pre & ~nonfinite
+    nrm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                             F.lit(0.0), lambda a, x: a + x))
+    fl = e.select(is_null.alias("f_null"), is_empty.alias("f_empty"),
+                  null_comp.alias("f_nullcomp"),
+                  nonfinite.alias("f_nonfinite"), wfpre.alias("f_wfpre"),
+                  F.size(v).alias("sz"),
+                  F.when(wfpre, nrm).alias("nrm"))
+    modal = (fl.filter("f_wfpre").groupBy("sz")
+             .agg(F.count("*").alias("n"))
+             .orderBy(F.desc("n"), F.asc("sz")).limit(1)
+             .select(F.col("sz").alias("modal_dim")))
+    # bounded: modal is at most one row (the corpus dimension); left
+    # join keeps the audit non-empty even on an all-malformed corpus
+    fl = fl.join(F.broadcast(modal), F.lit(True), "left")
+    wf = F.col("f_wfpre") & (F.col("sz") == F.col("modal_dim"))
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return fl.agg(
         F.count("*").alias("n_vectors"),
-        F.sum(F.when(F.col("fin").isNull(), 1).otherwise(0)).cast("long")
-        .alias("n_nonfinite"),
-        F.sum(F.when(F.col("fin") == 0, 1).otherwise(0)).cast("long")
-        .alias("n_zero_norm"),
-        F.round(F.min("fin"), 4).alias("min_norm"),
-        F.round(F.max("fin"), 4).alias("max_norm"),
-        F.round(F.expr("percentile(fin, 0.5)"), 4).alias("median_norm"))
+        cnt(F.col("f_null")).alias("n_null_vec"),
+        cnt(F.col("f_empty")).alias("n_empty"),
+        cnt(F.col("f_nullcomp")).alias("n_null_comp"),
+        cnt(F.col("f_nonfinite")).alias("n_nonfinite"),
+        cnt(F.col("f_wfpre")
+            & (F.col("sz") != F.col("modal_dim"))).alias("n_ragged"),
+        cnt(wf & (F.col("nrm") == 0)).alias("n_zero_norm"),
+        F.round(F.min(F.when(wf, F.col("nrm"))), 4).alias("min_norm"),
+        F.round(F.max(F.when(wf, F.col("nrm"))), 4).alias("max_norm"),
+        F.round(F.expr(
+            "percentile(CASE WHEN f_wfpre AND sz = modal_dim "
+            "THEN nrm END, 0.5)"), 4).alias("median_norm"))
 
 
 @register(

@@ -57,10 +57,11 @@ def dedup_exact_hash_planted(spark, sf_dir):
 
 @register(
     "cosine_neardup_planted",
-    oracle="""
-    WITH base AS (
+    oracle=f"""
+    WITH wf AS ({S.wf_embeddings_sql()}),
+    base AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), v AS (
       SELECT vec_id, i, x FROM base
       UNION ALL
@@ -101,7 +102,7 @@ def cosine_neardup_planted(spark, sf_dir):
     each planted pair).  Same plan shape as ``cosine_neardup_pairs``
     (bucket equi-self-join + exact verification on candidates only —
     no cartesian), but the driver row now has ≥ 25 real pairs."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     planted = base.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -219,10 +220,11 @@ def agg_approx_distinct_only(spark, sf_dir):
 
 @register(
     "embedding_dedup_apply",
-    oracle="""
-    WITH base AS (
+    oracle=f"""
+    WITH wf AS ({S.wf_embeddings_sql()}),
+    base AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), v AS (
       SELECT vec_id, i, x FROM base
       UNION ALL
@@ -278,7 +280,7 @@ def embedding_dedup_apply(spark, sf_dir):
     """
     from ..operators import similarity as S
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     base = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     planted = base.filter(F.col("vec_id") < 25).select(
         (F.col("vec_id") + 1000000).alias("vec_id"),

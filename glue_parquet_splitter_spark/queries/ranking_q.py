@@ -392,8 +392,15 @@ def hybrid_rrf_fusion_ivf(spark, sf_dir):
         "doc_id",
         F.row_number().over(W.orderBy(F.desc("s"), "doc_id")).alias("r_lex"))
 
+    # per-vector norm computed ONCE in the scan projection (VERDICT
+    # r11 #2 — the round's raw-wall growth sat on the probe-path
+    # cosine): the inline cosine re-folds the corpus norm AND the
+    # 1-row query norm per probed candidate; precomputing both leaves
+    # only the dot fold per candidate.  Same float expression, so
+    # scores are bit-identical to the oracle's norms/qn CTEs.
     vecs = e.select("vec_id",
                     F.col("embedding").cast("array<double>").alias("v"))
+    vecs = vecs.withColumn("nv", S.l2_norm(F.col("v")))
     cents = (vecs.filter(F.col("vec_id").between(1, 4))
              .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
     d2 = F.round(F.aggregate(
@@ -403,18 +410,21 @@ def hybrid_rrf_fusion_ivf(spark, sf_dir):
     assign = (
         # bounded: cents is the k-row centroid table
         vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", d2.alias("d2"))
+        .select("vec_id", "v", "nv", "cid", d2.alias("d2"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "nv", "cid")
     )
     qc = (assign.filter(F.col("vec_id") == 0)
-          .select(F.col("v").alias("qv"), F.col("cid").alias("qcid")))
+          .select(F.col("v").alias("qv"), F.col("nv").alias("qnrm"),
+                  F.col("cid").alias("qcid")))
     sem_top = (
         assign.filter(F.col("vec_id") > 0)
         # bounded: qc is the assigned query vector (1 row)
         .join(F.broadcast(qc), F.col("cid") == F.col("qcid"))
-        .select("vec_id", S.cosine(F.col("v"), F.col("qv")).alias("cos_q"))
+        .select("vec_id",
+                F.try_divide(S.dot(F.col("v"), F.col("qv")),
+                             F.col("nv") * F.col("qnrm")).alias("cos_q"))
         .orderBy(F.desc(F.round("cos_q", 6)), "vec_id").limit(50)
     )
     sem_rank = sem_top.select(
@@ -588,3 +598,215 @@ def ranking_drift_rbo(spark, sf_dir):
             .select(F.col("d").cast("long").alias("d"),
                     F.col("n_overlap").cast("long").alias("n_overlap"),
                     "agreement", "rbo_term"))
+
+
+# ======================================================================
+# Multi-probe hybrid retrieval (VERDICT r11 #6) — the recall knob
+# ======================================================================
+
+def _hybrid_ivf_parts(spark, sf_dir, probes: int):
+    """Shared semantic-arm front half of the IVF-armed hybrid plan,
+    with the multi-probe knob: corpus assigned to its 1 nearest of 4
+    centroids (vectors 1..4), the query (vector 0) probing its
+    ``probes`` nearest lists.  Returns (cand, qprobe) where ``cand``
+    is the probed candidate set (vec_id, nv, v, probe_rank) — the
+    probes=1 restriction of a probes=2 candidate set is exactly the
+    single-probe plan's candidates, which tests/test_hybrid_multiprobe
+    pins as a strict subset."""
+    from pyspark.sql import Window as W
+
+    from ..operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = (e.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+            .withColumn("nv", S.l2_norm(F.col("v"))))
+    cents = (vecs.filter(F.col("vec_id").between(1, 4))
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    d2 = F.round(F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w_assign = W.partitionBy("vec_id").orderBy("d2", "cid")
+    ranked = (
+        # bounded: cents is the k-row centroid table
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "nv", "cid", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign)))
+    assign = (ranked.filter((F.col("rn") == 1) & (F.col("vec_id") > 0))
+              .select("vec_id", "v", "nv", "cid"))
+    qprobe = (ranked.filter((F.col("vec_id") == 0)
+                            & (F.col("rn") <= probes))
+              .select(F.col("v").alias("qv"), F.col("nv").alias("qnrm"),
+                      F.col("cid").alias("qcid"),
+                      F.col("rn").alias("probe_rank")))
+    # bounded: qprobe is the query x its <=probes nearest centroids
+    cand = (assign.join(F.broadcast(qprobe),
+                        F.col("cid") == F.col("qcid"))
+            .select("vec_id", "v", "nv", "qv", "qnrm", "probe_rank"))
+    return cand
+
+
+@register(
+    "hybrid_rrf_fusion_ivf_mp",
+    oracle="""
+    WITH lex AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t = 'join')) AS s
+      FROM documents
+    ), lex_top AS (
+      SELECT doc_id, s FROM lex ORDER BY s DESC, doc_id LIMIT 50
+    ), lex_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r_lex
+      FROM lex_top
+    ), v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (
+      SELECT vec_id AS cid, i, x FROM v WHERE vec_id BETWEEN 1 AND 4
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(SUM((v.x - c.x) * (v.x - c.x)), 6), c.cid
+               ) AS rn
+        FROM v JOIN cent c ON c.i = v.i
+        GROUP BY v.vec_id, c.cid)
+      WHERE rn = 1
+    ), qprobe AS (
+      SELECT cid AS qcid, rn AS probe_rank FROM (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(SUM((v.x - c.x) * (v.x - c.x)), 6), c.cid
+               ) AS rn
+        FROM v JOIN cent c ON c.i = v.i
+        WHERE v.vec_id = 0
+        GROUP BY c.cid)
+      WHERE rn <= 2
+    ), q AS (SELECT i, x AS qx FROM v WHERE vec_id = 0),
+    norms AS (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
+    ), qn AS (SELECT sqrt(SUM(qx * qx)) AS qnrm FROM q),
+    cand AS (
+      SELECT a.vec_id, p.probe_rank FROM assign a
+      JOIN qprobe p ON a.cid = p.qcid
+      WHERE a.vec_id > 0
+    ), sem AS (
+      SELECT cand.vec_id, cand.probe_rank,
+             SUM(v.x * q.qx) / (MIN(norms.nrm) * MIN(qn.qnrm)) AS cos_q
+      FROM cand JOIN v ON v.vec_id = cand.vec_id
+      JOIN q USING (i)
+      JOIN norms ON norms.vec_id = cand.vec_id
+      CROSS JOIN qn
+      GROUP BY cand.vec_id, cand.probe_rank
+    ), sem_top AS (
+      SELECT vec_id, cos_q FROM sem
+      ORDER BY ROUND(cos_q, 6) DESC, vec_id LIMIT 50
+    ), sem_rank AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY ROUND(cos_q, 6) DESC, vec_id)
+               AS r_sem
+      FROM sem_top
+    ), sem_top_p1 AS (
+      SELECT vec_id FROM sem WHERE probe_rank = 1
+      ORDER BY ROUND(cos_q, 6) DESC, vec_id LIMIT 50
+    ), overlap AS (
+      SELECT ROUND(CAST(COUNT(*) AS DOUBLE) / 50, 4) AS p1_overlap_at_50
+      FROM sem_top t JOIN sem_top_p1 p USING (vec_id)
+    ), fused AS (
+      SELECT COALESCE(lex_rank.doc_id, sem_rank.vec_id) AS doc_id,
+             lex_rank.r_lex, sem_rank.r_sem,
+             COALESCE(1.0 / (60 + lex_rank.r_lex), 0)
+               + COALESCE(1.0 / (60 + sem_rank.r_sem), 0) AS rrf
+      FROM lex_rank FULL OUTER JOIN sem_rank
+        ON sem_rank.vec_id = lex_rank.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(rrf, 6) DESC, doc_id)
+                AS BIGINT) AS fused_rank,
+           doc_id,
+           CAST(r_lex AS BIGINT) AS r_lex,
+           CAST(r_sem AS BIGINT) AS r_sem,
+           ROUND(rrf, 6) AS rrf,
+           (SELECT p1_overlap_at_50 FROM overlap) AS p1_overlap_at_50
+    FROM fused ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "ranking", "similarity", "ivf"),
+)
+def hybrid_rrf_fusion_ivf_mp(spark, sf_dir):
+    """Multi-probe IVF-armed hybrid retrieval (VERDICT r11 #6) — the
+    recall knob ``hybrid_rrf_fusion_ivf``'s docstring names, composed
+    from ``ann_ivf_multiprobe``'s machinery: the query probes its TWO
+    nearest inverted lists instead of one, the semantic top-50 ranks
+    over the union of both lists, and the fused RRF output carries
+    ``p1_overlap_at_50`` — the in-query report of how much of the
+    probes=2 semantic top-50 the single-probe plan would already have
+    found (1.0 = the second probe changed nothing; lower = the extra
+    list surfaced genuinely closer neighbors the coarse quantizer had
+    split away).  tests/test_hybrid_multiprobe.py pins that the
+    probes=2 candidate set STRICTLY contains the probes=1 set.
+
+    Scale: identical plan family to the single-probe form — probing
+    multiplies only the (1-row) query side into 2 broadcast rows; the
+    corpus-side cost is the union of two inverted-list scans (~2N/k
+    rows scored instead of N/k), both arms stay
+    ``TakeOrderedAndProject``, and the fusion join touches <= 100
+    rows.  Per-vector norms are precomputed below the probe join (the
+    VERDICT r11 #2 form).
+    """
+    from pyspark.sql import Window as W
+
+    from ..operators import similarity as S
+
+    d = load_table(spark, sf_dir, "documents")
+    lex_top = (
+        d.select("doc_id",
+                 F.size(F.filter(F.split("text", " "),
+                                 lambda t: t == "join")).alias("s"))
+        .orderBy(F.desc("s"), "doc_id").limit(50)
+    )
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.desc("s"), "doc_id")).alias("r_lex"))
+
+    cand = _hybrid_ivf_parts(spark, sf_dir, probes=2)
+    sem = cand.select(
+        "vec_id", "probe_rank",
+        F.try_divide(S.dot(F.col("v"), F.col("qv")),
+                     F.col("nv") * F.col("qnrm")).alias("cos_q"))
+    sem_top = (sem.orderBy(F.desc(F.round("cos_q", 6)), "vec_id")
+               .limit(50))
+    sem_rank = sem_top.select(
+        "vec_id",
+        F.row_number().over(
+            W.orderBy(F.desc(F.round("cos_q", 6)), "vec_id")).alias("r_sem"))
+    sem_top_p1 = (sem.filter(F.col("probe_rank") == 1)
+                  .orderBy(F.desc(F.round("cos_q", 6)), "vec_id")
+                  .limit(50).select(F.col("vec_id").alias("p1_vec")))
+    overlap = (sem_top.join(sem_top_p1,
+                            F.col("vec_id") == F.col("p1_vec"))
+               .agg(F.round(F.count("*").cast("double") / 50, 4)
+                    .alias("p1_overlap_at_50")))
+
+    fused = (
+        lex_rank.join(sem_rank, F.col("vec_id") == F.col("doc_id"),
+                      "full_outer")
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            "r_lex", "r_sem",
+            (F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+             + F.coalesce(1.0 / (60 + F.col("r_sem")), F.lit(0.0))
+             ).alias("rrf"),
+        )
+    )
+    top = fused.orderBy(F.desc(F.round("rrf", 6)), "doc_id").limit(20)
+    return (top.select(
+        F.row_number().over(
+            W.orderBy(F.desc(F.round("rrf", 6)), "doc_id"))
+        .cast("long").alias("fused_rank"),
+        "doc_id",
+        F.col("r_lex").cast("long").alias("r_lex"),
+        F.col("r_sem").cast("long").alias("r_sem"),
+        F.round("rrf", 6).alias("rrf"))
+        # bounded: overlap is a 1-row scalar
+        .crossJoin(F.broadcast(overlap)))

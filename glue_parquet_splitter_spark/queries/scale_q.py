@@ -168,9 +168,10 @@ def event_sequence_first_after(spark, sf_dir):
 @register(
     "kmeans_assign_step",
     oracle="""
-    WITH v AS (
+    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     dists AS (
       SELECT v.vec_id, c.cid, SUM((v.x - c.x) * (v.x - c.x)) AS d2
@@ -190,8 +191,10 @@ def kmeans_assign_step(spark, sf_dir):
     """One k-means assignment step (k=4, centroids = vectors 0..3):
     the inner loop of Lloyd's algorithm as a broadcast-centroid pass —
     the iterative-algorithm shape on DataFrames (each iteration is one
-    scan + one small agg; centroids always broadcast)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    scan + one small agg; centroids always broadcast).  The corpus
+    enters through the finite_vectors well-formedness contract."""
+    from ..operators.similarity import finite_vectors
+    e = finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = vecs.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -253,9 +256,10 @@ def bloom_join_pruning(spark, sf_dir):
 @register(
     "kmeans_lloyd_iters",
     oracle="""
-    WITH v AS (
+    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), c0 AS (
       SELECT vec_id AS cid, i, ROUND(x, 8) AS x FROM v WHERE vec_id < 4
     ), d1 AS (
@@ -303,9 +307,11 @@ def kmeans_lloyd_iters(spark, sf_dir):
     centroids within 1e-8).  Unrolling recomputes iteration 1 inside
     iteration 2's lineage — the honest cost of one oracle-gradable
     lazy job; the convergence-loop form with per-iteration
-    localCheckpoint lives in ``operators/graph.py``.
+    localCheckpoint lives in ``operators/graph.py``.  The corpus
+    enters through the finite_vectors well-formedness contract.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import finite_vectors
+    e = finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = vecs.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("cid"),

@@ -34,6 +34,11 @@ _QUANT_CTE = """
       WHERE embedding IS NOT NULL AND len(embedding) > 0
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
     ), sc AS (
       SELECT vec_id, GREATEST(MAX(ABS(x)), 1e-12) AS maxabs FROM v GROUP BY vec_id
     ), q8 AS (
@@ -107,10 +112,11 @@ def ann_topk_quantized(spark, sf_dir):
     )
 
 
-_COS_CTE = """
-    WITH v AS (
+_COS_CTE = f"""
+    WITH wf AS ({S.wf_embeddings_sql()}),
+    v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
     ), norms AS (
       SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), bk AS (
@@ -162,7 +168,7 @@ def ann_lsh_multiprobe(spark, sf_dir):
     hyperplane.  The probe explosion multiplies only the broadcast
     query side (5 rows per query); the corpus scan, bucket layout and
     join shape are identical to ``ann_lsh_bucketed``."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     bk = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"),
         S.signbit_bucket(F.col("embedding")).alias("bucket"),

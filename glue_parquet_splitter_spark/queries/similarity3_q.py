@@ -54,6 +54,11 @@ def _assigned(spark, sf_dir):
       WHERE embedding IS NOT NULL AND len(embedding) > 0
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -146,6 +151,11 @@ def ann_ivf_multiprobe(spark, sf_dir):
       WHERE embedding IS NOT NULL AND len(embedding) > 0
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -223,6 +233,11 @@ def hard_negative_mining(spark, sf_dir):
       WHERE embedding IS NOT NULL AND len(embedding) > 0
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -341,6 +356,11 @@ _KNN_COS_CTE = """
       WHERE embedding IS NOT NULL AND len(embedding) > 0
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     )
@@ -419,17 +439,26 @@ def _knn_edges(spark, sf_dir):
 
     # finite-vector contract — mirrors the oracle CTE (FUZZ.md)
     e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
+    # per-vector norm computed ONCE below the bucket join (VERDICT r11
+    # #2): the inline cosine form re-folds BOTH norms per candidate
+    # pair — 3 O(dim) folds/pair; carrying the norm through the
+    # shuffle (+8 bytes/row) leaves only the dot fold pair-side.
+    # Same float expression (sqrt of the x*x fold), so scores are
+    # bit-identical to the oracle's separate norms CTE.
     bk = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"),
-        S.signbit_bucket(F.col("embedding")).alias("bucket"))
+        S.signbit_bucket(F.col("embedding")).alias("bucket")
+    ).withColumn("nv", S.l2_norm(F.col("v")))
     a = bk.select(F.col("vec_id").alias("src"), F.col("v").alias("av"),
-                  "bucket")
+                  F.col("nv").alias("na"), "bucket")
     b = bk.select(F.col("vec_id").alias("dst"), F.col("v").alias("bv"),
-                  "bucket")
+                  F.col("nv").alias("nb"), "bucket")
     scored = (a.join(b, "bucket")
               .filter(F.col("src") != F.col("dst"))
               .select("src", "dst",
-                      F.round(S.cosine(F.col("av"), F.col("bv")), 6)
+                      F.round(F.try_divide(
+                          S.dot(F.col("av"), F.col("bv")),
+                          F.col("na") * F.col("nb")), 6)
                        .alias("cos_sim")))
     w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -841,6 +870,11 @@ def label_propagation_knn(spark, sf_dir):
       WHERE embedding IS NOT NULL AND len(embedding) > 0
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -981,6 +1015,11 @@ def mutual_knn_pairs(spark, sf_dir):
       WHERE embedding IS NOT NULL AND len(embedding) > 0
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
         AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+        AND len(embedding) = (SELECT len(embedding) FROM embeddings
+            WHERE embedding IS NOT NULL AND len(embedding) > 0
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0
+              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
+            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
     ), cent AS (
       SELECT label, half, i, AVG(x) AS c,
              COUNT(DISTINCT vec_id) AS n
@@ -1043,3 +1082,151 @@ def embedding_centroid_drift(spark, sf_dir):
                   .alias("centroid_cos"))
             .select(F.col("label").cast("long").alias("label"),
                     "n_a", "n_b", "centroid_cos"))
+
+
+# ======================================================================
+# IVF-PQ composed ANN (VERDICT r11 #5) — the production index shape
+# ======================================================================
+
+_IVFPQ_K = 10
+
+
+@register(
+    "ivfpq_topk_search",
+    oracle=f"""
+    WITH wf AS ({S.wf_embeddings_sql()}),
+    v AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+      FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
+    ), cent AS (SELECT vec_id AS cid, i, x AS cx FROM v WHERE vec_id < 4),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(SUM((v.x - c.cx) * (v.x - c.cx)), 6),
+                          c.cid) AS rn
+        FROM v JOIN cent c ON c.i = v.i
+        GROUP BY v.vec_id, c.cid) WHERE rn = 1
+    ), resid AS (
+      SELECT v.vec_id, a.cid, v.i, v.x - c.cx AS rx
+      FROM v JOIN assign a ON a.vec_id = v.vec_id
+      JOIN cent c ON c.cid = a.cid AND c.i = v.i
+      WHERE v.vec_id >= 4
+    ), book AS (
+      SELECT CAST(vec_id / 5 AS BIGINT) AS j,
+             CAST((i - 1) // 16 AS INT) AS s, i, rx AS bx
+      FROM resid
+      WHERE vec_id % 5 = 0 AND vec_id >= 5 AND vec_id <= 40
+    ), codes AS (
+      SELECT vec_id, cid, s, j FROM (
+        SELECT r.vec_id, MIN(r.cid) AS cid, b.s, b.j,
+               ROW_NUMBER() OVER (
+                 PARTITION BY r.vec_id, b.s
+                 ORDER BY ROUND(SUM((r.rx - b.bx) * (r.rx - b.bx)), 6),
+                          b.j) AS rn
+        FROM resid r JOIN book b ON b.i = r.i
+        GROUP BY r.vec_id, b.s, b.j) WHERE rn = 1
+    ), adc AS (
+      SELECT q.vec_id AS query_id, q.cid AS qcid, b.s, b.j,
+             ROUND(SUM((q.rx - b.bx) * (q.rx - b.bx)), 6) AS qd2
+      FROM (SELECT * FROM resid
+            WHERE vec_id >= 4 AND vec_id < 12) q
+      JOIN book b ON b.i = q.i
+      GROUP BY q.vec_id, q.cid, b.s, b.j
+    ), est AS (
+      SELECT a.query_id, c.vec_id AS neighbor_id,
+             ROUND(SUM(a.qd2), 4) AS est_d2
+      FROM codes c JOIN adc a
+        ON a.qcid = c.cid AND a.s = c.s AND a.j = c.j
+      WHERE c.vec_id <> a.query_id
+      GROUP BY a.query_id, c.vec_id
+    ), ivf_top AS (
+      SELECT query_id, neighbor_id, est_d2, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY est_d2, neighbor_id) AS rk
+        FROM est) WHERE rk <= {_IVFPQ_K}
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(SUM((q.x - c.x) * (q.x - c.x)), 6),
+                          c.vec_id) AS rk
+        FROM (SELECT * FROM v WHERE vec_id >= 4 AND vec_id < 12) q
+        JOIN v c ON c.i = q.i AND c.vec_id >= 4
+                AND c.vec_id <> q.vec_id
+        GROUP BY q.vec_id, c.vec_id) WHERE rk <= {_IVFPQ_K}
+    )
+    SELECT t.query_id,
+           MIN(CASE WHEN t.rk = 1 THEN t.neighbor_id END) AS top1_id,
+           CAST(COUNT(*) AS BIGINT) AS n_topk,
+           ROUND(CAST(SUM(CASE WHEN e.neighbor_id IS NOT NULL
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / {_IVFPQ_K}, 4) AS recall_at_10
+    FROM ivf_top t
+    LEFT JOIN exact e ON e.query_id = t.query_id
+                     AND e.neighbor_id = t.neighbor_id
+    GROUP BY t.query_id
+    """,
+    tags=("similarity", "ivf", "quantization"),
+)
+def ivfpq_topk_search(spark, sf_dir):
+    """IVF-PQ composed ANN — the production index shape (VERDICT r11
+    #5, the FAISS IVFPQ recipe) assembled from the repo's two halves:
+    coarse-quantize the corpus to 4 inverted lists (``ivf_topk_search``
+    shape), PQ-encode each vector's RESIDUAL against its coarse
+    centroid as 4 sub-codes from an 8-entry/subspace codebook
+    (``pq_adc_topk`` shape, built on residuals of a deterministic
+    corpus sample), and answer each query (vectors 4..11) with ADC
+    lookups over its OWN inverted list only.  Per query it reports
+    the IVFPQ top-1, how many candidates ranked, and recall@10
+    against the exact L2 top-10 over the full corpus — the accuracy
+    column every ANN entry in this registry carries.
+
+    Scale: candidate scoring is m=4 integer-keyed table lookups per
+    (candidate, query) inside one inverted list — no full-vector
+    arithmetic per candidate and no full-corpus scan on the query
+    path (the exact arm exists only to grade recall, exactly like the
+    other ANN evals).  Codes are m small ints per vector (the 100 TB
+    storage form: 4 bytes/vector vs 256 for float32x64); the ADC
+    table is metadata (8 queries x 32 rows) and broadcasts.
+    Determinism: every distance rounds to 6 before argmin ranks
+    (j/cid/neighbor tie-breaks), estimates round to 4 before the
+    top-k rank — the ``pq_adc_topk`` conventions.
+    """
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
+    vecs = e.select("vec_id",
+                    F.col("embedding").cast("array<double>").alias("v"))
+    ivf = S.ivfpq_topk(vecs, n_coarse=4, m=4, dsub=16, nc=8, stride=5,
+                       k=_IVFPQ_K)
+    # exact arm (recall grading only): full-corpus L2 top-10 per query
+    corpus = vecs.filter(F.col("vec_id") >= 4)
+    q = (corpus.filter(F.col("vec_id") < 12)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("v").alias("qv")))
+    d2x = F.round(F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    from pyspark.sql import Window as W
+
+    w_x = W.partitionBy("query_id").orderBy("d2x", "vec_id")
+    exact = (
+        # bounded: q is the fixed 8-vector query set
+        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2x.alias("d2x"))
+        .withColumn("rk", F.row_number().over(w_x))
+        .filter(F.col("rk") <= _IVFPQ_K)
+        .select("query_id", F.col("vec_id").alias("x_neighbor")))
+    hit = (ivf.join(exact,
+                    (ivf["query_id"] == exact["query_id"])
+                    & (ivf["neighbor_id"] == exact["x_neighbor"]),
+                    "left")
+           .select(ivf["query_id"], "neighbor_id", "rank", "x_neighbor"))
+    return (hit.groupBy("query_id").agg(
+        F.min(F.when(F.col("rank") == 1, F.col("neighbor_id")))
+        .alias("top1_id"),
+        F.count("*").alias("n_topk"),
+        F.round(F.sum(F.when(F.col("x_neighbor").isNotNull(), 1)
+                      .otherwise(0)).cast("double") / _IVFPQ_K, 4)
+        .alias("recall_at_10")))

@@ -1212,3 +1212,210 @@ def unigram_lm_encode(spark, sf_dir):
         F.round(F.sum(F.col("wf") * F.length("w"))
                 / F.sum(F.col("wf") * F.col("np")), 4)
         .alias("chars_per_token")))
+
+
+# ======================================================================
+# WordPiece encode (VERDICT r11 #4) — the third production tokenizer
+# ======================================================================
+
+_WP_VMULTI = 32   # multi-char budget per piece store (init / cont)
+
+
+def _wp_stores(words):
+    """WordPiece piece stores from the corpus word table: the
+    WORD-INITIAL store (pieces counted at position 1) and the
+    ``##``-CONTINUATION store (pieces counted at interior positions)
+    — the BERT-family distinction a flat substring vocab misses.
+    Each store = ALL single chars (forced, so every word stays
+    encodable with zero UNKs on its own corpus) + the top-32
+    multi-char substrings (<= 3 chars) of its position class by
+    word-frequency-weighted occurrence count (wt DESC, piece ASC
+    tie-break).  Returns (init_df, cont_df) of ``piece`` rows."""
+    from pyspark.sql import Window as W
+
+    occ = (words.select(
+        "w", "wf",
+        F.explode(F.expr(
+            "flatten(transform(sequence(1, length(w)), i -> "
+            f"transform(sequence(1, {_UNI_PLEN}), l -> struct(i, l))))"
+        )).alias("s"))
+        .filter(F.expr("s.i + s.l - 1 <= length(w)"))
+        .select(F.expr("substring(w, s.i, s.l)").alias("piece"),
+                (F.col("s.i") == 1).alias("is_init"), "wf"))
+    singles = (occ.filter(F.length("piece") == 1)
+               .select("piece").distinct())
+
+    def top_multi(is_init: bool):
+        # bounded: distinct <=3-char substrings of a bounded alphabet —
+        # value-domain-bounded, not corpus-sized (the _uni_init rule)
+        wv = W.orderBy(F.desc("wt"), F.asc("piece"))
+        return (occ.filter((F.length("piece") > 1)
+                           & (F.col("is_init") == is_init))
+                .groupBy("piece").agg(F.sum("wf").alias("wt"))
+                .withColumn("rk", F.row_number().over(wv))
+                .filter(F.col("rk") <= _WP_VMULTI)
+                .select("piece"))
+
+    return (singles.unionByName(top_multi(True)).distinct(),
+            singles.unionByName(top_multi(False)).distinct())
+
+
+def _wp_greedy(init_set: frozenset, cont_set: frozenset):
+    """mapInPandas greedy longest-match-first WordPiece encoder: at
+    position 0 match against the word-initial store, afterwards
+    against the continuation store; try length 3, then 2, then 1
+    (singles are always present, so the scan never sticks).  Returns
+    (w, np) — the per-word piece count."""
+
+    def enc_fn(batches):
+        import pandas as _pd
+
+        def count(w):
+            pos, np_ = 0, 0
+            while pos < len(w):
+                store = init_set if pos == 0 else cont_set
+                for ln in (3, 2, 1):
+                    piece = w[pos:pos + ln]
+                    if len(piece) == ln and piece in store:
+                        pos += ln
+                        break
+                np_ += 1
+            return np_
+
+        for pdf in batches:
+            yield _pd.DataFrame({"w": pdf["w"].values,
+                                 "np": [count(w) for w in pdf["w"]]})
+
+    return enc_fn
+
+
+_WP_STORE_SQL = """
+    occ AS (
+      SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+             i = 1 AS is_init, wf
+      FROM words,
+           UNNEST(range(1, length(w) + 1)) AS a(i),
+           UNNEST(range(1, 4)) AS b(l)
+      WHERE i + l - 1 <= length(w)
+    ), singles AS (
+      SELECT DISTINCT piece FROM occ WHERE length(piece) = 1
+    ), init_store AS (
+      SELECT piece FROM singles
+      UNION
+      SELECT piece FROM (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY SUM(wf) DESC, piece)
+                 AS rk
+        FROM occ WHERE length(piece) > 1 AND is_init
+        GROUP BY piece) WHERE rk <= 32
+    ), cont_store AS (
+      SELECT piece FROM singles
+      UNION
+      SELECT piece FROM (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY SUM(wf) DESC, piece)
+                 AS rk
+        FROM occ WHERE length(piece) > 1 AND NOT is_init
+        GROUP BY piece) WHERE rk <= 32
+    )
+"""
+
+
+@register(
+    "wordpiece_encode",
+    oracle=f"""
+    WITH RECURSIVE words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+      GROUP BY w
+    ), {_WP_STORE_SQL},
+    greedy AS (
+      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS np FROM words
+      UNION ALL
+      SELECT w, pos + sl, np + 1 FROM (
+        SELECT w, pos, np,
+          CASE WHEN pos = 0 THEN
+            CASE WHEN pos + 3 <= length(w) AND substr(w, pos + 1, 3)
+                   IN (SELECT piece FROM init_store
+                       WHERE length(piece) = 3) THEN 3
+                 WHEN pos + 2 <= length(w) AND substr(w, pos + 1, 2)
+                   IN (SELECT piece FROM init_store
+                       WHERE length(piece) = 2) THEN 2
+                 ELSE 1 END
+          ELSE
+            CASE WHEN pos + 3 <= length(w) AND substr(w, pos + 1, 3)
+                   IN (SELECT piece FROM cont_store
+                       WHERE length(piece) = 3) THEN 3
+                 WHEN pos + 2 <= length(w) AND substr(w, pos + 1, 2)
+                   IN (SELECT piece FROM cont_store
+                       WHERE length(piece) = 2) THEN 2
+                 ELSE 1 END
+          END AS sl
+        FROM greedy WHERE pos < length(w)) t
+    ), enc AS (
+      SELECT w, np FROM greedy WHERE pos = length(w)
+    ), lw AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+      GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(lw.wf) AS BIGINT) AS n_words,
+           CAST(SUM(lw.wf * length(lw.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(lw.wf * enc.np) AS BIGINT) AS n_tokens,
+           ROUND(SUM(lw.wf * length(lw.w)) * 1.0
+                 / SUM(lw.wf * enc.np), 4) AS chars_per_token
+    FROM lw JOIN enc USING (w)
+    GROUP BY lang
+    """,
+    tags=("tokenizer", "text", "pandas_udf", "recursive"),
+)
+def wordpiece_encode(spark, sf_dir):
+    """WordPiece ENCODE (VERDICT r11 #4) — the third production
+    tokenizer next to BPE (``bpe_encode_apply``) and unigram-LM
+    (``unigram_lm_encode``), completing the three-way fertility audit
+    on the same corpus-collapse shape and word-length contract
+    (1..12 chars): greedy longest-match-first segmentation, with the
+    BERT-family position distinction made real — a WORD-INITIAL piece
+    store and a ``##``-CONTINUATION store (interior positions), each
+    all-singles + its own top-32 multi-char substrings (<= 3 chars,
+    weight DESC / piece ASC tie-break).  Greedy tries length 3, 2,
+    then 1; singles are forced into both stores so a corpus word
+    never hits UNK on its own corpus (the UNK path matters only for
+    out-of-corpus text, which a fertility audit has none of).
+
+    DOCUMENTED DEVIATION: real BERT vocabularies are trained
+    (likelihood-greedy) and unbounded-length; this store is the
+    frequency-initialized form (the ``_uni_init`` shape) with pieces
+    <= 3 chars — the ENCODER semantics (greedy longest match, ##
+    stores) are exact, the vocabulary is the audit-fixture one.
+
+    Scale: the corpus collapses to the O(vocab) word table before any
+    per-word work; the two stores are value-domain-bounded (singles +
+    2x32 multis) and ride as a metadata broadcast into one
+    Arrow-batched map over the word table; the corpus-side cost is
+    one explode + an equi-join of (lang, word) frequencies against
+    the encoded word table.  The oracle replays the same greedy walk
+    as a recursive CTE bounded by the 12-char word cap.
+    """
+    words = _uni_words(spark, sf_dir)
+    init_df, cont_df = _wp_stores(words)
+    # bounded: singles are alphabet-sized, multis capped at 32/store —
+    # metadata-bounded collect (the unigram-EM model-broadcast pattern)
+    init_set = frozenset(r["piece"] for r in init_df.collect())
+    cont_set = frozenset(r["piece"] for r in cont_df.collect())
+    enc = words.mapInPandas(_wp_greedy(init_set, cont_set),
+                            schema="w string, np long")
+    d = load_table(spark, sf_dir, "documents")
+    lw = (d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+          .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+          .groupBy("lang", "w").agg(F.count("*").alias("wf")))
+    j = lw.join(enc, "w")
+    return (j.groupBy("lang").agg(
+        F.sum("wf").cast("long").alias("n_words"),
+        F.sum(F.col("wf") * F.length("w")).cast("long").alias("n_chars"),
+        F.sum(F.col("wf") * F.col("np")).cast("long").alias("n_tokens"),
+        F.round(F.sum(F.col("wf") * F.length("w"))
+                / F.sum(F.col("wf") * F.col("np")), 4)
+        .alias("chars_per_token")))

@@ -164,7 +164,7 @@ def ivf_topk_search(spark, sf_dir):
            ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))), 4) AS l2_norm,
            label
-    FROM embeddings
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1))
     """,
     tags=("udf", "arrow", "similarity"),
 )
@@ -212,7 +212,12 @@ def embedding_norms_map_in_arrow(spark, sf_dir):
                 names=["vec_id", "l2_norm", "label"],
             )
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from ..operators.similarity import finite_vectors
+
+    # well-formedness contract BEFORE the Arrow pass: the np path
+    # (values+offsets reduceat) would silently mis-sum NULL components
+    # and ragged lists the JVM-side contract excludes
+    e = finite_vectors(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "label")
     return e.mapInArrow(norms, "vec_id long, l2_norm double, label string")
 

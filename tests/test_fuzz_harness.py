@@ -159,6 +159,7 @@ def test_finite_vectors_contract_both_engines(spark, tmp_path):
 
     from glue_parquet_splitter_spark.operators.similarity import (
         finite_vectors,
+        wf_embeddings_sql,
     )
 
     gen_fixtures(str(tmp_path), seed=0, malformed=True, nan=True)
@@ -166,16 +167,18 @@ def test_finite_vectors_contract_both_engines(spark, tmp_path):
     spark_ids = {r.vec_id for r in
                  finite_vectors(df).select("vec_id").collect()}
     con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')")
     oracle_ids = {r[0] for r in con.sql(
-        f"SELECT vec_id FROM "
-        f"read_parquet('{tmp_path}/embeddings.parquet') "
-        f"WHERE embedding IS NOT NULL AND len(embedding) > 0 "
-        f"AND len(list_filter(embedding, x -> x IS NULL)) = 0 "
-        f"AND isfinite(list_sum(list_transform("
-        f"CAST(embedding AS DOUBLE[]), x -> abs(x))))").fetchall()}
+        f"SELECT vec_id FROM ({wf_embeddings_sql()})").fetchall()}
     assert spark_ids == oracle_ids
-    # the planted malformed/non-finite rows are all excluded
-    assert spark_ids.isdisjoint({91, 92, 93, 95, 96, 97, 99})
+    # the planted malformed/non-finite rows are all excluded —
+    # including the RAGGED vector (98), dropped by the modal-dim rule
+    assert spark_ids.isdisjoint({91, 92, 93, 95, 96, 97, 98, 99})
+    # declared-dim form agrees with the modal form on this corpus
+    declared = {r.vec_id for r in
+                finite_vectors(df, dim=64).select("vec_id").collect()}
+    assert declared == spark_ids
 
 
 def test_query_vs_oracle_on_hostile_data(spark, fuzz_dir):
