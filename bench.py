@@ -148,6 +148,17 @@ BENCH_QUERIES = [
     "audio_fingerprint_dedup",
     "unigram_lm_train",
     "curation_funnel_materialized",
+    # round-12: the four new entries — WordPiece encode (vocab-bound
+    # trainer-ish cost like bpe/unigram), the composed IVF-PQ index
+    # (ADC-only probe path + the exact recall arm), multi-probe hybrid
+    # retrieval (2x the probed-list scoring of the ivf form), and the
+    # materialized tokenizer pipeline (three stage writes + the
+    # table-only audit — the production data-prep cost, the funnel
+    # twin's pattern)
+    "wordpiece_encode",
+    "ivfpq_topk_search",
+    "hybrid_rrf_fusion_ivf_mp",
+    "tokenizer_pipeline_audit",
 ]
 
 

@@ -1042,3 +1042,151 @@ def dedup_normalization_impact(spark, sf_dir):
 
     return (dup_stats(F.md5("text"), "raw")
             .unionByName(dup_stats(norm_h, "normalized")))
+
+
+# ======================================================================
+# Materialized tokenizer pipeline (VERDICT r11 #7) — encode→pack→manifest
+# ======================================================================
+
+def _tokpipe_oracle() -> str:
+    """Composed oracle replaying all three tokenizer stages: the
+    sharded-FFD pack CTEs (shared with ``sequence_packing_ffd``), the
+    WordPiece store+greedy CTEs (shared with ``wordpiece_encode``),
+    the per-doc token stats, and the Hamilton manifest selection
+    (the ``training_mix_manifest`` shape over the PACKED docs)."""
+    from .tokenizer_q import _UNI_MAXW, _WP_STORE_SQL
+
+    return _PACK_ORACLE_CTES + f""",
+    words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+      GROUP BY w
+    ), {_WP_STORE_SQL},
+    greedy AS (
+      SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS np FROM words
+      UNION ALL
+      SELECT w, pos + sl, np + 1 FROM (
+        SELECT w, pos, np,
+          CASE WHEN pos = 0 THEN
+            CASE WHEN pos + 3 <= length(w) AND substr(w, pos + 1, 3)
+                   IN (SELECT piece FROM init_store
+                       WHERE length(piece) = 3) THEN 3
+                 WHEN pos + 2 <= length(w) AND substr(w, pos + 1, 2)
+                   IN (SELECT piece FROM init_store
+                       WHERE length(piece) = 2) THEN 2
+                 ELSE 1 END
+          ELSE
+            CASE WHEN pos + 3 <= length(w) AND substr(w, pos + 1, 3)
+                   IN (SELECT piece FROM cont_store
+                       WHERE length(piece) = 3) THEN 3
+                 WHEN pos + 2 <= length(w) AND substr(w, pos + 1, 2)
+                   IN (SELECT piece FROM cont_store
+                       WHERE length(piece) = 2) THEN 2
+                 ELSE 1 END
+          END AS sl
+        FROM greedy WHERE pos < length(w)) t
+    ), enc AS (
+      SELECT w, np FROM greedy WHERE pos = length(w)
+    ), parts AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+        FROM documents WHERE text IS NOT NULL)
+      WHERE len(w) > 0
+    ), perdoc AS (
+      SELECT doc_id, CAST(SUM(COALESCE(enc.np, 1)) AS BIGINT) AS n_wp
+      FROM parts LEFT JOIN enc USING (w) GROUP BY doc_id
+    ), tok AS (
+      SELECT d.doc_id, d.lang, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(d.n_chars AS BIGINT) AS n_chars,
+             CAST(COALESCE(p.n_wp, 0) AS BIGINT) AS n_wp_tokens
+      FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      WHERE d.text IS NOT NULL
+    ), packed AS (
+      SELECT pack.doc_id, tok.source FROM pack JOIN tok USING (doc_id)
+    ), src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM packed GROUP BY source
+    ), tq AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM src),
+    q AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(120 * n_docs / (SELECT n FROM tq))
+                  AS BIGINT) AS base,
+             120 * n_docs / (SELECT n FROM tq)
+               - FLOOR(120 * n_docs / (SELECT n FROM tq)) AS rem
+      FROM src
+    ), r AS (
+      SELECT source, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source NULLS LAST)
+               AS rk
+      FROM q
+    ), lo AS (SELECT 120 - SUM(base) AS l FROM q),
+    quota AS (
+      SELECT source,
+             base + CASE WHEN rk <= (SELECT l FROM lo)
+                         THEN 1 ELSE 0 END AS quota
+      FROM r
+    ), sel AS (
+      SELECT x.doc_id FROM (
+        SELECT p.doc_id, p.source,
+               ROW_NUMBER() OVER (PARTITION BY p.source
+                                  ORDER BY md5(CAST(p.doc_id AS VARCHAR)),
+                                           p.doc_id) AS rn
+        FROM packed p) x
+      JOIN quota ON quota.source IS NOT DISTINCT FROM x.source
+      WHERE x.rn <= quota.quota
+    )
+    SELECT tok.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok.n_tokens) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM(tok.n_wp_tokens) AS BIGINT) AS n_wp_tokens,
+           ROUND(CASE WHEN SUM(tok.n_wp_tokens) > 0
+                      THEN SUM(tok.n_chars)
+                           / CAST(SUM(tok.n_wp_tokens) AS DOUBLE)
+                 END, 4) AS chars_per_wp_token,
+           CAST(COUNT(DISTINCT (pack.bucket, pack.salt, pack.bin_idx))
+                AS BIGINT) AS n_bins,
+           CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_manifest
+    FROM tok
+    LEFT JOIN pack ON pack.doc_id = tok.doc_id
+    LEFT JOIN sel ON sel.doc_id = tok.doc_id
+    GROUP BY tok.source
+    """
+
+
+@register(
+    "tokenizer_pipeline_audit",
+    oracle=_tokpipe_oracle(),
+    tags=("tokenizer", "curation", "pipeline", "packing", "udf"),
+)
+def tokenizer_pipeline_audit(spark, sf_dir):
+    """The MATERIALIZED tokenizer pipeline (VERDICT r11 #7) — the
+    data-prep twin of ``curation_funnel_materialized``: land
+    encode → pack → manifest as three parquet stage tables
+    (per-doc WordPiece + whitespace token stats; the sharded-FFD
+    128-token bins over the stats TABLE; the Hamilton training-mix
+    manifest over the PACKED docs), then rebuild the per-source
+    shipping report purely from those tables.  The audit plan is
+    pinned to stage-table scans only (tests/test_tokenizer_pipeline):
+    no corpus scan, no greedy encoder, no pandas FFD survives into it.
+
+    Per source it reports docs, whitespace tokens (the packing
+    currency), WordPiece tokens (the fertility currency; >12-char
+    words count 1 UNK piece), chars-per-WordPiece-token, distinct
+    bins touched, and manifest selections (budget 120, exact-sum
+    Hamilton, md5-deterministic fill).
+
+    Scale: each stage is a separate restartable job writing a
+    columnar table other consumers reuse; the wall this entry pays in
+    the bench (three writes + the audit) is the production pipeline's
+    true cost, exactly like the funnel twin.  The oracle replays all
+    three stages in one composed SQL (the FFD CTEs shared with
+    ``sequence_packing_ffd``, the greedy CTEs with
+    ``wordpiece_encode``, the quota CTEs with
+    ``training_mix_manifest``).
+    """
+    from ..pipeline.tokenize import run_materialized_tokenizer
+
+    return run_materialized_tokenizer(spark, sf_dir)
