@@ -55,6 +55,14 @@ SHOWCASE = {
         "the corpus side streams through a map-side hash join on 32-byte "
         "digests — corpus text is never shuffled."
     ),
+    "ivfpq_topk_search": (
+        "IVF-PQ composed index (FAISS recipe): coarse centroids broadcast "
+        "for the one-pass list assignment; the residual-PQ codebook and the "
+        "per-query ADC tables are metadata broadcasts; candidate scoring is "
+        "integer-keyed code⋈ADC lookups inside the probed list — no "
+        "full-vector arithmetic per candidate; the exact arm exists only to "
+        "grade recall."
+    ),
     "ann_pq_adc_topk": (
         "Product quantization with ADC: the 32-subvector codebook and the "
         "32-entry query distance table both broadcast; encoding is one "

@@ -465,3 +465,34 @@ def test_anchor_armed_against_committed_baseline():
         # (unrounded inputs) by a few millis
         assert abs(v["cum"] - committed[k]["cum"]) < 5e-3, k
     assert set(regs) == set(mdoc.get("anchor_regressions") or {})
+
+
+def test_stdout_line_fits_tail_capture():
+    """r12: the 70-entry suite pushed the full per-query map to 2226
+    chars — past the driver's 2000-char tail capture (the r7
+    '"parsed": null' failure).  Rebuild the line exactly as main()
+    does from the committed metrics and pin it under 1900 chars with
+    the slowest-N cap applied."""
+    with open(os.path.join(REPO, bench.METRICS_FILE)) as f:
+        mdoc = json.load(f)
+    timings = {k: float(v) for k, v in mdoc["queries"].items()}
+    line_top = dict(sorted(timings.items(),
+                           key=lambda kv: -kv[1])[:bench._LINE_TOP_QUERIES])
+    line_q = {k: round(v, 2) for k, v in timings.items() if k in line_top}
+    if len(timings) > len(line_q):
+        line_q["_omitted_n"] = len(timings) - len(line_q)
+    line = json.dumps({
+        "metric": "headline_suite_sec", "value": 99.999, "unit": "sec",
+        "queries": line_q, "sf": mdoc.get("sf", 0.1),
+        "split_replay_rows_per_sec": 99999,
+        "split_replay_skew_rows_per_sec": 99999,
+        "shuffle_regressions": bench.cap_map(
+            mdoc.get("shuffle_regressions") or {}),
+        "calibration_sec": [0.414],
+        "wall_over": len(mdoc.get("wall_regressions") or {}),
+        "anchor_over": 0, "anchor_regs": {},
+    }, separators=(",", ":"))
+    assert len(line) < 1900, len(line)
+    # the omission marker never leaks into timing recovery
+    doc = {"parsed": {"queries": line_q}}
+    assert "_omitted_n" not in bench._timings_from_doc(doc)

@@ -1346,12 +1346,18 @@ def test_fill_report_rides_the_pack_plan(spark, sf_dir):
 
 
 def test_embedding_health_single_pass(spark, sf_dir):
-    """embedding_health_audit: one map-side norm per vector + a single
-    global aggregate — no joins, no range exchange (the exact median
-    is the only sort and it lives inside the percentile aggregate)."""
+    """embedding_health_audit: one map-side flag/norm row per vector,
+    a 1-row modal-dim aggregate joined back as a bounded broadcast
+    (the r12 malformed-class detector), and a single global aggregate
+    — no corpus-side SHUFFLE join, no range exchange (the exact
+    median is the only sort and it lives inside the percentile
+    aggregate)."""
     plan = plan_of(spark, sf_dir, "embedding_health_audit")
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
     assert "Exchange rangepartitioning" not in plan
+    # the only join is the 1-row modal-dim broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_training_mix_manifest_source_partitioned_selection(spark, sf_dir):
