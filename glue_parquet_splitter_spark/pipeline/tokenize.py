@@ -46,12 +46,7 @@ def materialize_tokenizer_stages(spark: SparkSession, sf_dir: str,
     shipped artifact)."""
     from ..catalog import load_table
     from ..queries.curation6_q import ffd_pack
-    from ..queries.tokenizer_q import (
-        _UNI_MAXW,
-        _uni_words,
-        _wp_greedy,
-        _wp_stores,
-    )
+    from ..queries.tokenizer_q import _uni_words, _wp_greedy, _wp_stores
 
     d = (load_table(spark, sf_dir, "documents")
          .filter(F.col("text").isNotNull()))
