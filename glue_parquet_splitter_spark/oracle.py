@@ -56,6 +56,13 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row count {len(sp)} vs oracle {len(oracle_df)}"
     if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, oracle_df.columns)):
         return False, f"columns {sorted(sp.columns)} vs oracle {sorted(oracle_df.columns)}"
+    if len(sp) == 0:
+        # Zero rows on both sides (counts matched above): the value and
+        # type-kind contracts are vacuous, but the frames keep their
+        # engine-native dtypes (Spark int64 vs DuckDB object on an empty
+        # BIGINT, etc.), so .equals()/kind checks would false-alarm —
+        # seen as "0/0 rows differ" in the --empty fuzz sweep.
+        return True, "ok (both empty)"
     # align oracle column case to Spark's BEFORE canonical sorting —
     # sorting case-sensitive names independently could pair up wrong
     # columns when cases differ

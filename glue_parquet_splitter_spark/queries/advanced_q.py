@@ -48,7 +48,16 @@ def asof_join(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.max("o_orderkey").alias("last_orderkey"),
     )
-    right = od.select(
+    # SQL ASOF equality semantics (--nullkeys fuzz): a NULL key never
+    # matches (NULL = NULL is false) and a NULL order date never
+    # satisfies the time bound — but the union+fill composition would
+    # group NULL by-keys into one partition and let NULL-t rows seed
+    # the fill, so NULL-key/NULL-date order rows are dropped up front.
+    # Left events stay intact: unmatched rows fill NULL, which the
+    # inner-shape filter (backward) or tolerance NULL-out (forward)
+    # then handles identically to the SQL form.
+    right = od.filter(F.col("o_custkey").isNotNull()
+                      & F.col("o_orderdate").isNotNull()).select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("t"),
         "o_orderdate", "n_orders", "last_orderkey",
@@ -277,7 +286,16 @@ def asof_join_forward_tolerance(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.max("o_orderkey").alias("last_orderkey"),
     )
-    right = od.select(
+    # SQL ASOF equality semantics (--nullkeys fuzz): a NULL key never
+    # matches (NULL = NULL is false) and a NULL order date never
+    # satisfies the time bound — but the union+fill composition would
+    # group NULL by-keys into one partition and let NULL-t rows seed
+    # the fill, so NULL-key/NULL-date order rows are dropped up front.
+    # Left events stay intact: unmatched rows fill NULL, which the
+    # inner-shape filter (backward) or tolerance NULL-out (forward)
+    # then handles identically to the SQL form.
+    right = od.filter(F.col("o_custkey").isNotNull()
+                      & F.col("o_orderdate").isNotNull()).select(
         F.col("o_custkey").alias("user_id"),
         F.col("o_orderdate").cast("timestamp").alias("t"),
         "o_orderdate", "n_orders", "last_orderkey",

@@ -430,9 +430,14 @@ def exp_decay_trending_score(spark, sf_dir):
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     ), scored AS (
       SELECT user_id,
-             NTILE(5) OVER (ORDER BY recency_days DESC, user_id) AS r,
-             NTILE(5) OVER (ORDER BY frequency, user_id) AS f,
-             NTILE(5) OVER (ORDER BY monetary NULLS FIRST, user_id) AS m
+             -- user_id NULLS FIRST explicit: the anonymous-purchaser
+             -- group (NULL user_id) must tie-break identically in both
+             -- engines (--nullkeys fuzz)
+             NTILE(5) OVER (ORDER BY recency_days DESC,
+                            user_id NULLS FIRST) AS r,
+             NTILE(5) OVER (ORDER BY frequency, user_id NULLS FIRST) AS f,
+             NTILE(5) OVER (ORDER BY monetary NULLS FIRST,
+                            user_id NULLS FIRST) AS m
       FROM per_user
     )
     SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
@@ -468,14 +473,16 @@ def rfm_segmentation(spark, sf_dir):
     # bounded: fed by the per-user groupBy above — audience-sized
     # (thousands, not corpus rows); histogram-cumulative substitute
     # (quality_decile_mix_histogram) is the registered scale form
-    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), "user_id"))
-    f = F.ntile(5).over(Window.orderBy("frequency", "user_id"))  # bounded: ^
+    uid = F.asc_nulls_first("user_id")  # explicit: see oracle note
+    # bounded: fed by the per-user groupBy above — audience-sized
+    r = F.ntile(5).over(Window.orderBy(F.col("recency_days").desc(), uid))
+    f = F.ntile(5).over(Window.orderBy(F.col("frequency").asc(), uid))  # bounded: ^
     # NULLS FIRST explicit: a purchaser whose every purchase value is
     # NULL has unknown spend and ranks below the lowest known spender —
     # Spark's bare ASC already does this; DuckDB's default is NULLS
     # LAST (fuzz_oracle.py)
     m = F.ntile(5).over(Window.orderBy(F.asc_nulls_first("monetary"),
-                                       "user_id"))  # bounded: ^
+                                       uid))  # bounded: ^
     return (
         per_user.select(r.cast("long").alias("r"), f.cast("long").alias("f"),
                         m.cast("long").alias("m"))

@@ -120,9 +120,13 @@ def sql_scripting_threshold_search(spark, sf_dir):
             ELSE SET lo = mid + 1;
             END IF;
           END WHILE;
+          -- empty-corpus contract (--empty fuzz): with zero orders there
+          -- is no m-th order statistic, so no threshold row — matches
+          -- the oracle's empty kth CTE instead of emitting the seed lo=0
           SELECT lo AS threshold,
                  (SELECT COUNT(*) FROM ord_scr
-                  WHERE o_totalprice < lo) AS n_below;
+                  WHERE o_totalprice < lo) AS n_below
+          WHERE total > 0;
         END
     """)
 

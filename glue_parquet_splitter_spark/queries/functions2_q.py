@@ -22,7 +22,12 @@ from . import register
       SELECT o_orderkey, o_custkey,
              [o_orderkey % 7, o_custkey % 7, o_orderkey % 5] AS a1,
              [o_custkey % 7, o_orderkey % 3] AS a2
-      FROM orders WHERE o_orderkey % 20 = 0
+      -- o_custkey NOT NULL (--nullkeys fuzz): a NULL key would put NULL
+      -- ELEMENTS into the arrays, and NULL-element set algebra is
+      -- engine-divergent by design (Spark's array_intersect matches
+      -- NULL = NULL, DuckDB's list ops do not) — out of contract for
+      -- this function-matrix demo
+      FROM orders WHERE o_orderkey % 20 = 0 AND o_custkey IS NOT NULL
     )
     SELECT o_orderkey,
            -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's is ''
@@ -51,7 +56,9 @@ def collection_funcs2(spark, sf_dir):
     matrix needs breadth of functions, not rows — array-valued compare
     is the oracle gate's slowest path).  All JVM-side expressions inside
     one whole-stage-codegen projection — no shuffle, no UDF."""
-    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderkey") % 20 == 0)
+        & F.col("o_custkey").isNotNull())  # see oracle NULL-element note
     ok, ck = F.col("o_orderkey"), F.col("o_custkey")
     a1 = F.array(ok % 7, ck % 7, ok % 5)
     a2 = F.array(ck % 7, ok % 3)

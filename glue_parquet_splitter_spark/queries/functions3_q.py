@@ -69,7 +69,11 @@ def linear_regression_aggs(spark, sf_dir):
              AVG(POW(e.value - m.mu, 2)) AS m2,
              AVG(POW(e.value - m.mu, 3)) AS m3,
              AVG(POW(e.value - m.mu, 4)) AS m4
-      FROM events e JOIN m USING (event_type)
+      -- null-safe join (--nullkeys fuzz): groupBy keeps the NULL
+      -- event_type group in both engines, so the decomposed-moments
+      -- join must not lose it to NULL <> NULL
+      FROM events e JOIN m
+        ON e.event_type IS NOT DISTINCT FROM m.event_type
       GROUP BY e.event_type
     )
     SELECT event_type,
@@ -201,8 +205,11 @@ def width_bucket_histogram(spark, sf_dir):
     "deterministic_mode_agg",
     oracle="""
     WITH c AS (
+      -- user_id IS NOT NULL (--nullkeys fuzz): Spark's mode() skips
+      -- NULL values, so NULL must not be a mode candidate here either
       SELECT event_type, user_id, COUNT(*) AS cnt
-      FROM events GROUP BY event_type, user_id
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type, user_id
     ), r AS (
       SELECT event_type, user_id, cnt,
              ROW_NUMBER() OVER (PARTITION BY event_type
@@ -230,7 +237,9 @@ def deterministic_mode_agg(spark, sf_dir):
         F.count("*").alias("n_events"))
     return modes.join(
         per_user,
-        (modes.event_type == per_user.event_type)
+        # eqNullSafe: the NULL event_type GROUP is legitimate (its mode
+        # is over known users) and must survive the re-join
+        modes.event_type.eqNullSafe(per_user.event_type)
         & (modes.top_user == per_user.user_id),
     ).select(modes.event_type, "top_user", "n_events")
 

@@ -303,9 +303,14 @@ def _pr_iter_sql(prev: str, out: str) -> str:
     "pagerank_fixed_iters",
     oracle=f"""
     WITH edges AS (
+      -- NULL-key contract (--nullkeys fuzz): a NULL key is not a graph
+      -- node — pooling anonymous rows into one phantom vertex would
+      -- concentrate rank mass AND tie-break nondeterministically at
+      -- the top-k cut (NULL orders first in Spark, last in DuckDB)
       SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                       's' || CAST(l_suppkey AS VARCHAR) AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL
     ), nodes AS (
       SELECT src AS node FROM edges UNION SELECT dst FROM edges
     ), meta AS (SELECT COUNT(*) AS n FROM nodes),
@@ -349,6 +354,9 @@ def pagerank_fixed_iters(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
+        # NULL key is not a node — see oracle comment
+        .filter(F.col("o_custkey").isNotNull()
+                & F.col("l_suppkey").isNotNull())
         .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
                 F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"))
         .distinct()

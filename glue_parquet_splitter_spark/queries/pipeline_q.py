@@ -41,15 +41,24 @@ def split_manifest_counts(spark, sf_dir):
     oracle="""
     SELECT DISTINCT strftime(o_orderdate, '%Y%m%d') AS missing_date
     FROM orders
-    WHERE strftime(o_orderdate, '%Y%m%d') NOT IN
+    WHERE o_orderdate IS NOT NULL
+      AND strftime(o_orderdate, '%Y%m%d') NOT IN
           (SELECT DISTINCT strftime(l_shipdate, '%Y%m%d') FROM lineitem)
     """,
     tags=("pipeline", "parity"),
 )
 def incremental_missing_days(spark, sf_dir):
     """O5: the incremental scheduler's anti-join — input days with no
-    completion marker (here: order days never shipped against)."""
-    o = load_table(spark, sf_dir, "orders").select(
+    completion marker (here: order days never shipped against).
+
+    NULL-date contract (--nullkeys fuzz): a NULL date is not a day and
+    is never scheduled — pinned explicitly on both sides, because the
+    engines' defaults diverge (Spark ``left_anti`` KEEPS a NULL-key row
+    as "unmatched", SQL ``NOT IN`` over a NULL probe yields NULL and
+    drops it)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+    ).select(
         F.date_format("o_orderdate", "yyyyMMdd").alias("missing_date")
     ).distinct()
     done = load_table(spark, sf_dir, "lineitem").select(
@@ -62,9 +71,11 @@ def incremental_missing_days(spark, sf_dir):
     "incremental_reopen_changed",
     oracle="""
     WITH inp AS (
+      -- NULL-date contract: a NULL date is not a day (see
+      -- incremental_missing_days)
       SELECT strftime(o_orderdate, '%Y%m%d') AS day,
              CAST(COUNT(*) AS BIGINT) AS fp
-      FROM orders GROUP BY 1
+      FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     ), done AS (
       SELECT strftime(l_shipdate, '%Y%m%d') AS day,
              CAST(COUNT(*) AS BIGINT) AS fp
@@ -92,7 +103,9 @@ def incremental_reopen_changed(spark, sf_dir):
     Scale: two partial aggs then two hash joins on the same short day
     key; both sides of each join are day-cardinality (thousands).
     """
-    inp = load_table(spark, sf_dir, "orders").groupBy(
+    inp = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()  # NULL date is not a day
+    ).groupBy(
         F.date_format("o_orderdate", "yyyyMMdd").alias("day")
     ).agg(F.count("*").alias("fp"))
     done = load_table(spark, sf_dir, "lineitem").groupBy(

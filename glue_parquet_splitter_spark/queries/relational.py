@@ -97,7 +97,11 @@ def q3_top_unshipped_orders(spark, sf_dir):
     "q5_region_revenue",
     oracle="""
     SELECT n.n_name AS n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           -- integer cents (the q10 pattern): float SUM order flipped
+           -- the last cent on the --nullkeys fuzz fixtures
+           ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT))
+             + 50) // 100) / 100.0 AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -505,6 +509,11 @@ def group_having(spark, sf_dir):
            COALESCE(o_orderpriority, 'ALL') AS priority,
            CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
     FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    -- empty-corpus contract (--empty fuzz): Spark rollup/cube emit NO
+    -- rows on empty input, ANSI/DuckDB emit the grand-total set; the
+    -- HAVING is a no-op on non-empty input (every grouping-set row
+    -- aggregates >= 1 row) and drops only that phantom row
+    HAVING COUNT(*) > 0
     """,
     tags=("agg", "rollup"),
 )
@@ -527,6 +536,7 @@ def rollup_agg(spark, sf_dir):
     SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
            CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(l_quantity), 2) AS qty
     FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0  -- empty-corpus contract, see rollup_agg
     """,
     tags=("agg", "cube"),
 )
@@ -965,6 +975,7 @@ def sort_limit_offset(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0  -- empty-corpus contract, see rollup_agg
     """,
     tags=("agg", "relational", "rollup"),
 )

@@ -18,7 +18,10 @@ from . import register
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust_exact,
            TRUE AS sketch_within_5pct
-    FROM orders GROUP BY 1
+    -- NULL-date contract (--nullkeys fuzz): a NULL date belongs to no
+    -- month/day file — without the filter the Spark side's inner join
+    -- of exact×sketch on the NULL month silently dropped the group
+    FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1
     """,
     tags=("scale", "approx", "sketch"),
 )
@@ -33,7 +36,8 @@ def hll_union_daily(spark, sf_dir):
     The exact count exists ONLY to make the sketch verifiable (oracle
     band ±5 %); the sketch path alone is what a production rollup runs.
     """
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull())  # NULL date: no day file
     month = F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
     daily = o.groupBy(month, F.col("o_orderdate").alias("day")).agg(
         F.hll_sketch_agg("o_custkey").alias("sk")

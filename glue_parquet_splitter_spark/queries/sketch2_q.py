@@ -93,16 +93,20 @@ def cms_heavy_hitters(spark, sf_dir):
     "scd2_current_snapshot",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
       FROM events
     ), changes AS (
-      SELECT user_id, event_type, ts FROM ordered
+      SELECT user_id, event_type, ts, event_id FROM ordered
       WHERE prev_type IS NULL OR event_type <> prev_type
     ), hist AS (
       SELECT user_id, event_type, ts,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+             -- event_id DESC tie-break (--nullkeys fuzz): several
+             -- change rows can share the max ts under the tie-storm
+             -- fixtures, and an untied pick is engine-nondeterministic
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
              COUNT(*) OVER (PARTITION BY user_id) AS n_states
     FROM changes
     )
@@ -131,7 +135,9 @@ def scd2_current_snapshot(spark, sf_dir):
         .where(F.col("prev_type").isNull()
                | (F.col("event_type") != F.col("prev_type")))
     )
-    wdesc = Window.partitionBy("user_id").orderBy(F.desc("ts"))
+    # event_id tie-break: see the oracle's hist-CTE note
+    wdesc = Window.partitionBy("user_id").orderBy(F.desc("ts"),
+                                                  F.desc("event_id"))
     wall = Window.partitionBy("user_id")
     hist = changes.select(
         "user_id", "event_type", "ts",
@@ -189,7 +195,10 @@ def bitmap_exact_distinct_rollup(spark, sf_dir):
         ), merged AS (
           SELECT bk, bitmap_or_agg(bm) AS bm FROM day_buckets GROUP BY bk
         ), total AS (
-          SELECT 'ALL' AS day, SUM(bitmap_count(bm)) AS n_users FROM merged
+          -- COALESCE: on an empty corpus the global agg still emits one
+          -- row and SUM is NULL, but COUNT(DISTINCT) in the oracle is 0
+          SELECT 'ALL' AS day,
+                 COALESCE(SUM(bitmap_count(bm)), 0) AS n_users FROM merged
         )
         SELECT day, CAST(n_users AS BIGINT) AS n_users FROM per_day
         UNION ALL
@@ -200,8 +209,14 @@ def bitmap_exact_distinct_rollup(spark, sf_dir):
 @register(
     "hll_intersection_estimate",
     oracle="""
-    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
-    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    -- user_id IS NOT NULL (--nullkeys fuzz): an audience is a set of
+    -- IDENTIFIED users — COUNT(*) over a DISTINCT including NULL would
+    -- count the anonymous row, while Spark's COUNT(DISTINCT CASE ...)
+    -- skips NULL
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view' AND user_id IS NOT NULL),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL),
     x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
           FROM v JOIN p USING (user_id))
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,

@@ -123,7 +123,10 @@ def streaming_session_dynamic_gap(spark, sf_dir):
 @register(
     "streaming_static_enrich_join",
     oracle="""
-    SELECT n.n_name || '/' || c.c_mktsegment AS segment,
+    -- concat_ws, not ||: a NULL segment column must DROP from the
+    -- label (both engines' concat_ws skips NULLs) rather than NULL the
+    -- whole label as || would (--nullkeys fuzz)
+    SELECT concat_ws('/', n.n_name, c.c_mktsegment) AS segment,
            e.event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            ROUND(SUM(e.value), 2)   AS total_value

@@ -20,17 +20,18 @@ def _orders(spark, sf_dir):
     oracle="""
     SELECT o_orderkey,
            ROUND(SUM(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
            CAST(ROW_NUMBER() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey) AS BIGINT) AS order_seq
     FROM orders
     """,
     tags=("window",),
 )
 def window_running_sum(spark, sf_dir):
     o = _orders(spark, sf_dir)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey")
     return o.select(
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_total"),
@@ -72,13 +73,14 @@ def window_rank_funcs(spark, sf_dir):
            ROUND(COALESCE(o_totalprice - LAG(o_totalprice) OVER w, 0), 2)  AS delta_prev,
            ROUND(COALESCE(LEAD(o_totalprice) OVER w - o_totalprice, 0), 2) AS delta_next
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
     tags=("window",),
 )
 def window_lag_lead(spark, sf_dir):
     o = _orders(spark, sf_dir)
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_last("o_orderdate"), "o_orderkey")
     tp = F.col("o_totalprice")
     return o.select(
         "o_orderkey",
@@ -92,7 +94,7 @@ def window_lag_lead(spark, sf_dir):
     oracle="""
     SELECT o_orderkey,
            ROUND(AVG(o_totalprice) OVER (
-               PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+               PARTITION BY o_orderpriority ORDER BY o_orderdate NULLS LAST, o_orderkey
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
     FROM orders
     """,
@@ -100,7 +102,8 @@ def window_lag_lead(spark, sf_dir):
 )
 def window_moving_avg(spark, sf_dir):
     o = _orders(spark, sf_dir)
-    w = (W.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    w = (W.partitionBy("o_orderpriority")
+         .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
          .rowsBetween(-2, W.currentRow))
     return o.select(
         "o_orderkey",

@@ -140,7 +140,8 @@ def _skewed(rng, n, values, hot_frac=0.9, null_frac=0.0):
 
 def gen_fixtures(out_dir: str, seed: int = 0,
                  nan: bool = False, big: bool = False,
-                 malformed: bool = False) -> None:
+                 malformed: bool = False, empty: bool = False,
+                 nullkeys: bool = False) -> None:
     """Write the ten fixture tables with hostile content, driver
     schemas.  ``nan=True`` additionally injects IEEE specials (NaN and
     ±Infinity) into events.value and embedding components — OPT-IN
@@ -375,6 +376,70 @@ def gen_fixtures(out_dir: str, seed: int = 0,
         "l_shipdate": pa.array(sdate.tolist(), pa.timestamp("us")),
     }), f"{out_dir}/lineitem.parquet")
 
+    if nullkeys:
+        _inject_null_keys(out_dir, seed)
+    if empty:
+        _truncate_all_tables(out_dir)
+
+
+_TABLES = ("documents", "embeddings", "events", "region", "nation",
+           "customer", "supplier", "part", "orders", "lineitem")
+
+# Join/group KEY columns the base hostility deliberately keeps clean
+# ("nulls in every NON-KEY column").  The --nullkeys dimension nulls a
+# seeded ~6 % of each: FK columns stress join/anti-join NULL semantics,
+# categorical group keys stress cube/rollup/grouping-sets
+# NULL-indistinguishability (a real NULL key colliding with the
+# super-aggregate's synthetic NULL), and a timestamp group key stresses
+# date-bucketing.  Primary keys stay non-NULL — the upstream-bug shape
+# this models is a fact row with a missing dimension reference.
+_NULLKEY_COLS = {
+    "nation": ["n_regionkey"],
+    "customer": ["c_nationkey", "c_mktsegment"],
+    "supplier": ["s_nationkey"],
+    "part": ["p_brand", "p_type", "p_size"],
+    "orders": ["o_custkey", "o_orderstatus", "o_orderpriority",
+               "o_orderdate"],
+    "lineitem": ["l_partkey", "l_suppkey", "l_returnflag",
+                 "l_linestatus"],
+    "events": ["user_id", "event_type"],
+}
+
+
+def _inject_null_keys(out_dir: str, seed: int) -> None:
+    """Null a seeded fraction of the join/group key columns in the
+    already-written fixtures (--nullkeys).  Post-processing keeps the
+    base generator byte-identical when the knob is off."""
+    rng = np.random.default_rng(seed + 7777)
+    for tname, cols in _NULLKEY_COLS.items():
+        path = f"{out_dir}/{tname}.parquet"
+        tbl = pq.read_table(path)
+        n = tbl.num_rows
+        out = []
+        for field in tbl.schema:
+            col = tbl.column(field.name)
+            if field.name in cols:
+                mask = rng.random(n) < 0.06
+                if not mask.any():          # small dims (e.g. nation):
+                    mask[int(rng.integers(n))] = True  # guarantee >= 1
+                col = pa.array(
+                    [None if m else v
+                     for v, m in zip(col.to_pylist(), mask)],
+                    type=field.type)
+            out.append(col)
+        pq.write_table(pa.Table.from_arrays(out, schema=tbl.schema), path)
+
+
+def _truncate_all_tables(out_dir: str) -> None:
+    """Rewrite every fixture as ZERO rows, schema preserved (--empty).
+    Models the reference's own O9 class — a day with no data anywhere —
+    at the whole-corpus level: every query must return an empty (or
+    well-defined degenerate) result in BOTH engines, not crash."""
+    for tname in _TABLES:
+        path = f"{out_dir}/{tname}.parquet"
+        tbl = pq.read_table(path)
+        pq.write_table(tbl.slice(0, 0), path)
+
 
 def exception_chain_text(exc: BaseException) -> str:
     """Full match text for classification: every exception in the
@@ -438,6 +503,12 @@ def main() -> None:
     ap.add_argument("--malformed", action="store_true",
                     help="inject structurally broken embeddings (NULL/"
                          "empty/ragged vectors, NULL components)")
+    ap.add_argument("--nullkeys", action="store_true",
+                    help="null ~6%% of join/group KEY columns (FKs, "
+                         "categorical group keys, a timestamp key)")
+    ap.add_argument("--empty", action="store_true",
+                    help="truncate every fixture table to ZERO rows "
+                         "(the reference's O9 class, corpus-wide)")
     ap.add_argument("--json", default=None,
                     help="also write a {name: status} JSON ledger here")
     args = ap.parse_args()
@@ -461,9 +532,11 @@ def main() -> None:
     import os
     os.makedirs(out_dir, exist_ok=True)
     gen_fixtures(out_dir, args.seed, nan=args.nan, big=args.big,
-                 malformed=args.malformed)
+                 malformed=args.malformed, empty=args.empty,
+                 nullkeys=args.nullkeys)
     print(f"hostile fixtures (seed={args.seed}, nan={args.nan}, "
-          f"big={args.big}, malformed={args.malformed}) -> {out_dir}")
+          f"big={args.big}, malformed={args.malformed}, "
+          f"nullkeys={args.nullkeys}, empty={args.empty}) -> {out_dir}")
 
     spark = get_spark("fuzz_oracle", shuffle_partitions=8)
     statuses: dict[str, str] = {}

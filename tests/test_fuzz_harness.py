@@ -150,6 +150,64 @@ def test_malformed_embedding_shapes(tmp_path):
     assert all(x is None for x in by_id[99])       # all-NULL comps
 
 
+def test_nullkeys_dimension(tmp_path):
+    """--nullkeys nulls a fraction of every declared join/group KEY
+    column — the base hostility keeps keys clean, so this dimension
+    must actually dirty them — while schemas and primary keys stay
+    intact."""
+    import duckdb
+
+    from fuzz_oracle import _NULLKEY_COLS
+
+    gen_fixtures(str(tmp_path), seed=0, nullkeys=True)
+    con = duckdb.connect()
+    for t, cols in _NULLKEY_COLS.items():
+        for c in cols:
+            n = con.sql(
+                f"SELECT COUNT(*) FROM read_parquet('{tmp_path}/{t}.parquet') "
+                f"WHERE {c} IS NULL").fetchone()[0]
+            assert n > 0, f"{t}.{c} has no NULLs under --nullkeys"
+    # primary keys stay non-NULL (the modeled upstream bug is a fact
+    # row with a missing dimension reference, not a broken identity)
+    for t, pk in (("orders", "o_orderkey"), ("lineitem", "l_orderkey"),
+                  ("events", "event_id"), ("documents", "doc_id")):
+        n = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{tmp_path}/{t}.parquet') "
+            f"WHERE {pk} IS NULL").fetchone()[0]
+        assert n == 0, f"{t}.{pk} must stay non-NULL"
+
+
+def test_empty_dimension(tmp_path, sf_dir):
+    """--empty truncates every table to zero rows with the driver
+    schemas preserved (the reference's O9 empty-relation class,
+    corpus-wide)."""
+    gen_fixtures(str(tmp_path), seed=0, empty=True)
+    for t in TABLES:
+        got = pq.read_table(f"{tmp_path}/{t}.parquet")
+        assert got.num_rows == 0, t
+        ref = pq.read_schema(f"{sf_dir}/{t}.parquet")
+        assert got.schema.names == ref.names, t
+        for name in ref.names:
+            assert (str(got.schema.field(name).type)
+                    == str(ref.field(name).type)), f"{t}.{name}"
+
+
+def test_compare_passes_on_both_empty(spark):
+    """The compare layer's empty-frame contract: 0-vs-0 rows with
+    matching columns passes regardless of the engines' empty-frame
+    dtypes (the '0/0 rows differ' false alarm the --empty sweep hit)."""
+    import pandas as pd
+
+    from glue_parquet_splitter_spark.oracle import compare
+
+    sdf = spark.createDataFrame([], "a string, n bigint")
+    ok, msg = compare(sdf, pd.DataFrame({"a": [], "n": []}))
+    assert ok, msg
+    # column mismatch still fails on empty frames
+    ok, _ = compare(sdf, pd.DataFrame({"a": [], "m": []}))
+    assert not ok
+
+
 def test_finite_vectors_contract_both_engines(spark, tmp_path):
     """finite_vectors and its oracle mirror keep the SAME vec_id set on
     the malformed shapes — the exact divergence class ADVICE r11 names
