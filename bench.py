@@ -159,6 +159,10 @@ BENCH_QUERIES = [
     "ivfpq_topk_search",
     "hybrid_rrf_fusion_ivf_mp",
     "tokenizer_pipeline_audit",
+    # round-12 continuation: the referential-integrity audit — seven
+    # one-column fact scans collapsed to key cardinality + broadcast
+    # existence probes; its shuffle bytes gate the key-collapse shape
+    "fk_integrity_audit",
 ]
 
 

@@ -566,3 +566,111 @@ def dp_noisy_counts_impl(spark, sf_dir, mode: str = "testing"):
     return c.select("segment", "n_true",
                     F.round(F.col("n_true") + noise, 6).alias("n_noisy"),
                     F.round(F.abs(noise), 6).alias("abs_noise"))
+
+
+# ======================================================================
+# Referential-integrity audit (round-12 continuation)
+# ======================================================================
+
+# The declared FK relationships of the fixture schema, in audit order:
+# (label, fact table, fk column, dim table, pk column)
+_FK_RELATIONSHIPS = (
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+)
+
+
+def _fk_audit_sql_one(label, fact, fk, dim, pk):
+    return f"""
+    SELECT '{label}' AS relationship,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE fk IS NULL), 0)
+                AS BIGINT) AS n_null_fk,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE fk IS NOT NULL
+                                          AND NOT hit), 0)
+                AS BIGINT) AS n_dangling,
+           CAST(COALESCE(SUM(cnt) FILTER (WHERE hit), 0)
+                AS BIGINT) AS n_matched,
+           ROUND(CAST(COALESCE(SUM(cnt) FILTER (WHERE fk IS NOT NULL
+                                                AND NOT hit), 0)
+                      AS DOUBLE) / NULLIF(SUM(cnt), 0), 6)
+             AS dangling_rate
+    FROM (
+      SELECT k.fk, k.cnt,
+             EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = k.fk) AS hit
+      FROM (SELECT {fk} AS fk, COUNT(*) AS cnt
+            FROM {fact} GROUP BY {fk}) k
+    )"""
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="\n    UNION ALL".join(
+        _fk_audit_sql_one(*rel) for rel in _FK_RELATIONSHIPS),
+    tags=("governance", "join", "agg", "audit"),
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit over every declared FK relationship
+    of the schema — the dbt-style ``relationships`` test as a scale
+    operator: per relationship, total fact rows, NULL FKs (a fact row
+    with a MISSING dimension reference — neither matched nor
+    dangling), dangling FKs (non-NULL key with no parent row), matched
+    rows, and the dangling rate.  This is the data-quality DETECTOR
+    for exactly the hostility classes the adversarial fuzz models
+    (dangling FKs since r10, NULL keys since the r12 ``--nullkeys``
+    dimension): a pipeline that enforces the "NULL key is not a
+    day/node/audience member" contracts should also publish how often
+    they fire.
+
+    Scale: each fact side collapses to FK-key cardinality (groupBy fk
+    + count — map-side combinable, vocab-sized output) BEFORE any dim
+    work; the existence probe is then a left join of that key table
+    against the dim's PK — dims broadcast when small, AQE decides
+    otherwise — and the per-relationship rollup aggregates key-
+    cardinality rows.  The fact table is scanned once per declared
+    relationship, one column each (column-pruned scans); no
+    fact-vs-fact or row-explosion path exists.  Empty corpus: every
+    relationship still reports one row of zero counts with a NULL
+    rate (NULLIF guard, both engines).
+    """
+    out = None
+    for label, fact, fk, dim, pk in _FK_RELATIONSHIPS:
+        keys = (load_table(spark, sf_dir, fact)
+                .groupBy(F.col(fk).alias("fk"))
+                .agg(F.count("*").alias("cnt")))
+        parents = (load_table(spark, sf_dir, dim)
+                   .select(F.col(pk).alias("pk")).distinct())
+        j = keys.join(parents, keys["fk"] == parents["pk"], "left")
+        null_cnt = F.sum(F.when(F.col("fk").isNull(), F.col("cnt"))
+                         .otherwise(F.lit(0)))
+        dang_cnt = F.sum(F.when(F.col("fk").isNotNull()
+                                & F.col("pk").isNull(), F.col("cnt"))
+                         .otherwise(F.lit(0)))
+        match_cnt = F.sum(F.when(F.col("pk").isNotNull(), F.col("cnt"))
+                          .otherwise(F.lit(0)))
+        # coalesce: SUM over an EMPTY key table is NULL in both
+        # engines; the audit's empty-corpus contract is zero counts
+        z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+        row = j.agg(
+            F.lit(label).alias("relationship"),
+            z(F.sum("cnt")).alias("n_rows"),
+            z(null_cnt).alias("n_null_fk"),
+            z(dang_cnt).alias("n_dangling"),
+            z(match_cnt).alias("n_matched"),
+            F.round(dang_cnt.cast("double")
+                    / F.nullif(F.sum("cnt"), F.lit(0)), 6)
+            .alias("dangling_rate"))
+        out = row if out is None else out.unionByName(row)
+    return out

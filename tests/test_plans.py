@@ -1409,3 +1409,17 @@ def test_normalization_impact_hash_keyed(spark, sf_dir):
     assert "Join" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_fk_integrity_audit_key_collapsed_broadcast(spark, sf_dir):
+    """fk_integrity_audit: every fact side collapses to FK-key
+    cardinality BEFORE the dim probe (no fact-row join), all seven
+    existence probes are broadcast joins (dim PK side is bounded),
+    and every scan reads exactly its one key column."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "fk_integrity_audit")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 7
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("," not in s for s in schemas), schemas
