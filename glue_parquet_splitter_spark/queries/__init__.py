@@ -35,12 +35,47 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Streaming event-time validity floor — Spark Structured Streaming's
+# INITIAL watermark is epoch 0 (1970-01-01), so a pre-epoch event time
+# is "late from birth": every stateful operator (windowed agg in append
+# mode, dropDuplicatesWithinWatermark, stream-stream join state) drops
+# it silently in the very first micro-batch (found by the --dates fuzz
+# dimension).  Production streams guard event-time validity at ingest
+# (client clocks DO produce absurd timestamps); the engine does the
+# same in ``streaming.windows.events_stream``, and every events-reading
+# streaming oracle applies the identical floor via
+# ``stream_events_guard=True`` below.
+STREAM_EVENTS_FLOOR = "1970-01-01 00:00:00"
 
-def register(name: str, oracle: str | None = None, tags: tuple = ()):  # decorator
+
+def _guard_stream_events(sql: str) -> str:
+    """Rewrite an oracle so every reference to the ``events`` relation
+    reads through the event-time validity floor.  Token-level
+    substitution (word boundary: ``n_events``/``event_type`` untouched)
+    plus one prefixed CTE keeps every alias form (``FROM events e``,
+    ``JOIN events b``) valid."""
+    import re
+
+    guarded = re.sub(r"\bevents\b", "ev_valid", sql)
+    cte = ("ev_valid AS (SELECT * FROM events WHERE ts >= TIMESTAMP "
+           f"'{STREAM_EVENTS_FLOOR}')")
+    m = re.match(r"(\s*WITH\s+RECURSIVE\s+|\s*WITH\s+)", guarded,
+                 re.IGNORECASE)
+    if m:
+        head = m.group(1)
+        return head + cte + ", " + guarded[len(head):]
+    return "WITH " + cte + "\n    " + guarded
+
+
+def register(name: str, oracle: str | None = None, tags: tuple = (),
+             stream_events_guard: bool = False):  # decorator
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags)
+        orc = oracle
+        if stream_events_guard and orc is not None:
+            orc = _guard_stream_events(orc)
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=orc, tags=tags)
         return fn
 
     return deco

@@ -180,6 +180,7 @@ def grouped_topk_list(spark, sf_dir):
     FROM events
     """,
     tags=("events", "streaming", "dedup"),
+    stream_events_guard=True,
 )
 def streaming_dedup_ids(spark, sf_dir):
     """Streaming exactly-once dedup: ``dropDuplicates`` with a
@@ -209,7 +210,11 @@ def streaming_dedup_ids(spark, sf_dir):
     # splice the drained 1-row stream result in-plan (broadcast) instead
     # of a driver-side collect — same convention as operators/text.py.
     unique = spark.table(name).select(F.col("n").cast("long").alias("n_unique"))
-    ev = load_table(spark, sf_dir, "events")
+    from . import STREAM_EVENTS_FLOOR
+    # arrival count post-ingest-guard: every number in the output
+    # describes the guarded stream (see events_stream / --dates fuzz)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit(STREAM_EVENTS_FLOOR).cast("timestamp"))
     return (
         ev.agg(F.count("*").alias("n_rows"))
         # bounded: unique is the drained 1-row stream aggregate

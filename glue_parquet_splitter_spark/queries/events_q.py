@@ -140,6 +140,7 @@ def event_type_funnel(spark, sf_dir):
     FROM events GROUP BY 1
     """,
     tags=("events", "streaming"),
+    stream_events_guard=True,
 )
 def streaming_tumbling_counts(spark, sf_dir):
     """True Structured Streaming: file-source ``readStream`` over the
@@ -163,6 +164,7 @@ def streaming_tumbling_counts(spark, sf_dir):
      AND b.ts <= a.ts + INTERVAL '60 seconds'
     """,
     tags=("events", "streaming", "join"),
+    stream_events_guard=True,
 )
 def streaming_interval_join(spark, sf_dir):
     """Stream-stream interval inner join with watermarks on both sides
@@ -185,6 +187,7 @@ def streaming_interval_join(spark, sf_dir):
     ) GROUP BY 1
     """,
     tags=("events", "streaming", "window"),
+    stream_events_guard=True,
 )
 def streaming_sliding_counts(spark, sf_dir):
     """Sliding-window (2 h window / 1 h slide) event counts as a real
@@ -207,6 +210,7 @@ def streaming_sliding_counts(spark, sf_dir):
     HAVING date_trunc('hour', MIN(ts)) + INTERVAL '1 hour' <= wm.w
     """,
     tags=("events", "streaming"),
+    stream_events_guard=True,
 )
 def streaming_late_data_append(spark, sf_dir):
     """Append-mode windowed stream with a 30-min watermark: only
@@ -244,6 +248,7 @@ def streaming_late_data_append(spark, sf_dir):
     GROUP BY user_id
     """,
     tags=("events", "streaming", "stateful"),
+    stream_events_guard=True,
 )
 def streaming_stateful_user_stats(spark, sf_dir):
     """Custom stateful operator (``applyInPandasWithState``): per-user

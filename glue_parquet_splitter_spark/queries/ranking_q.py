@@ -127,6 +127,7 @@ def unigram_logprob_quality(spark, sf_dir):
     GROUP BY c_nationkey
     """,
     tags=("streaming", "join"),
+    stream_events_guard=True,
 )
 def streaming_static_enrich(spark, sf_dir):
     """Stream-static enrichment: the event stream micro-batch-joins a

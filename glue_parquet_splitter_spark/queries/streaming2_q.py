@@ -33,6 +33,7 @@ from . import register
     FROM sess GROUP BY user_id, sid
     """,
     tags=("streaming", "session"),
+    stream_events_guard=True,
 )
 def streaming_session_window_agg(spark, sf_dir):
     """Gap-based sessionization on a live stream: ``session_window``
@@ -61,6 +62,7 @@ def streaming_session_window_agg(spark, sf_dir):
     SELECT window_start, event_type, n FROM ranked WHERE rk = 1
     """,
     tags=("streaming", "window", "topk"),
+    stream_events_guard=True,
 )
 def streaming_windowed_topk(spark, sf_dir):
     """Top event type per hour over a stream: watermarked streaming
@@ -89,6 +91,7 @@ def streaming_windowed_topk(spark, sf_dir):
           < strftime(mx.mx - INTERVAL '11 minutes', '%Y-%m-%d %H:%M:%S')
     """,
     tags=("streaming", "join", "outer"),
+    stream_events_guard=True,
 )
 def streaming_left_outer_interval(spark, sf_dir):
     """Left-outer stream-stream interval join, drained availableNow and
@@ -111,6 +114,7 @@ def streaming_left_outer_interval(spark, sf_dir):
     FROM events
     """,
     tags=("streaming", "dedup", "watermark"),
+    stream_events_guard=True,
 )
 def streaming_dedup_within_watermark(spark, sf_dir):
     """``dropDuplicatesWithinWatermark``: exactly-once dedup whose
@@ -149,8 +153,15 @@ def streaming_dedup_within_watermark(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    from . import STREAM_EVENTS_FLOOR
+    from ..catalog import load_table as _lt
+    # arrival count post-ingest-guard — the guarded stream is what the
+    # dedup operator sees (see events_stream / --dates fuzz); loaded
+    # through catalog so the ts column decodes like the stream's
     n_arrived = (
-        spark.read.parquet(path).groupBy()
+        _lt(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit(STREAM_EVENTS_FLOOR).cast("timestamp"))
+        .groupBy()
         .agg((F.count("*") * 2).cast("long").alias("n_arrived"))
     )
     return (
@@ -180,6 +191,7 @@ def streaming_dedup_within_watermark(spark, sf_dir):
           < strftime(mx.mx - INTERVAL '11 minutes', '%Y-%m-%d %H:%M:%S')
     """,
     tags=("streaming", "join", "outer"),
+    stream_events_guard=True,
 )
 def streaming_full_outer_interval(spark, sf_dir):
     """Full-outer stream-stream interval join (the complete streaming

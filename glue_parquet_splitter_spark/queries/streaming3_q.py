@@ -30,6 +30,7 @@ from . import register
           AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 60 SECONDS)
     """,
     tags=("streaming", "join", "semi"),
+    stream_events_guard=True,
 )
 def streaming_semi_interval_join(spark, sf_dir):
     """Purchases followed by a same-user click within 60 s, as a
@@ -60,6 +61,7 @@ def streaming_semi_interval_join(spark, sf_dir):
     HAVING date_trunc('day', h) + INTERVAL '1 day' <= m - INTERVAL '2 hours'
     """,
     tags=("streaming", "window", "agg"),
+    stream_events_guard=True,
 )
 def streaming_chained_window_agg(spark, sf_dir):
     """Per-day peak hourly rate and total, computed as CHAINED
@@ -105,6 +107,7 @@ def streaming_chained_window_agg(spark, sf_dir):
     FROM s GROUP BY user_id, sid
     """,
     tags=("streaming", "session", "spark4"),
+    stream_events_guard=True,
 )
 def streaming_session_dynamic_gap(spark, sf_dir):
     """The dynamic-gap session window ON A STREAM: the state store
@@ -136,6 +139,7 @@ def streaming_session_dynamic_gap(spark, sf_dir):
     GROUP BY 1, 2
     """,
     tags=("streaming", "join", "enrich"),
+    stream_events_guard=True,
 )
 def streaming_static_enrich_join(spark, sf_dir):
     """Stream-static dimension enrichment — the missing stateless
@@ -181,6 +185,7 @@ def streaming_static_enrich_join(spark, sf_dir):
     WHERE rn <= 3
     """,
     tags=("streaming", "stateful", "sampling", "governance"),
+    stream_events_guard=True,
 )
 def streaming_quota_sampler(spark, sf_dir):
     """Per-user quota sampling AT INGEST — a custom stateful operator

@@ -40,6 +40,17 @@ def events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     elif ts_type == "timestamp_ntz":
         # naive parquet ts → instant; NTZ cannot be a watermark column
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Event-time validity floor: Spark's INITIAL watermark is epoch 0,
+    # so a pre-epoch event time is late-from-birth and every stateful
+    # operator silently drops it in the first micro-batch (--dates
+    # fuzz).  Production streams reject/dead-letter invalid event times
+    # at ingest; the guard here keeps the whole streaming family's
+    # semantics explicit, and every events-reading streaming oracle
+    # applies the identical floor (queries.register
+    # ``stream_events_guard``).
+    from .. import queries as _q
+    stream = stream.filter(
+        F.col("ts") >= F.lit(_q.STREAM_EVENTS_FLOOR).cast("timestamp"))
     return stream
 
 

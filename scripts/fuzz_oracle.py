@@ -141,7 +141,7 @@ def _skewed(rng, n, values, hot_frac=0.9, null_frac=0.0):
 def gen_fixtures(out_dir: str, seed: int = 0,
                  nan: bool = False, big: bool = False,
                  malformed: bool = False, empty: bool = False,
-                 nullkeys: bool = False) -> None:
+                 nullkeys: bool = False, dates: bool = False) -> None:
     """Write the ten fixture tables with hostile content, driver
     schemas.  ``nan=True`` additionally injects IEEE specials (NaN and
     ±Infinity) into events.value and embedding components — OPT-IN
@@ -214,6 +214,19 @@ def gen_fixtures(out_dir: str, seed: int = 0,
     base = np.datetime64("2024-03-01T00:00:00", "us")
     ts_pool = base + (np.arange(10) * np.timedelta64(7200, "s")).astype(
         "timedelta64[us]")
+    if dates:
+        # extreme-timestamp hostility (--dates): pre-epoch with
+        # fractional seconds (negative epoch + trunc-vs-round), year
+        # 1900, leap day, and sub-second precision — the base pool is
+        # whole-hour so none of these paths ever fire on it.  Year
+        # 9999 stays OUT: interval arithmetic near the engine max is a
+        # separate crash class (ANSI overflow), not a value-parity one.
+        extremes = np.array(
+            [np.datetime64("1969-12-31T23:59:59.999999", "us"),
+             np.datetime64("1900-01-01T00:00:00", "us"),
+             np.datetime64("2024-02-29T23:59:59.500000", "us"),
+             np.datetime64("2024-03-01T00:00:00.123456", "us")])
+        ts_pool = np.concatenate([ts_pool[:6], extremes])
     ts = rng.choice(ts_pool, e)                        # HEAVY ties
     props = []
     for _ in range(e):
@@ -317,6 +330,13 @@ def gen_fixtures(out_dir: str, seed: int = 0,
     odate = (np.datetime64("2024-01-01", "us")
              + rng.choice((np.arange(5) * np.timedelta64(86400, "s")
                            ).astype("timedelta64[us]"), o))
+    if dates:
+        # sprinkle extreme order days: pre-epoch, year 1900, leap day
+        oex = np.array([np.datetime64("1969-12-31T00:00:00", "us"),
+                        np.datetime64("1900-01-01T00:00:00", "us"),
+                        np.datetime64("2024-02-29T00:00:00", "us")])
+        pick = rng.random(o) < 0.05
+        odate[pick] = rng.choice(oex, int(pick.sum()))
     pq.write_table(pa.table({
         "o_orderkey": pa.array(range(1, o + 1), pa.int64()),
         "o_custkey": pa.array(cust.tolist(), pa.int64()),
@@ -353,6 +373,9 @@ def gen_fixtures(out_dir: str, seed: int = 0,
     sdate = (np.datetime64("2024-02-01", "us")
              + rng.choice((np.arange(6) * np.timedelta64(86400, "s")
                            ).astype("timedelta64[us]"), li))
+    if dates:
+        pick = rng.random(li) < 0.05    # leap-day ship dates
+        sdate[pick] = np.datetime64("2024-02-29T00:00:00", "us")
     pq.write_table(pa.table({
         "l_orderkey": pa.array(okeys, pa.int64()),
         "l_partkey": pa.array(pkey.tolist(), pa.int64()),
@@ -509,6 +532,9 @@ def main() -> None:
     ap.add_argument("--empty", action="store_true",
                     help="truncate every fixture table to ZERO rows "
                          "(the reference's O9 class, corpus-wide)")
+    ap.add_argument("--dates", action="store_true",
+                    help="extreme timestamps: pre-epoch + fractional "
+                         "seconds, year 1900, leap day")
     ap.add_argument("--json", default=None,
                     help="also write a {name: status} JSON ledger here")
     args = ap.parse_args()
@@ -533,10 +559,11 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     gen_fixtures(out_dir, args.seed, nan=args.nan, big=args.big,
                  malformed=args.malformed, empty=args.empty,
-                 nullkeys=args.nullkeys)
+                 nullkeys=args.nullkeys, dates=args.dates)
     print(f"hostile fixtures (seed={args.seed}, nan={args.nan}, "
           f"big={args.big}, malformed={args.malformed}, "
-          f"nullkeys={args.nullkeys}, empty={args.empty}) -> {out_dir}")
+          f"nullkeys={args.nullkeys}, empty={args.empty}, "
+          f"dates={args.dates}) -> {out_dir}")
 
     spark = get_spark("fuzz_oracle", shuffle_partitions=8)
     statuses: dict[str, str] = {}

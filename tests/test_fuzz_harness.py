@@ -5,6 +5,7 @@ actually be hostile (nulls, unicode, ties, dangling FKs present)."""
 
 import sys
 
+import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
@@ -245,3 +246,85 @@ def test_query_vs_oracle_on_hostile_data(spark, fuzz_dir):
     for name in ("filter_project", "agg_stats", "null_handling"):
         ok, msg = run_one(spark, fuzz_dir, name)
         assert ok, f"{name}: {msg}"
+
+
+def test_dates_dimension(tmp_path):
+    """--dates plants the extreme timestamps the base pool never has
+    (pre-epoch with fractional seconds, year 1900, leap day,
+    sub-second precision) while keeping the tie-storm property."""
+    import duckdb
+
+    gen_fixtures(str(tmp_path), seed=0, dates=True)
+    con = duckdb.connect()
+    q = lambda s: con.sql(s).fetchone()[0]  # noqa: E731
+    ev = f"read_parquet('{tmp_path}/events.parquet')"
+    assert q(f"SELECT COUNT(*) FROM {ev} WHERE ts < TIMESTAMP "
+             "'1970-01-01'") > 0
+    assert q(f"SELECT COUNT(*) FROM {ev} WHERE "
+             "date_part('microsecond', ts) % 1000000 != 0") > 0
+    assert q(f"SELECT COUNT(DISTINCT ts) FROM {ev}") <= 10  # ties kept
+    od = f"read_parquet('{tmp_path}/orders.parquet')"
+    assert q(f"SELECT COUNT(*) FROM {od} WHERE o_orderdate < TIMESTAMP "
+             "'1970-01-01'") > 0
+    li = f"read_parquet('{tmp_path}/lineitem.parquet')"
+    assert q(f"SELECT COUNT(*) FROM {li} WHERE strftime(l_shipdate, "
+             "'%m-%d') = '02-29'") > 0
+
+
+def test_stream_events_guard_rewrite():
+    """_guard_stream_events: every bare ``events`` relation reference
+    reads through the validity-floor CTE; aliases, column names like
+    ``n_events``/``event_type``, and existing WITH/WITH RECURSIVE
+    prefixes all survive."""
+    from glue_parquet_splitter_spark.queries import (
+        STREAM_EVENTS_FLOOR, _guard_stream_events)
+
+    out = _guard_stream_events(
+        "SELECT n_events, event_type FROM events e JOIN events b "
+        "ON b.user_id = e.user_id GROUP BY 1, 2")
+    assert out.count("FROM events WHERE ts >=") == 1      # the CTE only
+    assert "FROM ev_valid e" in out and "JOIN ev_valid b" in out
+    assert "n_events" in out and "event_type" in out
+    assert STREAM_EVENTS_FLOOR in out
+    w = _guard_stream_events("WITH x AS (SELECT 1 FROM events) "
+                             "SELECT * FROM x")
+    assert w.upper().startswith("WITH EV_VALID AS")
+    assert "FROM ev_valid)" in w
+    r = _guard_stream_events("WITH RECURSIVE x AS (SELECT 1 FROM events) "
+                             "SELECT * FROM x")
+    assert r.upper().startswith("WITH RECURSIVE EV_VALID AS")
+
+
+def test_events_stream_applies_validity_floor(spark, tmp_path):
+    """events_stream drops pre-epoch event times at ingest — Spark's
+    initial watermark is epoch 0, so such rows are late-from-birth in
+    every stateful operator (--dates fuzz find); the guard makes the
+    drop explicit and oracle-mirrored."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from glue_parquet_splitter_spark.streaming.windows import events_stream
+
+    path = str(tmp_path / "events.parquet")
+    ts = [np.datetime64("1969-12-31T23:59:59.999999", "us"),
+          np.datetime64("2024-03-01T00:00:00", "us"),
+          np.datetime64("1900-01-01T00:00:00", "us")]
+    pq_.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["a", "b", "c"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"], pa.string()),
+    }), path)
+    import tempfile
+    import uuid
+
+    stream = events_stream(spark, path).groupBy().count()
+    name = "guard_" + uuid.uuid4().hex[:8]
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_g_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.table(name).collect()[0][0] == 1  # only the 2024 row
