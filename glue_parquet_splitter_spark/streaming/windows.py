@@ -362,8 +362,21 @@ def run_full_outer_interval_stream(spark: SparkSession,
         F.col("event_id").alias("event_b"), F.col("user_id").alias("u_b"),
         F.col("ts").alias("ts_b"),
     ).withWatermark("ts_b", "10 minutes")
-    joined = a.join(
-        b,
+    # ENGINE FIND (--dates --nullkeys fuzz): in the FULL OUTER cell —
+    # and only there — Spark's stream-stream join MATCHES NULL equi-
+    # keys to each other.  Outer semantics forbid the usual IsNotNull
+    # inference on either side, so NULL-key rows reach the symmetric
+    # hash join's state store, whose key comparison is byte-level:
+    # NULL = NULL matches, violating SQL equality (inner/semi/left
+    # infer the null filter on at least one side and stay correct;
+    # reproduced in tests/test_fuzz_harness.py).  Restore SQL
+    # semantics by routing NULL-key rows AROUND the join: they are
+    # provably unmatched (NULL = x is never true), hence stateless
+    # pass-throughs unioned into the same sink.
+    a_v, b_v = a.filter(F.col("u_a").isNotNull()), \
+        b.filter(F.col("u_b").isNotNull())
+    joined = a_v.join(
+        b_v,
         F.expr("""u_a = u_b AND event_b <> event_a AND ts_b > ts_a
                   AND ts_b <= ts_a + INTERVAL 60 SECONDS"""),
         "fullOuter",
@@ -372,6 +385,15 @@ def run_full_outer_interval_stream(spark: SparkSession,
         F.date_format(F.date_trunc("second", "ts_a"), TS_FMT).alias("ts_a_s"),
         F.date_format(F.date_trunc("second", "ts_b"), TS_FMT).alias("ts_b_s"),
     )
+    null_a = a.filter(F.col("u_a").isNull()).select(
+        "event_a", F.lit(None).cast("long").alias("event_b"),
+        F.date_format(F.date_trunc("second", "ts_a"), TS_FMT).alias("ts_a_s"),
+        F.lit(None).cast("string").alias("ts_b_s"))
+    null_b = b.filter(F.col("u_b").isNull()).select(
+        F.lit(None).cast("long").alias("event_a"), "event_b",
+        F.lit(None).cast("string").alias("ts_a_s"),
+        F.date_format(F.date_trunc("second", "ts_b"), TS_FMT).alias("ts_b_s"))
+    joined = joined.unionByName(null_a).unionByName(null_b)
     name = "stream_foj_" + uuid.uuid4().hex[:10]
     q = (
         joined.writeStream.format("memory").queryName(name)

@@ -328,3 +328,39 @@ def test_events_stream_applies_validity_floor(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     assert spark.table(name).collect()[0][0] == 1  # only the 2024 row
+
+
+def test_full_outer_stream_join_null_keys(spark, tmp_path):
+    """ENGINE FIND (--dates --nullkeys): Spark's stream-stream FULL
+    OUTER join matches NULL equi-keys to each other — outer semantics
+    forbid the IsNotNull inference on either side and the symmetric
+    hash join's state-store key comparison is byte-level.  The
+    engine's full-outer runner routes NULL-key rows around the join
+    (run_full_outer_interval_stream), so two NULL-key events 30 s
+    apart must come back UNMATCHED — one bare row per side per event —
+    not paired."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from glue_parquet_splitter_spark.streaming.windows import (
+        run_full_outer_interval_stream)
+
+    path = str(tmp_path / "events.parquet")
+    ts = [np.datetime64("2024-03-01T00:00:00", "us"),
+          np.datetime64("2024-03-01T00:00:30", "us"),
+          np.datetime64("2024-03-01T06:00:00", "us")]
+    pq_.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([None, None, 7], pa.int64()),
+        "event_type": pa.array(["a", "a", "a"], pa.string()),
+        "value": pa.array([1.0, 1.0, 1.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"], pa.string()),
+    }), path)
+    rows = run_full_outer_interval_stream(spark, path).collect()
+    pairs = [(r.event_a, r.event_b) for r in rows]
+    assert (1, 2) not in pairs          # the spurious NULL=NULL match
+    # each NULL-key event emits exactly one unmatched row per side
+    # (events 1 and 2 are inside the finalized region; 3 anchors it)
+    assert pairs.count((1, None)) == 1 and pairs.count((2, None)) == 1
+    assert pairs.count((None, 1)) == 1 and pairs.count((None, 2)) == 1
