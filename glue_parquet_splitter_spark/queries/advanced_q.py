@@ -137,23 +137,36 @@ def percentile_stats(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus,
            ROUND(median(o_totalprice), 4) AS p50_exact,
-           TRUE AS approx_within_1pct
+           TRUE AS approx_in_rank_band
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg", "stats", "approx"),
 )
 def approx_percentile_stats(spark, sf_dir):
     """Sketch-based percentiles — single-pass, mergeable, the scale
-    path.  Estimates are engine-specific, so the oracled contract is a
-    tolerance band: the approx_percentile (accuracy 10000) must land
-    within ±1 % of the exact interpolated median, returned as a
-    deterministic boolean next to the exact value."""
+    path.  Graded the sketch way: the oracle pins the exact
+    interpolated median and asserts the accuracy flag TRUE; Spark
+    computes the flag from the sketch's ACTUAL guarantee — a RANK
+    band (approx between the exact DISCRETE p45 and p55 values), the
+    ``approx_quantile_error_by_group`` pattern.  A relative-VALUE
+    band is an invalid contract here: ``approx_percentile`` returns
+    an actual data value, so on a tie-heavy even-count group whose
+    interpolated median straddles two distant pool values (the
+    ``--nan --nullkeys`` fuzz draw put the NULL-status group's exact
+    median at 77.75 between actual values 55.5 and 100) every
+    rank-correct answer is ~28 % off and the old ±1 % flag flipped.
+    """
     o = load_table(spark, sf_dir, "orders")
     exact = F.percentile("o_totalprice", F.lit(0.5))
     est = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
     return o.groupBy("o_orderstatus").agg(
         F.round(exact, 4).alias("p50_exact"),
-        (F.abs(est - exact) <= 0.01 * exact).alias("approx_within_1pct"),
+        est.between(
+            F.expr("percentile_disc(0.45) WITHIN GROUP "
+                   "(ORDER BY o_totalprice)"),
+            F.expr("percentile_disc(0.55) WITHIN GROUP "
+                   "(ORDER BY o_totalprice)"),
+        ).alias("approx_in_rank_band"),
     )
 
 
