@@ -218,13 +218,134 @@ def pq_adc_topk(emb: DataFrame, query_id: int, m: int = 4, dsub: int = 16,
     )
 
 
+def ivfpq_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVFPQ stage 1 — coarse-quantize: assign each vector to its
+    nearest centroid by L2 (round(d2,6)/cid tie-break, the
+    ``_semdedup_assign`` convention) and emit its RESIDUAL.
+
+    Per-vector independent given ``cents`` — the property the
+    incremental-ingest path (:mod:`..pipeline.ivfpq_ingest`) relies
+    on: assigning a delta batch against frozen centroids is
+    bit-identical to its rows of a full-corpus assignment.
+
+    ``vecs``: (vec_id, v) — pre-filtered through
+    :func:`finite_vectors`.  ``cents``: (cid, cv).  Returns
+    (vec_id, cid, r: array<double>)."""
+    d2 = F.round(F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        # bounded: cents is the n_coarse-row centroid table
+        vecs.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", "cid", "cv", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid",
+                F.zip_with("v", "cv", lambda a, b: a - b).alias("r"))
+    )
+
+
+def ivfpq_build(vecs: DataFrame, n_coarse: int = 4, m: int = 4,
+                dsub: int = 16, nc: int = 8,
+                stride: int = 5) -> tuple[DataFrame, DataFrame]:
+    """IVFPQ model build — the FROZEN part of the index: coarse
+    centroids (vectors 0..n_coarse-1) and the per-subspace PQ
+    codebook (residuals of the deterministic corpus sample vec_id ∈
+    {stride, 2·stride, …, nc·stride}, standing in for per-subspace
+    k-means).  Incremental ingest builds this ONCE from the base
+    corpus and encodes every later batch against it unchanged — the
+    FAISS ``add()``-after-``train()`` contract.
+
+    Returns (cents: (cid, cv), book: (j, s, bv))."""
+    cents = (vecs.filter(F.col("vec_id") < n_coarse)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    sample = vecs.filter((F.col("vec_id") % stride == 0)
+                         & (F.col("vec_id") >= stride)
+                         & (F.col("vec_id") <= stride * nc))
+    s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
+    book = (ivfpq_assign(sample, cents)
+            .select((F.col("vec_id") / stride).cast("long").alias("j"),
+                    "r", s_col)
+            .select("j", "s",
+                    F.slice("r", F.col("s") * dsub + 1, dsub).alias("bv")))
+    return cents, book
+
+
+def ivfpq_encode(assign: DataFrame, book: DataFrame, m: int = 4,
+                 dsub: int = 16) -> DataFrame:
+    """IVFPQ stage 2 — PQ-encode residuals: each assigned vector's
+    residual becomes ``m`` sub-codes, the nearest codebook entry per
+    subspace (round(sd2,6)/j tie-break).
+
+    Per-vector independent given ``book`` — encoding the union of two
+    batches equals the union of their encodings, which is what makes
+    append-only inverted-list ingest exact rather than approximate.
+
+    ``assign``: (vec_id, cid, r) from :func:`ivfpq_assign`.  Returns
+    codes (vec_id, cid, s, j) — m small ints per vector, the 100 TB
+    storage form."""
+    s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
+    sub = assign.select("vec_id", "cid", "r", s_col).select(
+        "vec_id", "cid", "s",
+        F.slice("r", F.col("s") * dsub + 1, dsub).alias("sv"))
+    sd2 = F.round(F.aggregate(
+        F.zip_with("sv", "bv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w_code = Window.partitionBy("vec_id", "s").orderBy("sd2", "j")
+    return (
+        # bounded: book is the PQ codebook (m x nc rows, constant)
+        sub.join(F.broadcast(book), "s")
+        .select("vec_id", "cid", "s", "j", sd2.alias("sd2"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "s", "j"))
+
+
+def ivfpq_adc_search(codes: DataFrame, queries: DataFrame,
+                     book: DataFrame, dsub: int = 16,
+                     k: int = 10) -> DataFrame:
+    """IVFPQ stage 3 — ADC search: each query's residual against the
+    codebook yields one (m·nc)-row lookup table; a candidate's
+    estimated distance is m integer-keyed table lookups summed —
+    never full-vector arithmetic per candidate, and only inside the
+    query's own probed inverted list (the cid equi-join term).
+
+    ``codes``: (vec_id, cid, s, j).  ``queries``: (query_id, qcid,
+    qr) — assign-output rows relabeled.  Returns (query_id,
+    neighbor_id, est_d2, rank) for rank <= k."""
+    qd2 = F.round(F.aggregate(
+        F.zip_with(F.slice("qr", F.col("s") * dsub + 1, dsub), F.col("bv"),
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    # bounded: queries is the fixed 8-vector query set
+    adc = (book.crossJoin(F.broadcast(queries))
+           .select("query_id", "qcid", "s", "j", qd2.alias("qd2")))
+    # bounded: adc = query set x codebook (8 x m x nc rows, constant)
+    scored = (codes.join(F.broadcast(adc),
+                         (codes["cid"] == adc["qcid"])
+                         & (codes["s"] == adc["s"])
+                         & (codes["j"] == adc["j"]))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("qd2"), 4).alias("est_d2")))
+    w_rank = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    "est_d2", F.col("rank").cast("long").alias("rank")))
+
+
 def ivfpq_topk(vecs: DataFrame, n_coarse: int = 4, m: int = 4,
                dsub: int = 16, nc: int = 8, stride: int = 5,
                k: int = 10) -> DataFrame:
     """IVF-PQ composed ANN (VERDICT r11 #5) — the FAISS IVFPQ recipe
     on DataFrames, composing the repo's two existing halves
     (``ivf_topk_search``: coarse quantize + probe; ``pq_adc_topk``:
-    PQ codes + ADC):
+    PQ codes + ADC), now assembled from the four reusable stages
+    :func:`ivfpq_build` / :func:`ivfpq_assign` / :func:`ivfpq_encode`
+    / :func:`ivfpq_adc_search` (shared with the incremental-ingest
+    path):
 
     1. COARSE: assign every vector to its nearest of ``n_coarse``
        centroids (vectors 0..n_coarse-1) by L2 — round(d2,6)/cid
@@ -252,65 +373,12 @@ def ivfpq_topk(vecs: DataFrame, n_coarse: int = 4, m: int = 4,
     :func:`finite_vectors`.  Returns (query_id, neighbor_id,
     est_d2, rank) for rank <= k.
     """
-    cents = (vecs.filter(F.col("vec_id") < n_coarse)
-             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
-    d2 = F.round(F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assign = (
-        # bounded: cents is the n_coarse-row centroid table
-        vecs.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", "cid", "cv", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid",
-                F.zip_with("v", "cv", lambda a, b: a - b).alias("r"))
-    )
-    corpus = assign.filter(F.col("vec_id") >= n_coarse)
-    s_col = F.explode(F.array(*[F.lit(s) for s in range(m)])).alias("s")
-    sub = corpus.select("vec_id", "cid", "r", s_col).select(
-        "vec_id", "cid", "s",
-        F.slice("r", F.col("s") * dsub + 1, dsub).alias("sv"))
-    book = (corpus.filter((F.col("vec_id") % stride == 0)
-                          & (F.col("vec_id") >= stride)
-                          & (F.col("vec_id") <= stride * nc))
-            .select((F.col("vec_id") / stride).cast("long").alias("j"),
-                    "r", s_col)
-            .select("j", "s",
-                    F.slice("r", F.col("s") * dsub + 1, dsub).alias("bv")))
-    sd2 = F.round(F.aggregate(
-        F.zip_with("sv", "bv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x), 6)
-    w_code = Window.partitionBy("vec_id", "s").orderBy("sd2", "j")
-    codes = (
-        # bounded: book is the PQ codebook (m x nc rows, constant)
-        sub.join(F.broadcast(book), "s")
-        .select("vec_id", "cid", "s", "j", sd2.alias("sd2"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "s", "j"))
+    cents, book = ivfpq_build(vecs, n_coarse=n_coarse, m=m, dsub=dsub,
+                              nc=nc, stride=stride)
+    corpus = ivfpq_assign(vecs.filter(F.col("vec_id") >= n_coarse), cents)
+    codes = ivfpq_encode(corpus, book, m=m, dsub=dsub)
     queries = (corpus.filter(F.col("vec_id") < n_coarse + 8)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("cid").alias("qcid"),
                        F.col("r").alias("qr")))
-    qd2 = F.round(F.aggregate(
-        F.zip_with(F.slice("qr", F.col("s") * dsub + 1, dsub), F.col("bv"),
-                   lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x), 6)
-    # bounded: queries is the fixed 8-vector query set
-    adc = (book.crossJoin(F.broadcast(queries))
-           .select("query_id", "qcid", "s", "j", qd2.alias("qd2")))
-    # bounded: adc = query set x codebook (8 x m x nc rows, constant)
-    scored = (codes.join(F.broadcast(adc),
-                         (codes["cid"] == adc["qcid"])
-                         & (codes["s"] == adc["s"])
-                         & (codes["j"] == adc["j"]))
-              .filter(F.col("vec_id") != F.col("query_id"))
-              .groupBy("query_id", "vec_id")
-              .agg(F.round(F.sum("qd2"), 4).alias("est_d2")))
-    w_rank = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
-    return (scored.withColumn("rank", F.row_number().over(w_rank))
-            .filter(F.col("rank") <= k)
-            .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                    "est_d2", F.col("rank").cast("long").alias("rank")))
+    return ivfpq_adc_search(codes, queries, book, dsub=dsub, k=k)

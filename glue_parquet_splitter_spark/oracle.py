@@ -56,18 +56,34 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row count {len(sp)} vs oracle {len(oracle_df)}"
     if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, oracle_df.columns)):
         return False, f"columns {sorted(sp.columns)} vs oracle {sorted(oracle_df.columns)}"
-    if len(sp) == 0:
-        # Zero rows on both sides (counts matched above): the value and
-        # type-kind contracts are vacuous, but the frames keep their
-        # engine-native dtypes (Spark int64 vs DuckDB object on an empty
-        # BIGINT, etc.), so .equals()/kind checks would false-alarm —
-        # seen as "0/0 rows differ" in the --empty fuzz sweep.
-        return True, "ok (both empty)"
     # align oracle column case to Spark's BEFORE canonical sorting —
     # sorting case-sensitive names independently could pair up wrong
     # columns when cases differ
     case_map = {c.lower(): c for c in sp.columns}
     oracle_df = oracle_df.rename(columns={c: case_map[c.lower()] for c in oracle_df.columns})
+    if len(sp) == 0:
+        # Zero rows on both sides (counts matched above): the value
+        # contract is vacuous and .equals() false-alarms on
+        # engine-native empty dtypes (seen as "0/0 rows differ" in the
+        # --empty fuzz sweep) — but the TYPE contract is not vacuous:
+        # a query returning the right names with wrong dtypes on the
+        # empty path must still fail.  Compare a normalized kind per
+        # column, with object dtype as a wildcard (either engine may
+        # degrade an empty column to object, e.g. DuckDB BIGINT → the
+        # pandas object dtype on zero rows).
+        for c in sp.columns:
+            ka, kb = sp[c].dtype.kind, oracle_df[c].dtype.kind
+            if "O" in (ka, kb):
+                continue  # empty-frame wildcard
+            # numeric kinds collapse (int-vs-float on zero rows hashes
+            # identically — there are no values to hash)
+            norm = lambda k: "n" if k in "fiu" else k
+            if norm(ka) != norm(kb):
+                return False, (
+                    f"empty-path type-kind mismatch on column {c!r}: "
+                    f"spark dtype {sp[c].dtype} vs oracle {oracle_df[c].dtype}"
+                )
+        return True, "ok (both empty)"
     # Type-kind check BEFORE canonicalization: the driver's hash is
     # type-sensitive (5.0 vs 5 differ), while _canon collapses integral
     # floats — so an int/float divergence (e.g. DuckDB FLOOR→DOUBLE vs

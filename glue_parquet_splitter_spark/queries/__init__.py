@@ -56,6 +56,39 @@ def _guard_stream_events(sql: str) -> str:
     ``JOIN events b``) valid."""
     import re
 
+    # The \b substitution below is textual, not parsed: a quoted
+    # occurrence of the word (WHERE note = 'events') would be silently
+    # corrupted into 'ev_valid'.  No current oracle has one; refuse
+    # loudly if a future one does, rather than mangle its literals.
+    # Minimal scanner (not a quote-split: an apostrophe inside a `--`
+    # comment, e.g. "engines'", flips naive parity): track -- comments
+    # and '…' literals ('' is an escaped quote inside one).
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "-" and sql[i:i + 2] == "--":          # comment → EOL
+            nl = sql.find("\n", i)
+            i = n if nl == -1 else nl + 1
+        elif ch == "'":                                  # literal
+            j = i + 1
+            while j < n:
+                j = sql.find("'", j)
+                if j == -1:
+                    j = n
+                    break
+                if sql[j:j + 2] == "''":                 # escaped ''
+                    j += 2
+                    continue
+                break
+            if re.search(r"\bevents\b", sql[i + 1:j]):
+                raise ValueError(
+                    "stream_events_guard cannot rewrite an oracle "
+                    "containing a quoted 'events' string literal — "
+                    "rename the literal or apply the floor by hand"
+                )
+            i = j + 1
+        else:
+            i += 1
     guarded = re.sub(r"\bevents\b", "ev_valid", sql)
     cte = ("ev_valid AS (SELECT * FROM events WHERE ts >= TIMESTAMP "
            f"'{STREAM_EVENTS_FLOOR}')")

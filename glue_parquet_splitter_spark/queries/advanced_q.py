@@ -161,11 +161,18 @@ def approx_percentile_stats(spark, sf_dir):
     est = F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000))
     return o.groupBy("o_orderstatus").agg(
         F.round(exact, 4).alias("p50_exact"),
-        est.between(
-            F.expr("percentile_disc(0.45) WITHIN GROUP "
-                   "(ORDER BY o_totalprice)"),
-            F.expr("percentile_disc(0.55) WITHIN GROUP "
-                   "(ORDER BY o_totalprice)"),
+        # coalesce: a group whose every measure is NULL has NULL
+        # est/band bounds, so `between` is NULL — the band contract is
+        # vacuously TRUE there (the oracle hardcodes TRUE); without it
+        # a fuzz dimension that nulls measure columns flips this red
+        F.coalesce(
+            est.between(
+                F.expr("percentile_disc(0.45) WITHIN GROUP "
+                       "(ORDER BY o_totalprice)"),
+                F.expr("percentile_disc(0.55) WITHIN GROUP "
+                       "(ORDER BY o_totalprice)"),
+            ),
+            F.lit(True),
         ).alias("approx_in_rank_band"),
     )
 

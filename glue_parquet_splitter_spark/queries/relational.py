@@ -83,9 +83,15 @@ def q3_top_unshipped_orders(spark, sf_dir):
                       .cast("long"))).alias("_rev_u"))
         .withColumn("revenue",
                     # CAST: a bare 100.0 literal is DECIMAL in Spark
-                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap
-                    F.expr("((_rev_u + 50) div 100)"
-                           " / CAST(100.0 AS DOUBLE)"))
+                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap.
+                    # Floor-division emulated via pmod so the rounding is
+                    # sign-symmetric with DuckDB's `//` (floor toward
+                    # -inf): Spark `div` truncates toward zero, which
+                    # diverges on a negative cents sum; subtracting
+                    # pmod makes the dividend an exact multiple of 100,
+                    # where truncation == floor for any sign.
+                    F.expr("((_rev_u + 50 - pmod(_rev_u + 50, 100))"
+                           " div 100) / CAST(100.0 AS DOUBLE)"))
         .drop("_rev_u")
         .select("o_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .orderBy(F.desc("revenue"), "o_orderkey")
@@ -96,19 +102,28 @@ def q3_top_unshipped_orders(spark, sf_dir):
 @register(
     "q5_region_revenue",
     oracle="""
-    SELECT n.n_name AS n_name,
-           -- integer cents (the q10 pattern): float SUM order flipped
-           -- the last cent on the --nullkeys fuzz fixtures
-           ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+    -- integer cents (the q10 pattern): float SUM order flipped the
+    -- last cent on the --nullkeys fuzz fixtures.  The half-up step is
+    -- an EXPLICIT floor division ((y - pmod(y,100)) // 100): measured,
+    -- DuckDB's integer `//` truncates toward zero exactly like Spark's
+    -- `div` (-707 // 100 = -7), so both engines get the same
+    -- sign-symmetric construction rather than trusting either
+    -- operator's negative-dividend behavior.
+    SELECT n_name,
+           ((y - ((y % 100) + 100) % 100) // 100) / 100.0 AS revenue
+    FROM (
+      SELECT n.n_name AS n_name,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                  * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT))
-             + 50) // 100) / 100.0 AS revenue
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
-    JOIN nation n   ON n.n_nationkey = s.s_nationkey
-    JOIN region r   ON r.r_regionkey = n.n_regionkey
-    GROUP BY n.n_name
+             + 50 AS y
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name
+    )
     """,
     tags=("join", "agg", "headline"),
 )
@@ -131,9 +146,15 @@ def q5_region_revenue(spark, sf_dir):
                       .cast("long"))).alias("_rev_u"))
         .withColumn("revenue",
                     # CAST: a bare 100.0 literal is DECIMAL in Spark
-                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap
-                    F.expr("((_rev_u + 50) div 100)"
-                           " / CAST(100.0 AS DOUBLE)"))
+                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap.
+                    # Floor-division emulated via pmod so the rounding is
+                    # sign-symmetric with DuckDB's `//` (floor toward
+                    # -inf): Spark `div` truncates toward zero, which
+                    # diverges on a negative cents sum; subtracting
+                    # pmod makes the dividend an exact multiple of 100,
+                    # where truncation == floor for any sign.
+                    F.expr("((_rev_u + 50 - pmod(_rev_u + 50, 100))"
+                           " div 100) / CAST(100.0 AS DOUBLE)"))
         .drop("_rev_u")
     )
 
@@ -162,17 +183,24 @@ def q6_forecast_revenue(spark, sf_dir):
 @register(
     "q10_returned_items",
     oracle="""
-    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
-           ((SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+    -- explicit floor division, same construction as q5_region_revenue:
+    -- sign-symmetric on both engines by exact-multiple arithmetic
+    SELECT c_custkey, c_name,
+           ((y - ((y % 100) + 100) % 100) // 100) / 100.0 AS revenue,
+           n_name
+    FROM (
+      SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
                  * CAST(100 - ROUND(l.l_discount * 100) AS BIGINT))
-             + 50) // 100) / 100.0 AS revenue,
-           n.n_name AS n_name
-    FROM customer c
-    JOIN orders o   ON o.o_custkey = c.c_custkey
-    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    JOIN nation n   ON n.n_nationkey = c.c_nationkey
-    WHERE l.l_returnflag = 'R'
-    GROUP BY c.c_custkey, c.c_name, n.n_name
+             + 50 AS y,
+             n.n_name AS n_name
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
@@ -199,9 +227,15 @@ def q10_returned_items(spark, sf_dir):
                       .cast("long"))).alias("_rev_u"))
         .withColumn("revenue",
                     # CAST: a bare 100.0 literal is DECIMAL in Spark
-                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap
-                    F.expr("((_rev_u + 50) div 100)"
-                           " / CAST(100.0 AS DOUBLE)"))
+                    # SQL (DOUBLE in DuckDB) — the DECIMAL-literal trap.
+                    # Floor-division emulated via pmod so the rounding is
+                    # sign-symmetric with DuckDB's `//` (floor toward
+                    # -inf): Spark `div` truncates toward zero, which
+                    # diverges on a negative cents sum; subtracting
+                    # pmod makes the dividend an exact multiple of 100,
+                    # where truncation == floor for any sign.
+                    F.expr("((_rev_u + 50 - pmod(_rev_u + 50, 100))"
+                           " div 100) / CAST(100.0 AS DOUBLE)"))
         .drop("_rev_u")
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")

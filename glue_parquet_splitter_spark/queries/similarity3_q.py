@@ -1090,10 +1090,14 @@ def embedding_centroid_drift(spark, sf_dir):
 
 _IVFPQ_K = 10
 
-
-@register(
-    "ivfpq_topk_search",
-    oracle=f"""
+# Shared CTE chain: model build (cents from ids 0..3, codebook from the
+# deterministic sample ids 5..40 — all inside the incremental path's
+# BASE corpus, vec_id < pipeline.ivfpq_ingest.BASE_SPLIT) → residual
+# encode → ADC score → top-k.  ``ivfpq_topk_search`` appends its exact
+# recall arm; ``ivfpq_incremental_ingest`` grades straight off
+# ``ivf_top`` — the FUNNEL_SIGNAL_CTES discipline, so the two oracles
+# can never disagree about what the index computes.
+_IVFPQ_CTES = f"""
     WITH wf AS ({S.wf_embeddings_sql()}),
     v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
@@ -1146,7 +1150,12 @@ _IVFPQ_K = 10
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY est_d2, neighbor_id) AS rk
         FROM est) WHERE rk <= {_IVFPQ_K}
-    ), exact AS (
+    )"""
+
+
+@register(
+    "ivfpq_topk_search",
+    oracle=f"""{_IVFPQ_CTES}, exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                ROW_NUMBER() OVER (
@@ -1230,3 +1239,50 @@ def ivfpq_topk_search(spark, sf_dir):
         F.round(F.sum(F.when(F.col("x_neighbor").isNotNull(), 1)
                       .otherwise(0)).cast("double") / _IVFPQ_K, 4)
         .alias("recall_at_10")))
+
+
+@register(
+    "ivfpq_incremental_ingest",
+    oracle=f"""{_IVFPQ_CTES}
+    SELECT query_id,
+           MIN(CASE WHEN rk = 1 THEN neighbor_id END) AS top1_id,
+           CAST(COUNT(*) AS BIGINT) AS n_topk,
+           TRUE AS incr_eq_scratch
+    FROM ivf_top
+    GROUP BY query_id
+    """,
+    tags=("similarity", "ivf", "quantization", "incremental", "pipeline"),
+)
+def ivfpq_incremental_ingest(spark, sf_dir):
+    """IVFPQ incremental ingest (VERDICT r12 #3) — the production
+    index-refresh pattern: the frozen model (coarse centroids + PQ
+    codebooks) and the base corpus codes are MATERIALIZED parquet
+    stage tables (:mod:`..pipeline.ivfpq_ingest`, the
+    ``tokenizer_pipeline_audit`` discipline); a delta batch (vec_id >=
+    BASE_SPLIT) is encoded against that frozen model only and
+    appended to the stored inverted lists; search runs over
+    base∪delta.  Per query the result carries ``incr_eq_scratch``:
+    TRUE iff every (rank, neighbor, est_d2) of the incremental top-k
+    equals a one-shot encode of the full corpus against the same
+    model — exact, not recall-banded, because per-vector encoding
+    against a frozen model makes append-only ingest algebraically
+    lossless (``ivfpq_assign``/``ivfpq_encode`` docstrings).
+
+    The oracle replays the from-scratch arm through the SHARED
+    ``_IVFPQ_CTES`` chain (same model, same corpus) and pins the
+    equality flag TRUE — the ``approx_percentile_stats`` flag-grading
+    pattern.  tests/test_ivfpq_incremental.py additionally pins the
+    freeze bit-identically (delta codes equal the delta rows of the
+    scratch encoding; base-built centroids equal full-built) and the
+    serving plan to NO base re-encoding (base rows enter only through
+    the ivf_codes_base parquet scan; every embeddings scan carries a
+    pushed vec_id filter).
+
+    Scale: a refresh reads the delta batch + the metadata-sized model
+    (broadcast); cost is independent of base corpus size.  The
+    certification arm re-encodes everything, but exists only to grade
+    — the ANN exact-arm convention.
+    """
+    from ..pipeline.ivfpq_ingest import run_incremental_ivfpq
+
+    return run_incremental_ivfpq(spark, sf_dir)

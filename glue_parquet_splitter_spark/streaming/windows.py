@@ -191,7 +191,16 @@ def run_left_outer_interval_stream(spark: SparkSession,
     batch = spark.read.parquet(events_path)
     from ..catalog import normalize_ntz
 
-    mx = normalize_ntz(batch).agg(F.max("ts").alias("mx"))
+    # Anchor the finalization cutoff on the SAME guarded relation the
+    # stream and the guarded oracle read: a pre-epoch ts can never be
+    # max(ts) today, but deriving the cutoff from the raw unfiltered
+    # parquet would couple correctness to that accident.
+    from .. import queries as _q  # local: avoids circular import
+    mx = (
+        normalize_ntz(batch)
+        .where(F.col("ts") >= F.lit(_q.STREAM_EVENTS_FLOOR).cast("timestamp"))
+        .agg(F.max("ts").alias("mx"))
+    )
     return (
         out.crossJoin(F.broadcast(mx))
         .where(F.col("ts_a_s") < F.date_format(
@@ -407,7 +416,16 @@ def run_full_outer_interval_stream(spark: SparkSession,
     batch = spark.read.parquet(events_path)
     from ..catalog import normalize_ntz
 
-    mx = normalize_ntz(batch).agg(F.max("ts").alias("mx"))
+    # Anchor the finalization cutoff on the SAME guarded relation the
+    # stream and the guarded oracle read: a pre-epoch ts can never be
+    # max(ts) today, but deriving the cutoff from the raw unfiltered
+    # parquet would couple correctness to that accident.
+    from .. import queries as _q  # local: avoids circular import
+    mx = (
+        normalize_ntz(batch)
+        .where(F.col("ts") >= F.lit(_q.STREAM_EVENTS_FLOOR).cast("timestamp"))
+        .agg(F.max("ts").alias("mx"))
+    )
     cutoff = F.date_format(F.col("mx") - F.expr("INTERVAL 11 MINUTES"), TS_FMT)
     anchor = F.coalesce(F.col("ts_a_s"), F.col("ts_b_s"))
     return (
@@ -503,7 +521,16 @@ def run_chained_windows_stream(spark: SparkSession,
     batch = spark.read.parquet(events_path)
     from ..catalog import normalize_ntz
 
-    mx = normalize_ntz(batch).agg(F.max("ts").alias("mx"))
+    # Anchor the finalization cutoff on the SAME guarded relation the
+    # stream and the guarded oracle read: a pre-epoch ts can never be
+    # max(ts) today, but deriving the cutoff from the raw unfiltered
+    # parquet would couple correctness to that accident.
+    from .. import queries as _q  # local: avoids circular import
+    mx = (
+        normalize_ntz(batch)
+        .where(F.col("ts") >= F.lit(_q.STREAM_EVENTS_FLOOR).cast("timestamp"))
+        .agg(F.max("ts").alias("mx"))
+    )
     return (
         out.crossJoin(F.broadcast(mx))
         .where(F.col("day_end") <= F.col("mx") - F.expr("INTERVAL 2 HOURS"))
