@@ -1221,16 +1221,23 @@ def unigram_lm_encode(spark, sf_dir):
 _WP_VMULTI = 32   # multi-char budget per piece store (init / cont)
 
 
-def _wp_stores(words):
+def _wp_stores(words, vsingle: int | None = None):
     """WordPiece piece stores from the corpus word table: the
     WORD-INITIAL store (pieces counted at position 1) and the
     ``##``-CONTINUATION store (pieces counted at interior positions)
     — the BERT-family distinction a flat substring vocab misses.
-    Each store = ALL single chars (forced, so every word stays
-    encodable with zero UNKs on its own corpus) + the top-32
-    multi-char substrings (<= 3 chars) of its position class by
+    Each store = the single-char vocabulary + the top-32 multi-char
+    substrings (<= 3 chars) of its position class by
     word-frequency-weighted occurrence count (wt DESC, piece ASC
-    tie-break).  Returns (init_df, cont_df) of ``piece`` rows."""
+    tie-break).
+
+    ``vsingle=None`` (the fertility queries): ALL single chars are
+    forced in, so every word stays encodable with zero UNKs on its
+    own corpus.  ``vsingle=K`` (``wordpiece_unk_rate``): only the
+    top-K single chars by weighted occurrence survive — the
+    min-frequency / vocab-budget cut every production WordPiece vocab
+    applies, which is what makes [UNK] reachable on held-out text.
+    Returns (init_df, cont_df) of ``piece`` rows."""
     from pyspark.sql import Window as W
 
     occ = (words.select(
@@ -1242,8 +1249,18 @@ def _wp_stores(words):
         .filter(F.expr("s.i + s.l - 1 <= length(w)"))
         .select(F.expr("substring(w, s.i, s.l)").alias("piece"),
                 (F.col("s.i") == 1).alias("is_init"), "wf"))
-    singles = (occ.filter(F.length("piece") == 1)
-               .select("piece").distinct())
+    if vsingle is None:
+        singles = (occ.filter(F.length("piece") == 1)
+                   .select("piece").distinct())
+    else:
+        # bounded: single chars of a bounded alphabet (the _uni_init
+        # rule), further capped to the top-vsingle by weight
+        ws = W.orderBy(F.desc("wt"), F.asc("piece"))
+        singles = (occ.filter(F.length("piece") == 1)
+                   .groupBy("piece").agg(F.sum("wf").alias("wt"))
+                   .withColumn("rk", F.row_number().over(ws))
+                   .filter(F.col("rk") <= vsingle)
+                   .select("piece"))
 
     def top_multi(is_init: bool):
         # bounded: distinct <=3-char substrings of a bounded alphabet —
@@ -1260,12 +1277,20 @@ def _wp_stores(words):
             singles.unionByName(top_multi(False)).distinct())
 
 
-def _wp_greedy(init_set: frozenset, cont_set: frozenset):
+def _wp_greedy(init_set: frozenset, cont_set: frozenset,
+               unk: bool = False):
     """mapInPandas greedy longest-match-first WordPiece encoder: at
     position 0 match against the word-initial store, afterwards
-    against the continuation store; try length 3, then 2, then 1
-    (singles are always present, so the scan never sticks).  Returns
-    (w, np) — the per-word piece count."""
+    against the continuation store; try length 3, then 2, then 1.
+
+    ``unk=False`` (corpus-vocab callers: every single char is in both
+    stores, the scan never sticks): returns (w, np) — the per-word
+    piece count.  ``unk=True`` (held-out text against a CAPPED
+    vocabulary, ``wordpiece_unk_rate``): the BERT rule — if at ANY
+    position no store piece matches, the WHOLE word becomes one
+    [UNK] token; returns (w, np, unk).  The rule is word-atomic, not
+    positional, exactly like BERT's WordpieceTokenizer: a partial
+    segmentation of an un-encodable word is discarded."""
 
     def enc_fn(batches):
         import pandas as _pd
@@ -1279,17 +1304,37 @@ def _wp_greedy(init_set: frozenset, cont_set: frozenset):
                     if len(piece) == ln and piece in store:
                         pos += ln
                         break
+                else:           # no piece matched — whole-word [UNK]
+                    return 1, True
                 np_ += 1
-            return np_
+            return np_, False
 
         for pdf in batches:
-            yield _pd.DataFrame({"w": pdf["w"].values,
-                                 "np": [count(w) for w in pdf["w"]]})
+            pairs = [count(w) for w in pdf["w"]]
+            out = {"w": pdf["w"].values,
+                   "np": [p[0] for p in pairs]}
+            if unk:
+                out["unk"] = [p[1] for p in pairs]
+            yield _pd.DataFrame(out)
 
     return enc_fn
 
 
-_WP_STORE_SQL = """
+def _wp_store_sql(vsingle: int | None = None) -> str:
+    """The piece-store CTEs (occ/singles/init_store/cont_store) as
+    DuckDB SQL — the oracle mirror of :func:`_wp_stores`, including
+    its ``vsingle`` singles cap.  ``_WP_STORE_SQL`` (the uncapped
+    form embedded in the wordpiece_encode / tokenizer_pipeline_audit
+    oracles) is this function at ``vsingle=None``."""
+    if vsingle is None:
+        singles = "SELECT DISTINCT piece FROM occ WHERE length(piece) = 1"
+    else:
+        singles = f"""SELECT piece FROM (
+        SELECT piece, ROW_NUMBER() OVER (ORDER BY SUM(wf) DESC, piece)
+                 AS rk
+        FROM occ WHERE length(piece) = 1
+        GROUP BY piece) WHERE rk <= {vsingle}"""
+    return f"""
     occ AS (
       SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
              i = 1 AS is_init, wf
@@ -1298,7 +1343,7 @@ _WP_STORE_SQL = """
            UNNEST(range(1, 4)) AS b(l)
       WHERE i + l - 1 <= length(w)
     ), singles AS (
-      SELECT DISTINCT piece FROM occ WHERE length(piece) = 1
+      {singles}
     ), init_store AS (
       SELECT piece FROM singles
       UNION
@@ -1317,6 +1362,9 @@ _WP_STORE_SQL = """
         GROUP BY piece) WHERE rk <= 32
     )
 """
+
+
+_WP_STORE_SQL = _wp_store_sql(None)
 
 
 @register(
@@ -1419,3 +1467,227 @@ def wordpiece_encode(spark, sf_dir):
         F.round(F.sum(F.col("wf") * F.length("w"))
                 / F.sum(F.col("wf") * F.col("np")), 4)
         .alias("chars_per_token")))
+
+
+# ======================================================================
+# Three-way fertility matrix (VERDICT r12 #4) — the audit AS a query
+# ======================================================================
+
+def _fertility_matrix_oracle() -> str:
+    """Compose the three tokenizer oracles VERBATIM (the
+    FUNNEL_SIGNAL_CTES discipline): the matrix reuses the registered
+    oracle strings of ``bpe_encode_apply`` / ``unigram_lm_encode`` /
+    ``wordpiece_encode`` as subqueries, so the audit can never
+    disagree with its parts — any contract change to an arm flows
+    into the matrix automatically."""
+    from . import REGISTRY
+
+    bpe = REGISTRY["bpe_encode_apply"].oracle
+    uni = REGISTRY["unigram_lm_encode"].oracle
+    wp = REGISTRY["wordpiece_encode"].oracle
+    return f"""
+    WITH m AS (
+      SELECT lang, 'bpe' AS tokenizer, chars_per_token FROM ({bpe})
+      UNION ALL
+      SELECT lang, 'unigram' AS tokenizer, chars_per_token FROM ({uni})
+      UNION ALL
+      SELECT lang, 'wordpiece' AS tokenizer, chars_per_token FROM ({wp})
+    )
+    SELECT lang, tokenizer, chars_per_token,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY chars_per_token DESC, tokenizer) = 1
+             AS is_best
+    FROM m
+    """
+
+
+@register(
+    "tokenizer_fertility_matrix",
+    oracle=_fertility_matrix_oracle(),
+    tags=("tokenizer", "text", "audit", "pandas_udf", "recursive"),
+)
+def tokenizer_fertility_matrix(spark, sf_dir):
+    """The three-way tokenizer fertility audit as ONE graded query
+    (VERDICT r12 #4): per (lang, tokenizer) the chars-per-token
+    fertility of BPE, unigram-LM, and WordPiece on the same corpus,
+    plus ``is_best`` — the argmax tokenizer per language (highest
+    chars per token = fewest tokens for the same text = best
+    compression; ties break on tokenizer name).  This is the number a
+    multilingual-vocab sizing decision actually reads — the three
+    arms existed as same-schema queries, but nothing graded the
+    COMPARISON itself.
+
+    Both engines compose their three arms verbatim: the Spark side
+    calls the registered query callables, the oracle embeds the
+    registered oracle strings as subqueries
+    (:func:`_fertility_matrix_oracle`), so matrix and parts cannot
+    drift apart.  Note the arms' differing word contracts are
+    inherited deliberately (BPE joins every corpus token against its
+    vocab; unigram/WordPiece cap words at 12 chars) — the matrix
+    compares the tokenizers AS SHIPPED, not a re-normalized variant.
+
+    Scale: three corpus-collapse passes (each arm is one explode +
+    O(vocab) model work + an equi-join, see the arm docstrings) and a
+    |langs|x3-row window — the matrix adds no corpus-sized work of
+    its own.
+    """
+    arms = [
+        ("bpe", bpe_encode_apply),
+        ("unigram", unigram_lm_encode),
+        ("wordpiece", wordpiece_encode),
+    ]
+    parts = [
+        fn(spark, sf_dir).select(
+            "lang", F.lit(name).alias("tokenizer"), "chars_per_token")
+        for name, fn in arms
+    ]
+    m = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.desc("chars_per_token"),
+                                      F.asc("tokenizer"))
+    return m.withColumn("is_best", F.row_number().over(w) == 1)
+
+
+# ======================================================================
+# WordPiece UNK rate on held-out text (VERDICT r12 #5)
+# ======================================================================
+
+_WP_VSINGLE = 20    # single-char vocab budget for the UNK-rate audit
+_WP_HELD = ("0", "1", "2")   # md5(doc_id) first-hex bucket = held-out
+
+
+@register(
+    "wordpiece_unk_rate",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') AS held
+      FROM documents WHERE doc_id IS NOT NULL
+    ), words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+            FROM d WHERE NOT held)
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+      GROUP BY w
+    ), {_wp_store_sql(_WP_VSINGLE)},
+    hw AS (
+      SELECT DISTINCT w
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS w
+            FROM d WHERE held)
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+    ), greedy AS (
+      SELECT w, 0 AS pos FROM hw
+      UNION ALL
+      SELECT w, pos + sl FROM (
+        SELECT w, pos,
+          CASE WHEN pos = 0 THEN
+            CASE WHEN pos + 3 <= length(w) AND substr(w, pos + 1, 3)
+                   IN (SELECT piece FROM init_store
+                       WHERE length(piece) = 3) THEN 3
+                 WHEN pos + 2 <= length(w) AND substr(w, pos + 1, 2)
+                   IN (SELECT piece FROM init_store
+                       WHERE length(piece) = 2) THEN 2
+                 WHEN substr(w, pos + 1, 1)
+                   IN (SELECT piece FROM init_store
+                       WHERE length(piece) = 1) THEN 1
+                 ELSE 0 END
+          ELSE
+            CASE WHEN pos + 3 <= length(w) AND substr(w, pos + 1, 3)
+                   IN (SELECT piece FROM cont_store
+                       WHERE length(piece) = 3) THEN 3
+                 WHEN pos + 2 <= length(w) AND substr(w, pos + 1, 2)
+                   IN (SELECT piece FROM cont_store
+                       WHERE length(piece) = 2) THEN 2
+                 WHEN substr(w, pos + 1, 1)
+                   IN (SELECT piece FROM cont_store
+                       WHERE length(piece) = 1) THEN 1
+                 ELSE 0 END
+          END AS sl
+        FROM greedy WHERE pos < length(w)) t
+      WHERE sl > 0
+    ), enc AS (
+      SELECT DISTINCT w FROM greedy WHERE pos = length(w)
+    ), lw AS (
+      SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS wf
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+            FROM d WHERE held)
+      WHERE length(w) BETWEEN 1 AND {_UNI_MAXW}
+      GROUP BY lang, w
+    )
+    SELECT lang,
+           CAST(SUM(lw.wf) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN enc.w IS NULL THEN lw.wf ELSE 0 END)
+                AS BIGINT) AS n_unk,
+           ROUND(SUM(CASE WHEN enc.w IS NULL THEN lw.wf ELSE 0 END)
+                 * 1.0 / SUM(lw.wf), 4) AS unk_rate
+    FROM lw LEFT JOIN enc ON enc.w = lw.w
+    GROUP BY lang
+    """,
+    tags=("tokenizer", "text", "pandas_udf", "recursive", "audit"),
+)
+def wordpiece_unk_rate(spark, sf_dir):
+    """WordPiece UNK rate on HELD-OUT text (VERDICT r12 #5) — the
+    real BERT-vocab sizing metric, completing what
+    ``tokenizer_vocab_coverage`` does for the frequency vocab: build
+    the piece stores from a TRAINING doc split only, encode text the
+    stores were never built from, and report the per-language [UNK]
+    word rate.
+
+    The split is the md5(doc_id) first-hex bucket ('0'-'2' held out,
+    ~3/16 of docs; NULL doc_ids drop from both splits in both
+    engines).  The store uses the production vocab-budget cut: only
+    the top-{_WP_VSINGLE} single chars by weighted occurrence survive
+    (``_wp_stores(vsingle=...)``) — with ALL singles forced in (the
+    fertility queries' contract) the [UNK] branch is structurally
+    dead, which is exactly why real WordPiece vocabs cap their
+    character set (HuggingFace ``min_frequency``).  Encoding follows
+    BERT's WordpieceTokenizer rule exercised here for the first time:
+    greedy longest-match-first, and if ANY position of a word has no
+    matching piece the WHOLE word becomes one [UNK]
+    (``_wp_greedy(unk=True)``).
+
+    The oracle replays the same greedy walk as a recursive CTE whose
+    length-1 arm now CHECKS the capped singles store instead of
+    assuming it (sl = 0 → the walk sticks → the word never reaches
+    pos = length(w) → UNK by the EXCEPT-style anti-join).
+
+    Scale: stores come from the train split's O(vocab) word table
+    (metadata-bounded collects); held-out encoding is one
+    Arrow-batched map over the DISTINCT held-out word table; the
+    corpus-side cost is two explodes (train word freqs, held-out
+    (lang, word) freqs) and one equi-join — nothing per-document.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull())
+    held = (F.md5(F.col("doc_id").cast("string")).substr(1, 1)
+            .isin(*_WP_HELD))
+    d = d.withColumn("held", held)
+    train_words = (
+        d.filter(~F.col("held"))
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+        .groupBy("w").agg(F.count("*").alias("wf")))
+    init_df, cont_df = _wp_stores(train_words, vsingle=_WP_VSINGLE)
+    # bounded: singles capped at _WP_VSINGLE, multis at 32/store —
+    # metadata-bounded collect (the wordpiece_encode pattern)
+    init_set = frozenset(r["piece"] for r in init_df.collect())
+    cont_set = frozenset(r["piece"] for r in cont_df.collect())
+    hw = (d.filter(F.col("held"))
+          .select(F.explode(F.split("text", " ")).alias("w"))
+          .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+          .distinct())
+    enc = hw.mapInPandas(_wp_greedy(init_set, cont_set, unk=True),
+                         schema="w string, np long, unk boolean")
+    lw = (d.filter(F.col("held"))
+          .select("lang", F.explode(F.split("text", " ")).alias("w"))
+          .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
+          .groupBy("lang", "w").agg(F.count("*").alias("wf")))
+    j = lw.join(enc.select("w", "unk"), "w")
+    return (j.groupBy("lang").agg(
+        F.sum("wf").cast("long").alias("n_words"),
+        F.sum(F.when(F.col("unk"), F.col("wf")).otherwise(0))
+        .cast("long").alias("n_unk"),
+        F.round(F.sum(F.when(F.col("unk"), F.col("wf")).otherwise(0))
+                / F.sum("wf").cast("double"), 4).alias("unk_rate")))
