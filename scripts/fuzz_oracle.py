@@ -141,7 +141,8 @@ def _skewed(rng, n, values, hot_frac=0.9, null_frac=0.0):
 def gen_fixtures(out_dir: str, seed: int = 0,
                  nan: bool = False, big: bool = False,
                  malformed: bool = False, empty: bool = False,
-                 nullkeys: bool = False, dates: bool = False) -> None:
+                 nullkeys: bool = False, dates: bool = False,
+                 dupkeys: bool = False) -> None:
     """Write the ten fixture tables with hostile content, driver
     schemas.  ``nan=True`` additionally injects IEEE specials (NaN and
     ±Infinity) into events.value and embedding components — OPT-IN
@@ -399,7 +400,13 @@ def gen_fixtures(out_dir: str, seed: int = 0,
         "l_shipdate": pa.array(sdate.tolist(), pa.timestamp("us")),
     }), f"{out_dir}/lineitem.parquet")
 
+    if dupkeys:
+        _inject_dup_keys(out_dir, seed)
     if nullkeys:
+        # after dupkeys on purpose: the FK-null pass then operates on
+        # the expanded tables, so a conflicting duplicate can ALSO lose
+        # its dimension reference — the pairing the interaction sweep
+        # exercises
         _inject_null_keys(out_dir, seed)
     if empty:
         _truncate_all_tables(out_dir)
@@ -451,6 +458,96 @@ def _inject_null_keys(out_dir: str, seed: int) -> None:
                     type=field.type)
             out.append(col)
         pq.write_table(pa.Table.from_arrays(out, schema=tbl.schema), path)
+
+
+# Primary-key columns per table (--dupkeys).  Every other hostility
+# dimension dirties FKs, values, or text; none violates PRIMARY-key
+# uniqueness — the upstream-bug shape this models is a double-delivered
+# CDC batch / reprocessed partition, which lands the same pk twice,
+# sometimes byte-identical (safe dedup) and sometimes CONFLICTING
+# (same pk, different attributes — the case that breaks join
+# multiplicities, dropDuplicates determinism, SCD2 interval building,
+# and every DISTINCT-by-pk probe differently per engine).
+_DUPKEY_SPECS: dict[str, dict] = {
+    # table: {pk: [cols], conflict: {col: mutator-tag}}
+    "documents": {"pk": ["doc_id"],
+                  "conflict": {"text": "text", "n_chars": "derived_len"}},
+    "embeddings": {"pk": ["vec_id"],
+                   "conflict": {"embedding": "vec", "label": "int_bump"}},
+    "events": {"pk": ["event_id"],
+               "conflict": {"value": "num_bump", "event_type": "str_tag"}},
+    "region": {"pk": ["r_regionkey"], "conflict": {"r_name": "str_tag"}},
+    "nation": {"pk": ["n_nationkey"],
+               "conflict": {"n_name": "str_tag",
+                            "n_regionkey": "int_bump"}},
+    "customer": {"pk": ["c_custkey"],
+                 "conflict": {"c_mktsegment": "str_tag",
+                              "c_acctbal": "num_bump"}},
+    "supplier": {"pk": ["s_suppkey"],
+                 "conflict": {"s_nationkey": "int_bump"}},
+    "part": {"pk": ["p_partkey"], "conflict": {"p_brand": "str_tag",
+                                               "p_retailprice": "num_bump"}},
+    "orders": {"pk": ["o_orderkey"],
+               "conflict": {"o_totalprice": "num_bump",
+                            "o_orderpriority": "str_tag"}},
+    # composite pk — duplicates repeat the (orderkey, linenumber) PAIR
+    "lineitem": {"pk": ["l_orderkey", "l_linenumber"],
+                 "conflict": {"l_extendedprice": "num_bump",
+                              "l_returnflag": "str_tag"}},
+}
+
+
+def _mutate_cell(tag: str, v, row: dict):
+    """Deterministic conflicting-attribute mutators (value-level, so
+    the duplicate is the same row EXCEPT the conflict columns)."""
+    if tag == "text":
+        return ("dup conflict copy" if v is None
+                else str(v) + " dupconflict")
+    if tag == "derived_len":        # n_chars stays consistent with text
+        t = row.get("text")
+        t = ("dup conflict copy" if t is None else str(t) + " dupconflict")
+        return len(t)
+    if tag == "vec":
+        if not isinstance(v, list) or not v:
+            return v
+        return [(v[0] + 0.002 if v[0] is not None else v[0])] + v[1:]
+    if tag == "int_bump":
+        return None if v is None else int(v) + 1
+    if tag == "num_bump":
+        return None if v is None else round(float(v) + 11.11, 2)
+    if tag == "str_tag":
+        return "DUPCONFLICT" if v is None else str(v) + "~dup"
+    raise ValueError(tag)
+
+
+def _inject_dup_keys(out_dir: str, seed: int) -> None:
+    """Append rows that REPEAT existing primary keys (--dupkeys): a
+    seeded ~4 % of each table (min 2), half byte-identical duplicates
+    (the idempotent-redelivery case every exact-dedup must absorb) and
+    half CONFLICTING duplicates (same pk, mutated attributes — the
+    case where any "the row for this pk" assumption becomes
+    nondeterministic unless the query pins a total order).
+    Post-processing keeps the base generator byte-identical when off.
+    """
+    rng = np.random.default_rng(seed + 424242)
+    for tname, spec in _DUPKEY_SPECS.items():
+        path = f"{out_dir}/{tname}.parquet"
+        tbl = pq.read_table(path)
+        n = tbl.num_rows
+        k = max(2, int(round(n * 0.04)))
+        idx = rng.choice(n, size=min(k, n), replace=False)
+        rows = tbl.to_pylist()
+        extra = []
+        for j, i in enumerate(sorted(int(x) for x in idx)):
+            row = dict(rows[i])
+            if j % 2 == 1:                      # conflicting duplicate
+                for col, tag in spec["conflict"].items():
+                    row[col] = _mutate_cell(tag, row.get(col), rows[i])
+            extra.append(row)
+        if not extra:
+            continue
+        add = pa.Table.from_pylist(extra, schema=tbl.schema)
+        pq.write_table(pa.concat_tables([tbl, add]), path)
 
 
 def _truncate_all_tables(out_dir: str) -> None:
@@ -535,6 +632,10 @@ def main() -> None:
     ap.add_argument("--dates", action="store_true",
                     help="extreme timestamps: pre-epoch + fractional "
                          "seconds, year 1900, leap day")
+    ap.add_argument("--dupkeys", action="store_true",
+                    help="append rows repeating existing PRIMARY keys "
+                         "(~4%% per table): half exact duplicates, "
+                         "half conflicting (same pk, mutated attrs)")
     ap.add_argument("--json", default=None,
                     help="also write a {name: status} JSON ledger here")
     args = ap.parse_args()
@@ -559,11 +660,12 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     gen_fixtures(out_dir, args.seed, nan=args.nan, big=args.big,
                  malformed=args.malformed, empty=args.empty,
-                 nullkeys=args.nullkeys, dates=args.dates)
+                 nullkeys=args.nullkeys, dates=args.dates,
+                 dupkeys=args.dupkeys)
     print(f"hostile fixtures (seed={args.seed}, nan={args.nan}, "
           f"big={args.big}, malformed={args.malformed}, "
           f"nullkeys={args.nullkeys}, empty={args.empty}, "
-          f"dates={args.dates}) -> {out_dir}")
+          f"dates={args.dates}, dupkeys={args.dupkeys}) -> {out_dir}")
 
     spark = get_spark("fuzz_oracle", shuffle_partitions=8)
     statuses: dict[str, str] = {}

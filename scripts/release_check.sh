@@ -15,6 +15,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 python scripts/check_repo.py
+python scripts/check_bench_baseline.py
 python -m pytest tests/ -q
 python scripts/gen_plans_md.py
 git diff --exit-code PLANS.md || {
@@ -26,4 +27,7 @@ git diff --exit-code PLANS.md || {
 python scripts/driver_replica.py
 python scripts/check_float_stability.py /root/testdata/sf0.01
 python bench.py
+# bench.py just rewrote BENCH_METRICS.json — re-apply the baseline
+# discipline to the fresh file before anyone commits it
+python scripts/check_bench_baseline.py
 echo "RELEASE GATE PASS"

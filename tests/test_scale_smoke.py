@@ -841,3 +841,92 @@ def test_unigram_segmenter_100k_words(spark):
     assert agg.mx == 60                       # 4 digrams x 15
     assert agg.loss == 60 * words.agg(
         F.sum("wf")).collect()[0][0]
+
+
+def test_ivfpq_1m_vectors_list_local(spark):
+    """``ivfpq_topk_search``'s scale claims at 1M vectors (VERDICT r12
+    #7): with a planted 90%-hot inverted list, (a) coarse assignment
+    recovers every planted list, (b) codes ride as exactly m small
+    ints per vector with sub-codes inside the codebook range, (c) the
+    candidate set per query is ITS PROBED LIST's size — never N: a
+    cold-list query scores ~N/30 candidates while the brute-force
+    form would score ~1M, and (d) the ADC scoring join builds from
+    the broadcast metadata side (BroadcastHashJoin; no sort-merge
+    join anywhere in the search plan).
+
+    8-dim vectors around 4 well-separated centroids keep the runtime
+    in seconds while the plan and the candidate arithmetic are
+    exactly the fixture query's."""
+    from glue_parquet_splitter_spark.operators import similarity as S
+    from glue_parquet_splitter_spark.plans import physical_plan
+
+    n, n_coarse, m, dsub, nc, stride = 1_000_000, 4, 4, 2, 8, 5
+    # planted list: ids 0..3 are the centroids themselves; of the rest
+    # 90% land in list 0 (hot), the remainder spread over 1..3
+    cid = (F.when(F.col("vec_id") < n_coarse, F.col("vec_id"))
+           .when(F.col("vec_id") % 10 < 9, F.lit(0))
+           .otherwise((F.col("vec_id") % 3) + 1))
+    base = spark.range(n).select(F.col("id").alias("vec_id"))
+    comp = [
+        (cid * 1000
+         + ((F.col("vec_id") * (k + 3)) % 11 - 5) * 0.05
+         * F.when(F.col("vec_id") < n_coarse, 0).otherwise(1)
+         ).cast("double")
+        for k in range(m * dsub)
+    ]
+    vecs = base.select("vec_id", F.array(*comp).alias("v"))
+
+    cents, book = S.ivfpq_build(vecs, n_coarse=n_coarse, m=m,
+                                dsub=dsub, nc=nc, stride=stride)
+    corpus = S.ivfpq_assign(vecs.filter(F.col("vec_id") >= n_coarse),
+                            cents)
+    # (a) every planted list recovered — noise ±0.25 vs 1000-separated
+    # centroids can never flip an argmin
+    mismatch = corpus.withColumn("want", cid).filter(
+        F.col("cid") != F.col("want")).count()
+    assert mismatch == 0
+    list_sizes = {r["cid"]: r["n"] for r in
+                  corpus.groupBy("cid").agg(F.count("*").alias("n"))
+                  .collect()}
+    assert list_sizes[0] > 0.85 * n          # hot list planted
+    assert all(list_sizes[c] < 0.05 * n for c in (1, 2, 3))
+
+    codes = S.ivfpq_encode(corpus, book, m=m, dsub=dsub)
+    # (b) m small ints per vector, sub-codes inside the codebook
+    stats = codes.agg(
+        F.count("*").alias("rows"),
+        F.count_distinct("vec_id").alias("nv"),
+        F.min("j").alias("jmin"), F.max("j").alias("jmax")).collect()[0]
+    assert stats.rows == m * (n - n_coarse)
+    assert stats.nv == n - n_coarse
+    assert 0 <= stats.jmin and stats.jmax <= nc
+
+    queries = (corpus.filter(F.col("vec_id") < n_coarse + 8)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("cid").alias("qcid"),
+                       F.col("r").alias("qr")))
+    # (c) candidate set == probed list, never N: per query the scored
+    # candidate count is its own list's size minus itself
+    qlists = {r["query_id"]: r["qcid"] for r in
+              queries.select("query_id", "qcid").collect()}
+    assert len(set(qlists.values())) > 1      # hot AND cold probed
+    cand = (codes.filter(F.col("s") == 0)     # one row per candidate
+            .groupBy("cid").agg(F.count("*").alias("n")))
+    cand_by_cid = {r["cid"]: r["n"] for r in cand.collect()}
+    for qid, qcid in qlists.items():
+        n_cand = cand_by_cid[qcid] - 1        # minus the query itself
+        assert n_cand == list_sizes[qcid] - 1
+        assert n_cand < n                     # never the full corpus
+    cold = [c for c in qlists.values() if c != 0]
+    assert all(cand_by_cid[c] < 0.05 * n for c in cold)
+
+    out = S.ivfpq_adc_search(codes, queries, book, dsub=dsub, k=10)
+    # (d) the ADC join builds from the broadcast metadata side
+    plan = physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    got = {r["query_id"]: r["n"] for r in
+           out.groupBy("query_id").agg(F.count("*").alias("n"))
+           .collect()}
+    for qid, qcid in qlists.items():
+        assert got[qid] == min(10, list_sizes[qcid] - 1), (qid, got)
