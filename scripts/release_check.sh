@@ -23,7 +23,7 @@ git diff --exit-code PLANS.md || {
 [ "${1:-}" = "--quick" ] && { echo "QUICK GATE PASS"; exit 0; }
 # optional: adversarial-fixture fuzz (hostile nulls/unicode/ties/skew
 # vs the DuckDB oracle — FUZZ.md); pass --fuzz to include (~40 min)
-[ "${1:-}" = "--fuzz" ] && python scripts/fuzz_oracle.py --json FUZZ_full.json
+[ "${1:-}" = "--fuzz" ] && python scripts/fuzz_oracle.py --json FUZZ_ledgers/FUZZ_full.json
 python scripts/driver_replica.py
 python scripts/check_float_stability.py /root/testdata/sf0.01
 python bench.py
