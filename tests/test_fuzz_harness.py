@@ -364,3 +364,49 @@ def test_full_outer_stream_join_null_keys(spark, tmp_path):
     # (events 1 and 2 are inside the finalized region; 3 anchors it)
     assert pairs.count((1, None)) == 1 and pairs.count((2, None)) == 1
     assert pairs.count((None, 1)) == 1 and pairs.count((None, 2)) == 1
+
+
+def test_dupkeys_dimension(tmp_path):
+    """--dupkeys violates PRIMARY-key uniqueness in every table: each
+    gains duplicated-pk groups, at least one of them CONFLICTING (same
+    pk, different attributes) — the double-delivered-batch shape no
+    other dimension models — while schemas are preserved and the base
+    generator stays byte-identical when the knob is off."""
+    import duckdb
+
+    from fuzz_oracle import _DUPKEY_SPECS
+
+    (tmp_path / "dup").mkdir()
+    (tmp_path / "base").mkdir()
+    gen_fixtures(str(tmp_path / "dup"), seed=0, dupkeys=True)
+    gen_fixtures(str(tmp_path / "base"), seed=0)
+    con = duckdb.connect()
+    for t, spec in _DUPKEY_SPECS.items():
+        pk = ", ".join(spec["pk"])
+        base_n = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{tmp_path}/base/{t}.parquet')"
+        ).fetchone()[0]
+        dup_n = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{tmp_path}/dup/{t}.parquet')"
+        ).fetchone()[0]
+        assert dup_n > base_n, f"{t}: no rows appended"
+        groups = con.sql(
+            f"SELECT COUNT(*) FROM (SELECT {pk} FROM "
+            f"read_parquet('{tmp_path}/dup/{t}.parquet') "
+            f"GROUP BY {pk} HAVING COUNT(*) > 1)").fetchone()[0]
+        assert groups >= 2, f"{t}: no duplicated pk groups"
+        # at least one conflicting duplicate: same pk, >1 distinct
+        # value in some declared conflict column
+        conflict_cols = [c for c in spec["conflict"]
+                         if spec["conflict"][c] != "vec"]
+        got_conflict = any(
+            con.sql(
+                f"SELECT COUNT(*) FROM (SELECT {pk} FROM "
+                f"read_parquet('{tmp_path}/dup/{t}.parquet') GROUP BY {pk} "
+                f"HAVING COUNT(DISTINCT {c}) > 1)").fetchone()[0] > 0
+            for c in conflict_cols) if conflict_cols else True
+        assert got_conflict, f"{t}: duplicates never conflict"
+        # schema unchanged
+        a = pq.read_schema(f"{tmp_path}/base/{t}.parquet")
+        b = pq.read_schema(f"{tmp_path}/dup/{t}.parquet")
+        assert a.equals(b), t
