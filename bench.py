@@ -163,6 +163,17 @@ BENCH_QUERIES = [
     # one-column fact scans collapsed to key cardinality + broadcast
     # existence probes; its shuffle bytes gate the key-collapse shape
     "fk_integrity_audit",
+    # round-13: the IVFPQ refresh path (materialize base stages +
+    # delta-only encode + certification arm) and the held-out UNK-rate
+    # audit (two corpus-collapse explodes + one Arrow-batched encode).
+    # (tokenizer_fertility_matrix is deliberately NOT here: it IS its
+    # three arms run back-to-back — bpe_encode_apply's train loop,
+    # unigram_lm_encode's EM, wordpiece_encode — two of which already
+    # gate here; a fourth timing of the same work would read as an
+    # outlier amplifier, not a new regression signal.  Its composition
+    # overhead is one |langs|x3-row union + window.)
+    "ivfpq_incremental_ingest",
+    "wordpiece_unk_rate",
 ]
 
 

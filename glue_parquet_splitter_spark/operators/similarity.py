@@ -53,12 +53,30 @@ def finite_vectors(df: DataFrame, vec: str = "embedding",
     all five shapes rather than letting engine semantics decide.
     Oracle mirror: :func:`wf_embeddings_sql`.
 
+    The contract's sixth shape (f) is IDENTITY uniqueness: when the
+    same ``vec_id`` appears more than once (a double-delivered batch /
+    reprocessed partition — the --dupkeys hostility), exactly ONE
+    deterministic winner row survives — minimum by (the vector's
+    integer-scaled serialization, then label, NULLS LAST).  Duplicate
+    identities are structurally engine-divergent everywhere
+    downstream: Spark keeps vectors as row-scoped arrays (a dup id is
+    two candidate rows), while the UNNEST-position oracles are
+    KEY-scoped (a dup id's components merge into one inflated
+    dot-product sum), so no per-query rule can reconcile them — the
+    identity must be unique at ingest, exactly as production vector
+    stores enforce.  The serialization rounds each component to 1e-6
+    (CAST(ROUND(x*1e6) AS BIGINT)) so the order key is integer-exact
+    and engine-stable; ties beyond (serial, label) are byte-identical
+    rows where any winner is the same row.
+
     Scale: the modal-dim derivation is one map-side int agg over the
-    corpus plus a 1-row broadcast — production pipelines should pass
-    the encoder's declared ``dim`` instead and skip that pass.
-    ``embedding_health_audit`` is the detector that reports malformed
-    vectors before a pipeline runs.  Found by the --nan and
-    --malformed fuzz sweeps (FUZZ.md)."""
+    corpus plus a 1-row broadcast, and identity dedup is one
+    vec_id-keyed window — production pipelines should pass the
+    encoder's declared ``dim``, dedup once at the bronze→silver
+    boundary, and skip both passes.  ``embedding_health_audit`` is
+    the detector that reports malformed vectors before a pipeline
+    runs.  Found by the --nan, --malformed and --dupkeys fuzz sweeps
+    (FUZZ.md)."""
     v = F.col(vec).cast("array<double>")
     s = F.aggregate(F.transform(v, lambda x: F.abs(x)),
                     F.lit(0.0), lambda a, x: a + x)
@@ -66,14 +84,35 @@ def finite_vectors(df: DataFrame, vec: str = "embedding",
                    & ~F.exists(v, lambda x: x.isNull())
                    & ~F.isnan(s) & (s != F.lit(float("inf"))))
     if dim is not None:
-        return wf.filter(F.size(v) == dim)
+        return _dedup_identity(wf.filter(F.size(v) == dim), vec)
     modal = (wf.groupBy(F.size(v).alias("_wf_dim"))
              .agg(F.count("*").alias("_wf_n"))
              .orderBy(F.desc("_wf_n"), F.asc("_wf_dim")).limit(1)
              .select("_wf_dim"))
     # bounded: modal is exactly one row (the corpus dimension)
-    return (wf.join(F.broadcast(modal), F.size(v) == F.col("_wf_dim"))
-            .drop("_wf_dim"))
+    return _dedup_identity(
+        wf.join(F.broadcast(modal), F.size(v) == F.col("_wf_dim"))
+        .drop("_wf_dim"), vec)
+
+
+def _dedup_identity(df: DataFrame, vec: str) -> DataFrame:
+    """Shape (f) of the :func:`finite_vectors` contract: one winner
+    row per ``vec_id`` (no-op when the frame has no vec_id column or
+    no duplicates — the clean-fixture case)."""
+    if "vec_id" not in df.columns:
+        return df
+    v = F.col(vec).cast("array<double>")
+    serial = F.array_join(
+        F.transform(v, lambda x: F.round(x * 1000000)
+                    .cast("long").cast("string")), ",")
+    order = [F.asc("_wf_serial")]
+    if "label" in df.columns:
+        order.append(F.asc_nulls_last("label"))
+    w_id = Window.partitionBy("vec_id").orderBy(*order)
+    return (df.withColumn("_wf_serial", serial)
+            .withColumn("_wf_rn", F.row_number().over(w_id))
+            .filter(F.col("_wf_rn") == 1)
+            .drop("_wf_serial", "_wf_rn"))
 
 
 def wf_embedding_pred(vec: str = "embedding") -> str:
@@ -88,16 +127,24 @@ def wf_embedding_pred(vec: str = "embedding") -> str:
 
 def wf_embeddings_sql(table: str = "embeddings",
                       vec: str = "embedding") -> str:
-    """DuckDB mirror of :func:`finite_vectors` (modal-dim form), as a
-    SELECT usable as a CTE body::
+    """DuckDB mirror of :func:`finite_vectors` (modal-dim form plus
+    the shape-(f) identity dedup — assumes the embeddings schema's
+    vec_id/label columns), as a SELECT usable as a CTE body::
 
         WITH wf AS ({wf_embeddings_sql()}), ...
     """
     pred = wf_embedding_pred(vec)
-    return (f"SELECT * FROM {table} WHERE {pred}"
+    serial = (f"array_to_string(list_transform(CAST({vec} AS DOUBLE[]),"
+              f" x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT)"
+              f" AS VARCHAR)), ',')")
+    return (f"SELECT * EXCLUDE (_wf_rn) FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
+            f" ORDER BY {serial}, label ASC NULLS LAST) AS _wf_rn"
+            f" FROM {table} WHERE {pred}"
             f" AND len({vec}) = (SELECT len({vec}) FROM {table}"
             f" WHERE {pred} GROUP BY len({vec})"
-            f" ORDER BY COUNT(*) DESC, len({vec}) LIMIT 1)")
+            f" ORDER BY COUNT(*) DESC, len({vec}) LIMIT 1)"
+            f") WHERE _wf_rn = 1")
 
 
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:

@@ -106,3 +106,40 @@ def tf_idf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "tok", "tfidf", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def unique_documents(docs: DataFrame) -> DataFrame:
+    """Identity uniqueness at ingest for the documents table: one
+    deterministic winner row per ``doc_id`` — minimum by (text, lang,
+    source, n_chars), each ASC NULLS LAST.
+
+    Duplicate identities (a double-delivered CDC batch / reprocessed
+    partition — the --dupkeys fuzz hostility) are structurally
+    engine-divergent downstream: any "the text of this doc_id"
+    computation becomes an arbitrary pick, and Spark's row-scoped
+    frames vs the oracles' key-joined CTEs disagree on multiplicities.
+    Exact duplicates collapse to the same row under any rule; the
+    ordered tuple makes CONFLICTING duplicates deterministic too.
+    String comparison is byte-wise UTF-8 in both engines, so the rule
+    is engine-stable.  Mirror: :func:`wf_documents_sql`; register
+    queries with ``unique_docs_guard=True`` to apply the mirror to
+    their oracle automatically.
+
+    Scale: one doc_id-keyed window — production pipelines dedup once
+    at the bronze→silver boundary and skip this pass; it is a no-op
+    (beyond the shuffle) on an identity-clean corpus."""
+    w = Window.partitionBy("doc_id").orderBy(
+        F.asc_nulls_last("text"), F.asc_nulls_last("lang"),
+        F.asc_nulls_last("source"), F.asc_nulls_last("n_chars"))
+    return (docs.withColumn("_uq_rn", F.row_number().over(w))
+            .filter(F.col("_uq_rn") == 1).drop("_uq_rn"))
+
+
+def wf_documents_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`unique_documents`, usable as a CTE
+    body."""
+    return (f"SELECT * EXCLUDE (_uq_rn) FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id"
+            f" ORDER BY text ASC NULLS LAST, lang ASC NULLS LAST,"
+            f" source ASC NULLS LAST, n_chars ASC NULLS LAST) AS _uq_rn"
+            f" FROM {table}) WHERE _uq_rn = 1")

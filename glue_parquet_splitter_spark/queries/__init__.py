@@ -48,21 +48,24 @@ REGISTRY: dict[str, QuerySpec] = {}
 STREAM_EVENTS_FLOOR = "1970-01-01 00:00:00"
 
 
-def _guard_stream_events(sql: str) -> str:
-    """Rewrite an oracle so every reference to the ``events`` relation
-    reads through the event-time validity floor.  Token-level
+def _rewrite_table_refs(sql: str, table: str, cte_name: str,
+                        cte_body: str) -> str:
+    """Rewrite an oracle so every reference to ``table`` reads through
+    a prefixed CTE ``cte_name AS (cte_body)``.  Token-level
     substitution (word boundary: ``n_events``/``event_type`` untouched)
-    plus one prefixed CTE keeps every alias form (``FROM events e``,
-    ``JOIN events b``) valid."""
+    keeps every alias form (``FROM events e``, ``JOIN events b``)
+    valid; shared by the stream-events floor and the unique-documents
+    identity guard."""
     import re
 
     # The \b substitution below is textual, not parsed: a quoted
     # occurrence of the word (WHERE note = 'events') would be silently
-    # corrupted into 'ev_valid'.  No current oracle has one; refuse
-    # loudly if a future one does, rather than mangle its literals.
+    # corrupted.  No current oracle has one; refuse loudly if a future
+    # one does, rather than mangle its literals.
     # Minimal scanner (not a quote-split: an apostrophe inside a `--`
     # comment, e.g. "engines'", flips naive parity): track -- comments
     # and '…' literals ('' is an escaped quote inside one).
+    word = re.compile(rf"\b{table}\b")
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
@@ -80,18 +83,17 @@ def _guard_stream_events(sql: str) -> str:
                     j += 2
                     continue
                 break
-            if re.search(r"\bevents\b", sql[i + 1:j]):
+            if word.search(sql[i + 1:j]):
                 raise ValueError(
-                    "stream_events_guard cannot rewrite an oracle "
-                    "containing a quoted 'events' string literal — "
-                    "rename the literal or apply the floor by hand"
+                    f"oracle guard cannot rewrite an oracle containing "
+                    f"a quoted '{table}' string literal — rename the "
+                    "literal or apply the guard by hand"
                 )
             i = j + 1
         else:
             i += 1
-    guarded = re.sub(r"\bevents\b", "ev_valid", sql)
-    cte = ("ev_valid AS (SELECT * FROM events WHERE ts >= TIMESTAMP "
-           f"'{STREAM_EVENTS_FLOOR}')")
+    guarded = word.sub(cte_name, sql)
+    cte = f"{cte_name} AS ({cte_body})"
     m = re.match(r"(\s*WITH\s+RECURSIVE\s+|\s*WITH\s+)", guarded,
                  re.IGNORECASE)
     if m:
@@ -100,14 +102,37 @@ def _guard_stream_events(sql: str) -> str:
     return "WITH " + cte + "\n    " + guarded
 
 
+def _guard_stream_events(sql: str) -> str:
+    """Every ``events`` reference reads through the event-time
+    validity floor (see STREAM_EVENTS_FLOOR above)."""
+    return _rewrite_table_refs(
+        sql, "events", "ev_valid",
+        "SELECT * FROM events WHERE ts >= TIMESTAMP "
+        f"'{STREAM_EVENTS_FLOOR}'")
+
+
+def _guard_unique_docs(sql: str) -> str:
+    """Every ``documents`` reference reads through the identity-
+    uniqueness contract (one deterministic winner row per doc_id —
+    operators.text.unique_documents; found by the --dupkeys fuzz
+    dimension)."""
+    from ..operators.text import wf_documents_sql
+
+    return _rewrite_table_refs(sql, "documents", "doc_uniq",
+                               wf_documents_sql())
+
+
 def register(name: str, oracle: str | None = None, tags: tuple = (),
-             stream_events_guard: bool = False):  # decorator
+             stream_events_guard: bool = False,
+             unique_docs_guard: bool = False):  # decorator
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         orc = oracle
         if stream_events_guard and orc is not None:
             orc = _guard_stream_events(orc)
+        if unique_docs_guard and orc is not None:
+            orc = _guard_unique_docs(orc)
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=orc, tags=tags)
         return fn
 

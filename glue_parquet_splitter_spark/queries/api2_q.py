@@ -9,13 +9,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import similarity as S
 from . import register
 
 
 @register(
     "arrow_grouped_centroid",
-    oracle="""
-    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    oracle=f"""
+    WITH wf AS ({S.wf_embeddings_sql()}),
     u AS (
       SELECT label, i, embedding[i] AS x
       FROM wf, UNNEST(range(1, len(embedding) + 1)) AS t(i)

@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import unique_documents
 from . import register
 
 CHUNK = 100   # tokens per training chunk
@@ -182,6 +183,7 @@ def quality_decile_mix(spark, sf_dir):
     FROM ranked GROUP BY doc_id
     """,
     tags=("curation", "dedup", "text"),
+    unique_docs_guard=True,
 )
 def linechunk_dedup_rebuild(spark, sf_dir):
     """Span-level dedup with document rebuild (the C4/RefinedWeb "line
@@ -197,7 +199,7 @@ def linechunk_dedup_rebuild(spark, sf_dir):
     near-duplication; this kills boilerplate spans inside otherwise
     unique docs).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = unique_documents(load_table(spark, sf_dir, "documents"))
     # NULL text = no spans (matches the oracle's range-over-NULL)
     toks = (docs.filter(F.col("text").isNotNull())
             .select("doc_id", F.split("text", " ").alias("t")))

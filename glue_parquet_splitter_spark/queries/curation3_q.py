@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import unique_documents
 from . import register
 
 
@@ -146,6 +147,7 @@ def curriculum_stage_order(spark, sf_dir):
     FROM repeats GROUP BY source
     """,
     tags=("curation", "sampling", "upsample"),
+    unique_docs_guard=True,
 )
 def doc_repeat_upsample(spark, sf_dir):
     """Fractional-epoch upsampling: per-source mix weights (uniform
@@ -163,7 +165,7 @@ def doc_repeat_upsample(spark, sf_dir):
     rows with ``n_repeats = 0`` (downsampled sources at w < 1) vanish
     in the generator without a separate filter pass.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = unique_documents(load_table(spark, sf_dir, "documents"))
     per_source = docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("chars_total"),

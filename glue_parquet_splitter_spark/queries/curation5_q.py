@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import unique_documents
 from . import register
 
 _N = 4        # positional gram width (tokens)
@@ -590,6 +591,7 @@ _POS_BITS = 131072  # 2^17 — pos packs below the hash in the argmin code
     GROUP BY 1, 2 HAVING COUNT(*) >= {_WIN_MIN}
     """,
     tags=("dedup", "curation", "window", "lsh"),
+    unique_docs_guard=True,
 )
 def winnowing_fingerprints(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
@@ -615,7 +617,7 @@ def winnowing_fingerprints(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("t"))
     grams = t.select(
         "doc_id",
@@ -783,6 +785,7 @@ FUNNEL_SIGNAL_CTES = f"""toks AS (
     FROM funnel GROUP BY source
     """,
     tags=("curation", "pipeline", "dedup", "quality"),
+    unique_docs_guard=True,
 )
 def curation_funnel_v2(spark, sf_dir):
     """The round-9 curation ops COMPOSED into one funnel — measure
@@ -809,7 +812,7 @@ def curation_funnel_v2(spark, sf_dir):
     """
     from .quality_q import doc_avg_nll, score_percentile_by_source
 
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     raw = d.select("doc_id", "source")
     dup_drop = (winnowing_fingerprints(spark, sf_dir)
                 .select(F.col("doc_b").alias("doc_id")).distinct()
@@ -859,6 +862,7 @@ def curation_funnel_v2(spark, sf_dir):
     FROM per GROUP BY source
     """,
     tags=("curation", "quality", "agg"),
+    unique_docs_guard=True,
 )
 def source_quality_leaderboard(spark, sf_dir):
     """The per-SOURCE quality leaderboard — the table a data-sourcing
@@ -877,7 +881,7 @@ def source_quality_leaderboard(spark, sf_dir):
     """
     from .quality_q import doc_avg_nll
 
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     dup_drop = (winnowing_fingerprints(spark, sf_dir)
                 .select(F.col("doc_b").alias("doc_id")).distinct()
                 .withColumn("_dup", F.lit(1)))

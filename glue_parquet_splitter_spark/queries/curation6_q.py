@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import unique_documents
 from . import register
 
 # ---- sequence packing -------------------------------------------------
@@ -340,7 +341,7 @@ def _clf_sql_ctes() -> str:
 def _clf_scores(spark, sf_dir):
     """(doc_id, is_en, score_int, pred_en) — the Spark twin of
     ``_clf_sql_ctes``, shared by the classifier query and funnel v3."""
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     docs = d.select("doc_id", (F.col("lang") == "en").alias("is_en"),
                     F.split("text", " ").alias("t"))
     # ONE explode over unigrams ++ bigrams with the label carried
@@ -393,6 +394,7 @@ def _clf_scores(spark, sf_dir):
     FROM clf
     """,
     tags=("curation", "quality", "classifier"),
+    unique_docs_guard=True,
 )
 def hashgram_classifier_score(spark, sf_dir):
     """fastText-style linear classifier INFERENCE over hashed n-gram
@@ -459,6 +461,7 @@ from .curation5_q import FUNNEL_SIGNAL_CTES, winnowing_fingerprints  # noqa: E40
     FROM funnel GROUP BY source
     """,
     tags=("curation", "pipeline", "dedup", "quality", "classifier"),
+    unique_docs_guard=True,
 )
 def curation_funnel_v3(spark, sf_dir):
     """The v2 funnel plus the production stage it was missing
@@ -490,7 +493,7 @@ def curation_funnel_v3(spark, sf_dir):
     """
     from .quality_q import doc_avg_nll, score_percentile_by_source
 
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     raw = d.select("doc_id", "source")
     dup_drop = (winnowing_fingerprints(spark, sf_dir)
                 .select(F.col("doc_b").alias("doc_id")).distinct()
@@ -556,6 +559,7 @@ def curation_funnel_v3(spark, sf_dir):
     FROM funnel GROUP BY source
     """,
     tags=("curation", "pipeline", "dedup", "quality", "classifier"),
+    unique_docs_guard=True,
 )
 def curation_funnel_materialized(spark, sf_dir):
     """The PRODUCTION form of ``curation_funnel_v3`` (VERDICT r10 #4):
@@ -828,6 +832,7 @@ _CLF_SWEEP_T = (-200000, -100000, 0, 100000, 200000)  # micro-log-odds
     GROUP BY th.thresh
     """,
     tags=("curation", "classifier", "agg"),
+    unique_docs_guard=True,
 )
 def classifier_threshold_sweep(spark, sf_dir):
     """The precision/recall operating-point table for the hash-n-gram

@@ -144,7 +144,8 @@ def streaming_ingest_dedup(spark, sf_dir):
     WITH v AS (
       SELECT vec_id, vec_id % {_SWEEP_BLOCKS} AS cid, i,
              CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)),
     norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v
               GROUP BY vec_id),
     ids AS (SELECT DISTINCT vec_id, cid FROM v),
@@ -159,7 +160,7 @@ def streaming_ingest_dedup(spark, sf_dir):
       GROUP BY a.vec_id, b.vec_id),
     th AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SWEEP_TH)}])
              AS DOUBLE) AS thresh),
-    nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+    nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM ({S.wf_embeddings_sql()}))
     SELECT th.thresh,
            CAST(SUM(CASE WHEN p.c >= th.thresh THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_pairs,
@@ -188,7 +189,8 @@ def embedding_dedup_threshold_sweep(spark, sf_dir):
     rows — the sweep costs one extra agg, NOT six recomputed dedups.
     Cosines round to 4 decimals before the comparison in both engines.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector + identity contract — mirrors the oracle wfd
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     v = e.select("vec_id", (F.col("vec_id") % _SWEEP_BLOCKS).alias("cid"),
                  "embedding")
     b = v.select(F.col("vec_id").alias("ib"), F.col("cid").alias("bcid"),

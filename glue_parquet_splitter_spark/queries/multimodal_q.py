@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import multimodal as M
+from ..operators.text import unique_documents
 from . import register
 
 
@@ -107,6 +108,7 @@ def multimodal_frame_sample(spark, sf_dir):
     GROUP BY h.doc_id
     """,
     tags=("multimodal", "pandas_udf"),
+    unique_docs_guard=True,
 )
 def multimodal_byte_features(spark, sf_dir):
     """Per-object byte-histogram features (distinct bytes + Shannon
@@ -114,7 +116,7 @@ def multimodal_byte_features(spark, sf_dir):
     Arrow-batched; the corpus is ASCII so the oracle reproduces the
     histogram character-wise.  The stand-in for any bytes→features
     model step (embedding, spectral stats) with the same plumbing."""
-    return M.byte_features(_packed(spark, sf_dir))
+    return M.byte_features(M.pack_binary(unique_documents(load_table(spark, sf_dir, "documents"))))
 
 
 @register(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import unique_documents
 from . import register
 
 
@@ -68,6 +69,7 @@ def _bigrams(col):
     FROM words JOIN bg ON words.doc_id = bg.doc_id
     """,
     tags=("text", "quality"),
+    unique_docs_guard=True,
 )
 def doc_repetition_signals(spark, sf_dir):
     """Within-doc repetition: top-word concentration (needs per-token
@@ -75,7 +77,7 @@ def doc_repetition_signals(spark, sf_dir):
     and duplicate-bigram fraction (pure array expressions, zero
     shuffle).  The two are joined on doc_id — co-partitioned, so at
     scale this is a local join after the single token shuffle."""
-    d = _docs(spark, sf_dir)
+    d = unique_documents(_docs(spark, sf_dir))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     words = (
         toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
@@ -130,6 +132,7 @@ def doc_repetition_signals(spark, sf_dir):
     FROM sig
     """,
     tags=("text", "quality", "filter"),
+    unique_docs_guard=True,
 )
 def gopher_quality_filter(spark, sf_dir):
     """Gopher-rule-style keep/drop verdict with machine-readable drop
@@ -138,7 +141,7 @@ def gopher_quality_filter(spark, sf_dir):
     split this corpus non-trivially).  Verdict-with-reasons rather
     than a silent filter: a 100 TB curation run audits *why* mass was
     dropped before committing to it."""
-    d = _docs(spark, sf_dir)
+    d = unique_documents(_docs(spark, sf_dir))
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     words = (
         toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
@@ -491,6 +494,7 @@ def stratified_fixed_n_sample(spark, sf_dir):
     FROM ranked
     """,
     tags=("quality", "curation", "window"),
+    unique_docs_guard=True,
 )
 def score_percentile_by_source(spark, sf_dir):
     """Within-source percentile normalization of a quality score — the
@@ -515,7 +519,7 @@ def score_percentile_by_source(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     t = F.split("text", " ")
     scored = d.select(
         "doc_id", "source",
@@ -573,6 +577,7 @@ def score_percentile_by_source(spark, sf_dir):
     ORDER BY avg_nll DESC, doc_id LIMIT 20
     """,
     tags=("quality", "curation", "text", "topk"),
+    unique_docs_guard=True,
 )
 def bigram_lm_perplexity_filter(spark, sf_dir):
     """Perplexity-based quality filtering with a SELF-TRAINED bigram
@@ -609,7 +614,7 @@ def doc_avg_nll(spark, sf_dir):
     ``curation_funnel_v2`` (threshold gate)."""
     from pyspark.sql import Window as W
 
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id",
                     F.posexplode(F.split("text", " ")).alias("pos", "w"))
     wdoc = W.partitionBy("doc_id").orderBy("pos")

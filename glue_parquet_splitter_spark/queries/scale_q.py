@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import similarity as S
 from . import register
 
 
@@ -167,8 +168,8 @@ def event_sequence_first_after(spark, sf_dir):
 
 @register(
     "kmeans_assign_step",
-    oracle="""
-    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    oracle=f"""
+    WITH wf AS ({S.wf_embeddings_sql()}),
     v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM wf, UNNEST(generate_series(1, 64)) AS t(i)
@@ -255,8 +256,8 @@ def bloom_join_pruning(spark, sf_dir):
 
 @register(
     "kmeans_lloyd_iters",
-    oracle="""
-    WITH wf AS (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)),
+    oracle=f"""
+    WITH wf AS ({S.wf_embeddings_sql()}),
     v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       FROM wf, UNNEST(generate_series(1, 64)) AS t(i)

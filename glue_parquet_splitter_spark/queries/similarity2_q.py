@@ -26,19 +26,12 @@ from . import register
 # long-format base + per-vector max-abs + floor-int8 codes (mirrors the
 # Spark array expressions bit for bit: floor() is identical in both
 # engines, unlike round/cast whose tie and truncation rules differ)
-_QUANT_CTE = """
+_QUANT_CTE = f"""
     WITH v AS (
       -- finite-vector contract (FUZZ.md --nan sweep)
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-        AND len(embedding) = (SELECT len(embedding) FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
-              AND len(list_filter(embedding, x -> x IS NULL)) = 0
-              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), sc AS (
       SELECT vec_id, GREATEST(MAX(ABS(x)), 1e-12) AS maxabs FROM v GROUP BY vec_id
     ), q8 AS (
@@ -265,10 +258,11 @@ def ann_pq_adc_topk(spark, sf_dir):
 
 @register(
     "mips_norm_bound_topk",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), q AS (SELECT vec_id, i, x FROM v WHERE vec_id < 5),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -304,7 +298,8 @@ def mips_norm_bound_topk(spark, sf_dir):
     the norm filter drops most of the corpus; the oracle is the full
     brute-force MIPS, so the hash gate proves the pruning lossless.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector + identity contract — mirrors the oracle wfd
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     nrm = F.sqrt(F.aggregate(
         F.col("v"), F.lit(0.0), lambda a, x: a + x * x))
@@ -350,10 +345,11 @@ def mips_norm_bound_topk(spark, sf_dir):
 
 @register(
     "ann_jl_projection_topk",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), proj AS (
       SELECT vec_id, j,
              SUM(CASE WHEN ((j * 73 + d * 151) % 7) < 4 THEN x ELSE -x END)
@@ -399,7 +395,8 @@ def ann_jl_projection_topk(spark, sf_dir):
     recall.  The sign matrix needs no storage on executors — it is an
     expression, not data.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector + identity contract — mirrors the oracle wfd
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     base = e.select("vec_id",
                     F.col("embedding").cast("array<double>").alias("v"))
     # p[j] = sum_d s(j,d) * v[d], left-fold — deterministic order
@@ -442,10 +439,11 @@ def ann_jl_projection_topk(spark, sf_dir):
 
 @register(
     "topk_incremental_merge",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), q AS (
       SELECT i, x AS qx FROM v WHERE vec_id = 1
     ), corpus AS (
@@ -502,7 +500,8 @@ def topk_incremental_merge(spark, sf_dir):
     tie-break (the registry's argmax convention); the planted
     cosine-1.0 row pins the head deterministically.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    # finite-vector + identity contract — mirrors the oracle wfd
+    e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     qv = (vecs.where(F.col("vec_id") == 1)
           .select(F.col("v").alias("qv")))

@@ -50,15 +50,8 @@ def _assigned(spark, sf_dir):
     oracle=f"""
     WITH v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-        AND len(embedding) = (SELECT len(embedding) FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
-              AND len(list_filter(embedding, x -> x IS NULL)) = 0
-              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -144,18 +137,11 @@ def ann_ivf_multiprobe(spark, sf_dir):
 
 @register(
     "hard_negative_mining",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-        AND len(embedding) = (SELECT len(embedding) FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
-              AND len(list_filter(embedding, x -> x IS NULL)) = 0
-              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -226,18 +212,11 @@ def hard_negative_mining(spark, sf_dir):
 
 @register(
     "retrieval_eval_metrics",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-        AND len(embedding) = (SELECT len(embedding) FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
-              AND len(list_filter(embedding, x -> x IS NULL)) = 0
-              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     ), q AS (
@@ -346,21 +325,14 @@ def retrieval_eval_metrics(spark, sf_dir):
     )
 
 
-_KNN_COS_CTE = """
+_KNN_COS_CTE = f"""
     WITH v AS (
       -- finite-vector contract (FUZZ.md --nan sweep): a NaN/±Inf
       -- component poisons every cosine and ranks engine-divergently;
       -- embedding_health_audit is the detector, the family EXCLUDES
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-        AND len(embedding) = (SELECT len(embedding) FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
-              AND len(list_filter(embedding, x -> x IS NULL)) = 0
-              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), norms AS (
       SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM v GROUP BY vec_id
     )
@@ -370,14 +342,14 @@ _KNN_COS_CTE = """
 # Shared CTE: the bucket-local kNN edge set (src, dst, cos_sim, rank
 # 1..3) — the construction of ``knn_graph_lsh``, reused verbatim by
 # ``label_propagation_knn`` so the two oracles cannot drift.
-_KNN_EDGES_CTE = _KNN_COS_CTE + """
+_KNN_EDGES_CTE = _KNN_COS_CTE + f"""
     , bk AS (
       SELECT vec_id,
              ((CASE WHEN CAST(embedding[1] AS DOUBLE) > 0 THEN 1 ELSE 0 END) * 8 +
               (CASE WHEN CAST(embedding[9] AS DOUBLE) > 0 THEN 1 ELSE 0 END) * 4 +
               (CASE WHEN CAST(embedding[17] AS DOUBLE) > 0 THEN 1 ELSE 0 END) * 2 +
               (CASE WHEN CAST(embedding[25] AS DOUBLE) > 0 THEN 1 ELSE 0 END)) AS bucket
-      FROM embeddings
+      FROM ({S.wf_embeddings_sql()}) wfb
     ), pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst
       FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
@@ -789,9 +761,9 @@ def mmr_diversified_topk(spark, sf_dir):
 
 @register(
     "label_propagation_knn",
-    oracle=_KNN_EDGES_CTE + """
+    oracle=_KNN_EDGES_CTE + f"""
     , lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-              FROM embeddings),
+              FROM ({S.wf_embeddings_sql()}) wfl),
     votes AS (
       SELECT k.src, l.label AS nb_label, COUNT(*) AS n
       FROM knn k JOIN lab l ON l.vec_id = k.dst
@@ -866,15 +838,8 @@ def label_propagation_knn(spark, sf_dir):
     oracle=f"""
     WITH v AS (
       SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-        AND len(embedding) = (SELECT len(embedding) FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
-              AND len(list_filter(embedding, x -> x IS NULL)) = 0
-              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid, rn AS crank FROM (
@@ -1007,19 +972,12 @@ def mutual_knn_pairs(spark, sf_dir):
 
 @register(
     "embedding_centroid_drift",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, label, vec_id % 2 AS half, i,
              CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
-      WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND len(list_filter(embedding, x -> x IS NULL)) = 0
-        AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-        AND len(embedding) = (SELECT len(embedding) FROM embeddings
-            WHERE embedding IS NOT NULL AND len(embedding) > 0
-              AND len(list_filter(embedding, x -> x IS NULL)) = 0
-              AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))
-            GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), cent AS (
       SELECT label, half, i, AVG(x) AS c,
              COUNT(DISTINCT vec_id) AS n

@@ -352,8 +352,10 @@ def approx_top_k_event_types(spark, sf_dir):
     """Spark 4's ``approx_top_k`` (Misra-Gries-style bounded-state
     heavy hitters) over the event-type stream.  The aggregate tracks
     at most ``maxItemsTracked`` counters; when the true cardinality
-    fits inside that budget (5 event types ≪ 10 000 here) the counts
-    are provably EXACT, so the plain GROUP BY is the oracle with no
+    fits inside k AND the tracking budget (k=32 ≫ the fixture's type
+    cardinality — the --dupkeys conflict mutator mints extra types,
+    and ties at k's boundary would rank engine-arbitrarily) the
+    counts are provably EXACT, so the plain GROUP BY is the oracle with no
     ±band — the same "exact in the graded regime, bounded-state at
     scale" contract as ``cms_heavy_hitters``, via the built-in
     aggregate instead of a hand-rolled sketch.  At 100 TB the value
@@ -366,7 +368,7 @@ def approx_top_k_event_types(spark, sf_dir):
     ev.select("event_type").createOrReplaceTempView("ev_atk")
     return spark.sql("""
         SELECT t.item AS item, CAST(t.count AS BIGINT) AS cnt
-        FROM (SELECT explode(approx_top_k(event_type, 5)) AS t FROM ev_atk)
+        FROM (SELECT explode(approx_top_k(event_type, 32)) AS t FROM ev_atk)
     """)
 
 

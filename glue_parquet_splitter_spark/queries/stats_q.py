@@ -384,19 +384,35 @@ def cusum_changepoint(spark, sf_dir):
     "winsorized_robust_stats",
     oracle="""
     WITH bounds AS (
+      -- bounds quantized to cents BEFORE the clamp: the raw
+      -- interpolated percentile differs between engines in the last
+      -- ulp, which flipped a 2-decimal ROUND of the clamped mean on a
+      -- half boundary (--dupkeys fuzz draw)
       SELECT c_mktsegment AS segment,
-             quantile_cont(c_acctbal, 0.05) AS p05,
-             quantile_cont(c_acctbal, 0.95) AS p95
+             ROUND(quantile_cont(c_acctbal, 0.05), 2) AS p05,
+             ROUND(quantile_cont(c_acctbal, 0.95), 2) AS p95
       FROM customer GROUP BY c_mktsegment
+    ), cl AS (
+      SELECT c.c_mktsegment AS segment, b.p05, b.p95,
+             CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+             CAST(ROUND(LEAST(GREATEST(c.c_acctbal, b.p05), b.p95)
+                        * 100) AS BIGINT) AS win_c
+      FROM customer c JOIN bounds b ON b.segment = c.c_mktsegment
+    ), ag AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(bal_c) * 2 + COUNT(*) AS yr,
+             SUM(win_c) * 2 + COUNT(*) AS yw,
+             2 * COUNT(*) AS d,
+             MIN(p05) AS p05, MIN(p95) AS p95
+      FROM cl GROUP BY segment
     )
-    SELECT c.c_mktsegment AS segment,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(AVG(c.c_acctbal), 2) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(c.c_acctbal, b.p05), b.p95)), 2)
-             AS mean_winsorized,
-           ROUND(MIN(b.p05), 2) AS p05, ROUND(MIN(b.p95), 2) AS p95
-    FROM customer c JOIN bounds b ON b.segment = c.c_mktsegment
-    GROUP BY c.c_mktsegment
+    -- integer-cents half-up mean, floor-division made sign-symmetric
+    -- by exact-multiple arithmetic (the q5_region_revenue pattern)
+    SELECT segment, n,
+           ((yr - ((yr % d) + d) % d) // d) / 100.0 AS mean_raw,
+           ((yw - ((yw % d) + d) % d) // d) / 100.0 AS mean_winsorized,
+           p05, p95
+    FROM ag
     """,
     tags=("stats", "agg", "monitoring"),
 )
@@ -417,21 +433,36 @@ def winsorized_robust_stats(spark, sf_dir):
     (``approx_quantile_error_by_group`` measures exactly that
     substitution's error).
 
-    Determinism: interpolated percentile parity as established
-    (``percentile_cont_by_group``); clamp and averages over exact
-    decimals rounded to 2.
+    Determinism: the clamp bounds are quantized to CENTS before use —
+    raw interpolated percentiles differ between engines in the last
+    ulp, which flipped a 2-decimal ROUND of the clamped mean sitting
+    on a half boundary (--dupkeys fuzz draw); the means are exact
+    integer-cents half-up divisions (floor made sign-symmetric by
+    exact-multiple arithmetic, the ``q5_region_revenue`` pattern), so
+    no float accumulation ever reaches a ROUND.
     """
     cust = load_table(spark, sf_dir, "customer")
     bounds = (cust.groupBy(F.col("c_mktsegment").alias("segment"))
-              .agg(F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
-                   F.percentile("c_acctbal", F.lit(0.95)).alias("p95")))
+              .agg(F.round(F.percentile("c_acctbal", F.lit(0.05)), 2)
+                   .alias("p05"),
+                   F.round(F.percentile("c_acctbal", F.lit(0.95)), 2)
+                   .alias("p95")))
     clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")),
                       F.col("p95"))
-    return (cust.join(bounds,
-                      cust["c_mktsegment"] == bounds["segment"])
-            .groupBy("segment")
-            .agg(F.count("*").alias("n"),
-                 F.round(F.avg("c_acctbal"), 2).alias("mean_raw"),
-                 F.round(F.avg(clamped), 2).alias("mean_winsorized"),
-                 F.round(F.min("p05"), 2).alias("p05"),
-                 F.round(F.min("p95"), 2).alias("p95")))
+    ag = (cust.join(bounds, cust["c_mktsegment"] == bounds["segment"])
+          .select("segment", "p05", "p95",
+                  F.round(F.col("c_acctbal") * 100).cast("long")
+                  .alias("bal_c"),
+                  F.round(clamped * 100).cast("long").alias("win_c"))
+          .groupBy("segment")
+          .agg(F.count("*").alias("n"),
+               (F.sum("bal_c") * 2 + F.count("*")).alias("yr"),
+               (F.sum("win_c") * 2 + F.count("*")).alias("yw"),
+               (F.count("*") * 2).alias("d"),
+               F.min("p05").alias("p05"), F.min("p95").alias("p95")))
+    half_up = lambda y: F.expr(  # noqa: E731 — shared floor form
+        f"(({y} - (({y} % d) + d) % d) div d) / CAST(100.0 AS DOUBLE)")
+    return ag.select("segment", "n",
+                     half_up("yr").alias("mean_raw"),
+                     half_up("yw").alias("mean_winsorized"),
+                     "p05", "p95")

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators import text as T
+from ..operators.text import unique_documents
 from . import register
 
 
@@ -172,12 +173,13 @@ def regex_tokenizer_counts(spark, sf_dir):
     GROUP BY doc_id
     """,
     tags=("text", "fingerprint"),
+    unique_docs_guard=True,
 )
 def doc_fingerprint_bag(spark, sf_dir):
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token bag — catches shuffled near-identical docs that
     defeat raw-text hashing."""
-    d = _docs(spark, sf_dir)
+    d = unique_documents(_docs(spark, sf_dir))
     # NULL text = no bag (concat_ws would silently collapse NULL to ''
     # while the oracle's UNNEST drops the doc — fuzz_oracle.py)
     return d.filter(F.col("text").isNotNull()).select(
@@ -408,6 +410,7 @@ def dup_cluster_size_histogram(spark, sf_dir):
     LIMIT 20
     """,
     tags=("text", "stats", "topk"),
+    unique_docs_guard=True,
 )
 def pmi_adjacent_bigrams(spark, sf_dir):
     """Top-20 collocations by pointwise mutual information over
@@ -432,7 +435,7 @@ def pmi_adjacent_bigrams(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    d = _docs(spark, sf_dir)
+    d = unique_documents(_docs(spark, sf_dir))
     toks = d.select("doc_id",
                     F.posexplode(F.split("text", " ")).alias("pos", "w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))

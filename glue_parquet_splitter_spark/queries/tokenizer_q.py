@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.text import unique_documents
 from . import register
 from .curation4_q import hex_hash_expr
 
@@ -403,6 +404,7 @@ def _cdc_sql(src: str, tag: str) -> str:
     SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5 FROM d_m
     """,
     tags=("tokenizer", "chunking", "string"),
+    unique_docs_guard=True,
 )
 def cdc_gear_chunking(spark, sf_dir):
     """Content-defined chunking — the dedup-grade chunker (FastCDC /
@@ -420,7 +422,7 @@ def cdc_gear_chunking(spark, sf_dir):
     boundary.  Stateless per doc => embarrassingly parallel at any
     scale.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     return _cdc_chunks(d.select("doc_id", "text", "n_chars"))
 
 
@@ -481,6 +483,7 @@ def _shared_frac_sql(a: str, b: str) -> str:
     SELECT 'fixed' AS method, * FROM ({_shared_frac_sql('fa_m', 'fb_m')})
     """),
     tags=("tokenizer", "chunking", "dedup"),
+    unique_docs_guard=True,
 )
 def cdc_shift_resilience(spark, sf_dir):
     """THE argument for content-defined chunking, measured: plant a
@@ -499,7 +502,7 @@ def cdc_shift_resilience(spark, sf_dir):
     per-doc (doc_id, md5) equi-joins and two tiny aggs.  The join key
     includes doc_id, so it partitions evenly at any corpus size.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     base = (d.filter(F.col("doc_id") % 3 == 0)
             .select("doc_id", "text", "n_chars"))
     shifted = base.select(
@@ -532,6 +535,7 @@ def cdc_shift_resilience(spark, sf_dir):
     SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5 FROM d_m
     """,
     tags=("tokenizer", "chunking", "streaming"),
+    unique_docs_guard=True,
 )
 def streaming_cdc_chunk_index(spark, sf_dir):
     """``cdc_gear_chunking`` running AT INGEST as real Structured
@@ -546,8 +550,10 @@ def streaming_cdc_chunk_index(spark, sf_dir):
     exactly-once argument (file-source checkpoint)."""
     from ..streaming.windows import run_cdc_chunk_index_stream
 
+    winners = unique_documents(load_table(spark, sf_dir, "documents"))
     return run_cdc_chunk_index_stream(
-        spark, f"{sf_dir}/documents.parquet", _cdc_chunk_list_expr())
+        spark, f"{sf_dir}/documents.parquet", _cdc_chunk_list_expr(),
+        winners=winners)
 
 
 _CDC_DF_CAP = 10    # drop fingerprints owned by more than this many docs
@@ -577,6 +583,7 @@ _CDC_DF_CAP = 10    # drop fingerprints owned by more than this many docs
     WHERE shared >= 2
     """,
     tags=("tokenizer", "chunking", "dedup", "join"),
+    unique_docs_guard=True,
 )
 def cdc_containment_pairs(spark, sf_dir):
     """Near-duplicate CANDIDATE PAIRS from content-defined chunk
@@ -595,7 +602,7 @@ def cdc_containment_pairs(spark, sf_dir):
     hints; raw text never leaves the map side (only 32-char md5s
     shuffle).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = unique_documents(load_table(spark, sf_dir, "documents"))
     idx = (_cdc_chunks(d.select("doc_id", "text", "n_chars"))
            .select("doc_id", "chunk_md5").distinct())
     sizes = idx.groupBy("doc_id").agg(F.count("*").alias("n_ch"))

@@ -12,6 +12,8 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators import similarity as S
+from ..operators.text import unique_documents
 from . import register
 
 
@@ -77,10 +79,11 @@ def python_udtf_chunks(spark, sf_dir):
 
 @register(
     "ivf_topk_search",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)
+      FROM ({S.wf_embeddings_sql()}) wfd,
+           UNNEST(generate_series(1, 64)) AS t(i)
     ), cent AS (SELECT vec_id AS cid, i, x FROM v WHERE vec_id < 4),
     assign AS (
       SELECT vec_id, cid FROM (
@@ -159,12 +162,12 @@ def ivf_topk_search(spark, sf_dir):
 
 @register(
     "embedding_norms_map_in_arrow",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
                                               x -> x * x))), 4) AS l2_norm,
            label
-    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) AND len(embedding) = (SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL)) = 0 AND isfinite(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))) GROUP BY len(embedding) ORDER BY COUNT(*) DESC, len(embedding) LIMIT 1))
+    FROM ({S.wf_embeddings_sql()})
     """,
     tags=("udf", "arrow", "similarity"),
 )
@@ -359,6 +362,7 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     FROM ranked GROUP BY doc_id
     """,
     tags=("udf", "udtf", "spark4"),
+    unique_docs_guard=True,
 )
 def python_udtf_polymorphic_topk(spark, sf_dir):
     """POLYMORPHIC Python UDTF (Spark 4 ``analyze()`` API): the output
@@ -400,7 +404,7 @@ def python_udtf_polymorphic_topk(spark, sf_dir):
             vals = [t for t, _ in top] + [None] * (k - len(top))
             yield (doc_id, *vals)
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d = unique_documents(load_table(spark, sf_dir, "documents")).filter(F.col("doc_id") < 50)
     d.createOrReplaceTempView("_udtf_topk_docs")
     spark.udtf.register("top_tokens", TopTokens)
     return spark.sql(

@@ -662,7 +662,9 @@ def run_chunk_index_stream(spark: SparkSession, docs_path: str,
 
 
 def run_cdc_chunk_index_stream(spark: SparkSession, docs_path: str,
-                               chunk_list_expr: str) -> DataFrame:
+                               chunk_list_expr: str,
+                               winners: "DataFrame | None" = None
+                               ) -> DataFrame:
     """Content-defined chunking AT INGEST: same stateless file-source →
     append-memory-sink shape as :func:`run_chunk_index_stream`, but the
     fan-out is the caller-supplied CDC chunk-struct-list expression
@@ -682,6 +684,31 @@ def run_cdc_chunk_index_stream(spark: SparkSession, docs_path: str,
         stream = reader.option("pathGlobFilter", base).parquet(parent)
     else:
         stream = reader.parquet(docs_path)
+    if winners is not None:
+        # identity hygiene at ingest (--dupkeys): keep only rows whose
+        # full payload matches the deterministic per-doc_id winner
+        # (operators.text.unique_documents on the static landing
+        # table), then collapse exact-duplicate redeliveries — every
+        # surviving candidate is byte-identical, so the stateful
+        # dropDuplicates pick is value-deterministic.  Production
+        # dedups once at the bronze boundary instead.
+        # no broadcast hint: winners is the CORPUS-sized deduped
+        # landing table — at 100 TB the static side would be the
+        # narrow (doc_id, content hash) projection and Catalyst picks
+        # the stream-static join strategy per micro-batch
+        w = winners.select(
+            F.col("doc_id").alias("w_id"), F.col("text").alias("w_text"),
+            F.col("lang").alias("w_lang"),
+            F.col("source").alias("w_src"),
+            F.col("n_chars").alias("w_nc"))
+        stream = (stream.join(
+            w, F.col("doc_id").eqNullSafe(F.col("w_id"))
+            & F.col("text").eqNullSafe(F.col("w_text"))
+            & F.col("lang").eqNullSafe(F.col("w_lang"))
+            & F.col("source").eqNullSafe(F.col("w_src"))
+            & F.col("n_chars").eqNullSafe(F.col("w_nc")))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .dropDuplicates(["doc_id"]))
     out = (stream.filter(F.col("n_chars") >= 1)
            .select("doc_id", "text",
                    F.posexplode(F.expr(chunk_list_expr))
