@@ -124,7 +124,10 @@ def ivf_topk_search(spark, sf_dir):
     a query touches one partition; centroids always broadcast."""
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
+    from ..operators.similarity import finite_vectors
+
+    # finite-vector + identity contract — mirrors the oracle wfd
+    e = finite_vectors(load_table(spark, sf_dir, "embeddings"))
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = vecs.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     d2 = F.aggregate(

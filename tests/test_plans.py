@@ -824,10 +824,22 @@ def test_label_propagation_node_keyed_shuffles(spark, sf_dir):
     """Label propagation: the vote join is edge-list x label-table on
     the node key; the majority argmax windows over node-granular
     (src) partitions; everything inherits the bucket-local edge
-    build — no all-pairs anywhere."""
+    build — no all-pairs anywhere.
+
+    Since the identity-uniqueness contract (r13 --dupkeys), the
+    node-keyed exchange is the dedup window's hashpartitioning on
+    vec_id, and Catalyst REUSES it for every downstream src-keyed
+    window (src is vec_id renamed through the join's probe side) — so
+    the pin accepts either spelling of the node key, and there must
+    be no src-keyed RE-shuffle on top of a vec_id one."""
     plan = plan_of(spark, sf_dir, "label_propagation_knn")
     assert "CartesianProduct" not in plan
-    assert "hashpartitioning(src#" in plan, plan[:2000]
+    assert "windowspecdefinition(src#" in plan, plan[:2000]
+    assert ("hashpartitioning(src#" in plan
+            or "hashpartitioning(vec_id#" in plan), plan[:2000]
+    if "hashpartitioning(vec_id#" in plan:
+        assert "Exchange hashpartitioning(src#" not in plan, (
+            "node key shuffled twice — partitioning reuse regressed")
 
 
 def test_kmv_two_phase_min_k(spark, sf_dir):
@@ -1142,12 +1154,19 @@ def test_text_clean_is_map_side_only(spark, sf_dir):
 
 def test_cdc_chunking_is_map_side_only(spark, sf_dir):
     """cdc_gear_chunking: the gear hash telescopes to a per-position
-    window sum, so the whole chunker is array expressions on the scan
-    — zero exchanges, like fixed-stride chunking (content-defined
-    boundaries must not cost a shuffle)."""
+    window sum, so the CHUNKER is array expressions on the scan —
+    content-defined boundaries must not cost a shuffle.  Since the
+    identity-uniqueness contract (r13 --dupkeys) the input passes
+    through unique_documents first, whose doc_id window is the ONLY
+    exchange in the plan (production reads bronze-deduped storage and
+    skips it); the chunking itself still adds none."""
     plan = plan_of(spark, sf_dir, "cdc_gear_chunking")
     assert "Generate posexplode" in plan
-    assert "Exchange" not in plan
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    assert all(k.startswith("doc_id") for k in exchanges), exchanges
+    assert "Exchange rangepartitioning" not in plan
+    assert len(set(exchanges)) <= 1, exchanges
 
 
 def test_cdc_resilience_doc_keyed_joins(spark, sf_dir):
