@@ -140,10 +140,15 @@ def zscore_daily_anomaly(spark, sf_dir):
         F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
     ).agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type")
+    # try_divide: a type whose daily counts are all equal has stddev 0
+    # (the --dupkeys --dates draw minted one) — ANSI `/` throws, while
+    # the oracle's DuckDB division by zero is NULL, which the
+    # abs(z) > 1.5 filter then drops; NULL z matches that exactly
+    # (a zero-variance series has no meaningful z-score anyway)
     scored = daily.select(
         "event_type", "day", "n",
-        ((F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w))
-        .alias("z"),
+        F.try_divide(F.col("n") - F.avg("n").over(w),
+                     F.stddev_samp("n").over(w)).alias("z"),
     )
     return (scored.where(F.abs("z") > 1.5)
             .select("event_type", "day", "n", F.round("z", 3).alias("zscore")))
