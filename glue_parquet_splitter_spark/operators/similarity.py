@@ -56,8 +56,9 @@ def finite_vectors(df: DataFrame, vec: str = "embedding",
     The contract's sixth shape (f) is IDENTITY uniqueness: when the
     same ``vec_id`` appears more than once (a double-delivered batch /
     reprocessed partition — the --dupkeys hostility), exactly ONE
-    deterministic winner row survives — minimum by (the vector's
-    integer-scaled serialization, then label, NULLS LAST).  Duplicate
+    deterministic winner row survives — minimum by (md5 of the
+    vector's integer-scaled serialization, then label, NULLS LAST).
+    Duplicate
     identities are structurally engine-divergent everywhere
     downstream: Spark keeps vectors as row-scoped arrays (a dup id is
     two candidate rows), while the UNNEST-position oracles are
@@ -102,9 +103,14 @@ def _dedup_identity(df: DataFrame, vec: str) -> DataFrame:
     if "vec_id" not in df.columns:
         return df
     v = F.col(vec).cast("array<double>")
-    serial = F.array_join(
+    # md5 of the integer-scaled serialization, not the ~400-byte
+    # string itself: the order key rides the dedup shuffle, and both
+    # engines produce byte-identical md5 hex, so the winner stays
+    # deterministic at 1/12 the key width (bench: the serial column
+    # dominated the window's shuffle bytes)
+    serial = F.md5(F.array_join(
         F.transform(v, lambda x: F.round(x * 1000000)
-                    .cast("long").cast("string")), ",")
+                    .cast("long").cast("string")), ","))
     order = [F.asc("_wf_serial")]
     if "label" in df.columns:
         order.append(F.asc_nulls_last("label"))
@@ -134,9 +140,9 @@ def wf_embeddings_sql(table: str = "embeddings",
         WITH wf AS ({wf_embeddings_sql()}), ...
     """
     pred = wf_embedding_pred(vec)
-    serial = (f"array_to_string(list_transform(CAST({vec} AS DOUBLE[]),"
-              f" x -> CAST(CAST(ROUND(x * 1000000) AS BIGINT)"
-              f" AS VARCHAR)), ',')")
+    serial = (f"md5(array_to_string(list_transform(CAST({vec} AS"
+              f" DOUBLE[]), x -> CAST(CAST(ROUND(x * 1000000) AS"
+              f" BIGINT) AS VARCHAR)), ','))")
     return (f"SELECT * EXCLUDE (_wf_rn) FROM ("
             f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"
             f" ORDER BY {serial}, label ASC NULLS LAST) AS _wf_rn"
