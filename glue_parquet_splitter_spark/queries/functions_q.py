@@ -248,15 +248,29 @@ def json_struct_roundtrip(spark, sf_dir):
     tags=("scalar", "array"),
 )
 def array_funcs(spark, sf_dir):
+    """Scalar array-function demo over RAW embeddings (deliberately no
+    well-formedness gate — these are the functions a hygiene audit
+    itself would use), so the empty/NULL-component semantics are
+    EXPLICIT on both engines (--malformed --dupkeys fuzz): first_val
+    via try_element_at (ANSI element_at THROWS on an empty array;
+    DuckDB emb[1] is NULL), and the sum/min/max fold over the
+    NULL-stripped components with an empty/all-NULL vector yielding
+    NULL (DuckDB's list_sum/list_min skip NULLs and return NULL on
+    empty, while Spark's aggregate would propagate NULL and return
+    0.0 on empty)."""
     e = _t(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
+    nn = F.filter(emb, lambda x: x.isNotNull())
+    has = F.size(nn) > 0
     return e.select(
         "vec_id",
         F.size(emb).cast("long").alias("dim"),
-        F.round(F.element_at(emb, 1), 4).alias("first_val"),
-        F.round(F.aggregate(emb, F.lit(0.0), lambda a, x: a + x), 4).alias("vec_sum"),
-        F.round(F.array_min(emb), 4).alias("vec_min"),
-        F.round(F.array_max(emb), 4).alias("vec_max"),
+        F.round(F.try_element_at(emb, F.lit(1)), 4).alias("first_val"),
+        F.when(has, F.round(F.aggregate(nn, F.lit(0.0),
+                                        lambda a, x: a + x), 4))
+        .alias("vec_sum"),
+        F.when(has, F.round(F.array_min(nn), 4)).alias("vec_min"),
+        F.when(has, F.round(F.array_max(nn), 4)).alias("vec_max"),
         F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
     )
 
