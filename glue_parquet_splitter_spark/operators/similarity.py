@@ -33,7 +33,8 @@ def l2_norm(v) -> F.Column:
 
 
 def finite_vectors(df: DataFrame, vec: str = "embedding",
-                   dim: int | None = None) -> DataFrame:
+                   dim: int | None = None,
+                   dedup: bool = True) -> DataFrame:
     """Keep only well-formed, all-finite vectors.  The EXCLUSION
     contract (explicit on both engines, ADVICE r11) drops a vector
     that is (a) NULL, (b) empty, (c) has any NULL component,
@@ -70,13 +71,25 @@ def finite_vectors(df: DataFrame, vec: str = "embedding",
     and engine-stable; ties beyond (serial, label) are byte-identical
     rows where any winner is the same row.
 
+    Shape (f) applies only when the frame HAS a ``vec_id`` column
+    (the identity column of the embeddings schema); pass
+    ``dedup=False`` to skip it deliberately — EITHER because the
+    corpus is declared identity-clean (the silver-layer caller: the
+    bronze→silver boundary already deduped, so the pk window is pure
+    cost) OR because duplicate vec_ids are legitimate in this frame
+    (a union of batches, an exploded frame) and dropping rows would
+    be silently wrong.  The graded queries keep the default guarded
+    form — the fuzz harness feeds them dirty data by design.
+
     Scale: the modal-dim derivation is one map-side int agg over the
     corpus plus a 1-row broadcast, and identity dedup is one
     vec_id-keyed window — production pipelines should pass the
-    encoder's declared ``dim``, dedup once at the bronze→silver
-    boundary, and skip both passes.  ``embedding_health_audit`` is
-    the detector that reports malformed vectors before a pipeline
-    runs.  Found by the --nan, --malformed and --dupkeys fuzz sweeps
+    encoder's declared ``dim`` and ``dedup=False`` past the
+    bronze→silver boundary, skipping both passes.
+    ``embedding_health_audit`` is the detector that reports malformed
+    vectors before a pipeline runs; ``pk_uniqueness_audit`` reports
+    the duplicate-identity mass this contract would silently resolve.
+    Found by the --nan, --malformed and --dupkeys fuzz sweeps
     (FUZZ.md)."""
     v = F.col(vec).cast("array<double>")
     s = F.aggregate(F.transform(v, lambda x: F.abs(x)),
@@ -84,14 +97,15 @@ def finite_vectors(df: DataFrame, vec: str = "embedding",
     wf = df.filter(F.col(vec).isNotNull() & (F.size(v) > 0)
                    & ~F.exists(v, lambda x: x.isNull())
                    & ~F.isnan(s) & (s != F.lit(float("inf"))))
+    dd = _dedup_identity if dedup else (lambda d, _vec: d)
     if dim is not None:
-        return _dedup_identity(wf.filter(F.size(v) == dim), vec)
+        return dd(wf.filter(F.size(v) == dim), vec)
     modal = (wf.groupBy(F.size(v).alias("_wf_dim"))
              .agg(F.count("*").alias("_wf_n"))
              .orderBy(F.desc("_wf_n"), F.asc("_wf_dim")).limit(1)
              .select("_wf_dim"))
     # bounded: modal is exactly one row (the corpus dimension)
-    return _dedup_identity(
+    return dd(
         wf.join(F.broadcast(modal), F.size(v) == F.col("_wf_dim"))
         .drop("_wf_dim"), vec)
 
@@ -107,10 +121,16 @@ def _dedup_identity(df: DataFrame, vec: str) -> DataFrame:
     # string itself: the order key rides the dedup shuffle, and both
     # engines produce byte-identical md5 hex, so the winner stays
     # deterministic at 1/12 the key width (bench: the serial column
-    # dominated the window's shuffle bytes)
+    # dominated the window's shuffle bytes).  The scaled value is
+    # clamped into ±9e18 (< int64 max, exactly double-representable)
+    # before the bigint cast: a finite-but-huge component (|x| >
+    # ~9.2e12 passes finite_vectors) otherwise SATURATES under
+    # Spark's non-ANSI cast but RAISES under DuckDB's — the clamp
+    # makes both engines serialize the identical value (ADVICE r13).
     serial = F.md5(F.array_join(
-        F.transform(v, lambda x: F.round(x * 1000000)
-                    .cast("long").cast("string")), ","))
+        F.transform(v, lambda x: F.least(
+            F.greatest(F.round(x * 1000000), F.lit(-9e18)),
+            F.lit(9e18)).cast("long").cast("string")), ","))
     order = [F.asc("_wf_serial")]
     if "label" in df.columns:
         order.append(F.asc_nulls_last("label"))
@@ -140,8 +160,11 @@ def wf_embeddings_sql(table: str = "embeddings",
         WITH wf AS ({wf_embeddings_sql()}), ...
     """
     pred = wf_embedding_pred(vec)
+    # LEAST/GREATEST clamp mirrors _dedup_identity — see the Spark
+    # side for why (ADVICE r13: saturate-vs-raise on huge components)
     serial = (f"md5(array_to_string(list_transform(CAST({vec} AS"
-              f" DOUBLE[]), x -> CAST(CAST(ROUND(x * 1000000) AS"
+              f" DOUBLE[]), x -> CAST(CAST(LEAST(GREATEST("
+              f"ROUND(x * 1000000), -9e18), 9e18) AS"
               f" BIGINT) AS VARCHAR)), ','))")
     return (f"SELECT * EXCLUDE (_wf_rn) FROM ("
             f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id"

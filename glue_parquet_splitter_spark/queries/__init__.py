@@ -63,15 +63,37 @@ def _rewrite_table_refs(sql: str, table: str, cte_name: str,
     # corrupted.  No current oracle has one; refuse loudly if a future
     # one does, rather than mangle its literals.
     # Minimal scanner (not a quote-split: an apostrophe inside a `--`
-    # comment, e.g. "engines'", flips naive parity): track -- comments
-    # and '…' literals ('' is an escaped quote inside one).
+    # comment, e.g. "engines'", flips naive parity): track -- and
+    # /* */ comments (skipped — a substitution inside a comment is
+    # harmless), '…' literals ('' is an escaped quote inside one) and
+    # DuckDB dollar-quoted strings $[tag]$…$[tag]$ (both refuse
+    # loudly when they contain the word — ADVICE r13).
     word = re.compile(rf"\b{table}\b")
+    dollar = re.compile(r"\$[A-Za-z_][A-Za-z_0-9]*\$|\$\$")
     i, n = 0, len(sql)
     while i < n:
         ch = sql[i]
         if ch == "-" and sql[i:i + 2] == "--":          # comment → EOL
             nl = sql.find("\n", i)
             i = n if nl == -1 else nl + 1
+        elif ch == "/" and sql[i:i + 2] == "/*":        # block comment
+            end = sql.find("*/", i + 2)
+            i = n if end == -1 else end + 2
+        elif ch == "$":                                  # dollar quote
+            m = dollar.match(sql, i)
+            if m is None:
+                i += 1
+                continue
+            opener = m.group(0)
+            end = sql.find(opener, m.end())
+            body = sql[m.end(): n if end == -1 else end]
+            if word.search(body):
+                raise ValueError(
+                    f"oracle guard cannot rewrite an oracle containing "
+                    f"'{table}' inside a dollar-quoted {opener} string "
+                    "— rename the occurrence or apply the guard by hand"
+                )
+            i = n if end == -1 else end + len(opener)
         elif ch == "'":                                  # literal
             j = i + 1
             while j < n:

