@@ -674,3 +674,114 @@ def fk_integrity_audit(spark, sf_dir):
             .alias("dangling_rate"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ======================================================================
+# Primary-key uniqueness audit (round-14: the --dupkeys detector)
+# ======================================================================
+
+# Declared primary keys of the fixture schema, with the full declared
+# column list (the audit SELECTs exactly these, so a schema drift fails
+# loudly on both engines instead of silently auditing fewer columns).
+_PK_AUDIT_SPECS = (
+    ("documents", ("doc_id",),
+     ("text", "lang", "source", "n_chars")),
+    ("embeddings", ("vec_id",), ("embedding", "label")),
+    ("events", ("event_id",),
+     ("ts", "user_id", "event_type", "value", "props")),
+    ("region", ("r_regionkey",), ("r_name",)),
+    ("nation", ("n_nationkey",), ("n_name", "n_regionkey")),
+    ("customer", ("c_custkey",),
+     ("c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+    ("supplier", ("s_suppkey",),
+     ("s_name", "s_nationkey", "s_acctbal")),
+    ("part", ("p_partkey",),
+     ("p_name", "p_brand", "p_type", "p_size", "p_retailprice")),
+    ("orders", ("o_orderkey",),
+     ("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+      "o_orderpriority")),
+    # composite pk — duplicates repeat the (orderkey, linenumber) PAIR
+    ("lineitem", ("l_orderkey", "l_linenumber"),
+     ("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")),
+)
+
+
+def _pk_audit_sql_one(table, pk, attrs):
+    pkl = ", ".join(pk)
+    rowl = ", ".join(attrs)
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN 1 END), 0)
+                AS BIGINT) AS n_dup_keys,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 AND nv = 1 THEN 1 END),
+                0) AS BIGINT) AS n_dup_identical,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 AND nv > 1 THEN 1 END),
+                0) AS BIGINT) AS n_dup_conflicting,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt - 1 END), 0)
+                AS BIGINT) AS n_excess_rows
+    FROM (SELECT {pkl}, COUNT(*) AS cnt,
+                 COUNT(DISTINCT ROW({rowl})) AS nv
+          FROM {table} GROUP BY {pkl})"""
+
+
+@register(
+    "pk_uniqueness_audit",
+    oracle="\n    UNION ALL".join(
+        _pk_audit_sql_one(*spec) for spec in _PK_AUDIT_SPECS),
+    tags=("governance", "agg", "audit", "dedup"),
+)
+def pk_uniqueness_audit(spark, sf_dir):
+    """Primary-key uniqueness audit over every declared pk of the
+    schema — the dbt-style ``unique`` test as a scale operator and the
+    DETECTOR for the ``--dupkeys`` hostility class (VERDICT r13 #2),
+    sibling of ``fk_integrity_audit`` (the ``relationships`` test).
+    Per table: total rows, distinct pks, duplicated pks, and — the
+    part only an engine that reads the rows can say — how many
+    duplicate groups are byte-IDENTICAL (idempotent redelivery: every
+    attribute agrees, any winner is the same row) vs CONFLICTING
+    (same pk, diverging attributes: the case where the identity
+    contracts — ``finite_vectors`` shape (f), ``unique_documents`` —
+    silently pick a deterministic winner).  A pipeline must be able
+    to SEE the dup mass before trusting the pick: n_excess_rows is
+    exactly the row count a bronze→silver dedup would drop.
+
+    Identity classification is COUNT(DISTINCT <attribute struct>) per
+    key — value equality, not a serialized fingerprint, so there is
+    no cross-engine serialization seam; both engines count variants
+    of the same parquet values (NULL attribute structs are non-NULL
+    rows in both, all-NULL variants count — pytest-pinned).
+
+    Scale: ONE pk-keyed aggregate per table (a partial/final
+    count-distinct keyed on (pk, attrs) — map-side combinable), then
+    a 1-row rollup per table; no window, no join, no row survives the
+    first exchange (plan-pinned in tests/test_audit_semantics.py).
+    The per-table scans are full-width by necessity — identity
+    classification must read every declared column once.  Empty
+    corpus: every table still reports one all-zero row (COALESCE on
+    both engines).
+    """
+    out = None
+    for table, pk, attrs in _PK_AUDIT_SPECS:
+        df = load_table(spark, sf_dir, table)
+        per_key = (df.groupBy(*[F.col(c) for c in pk])
+                   .agg(F.count("*").alias("cnt"),
+                        F.countDistinct(F.struct(*attrs)).alias("nv")))
+        dup = F.col("cnt") > 1
+        z = lambda c: F.coalesce(c, F.lit(0)).cast("long")  # noqa: E731
+        row = per_key.agg(
+            F.lit(table).alias("table_name"),
+            z(F.sum("cnt")).alias("n_rows"),
+            F.count("*").cast("long").alias("n_keys"),
+            z(F.sum(F.when(dup, 1))).alias("n_dup_keys"),
+            z(F.sum(F.when(dup & (F.col("nv") == 1), 1)))
+            .alias("n_dup_identical"),
+            z(F.sum(F.when(dup & (F.col("nv") > 1), 1)))
+            .alias("n_dup_conflicting"),
+            z(F.sum(F.when(dup, F.col("cnt") - 1)))
+            .alias("n_excess_rows"))
+        out = row if out is None else out.unionByName(row)
+    return out
