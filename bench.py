@@ -166,14 +166,17 @@ BENCH_QUERIES = [
     # round-13: the IVFPQ refresh path (materialize base stages +
     # delta-only encode + certification arm) and the held-out UNK-rate
     # audit (two corpus-collapse explodes + one Arrow-batched encode).
-    # (tokenizer_fertility_matrix is deliberately NOT here: it IS its
-    # three arms run back-to-back — bpe_encode_apply's train loop,
-    # unigram_lm_encode's EM, wordpiece_encode — two of which already
-    # gate here; a fourth timing of the same work would read as an
-    # outlier amplifier, not a new regression signal.  Its composition
-    # overhead is one |langs|x3-row union + window.)
     "ivfpq_incremental_ingest",
     "wordpiece_unk_rate",
+    # round-14: the three-way fertility audit (VERDICT r13 #8 — it IS
+    # its three arms back-to-back, but it is also the query users RUN;
+    # pricing the union catches a composition-overhead regression the
+    # per-arm entries cannot) and the pk-uniqueness detector (ten
+    # full-width pk-keyed count-distinct aggs — the widest scans in
+    # the audit family, so its shuffle bytes gate the partial-agg
+    # shape).
+    "tokenizer_fertility_matrix",
+    "pk_uniqueness_audit",
 ]
 
 

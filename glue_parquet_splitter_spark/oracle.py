@@ -51,7 +51,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
-    sp = spark_df.toPandas()
+    sp = (spark_df if isinstance(spark_df, pd.DataFrame)
+          else spark_df.toPandas())
     if len(sp) != len(oracle_df):
         return False, f"row count {len(sp)} vs oracle {len(oracle_df)}"
     if sorted(map(str.lower, sp.columns)) != sorted(map(str.lower, oracle_df.columns)):
@@ -111,7 +112,14 @@ def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
     return False, f"{n_bad}/{len(a)} rows differ.{sample}"
 
 
-def run_one(spark, sf_dir: str, name: str) -> tuple[bool, str]:
+def run_one(spark, sf_dir: str, name: str,
+            rows_out: dict | None = None) -> tuple[bool, str]:
+    """Run one registered query against its oracle.  When the caller
+    passes ``rows_out``, the Spark-side row count is recorded there
+    (``rows_out[name] = n``) — the fuzz harness uses this to commit
+    per-regime row counts into its ledgers, turning "PASS with zero
+    rows on every fixture" from invisible into lintable
+    (VERDICT r13 #3)."""
     from .queries import load_all_modules
 
     reg = load_all_modules()
@@ -119,7 +127,12 @@ def run_one(spark, sf_dir: str, name: str) -> tuple[bool, str]:
     sdf = spec.fn(spark, sf_dir)
     if spec.oracle is None:
         n = sdf.count()
+        if rows_out is not None:
+            rows_out[name] = n
         return True, f"rows-only: {n} rows"
     con = duckdb_connection(sf_dir)
     odf = con.sql(spec.oracle).df()
-    return compare(sdf, odf)
+    sp = sdf.toPandas()
+    if rows_out is not None:
+        rows_out[name] = len(sp)
+    return compare(sp, odf)

@@ -138,7 +138,7 @@ def sql_scripting_threshold_search(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(SUM(o_totalprice), 2) AS revenue
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2024-01-10'
+    WHERE o_orderdate >= TIMESTAMP '1995-06-01'
       AND o_totalprice >= 1000.0
     GROUP BY o_orderpriority
     """,
@@ -162,7 +162,11 @@ def parameterized_sql_filter(spark, sf_dir):
         WHERE o_orderdate >= :cutoff AND o_totalprice >= :min_price
         GROUP BY o_orderpriority
         """,
-        args={"cutoff": "2024-01-10", "min_price": 1000.0},
+        # cutoff inside BOTH fixture families' date ranges (driver
+        # fixtures: 1995-2001; fuzz fixtures: 2024) so the graded
+        # result is non-empty — a zero-row grade proves nothing about
+        # the parameter binding (non-emptiness lint, VERDICT r13 #3)
+        args={"cutoff": "1995-06-01", "min_price": 1000.0},
     )
 
 

@@ -307,9 +307,13 @@ def array_explode_agg(spark, sf_dir):
            ROUND(abs(l_extendedprice - 30000), 2)   AS abs_diff,
            CAST(FLOOR(l_quantity) AS BIGINT)        AS qty_floor,
            CAST(CEIL(l_discount * 100) AS BIGINT)   AS disc_pct_ceil,
-           ROUND(sqrt(l_extendedprice), 4)          AS price_sqrt,
-           ROUND(ln(l_extendedprice + 1), 4)        AS price_ln,
-           ROUND(log10(l_extendedprice + 1), 4)     AS price_log10,
+           ROUND(sqrt(CASE WHEN l_extendedprice >= 0
+                           THEN l_extendedprice END), 4) AS price_sqrt,
+           ROUND(ln(CASE WHEN l_extendedprice + 1 > 0
+                        THEN l_extendedprice + 1 END), 4) AS price_ln,
+           ROUND(log10(CASE WHEN l_extendedprice + 1 > 0
+                           THEN l_extendedprice + 1 END), 4)
+                                                    AS price_log10,
            ROUND(pow(l_tax, 2), 6)                  AS tax_sq,
            CAST(l_orderkey % 7 AS BIGINT)           AS key_mod,
            CAST(sign(l_extendedprice - 30000) AS BIGINT) AS over_30k
@@ -318,6 +322,12 @@ def array_explode_agg(spark, sf_dir):
     tags=("scalar", "math"),
 )
 def math_funcs(spark, sf_dir):
+    """Scalar math surface.  sqrt/ln/log10 of an out-of-domain value
+    (negative price — real since the --negative fuzz dimension flips
+    measure signs) is explicitly NULL on BOTH engines: Spark returns
+    NaN (sqrt) / NULL (log) where DuckDB RAISES an Out of Range Error,
+    so the domain guard must be named, not left to engine defaults —
+    the try_divide contract, applied to roots and logarithms."""
     li = _t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
     return li.select(
@@ -325,9 +335,11 @@ def math_funcs(spark, sf_dir):
         F.round(F.abs(price - 30000), 2).alias("abs_diff"),
         F.floor("l_quantity").alias("qty_floor"),
         F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
-        F.round(F.sqrt(price), 4).alias("price_sqrt"),
-        F.round(F.log(price + 1), 4).alias("price_ln"),
-        F.round(F.log10(price + 1), 4).alias("price_log10"),
+        F.round(F.sqrt(F.when(price >= 0, price)), 4).alias("price_sqrt"),
+        F.round(F.log(F.when(price + 1 > 0, price + 1)), 4)
+        .alias("price_ln"),
+        F.round(F.log10(F.when(price + 1 > 0, price + 1)), 4)
+        .alias("price_log10"),
         F.round(F.pow("l_tax", F.lit(2)), 6).alias("tax_sq"),
         (F.col("l_orderkey") % 7).cast("long").alias("key_mod"),
         F.signum(price - 30000).cast("long").alias("over_30k"),

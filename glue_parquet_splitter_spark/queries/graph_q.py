@@ -146,9 +146,15 @@ def leakage_safe_split_by_cluster(spark, sf_dir):
                       F.col("fold").alias("fold_a"))
     fb = folds.select(F.col("doc_id").alias("doc_b"),
                       F.col("fold").alias("fold_b"))
+    # coalesce: SUM over ZERO verified edges is NULL in Spark while
+    # the oracle's COUNT(*) is 0 — a corpus with rows but no duplicate
+    # pairs (the --tiny regime; any clean shard at 100 TB) must audit
+    # "0 leaks", not "unknown"
     leak = (verified.join(fa, "doc_a").join(fb, "doc_b")
-            .agg(F.sum(F.when(F.col("fold_a") != F.col("fold_b"), 1)
-                       .otherwise(0)).cast("long").alias("leak_pairs")))
+            .agg(F.coalesce(
+                F.sum(F.when(F.col("fold_a") != F.col("fold_b"), 1)
+                      .otherwise(0)), F.lit(0))
+                 .cast("long").alias("leak_pairs")))
     return (folds.groupBy("fold")
             .agg(F.count("*").alias("n_docs"),
                  F.countDistinct("component").alias("n_components"))

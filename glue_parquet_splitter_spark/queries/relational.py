@@ -954,18 +954,25 @@ def set_intersect_all(spark, sf_dir):
     WHERE l_returnflag = 'R'
     EXCEPT ALL
     SELECT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
-    WHERE l_linestatus = 'F'
+    WHERE l_returnflag = 'R' AND l_linestatus = 'F'
     """,
     tags=("setop", "relational"),
 )
 def set_except_all(spark, sf_dir):
     """``EXCEPT ALL`` — bag difference: occurrences surviving =
     max(count_left − count_right, 0) per value, the multiset
-    complement of ``set_intersect_all``."""
+    complement of ``set_intersect_all``.  The right side is a strict
+    subset of the left (R-flag AND F-status), so per-key survivors =
+    #(R ∧ ¬F) — guaranteed >0 on any mixed-status corpus; the earlier
+    disjoint-predicate form (left R-flag vs right F-status) was
+    empirically empty on EVERY fixture family because F rows always
+    outnumbered R rows per suppkey, grading nothing (non-emptiness
+    lint, VERDICT r13 #3)."""
     li = load_table(spark, sf_dir, "lineitem")
     a = li.where(F.col("l_returnflag") == "R").select(
         F.col("l_suppkey").alias("suppkey"))
-    b = li.where(F.col("l_linestatus") == "F").select(
+    b = li.where((F.col("l_returnflag") == "R")
+                 & (F.col("l_linestatus") == "F")).select(
         F.col("l_suppkey").alias("suppkey"))
     return a.exceptAll(b)
 

@@ -613,6 +613,59 @@ def _tail_checks(reg):
           + f"; never-graded: {len(never)}"
           + (f" {never[:6]}" if never else ""))
 
+    # 4f. non-emptiness lint (VERDICT r13 #3): a zero-row hash match
+    # only proves both engines agree the result is empty — a predicate
+    # inverted the SAME way on both sides would also pass.  Every
+    # registry query must therefore produce >0 Spark rows at the
+    # grading fixture (any CORRECTNESS round) OR in at least one
+    # committed fuzz regime (the ledgers record per-query row counts
+    # since r14) OR carry an explicit
+    # `# empty-by-construction: <reason>` annotation in its source.
+    import inspect as _inspect
+    evidenced: set[str] = set()
+    for path in _g.glob("/root/repo/CORRECTNESS_r*.json"):
+        try:
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, _json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and (row.get("spark_rows") or 0) > 0:
+                evidenced.add(name)
+    ledger_ev: dict[str, list[str]] = {}
+    for path in _g.glob("/root/repo/FUZZ_ledgers/FUZZ_*.json"):
+        try:
+            with open(path) as f:
+                led = _json.load(f)
+        except (OSError, _json.JSONDecodeError):
+            continue
+        for name, n in (led.get("rows") or {}).items():
+            if n and n > 0:
+                evidenced.add(name)
+                ledger_ev.setdefault(name, []).append(
+                    os.path.basename(path))
+    unevidenced = []
+    for name, spec in reg.items():
+        if name in evidenced:
+            continue
+        try:
+            src = _inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            src = ""
+        if "# empty-by-construction:" not in src:
+            unevidenced.append(name)
+    if unevidenced:
+        fail("queries with ZERO Spark rows in every committed grade and "
+             "fuzz regime, and no `# empty-by-construction: <reason>` "
+             "annotation (an inverted predicate on both sides would "
+             "grade green — prove non-emptiness under some regime or "
+             "annotate why empty is the correct result):\n  "
+             + "\n  ".join(unevidenced[:12]))
+    n_ann = len(reg) - len([n for n in reg if n in evidenced])
+    print(f"ok: non-emptiness lint — {len([n for n in reg if n in evidenced])}"
+          f" queries evidenced >0 rows, {n_ann} annotated "
+          "empty-by-construction")
+
     # 5. environment-gate probe (VERDICT r6 #4): make the two known
     # env-gated gaps driver-visible evidence, not docstring claims.
     # Neither is fixable in-container: no network, and pip installs are

@@ -142,7 +142,8 @@ def gen_fixtures(out_dir: str, seed: int = 0,
                  nan: bool = False, big: bool = False,
                  malformed: bool = False, empty: bool = False,
                  nullkeys: bool = False, dates: bool = False,
-                 dupkeys: bool = False) -> None:
+                 dupkeys: bool = False, tiny: bool = False,
+                 negative: bool = False) -> None:
     """Write the ten fixture tables with hostile content, driver
     schemas.  ``nan=True`` additionally injects IEEE specials (NaN and
     ±Infinity) into events.value and embedding components — OPT-IN
@@ -400,6 +401,13 @@ def gen_fixtures(out_dir: str, seed: int = 0,
         "l_shipdate": pa.array(sdate.tolist(), pa.timestamp("us")),
     }), f"{out_dir}/lineitem.parquet")
 
+    if tiny:
+        # before dupkeys on purpose: a duplicate of a surviving tiny
+        # row keeps the dup mass visible at 1-5 rows (the pairing the
+        # --tiny --dupkeys sweep exercises)
+        _shrink_all_tables(out_dir, seed)
+    if negative:
+        _flip_measure_signs(out_dir, seed)
     if dupkeys:
         _inject_dup_keys(out_dir, seed)
     if nullkeys:
@@ -550,6 +558,74 @@ def _inject_dup_keys(out_dir: str, seed: int) -> None:
         pq.write_table(pa.concat_tables([tbl, add]), path)
 
 
+def _shrink_all_tables(out_dir: str, seed: int) -> None:
+    """Shrink every fixture to a seeded 1-5 rows (--tiny).  --empty
+    proved ZERO rows safe; nothing yet probed corpora SMALLER than the
+    engine's model constants (kmeans k=4 with 2 vectors, IVFPQ coarse
+    lists / codebook stride sampling beyond the corpus, JL projection
+    dims, FFD bins with one doc, BPE's K merges on a 3-word corpus,
+    top-32 inits with <32 candidates).  These underflow paths are
+    DEGENERATE models, not absent ones — exactly what a per-partition
+    run at 100 TB sees on a near-empty partition (VERDICT r13 #4).
+    A seeded random subset, not head-k: head rows are the planted
+    hostility rows (zero vectors, mega-order), and always keeping
+    them would make the tiny corpus systematically unrepresentative.
+    """
+    rng = np.random.default_rng(seed + 31337)
+    for tname in _TABLES:
+        path = f"{out_dir}/{tname}.parquet"
+        tbl = pq.read_table(path)
+        k = int(rng.integers(1, 6))
+        idx = sorted(int(i) for i in
+                     rng.choice(tbl.num_rows, size=min(k, tbl.num_rows),
+                                replace=False))
+        pq.write_table(tbl.take(idx), path)
+
+
+# Monetary/measure columns per table (--negative).  The engines'
+# integer floor-division rounding, winsorization, and sign-dependent
+# arithmetic were hardened against a LATENT class (fixtures never
+# produce negative sums); flipping signs makes the class real:
+# negative revenue models returns/corrections, negative balances are
+# ordinary, negative event values model reversals.
+_NEGATIVE_COLS = {
+    "customer": ["c_acctbal"],
+    "supplier": ["s_acctbal"],
+    "part": ["p_retailprice"],
+    "orders": ["o_totalprice"],
+    "lineitem": ["l_extendedprice", "l_quantity"],
+    "events": ["value"],
+}
+
+
+def _flip_measure_signs(out_dir: str, seed: int) -> None:
+    """Flip the sign of a seeded ~40 % of each measure column's
+    non-null, non-zero rows (--negative), guaranteeing at least one
+    flip per column.  Post-processing keeps the base generator
+    byte-identical when the knob is off."""
+    rng = np.random.default_rng(seed + 91919)
+    for tname, cols in _NEGATIVE_COLS.items():
+        path = f"{out_dir}/{tname}.parquet"
+        tbl = pq.read_table(path)
+        n = tbl.num_rows
+        out = []
+        for field in tbl.schema:
+            col = tbl.column(field.name)
+            if field.name in cols and n:
+                mask = rng.random(n) < 0.4
+                vals = col.to_pylist()
+                flippable = [i for i, v in enumerate(vals)
+                             if v is not None and v == v and v != 0]
+                if flippable and not any(mask[i] for i in flippable):
+                    mask[flippable[int(rng.integers(len(flippable)))]] = True
+                col = pa.array(
+                    [-v if m and v is not None and v == v and v != 0
+                     else v for v, m in zip(vals, mask)],
+                    type=field.type)
+            out.append(col)
+        pq.write_table(pa.Table.from_arrays(out, schema=tbl.schema), path)
+
+
 def _truncate_all_tables(out_dir: str) -> None:
     """Rewrite every fixture as ZERO rows, schema preserved (--empty).
     Models the reference's own O9 class — a day with no data anywhere —
@@ -636,6 +712,14 @@ def main() -> None:
                     help="append rows repeating existing PRIMARY keys "
                          "(~4%% per table): half exact duplicates, "
                          "half conflicting (same pk, mutated attrs)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="shrink every table to a seeded 1-5 rows "
+                         "(degenerate-model underflow paths: smaller "
+                         "than kmeans k, codebook strides, FFD bins)")
+    ap.add_argument("--negative", action="store_true",
+                    help="flip signs on ~40%% of monetary/measure "
+                         "values (prices, balances, quantities, "
+                         "event values)")
     ap.add_argument("--json", default=None,
                     help="also write a {name: status} JSON ledger here")
     args = ap.parse_args()
@@ -661,19 +745,22 @@ def main() -> None:
     gen_fixtures(out_dir, args.seed, nan=args.nan, big=args.big,
                  malformed=args.malformed, empty=args.empty,
                  nullkeys=args.nullkeys, dates=args.dates,
-                 dupkeys=args.dupkeys)
+                 dupkeys=args.dupkeys, tiny=args.tiny,
+                 negative=args.negative)
     print(f"hostile fixtures (seed={args.seed}, nan={args.nan}, "
           f"big={args.big}, malformed={args.malformed}, "
           f"nullkeys={args.nullkeys}, empty={args.empty}, "
-          f"dates={args.dates}, dupkeys={args.dupkeys}) -> {out_dir}")
+          f"dates={args.dates}, dupkeys={args.dupkeys}, "
+          f"tiny={args.tiny}, negative={args.negative}) -> {out_dir}")
 
     spark = get_spark("fuzz_oracle", shuffle_partitions=8)
     statuses: dict[str, str] = {}
     details: dict[str, str] = {}
+    rows: dict[str, int] = {}
     for name in todo:
         t0 = time.time()
         try:
-            ok, msg = run_one(spark, out_dir, name)
+            ok, msg = run_one(spark, out_dir, name, rows_out=rows)
             status = "PASS" if ok else "FAIL"
         except BaseException as exc:  # noqa: BLE001 — classify guards
             status = classify_exception(exc)
@@ -696,8 +783,12 @@ def main() -> None:
     print(f"\nFUZZ: {counts['PASS']} pass, {counts['GUARD']} guard, "
           f"{counts['FAIL']} fail / {len(todo)} (seed={args.seed})")
     if args.json:
+        # per-query Spark row counts ride the ledger so a query that
+        # passes with ZERO rows on every committed regime is lintable
+        # (check_repo non-emptiness lint, VERDICT r13 #3)
         with open(args.json, "w") as f:
             json.dump({"seed": args.seed, "statuses": statuses,
+                       "rows": rows,
                        "details": {k: v for k, v in details.items()
                                    if statuses[k] != "PASS"}}, f, indent=1)
     if counts["FAIL"]:
