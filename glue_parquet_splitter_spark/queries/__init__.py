@@ -161,6 +161,20 @@ def register(name: str, oracle: str | None = None, tags: tuple = (),
     return deco
 
 
+# Queries whose CONTRACT (Spark side and/or oracle) changed THIS round
+# after their latest green driver row: fronted in ordered_registry so
+# the driver re-grades the new contract instead of trusting a stale
+# green.  MUST be emptied at the start of the next round — a leftover
+# entry permanently burns a rotation slot.  (r14: math_funcs grew
+# sqrt/ln domain guards but is already in the stale cohort; these
+# three are not.)
+REGRADE_FRONT = {
+    "leakage_safe_split_by_cluster",   # r14: leak_pairs COALESCE
+    "set_except_all",                  # r14: right side strict subset
+    "parameterized_sql_filter",        # r14: cutoff param 1995-06-01
+}
+
+
 def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]:
     """Registry reordered so every driver-graded slot earns new signal.
 
@@ -169,6 +183,7 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
     queries get a hard correctness row each round.  Rotation: queries with
     no green row in any committed ``CORRECTNESS_r*.json`` come first
     (oracled before rows-only, so every capped slot is hash-verifiable),
+    then ``REGRADE_FRONT`` (contract changed after the latest green),
     already-verified queries last.  Within each group, registry
     (module-import) order is kept, so the rotation is deterministic.
     """
@@ -216,12 +231,14 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
 
     def key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, spec = item
+        if name in REGRADE_FRONT and name in green:
+            return (1, 0)  # after never-graded oracled, before stale
         if name in green:
             # verified: stalest green first, so any slots left after the
             # unverified front re-grade the queries whose driver row is
             # oldest (regression re-check slice)
-            return (2, green[name])
-        return (0 if spec.oracle is not None else 1, 0)
+            return (3, green[name])
+        return (0 if spec.oracle is not None else 2, 0)
 
     return dict(sorted(reg.items(), key=key))
 

@@ -87,12 +87,50 @@ def test_real_ledger_fronts_never_graded_then_stalest():
         for n, row in json.load(open(p)).items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green[n] = rnd(p)
+    from glue_parquet_splitter_spark.queries import REGRADE_FRONT
+
     names = list(ordered_registry("/root/repo"))
-    graded_idx = [i for i, n in enumerate(names) if n in green]
+    front = {n for n in REGRADE_FRONT if n in green}
+    graded_idx = [i for i, n in enumerate(names)
+                  if n in green and n not in front]
     ungraded_idx = [i for i, n in enumerate(names) if n not in green]
+    front_idx = [i for i, n in enumerate(names) if n in front]
     if ungraded_idx and graded_idx:
         assert max(ungraded_idx) < min(graded_idx), (
             "a graded query sorted ahead of a never-graded one")
+    if front_idx:
+        # contract-changed regrades sit between the never-graded front
+        # and the stale-green block
+        assert max(ungraded_idx, default=-1) < min(front_idx)
+        assert max(front_idx) < min(graded_idx, default=len(names))
     rounds_in_order = [green[names[i]] for i in graded_idx]
     assert rounds_in_order == sorted(rounds_in_order), (
         "graded queries are not in stalest-first order")
+
+
+def test_rotation_regrade_front_between_unverified_and_stale(tmp_path):
+    """REGRADE_FRONT (contract changed after the latest green) sits
+    AFTER never-graded queries but BEFORE the stale-green block — and
+    only applies to queries that actually have a green row (an
+    unverified query is already front)."""
+    import glue_parquet_splitter_spark.queries as Q
+
+    reg = load_all_modules()
+    names = list(reg)
+    # everything green in r1 except names[0] (never graded)
+    r1 = {n: {"hash_match": True, "err": None, "spark_rows": 1}
+          for n in names[1:]}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    saved = set(Q.REGRADE_FRONT)
+    try:
+        Q.REGRADE_FRONT.clear()
+        Q.REGRADE_FRONT.update({names[7], names[0]})
+        ordered = list(ordered_registry(str(tmp_path)))
+        # never-graded first (membership in REGRADE_FRONT irrelevant),
+        # then the regrade-front entry, then the stale block
+        assert ordered[0] == names[0]
+        assert ordered[1] == names[7]
+        assert set(ordered[2:]) == set(names) - {names[0], names[7]}
+    finally:
+        Q.REGRADE_FRONT.clear()
+        Q.REGRADE_FRONT.update(saved)
