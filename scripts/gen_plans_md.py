@@ -182,6 +182,12 @@ SHOWCASE = {
         "dedup is one (dirty, clean)-keyed exchange — recall from the "
         "union of block keys, cost still block-bounded."
     ),
+    "pk_uniqueness_audit": (
+        "Duplicate-pk detector: per table ONE pk-keyed count-distinct "
+        "aggregate (partial/final, map-side combinable) feeding a 1-row "
+        "rollup — no join, no window; ten column-complete scans, each "
+        "read exactly once."
+    ),
 }
 
 

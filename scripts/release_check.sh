@@ -22,8 +22,12 @@ git diff --exit-code PLANS.md || {
   echo "PLANS.md was stale — regenerated; review and commit it"; exit 1; }
 [ "${1:-}" = "--quick" ] && { echo "QUICK GATE PASS"; exit 0; }
 # optional: adversarial-fixture fuzz (hostile nulls/unicode/ties/skew
-# vs the DuckDB oracle — FUZZ.md); pass --fuzz to include (~40 min)
-[ "${1:-}" = "--fuzz" ] && python scripts/fuzz_oracle.py --json FUZZ_ledgers/FUZZ_full.json
+# vs the DuckDB oracle — FUZZ.md); pass --fuzz to include (~40 min);
+# the manifest regen keeps MANIFEST.json honest with the fresh ledger
+[ "${1:-}" = "--fuzz" ] && {
+  python scripts/fuzz_oracle.py --json FUZZ_ledgers/FUZZ_full.json
+  python scripts/gen_fuzz_manifest.py
+}
 python scripts/driver_replica.py
 python scripts/check_float_stability.py /root/testdata/sf0.01
 python bench.py
