@@ -161,17 +161,17 @@ def register(name: str, oracle: str | None = None, tags: tuple = (),
     return deco
 
 
-# Queries whose CONTRACT (Spark side and/or oracle) changed THIS round
-# after their latest green driver row: fronted in ordered_registry so
-# the driver re-grades the new contract instead of trusting a stale
-# green.  MUST be emptied at the start of the next round — a leftover
-# entry permanently burns a rotation slot.  (r14: math_funcs grew
-# sqrt/ln domain guards but is already in the stale cohort; these
-# three are not.)
-REGRADE_FRONT = {
-    "leakage_safe_split_by_cluster",   # r14: leak_pairs COALESCE
-    "set_except_all",                  # r14: right side strict subset
-    "parameterized_sql_filter",        # r14: cutoff param 1995-06-01
+# Queries whose CONTRACT (Spark side and/or oracle) changed after
+# their latest green driver row, mapped to the round the change was
+# made IN (= the first round whose driver grade sees the new
+# contract): fronted in ordered_registry until a green row from that
+# round or later exists, then SELF-CLEARING — a leftover entry costs
+# nothing once the driver has re-graded it.  (r14: math_funcs also
+# grew sqrt/ln domain guards but is already in the stale cohort.)
+REGRADE_FRONT: dict[str, int] = {
+    "leakage_safe_split_by_cluster": 14,   # r14: leak_pairs COALESCE
+    "set_except_all": 14,                  # r14: right side strict subset
+    "parameterized_sql_filter": 14,        # r14: cutoff 1995-06-01
 }
 
 
@@ -231,7 +231,10 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
 
     def key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, spec = item
-        if name in REGRADE_FRONT and name in green:
+        if (name in REGRADE_FRONT and name in green
+                and green[name] < REGRADE_FRONT[name]):
+            # contract changed after the latest green; no round since
+            # the change has re-graded it yet (self-clearing after)
             return (1, 0)  # after never-graded oracled, before stale
         if name in green:
             # verified: stalest green first, so any slots left after the

@@ -90,7 +90,8 @@ def test_real_ledger_fronts_never_graded_then_stalest():
     from glue_parquet_splitter_spark.queries import REGRADE_FRONT
 
     names = list(ordered_registry("/root/repo"))
-    front = {n for n in REGRADE_FRONT if n in green}
+    front = {n for n, r in REGRADE_FRONT.items()
+             if n in green and green[n] < r}
     graded_idx = [i for i, n in enumerate(names)
                   if n in green and n not in front]
     ungraded_idx = [i for i, n in enumerate(names) if n not in green]
@@ -117,20 +118,27 @@ def test_rotation_regrade_front_between_unverified_and_stale(tmp_path):
 
     reg = load_all_modules()
     names = list(reg)
-    # everything green in r1 except names[0] (never graded)
+    # everything green in r1 except names[0] (never graded);
+    # names[3] additionally green in r2
     r1 = {n: {"hash_match": True, "err": None, "spark_rows": 1}
           for n in names[1:]}
+    r2 = {names[3]: {"hash_match": True, "err": None, "spark_rows": 1}}
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
-    saved = set(Q.REGRADE_FRONT)
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    saved = dict(Q.REGRADE_FRONT)
     try:
         Q.REGRADE_FRONT.clear()
-        Q.REGRADE_FRONT.update({names[7], names[0]})
+        # names[7]: changed in r2, last green r1 -> fronts;
+        # names[3]: changed in r2 but r2 re-graded it green -> CLEARED;
+        # names[0]: never graded -> membership irrelevant, fronts as
+        # unverified anyway
+        Q.REGRADE_FRONT.update({names[7]: 2, names[3]: 2, names[0]: 2})
         ordered = list(ordered_registry(str(tmp_path)))
-        # never-graded first (membership in REGRADE_FRONT irrelevant),
-        # then the regrade-front entry, then the stale block
         assert ordered[0] == names[0]
         assert ordered[1] == names[7]
         assert set(ordered[2:]) == set(names) - {names[0], names[7]}
+        # self-clearing: names[3] sorted with the ordinary green block
+        assert ordered.index(names[3]) > 1
     finally:
         Q.REGRADE_FRONT.clear()
         Q.REGRADE_FRONT.update(saved)
