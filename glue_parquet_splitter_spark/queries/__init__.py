@@ -172,6 +172,7 @@ REGRADE_FRONT: dict[str, int] = {
     "leakage_safe_split_by_cluster": 14,   # r14: leak_pairs COALESCE
     "set_except_all": 14,                  # r14: right side strict subset
     "parameterized_sql_filter": 14,        # r14: cutoff 1995-06-01
+    "sorted_neighborhood_neardup": 14,     # r14: identity-scoped guard
 }
 
 

@@ -256,6 +256,7 @@ def weighted_median_per_group(spark, sf_dir):
     WHERE ROUND(CAST(shared AS DOUBLE) / (na + nb - shared), 4) >= 0.5
     """,
     tags=("dedup", "governance", "window"),
+    unique_docs_guard=True,
 )
 def sorted_neighborhood_neardup(spark, sf_dir):
     """Sorted-neighborhood near-duplicate detection — the third
@@ -278,8 +279,20 @@ def sorted_neighborhood_neardup(spark, sf_dir):
     pair.  Cost is O(N log N) sort + O(N·w) comparisons regardless of
     duplicate density, vs LSH's per-band shuffles — the right tool
     when near-dups cluster under a cheap sort key.
+
+    Identity-scoped (r14): the neighborhood window orders by
+    (skey, doc_id), and a CONFLICTING duplicate doc_id shares the
+    40-char blocking prefix with its original — the order stops being
+    total and LEAD's neighbor pick becomes run-nondeterministic (the
+    r13 --malformed --dupkeys sweep passed by LUCK; the r14 re-sweep
+    rolled the dice and caught it).  Reads through
+    ``unique_documents`` + ``unique_docs_guard`` like every other
+    identity-scoped documents query.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..operators.text import unique_documents
+
+    docs = unique_documents(
+        load_table(spark, sf_dir, "documents")).select("doc_id", "text")
     variants = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zq near dup tail")).alias("text"),
