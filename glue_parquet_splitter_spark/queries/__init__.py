@@ -168,11 +168,20 @@ def register(name: str, oracle: str | None = None, tags: tuple = (),
 # round or later exists, then SELF-CLEARING — a leftover entry costs
 # nothing once the driver has re-graded it.  (r14: math_funcs also
 # grew sqrt/ln domain guards but is already in the stale cohort.)
+# Slate budget note (r14): the driver grades exactly ~50 rows and the
+# round's burn-down must fit ALL 41 r6-stale queries, so only 7 of the
+# 9 r14 contract changes front here (1 + 7 + 41 = 49).  The two
+# omitted — parameterized_sql_filter and sorted_neighborhood_neardup —
+# are r7-stale, and r15's natural rotation grades the r7 cohort next,
+# so they re-certify one round later without costing an r6 slot.
 REGRADE_FRONT: dict[str, int] = {
     "leakage_safe_split_by_cluster": 14,   # r14: leak_pairs COALESCE
     "set_except_all": 14,                  # r14: right side strict subset
-    "parameterized_sql_filter": 14,        # r14: cutoff 1995-06-01
-    "sorted_neighborhood_neardup": 14,     # r14: identity-scoped guard
+    "corr_covar_stats": 14,                # r14: corr as covar/(σx·σy)
+    "multimodal_decode_ppm": 14,           # r14: identity-scoped guard
+    "multimodal_decode_wav": 14,           # r14: identity-scoped guard
+    "audio_fingerprint_dedup": 14,         # r14: identity-scoped guard
+    "phash_image_dedup": 14,               # r14: identity-scoped guard
 }
 
 

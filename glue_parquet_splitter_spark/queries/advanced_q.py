@@ -181,7 +181,9 @@ def approx_percentile_stats(spark, sf_dir):
     "corr_covar_stats",
     oracle="""
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice)
+                 / (stddev_samp(l_quantity)
+                    * stddev_samp(l_extendedprice)), 6) AS qty_price_corr,
            ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
            ROUND(stddev_samp(l_quantity), 6)                 AS qty_stddev,
            ROUND(var_samp(l_discount), 6)                    AS disc_var
@@ -190,9 +192,22 @@ def approx_percentile_stats(spark, sf_dir):
     tags=("agg", "stats"),
 )
 def corr_covar_stats(spark, sf_dir):
+    """Correlation/covariance aggregates.  Pearson corr of a
+    DEGENERATE group (either series constant, or a single row) is
+    0/0: ANSI Spark RAISES Divide-by-zero INSIDE the corr aggregate
+    (a when() guard around it cannot help — the aggregate still
+    accumulates) while DuckDB's corr returns NULL.  So corr is
+    spelled as covar_samp/(σx·σy) on BOTH engines — algebraically
+    Pearson, and the zero/undefined-variance case degrades to NULL
+    identically (try_divide here, NULL-on-/0 there).  Found by the
+    --tiny --dupkeys sweep, where a 2-row group had tied
+    quantities."""
     li = load_table(spark, sf_dir, "lineitem")
+    corr_expr = F.try_divide(
+        F.covar_samp("l_quantity", "l_extendedprice"),
+        F.stddev_samp("l_quantity") * F.stddev_samp("l_extendedprice"))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(corr_expr, 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_discount"), 6).alias("disc_var"),

@@ -172,6 +172,7 @@ def multimodal_resize_meta(spark, sf_dir):
     GROUP BY p.doc_id, p.width, p.height
     """,
     tags=("multimodal", "pandas_udf"),
+    unique_docs_guard=True,
 )
 def multimodal_decode_ppm(spark, sf_dir):
     """REAL image decode with zero external libs (VERDICT r8 #6): each
@@ -191,7 +192,7 @@ def multimodal_decode_ppm(spark, sf_dir):
     pushed through the same integer half-up-to-4-digits formula on
     both engines, so neither accumulation order nor the half-even/
     half-up rounding split can drift it."""
-    return M.decode_ppm(M.pack_ppm(load_table(spark, sf_dir, "documents")))
+    return M.decode_ppm(M.pack_ppm(unique_documents(load_table(spark, sf_dir, "documents"))))
 
 
 @register(
@@ -209,6 +210,7 @@ def multimodal_decode_ppm(spark, sf_dir):
     FROM bytes GROUP BY doc_id, n_chars
     """,
     tags=("multimodal", "pandas_udf"),
+    unique_docs_guard=True,
 )
 def multimodal_decode_wav(spark, sf_dir):
     """REAL audio decode with zero external libs — the RIFF/WAVE twin
@@ -227,7 +229,7 @@ def multimodal_decode_wav(spark, sf_dir):
     output a fixed-width metadata row.  The oracle reproduces the
     sample plane character-wise (ASCII corpus ⇒ chars == bytes) and
     pushes the mean through the same integer half-up formula."""
-    return M.decode_wav(M.pack_wav(load_table(spark, sf_dir, "documents")))
+    return M.decode_wav(M.pack_wav(unique_documents(load_table(spark, sf_dir, "documents"))))
 
 
 _DHASH_CAP = 16          # per-(band, value) candidate cap — the same
@@ -313,6 +315,7 @@ _DHASH_MAX_HAM = 3       # near-dup threshold (of 64 bits).  MUST stay
           <= {_DHASH_MAX_HAM}
     """,
     tags=("multimodal", "dedup", "pandas_udf"),
+    unique_docs_guard=True,
 )
 def phash_image_dedup(spark, sf_dir):
     """Perceptual-hash image dedup — the multimodal × dedup composition
@@ -341,7 +344,7 @@ def phash_image_dedup(spark, sf_dir):
     plane char-wise (ASCII corpus ⇒ chars == bytes) and the identical
     integer resample/gradient/band/cap pipeline in SQL.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = unique_documents(load_table(spark, sf_dir, "documents"))
     hashes = M.dhash_ppm(M.pack_ppm(docs))
     return M.dhash_band_pairs(hashes, cap=_DHASH_CAP,
                               max_hamming=_DHASH_MAX_HAM)
@@ -403,6 +406,7 @@ _AB_DF_CAP = 16  # window keys owned by more docs are boilerplate — dropped
       AND shared_windows * 1.0 / LEAST(ra.nr, rb.nr) >= 0.9
     """,
     tags=("multimodal", "dedup", "pandas_udf"),
+    unique_docs_guard=True,
 )
 def audio_fingerprint_dedup(spark, sf_dir):
     """Audio fingerprint dedup on the WAV path (VERDICT r10 #6) — the
@@ -431,7 +435,7 @@ def audio_fingerprint_dedup(spark, sf_dir):
     pack time by contract) and the identical window/DF-cap/
     containment pipeline.
     """
-    base = (load_table(spark, sf_dir, "documents")
+    base = (unique_documents(load_table(spark, sf_dir, "documents"))
             .filter(F.col("text").isNotNull() & (F.col("n_chars") >= 1))
             .select("doc_id", "text", "n_chars"))
     clip = (base.filter((F.col("doc_id") % 7 == 0)
