@@ -485,16 +485,26 @@ def test_snm_neardup_no_join(spark, sf_dir):
     """Sorted-neighborhood dedup is the zero-join near-dup family:
     one window sort carries the neighbor shingle sets via lead();
     there must be no join node and no single-partition global sort
-    (the window is partitioned by the leading blocking byte)."""
+    (the window is partitioned by the leading blocking byte).
+
+    Since r14 the query reads through the unique_documents identity
+    contract (a conflicting duplicate doc_id shares the blocking
+    prefix, so without it the neighborhood order is not total): the
+    plan gains the doc_id-keyed row_number window, which appears once
+    per UNION branch (base + planted variants) — 2 identity windows +
+    1 lead() neighborhood window, one exchange each.  Production
+    reads silver and skips the identity windows entirely."""
     plan = plan_of(spark, sf_dir, "sorted_neighborhood_neardup")
     for node in ("CartesianProduct", "BroadcastNestedLoopJoin",
                  "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
         assert node not in plan, plan[:2000]
     assert "Exchange SinglePartition" not in plan, plan[:2000]
-    # single-pass shape: both neighbors come from ONE window/sort/
-    # exchange (a per-neighbor union would double every stage)
-    assert plan.count("Window ") == 1, plan[:2000]
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    # single-pass neighborhood shape: both neighbors come from ONE
+    # lead() window (a per-neighbor union would double every stage);
+    # the two row_number windows are the identity contract per branch
+    assert plan.count("Window [lead(") == 1, plan[:2000]
+    assert plan.count("Window [row_number()") == 2, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
 
 
 def test_k_anonymity_stacked_aggs_no_join(spark, sf_dir):
