@@ -144,13 +144,33 @@ def _guard_unique_docs(sql: str) -> str:
                                wf_documents_sql())
 
 
+def _guard_unique_events(sql: str) -> str:
+    """Every ``events`` reference reads through the events identity-
+    uniqueness contract (one deterministic winner row per event_id —
+    operators.events.unique_events; found by the r14 --dupkeys SEED
+    sweep: duplicate event_ids make every (ts, event_id) window order
+    non-total, so picks routed through it pass or fail by the dice)."""
+    from ..operators.events import wf_events_sql
+
+    return _rewrite_table_refs(sql, "events", "ev_uniq",
+                               wf_events_sql())
+
+
 def register(name: str, oracle: str | None = None, tags: tuple = (),
              stream_events_guard: bool = False,
-             unique_docs_guard: bool = False):  # decorator
+             unique_docs_guard: bool = False,
+             unique_events_guard: bool = False):  # decorator
     def deco(fn):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
         orc = oracle
+        # unique_events before stream_events on purpose: the identity
+        # CTE's body references `events`, and the floor guard's later
+        # rewrite then routes it through ev_valid — so a query with
+        # BOTH guards reads unique(floor(events)), matching a Spark
+        # side that applies unique_events to the floored stream/frame
+        if unique_events_guard and orc is not None:
+            orc = _guard_unique_events(orc)
         if stream_events_guard and orc is not None:
             orc = _guard_stream_events(orc)
         if unique_docs_guard and orc is not None:
@@ -182,6 +202,20 @@ REGRADE_FRONT: dict[str, int] = {
     "multimodal_decode_wav": 14,           # r14: identity-scoped guard
     "audio_fingerprint_dedup": 14,         # r14: identity-scoped guard
     "phash_image_dedup": 14,               # r14: identity-scoped guard
+    # late-r14 events identity contract (unique_events) — round 15:
+    # the r14 slate was already full, so these grade with r15's
+    # rotation (self-clearing at green >= 15)
+    "scd2_event_type_intervals": 15,
+    "scd2_current_snapshot": 15,
+    "scd2_temporal_fact_join": 15,
+    "event_transition_matrix": 15,
+    "user_contribution_clip": 15,
+    "locf_gap_fill": 15,
+    "ewma_user_value": 15,
+    "ewma_user_value_rebased": 15,
+    "capped_running_balance": 15,
+    "streaming_quota_sampler": 15,
+    "train_pack_budget": 15,
 }
 
 
@@ -239,12 +273,19 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
                 if spec is not None and spec.oracle is None:
                     green[name] = rnd
 
+    max_round = max(green.values(), default=0)
+
     def key(item: tuple[str, QuerySpec]) -> tuple[int, int]:
         name, spec = item
         if (name in REGRADE_FRONT and name in green
-                and green[name] < REGRADE_FRONT[name]):
+                and green[name] < REGRADE_FRONT[name]
+                and REGRADE_FRONT[name] <= max_round + 1):
             # contract changed after the latest green; no round since
-            # the change has re-graded it yet (self-clearing after)
+            # the change has re-graded it yet (self-clearing after).
+            # The <= max_round + 1 gate keeps entries queued for a
+            # FUTURE round (a late change when the current slate is
+            # already budgeted) from fronting early and evicting the
+            # current round's planned cohort.
             return (1, 0)  # after never-graded oracled, before stale
         if name in green:
             # verified: stalest green first, so any slots left after the

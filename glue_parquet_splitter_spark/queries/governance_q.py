@@ -20,6 +20,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.events import unique_events
 from . import register
 
 
@@ -138,6 +139,7 @@ def small_cell_suppression_rollup(spark, sf_dir):
     FROM ranked GROUP BY day
     """,
     tags=("governance", "privacy", "window"),
+    unique_events_guard=True,
 )
 def user_contribution_clip(spark, sf_dir):
     """Bounded user contribution: keep at most 3 events per (user, day)
@@ -153,7 +155,7 @@ def user_contribution_clip(spark, sf_dir):
     combinable rollup to day granularity.  Skewed users bound their
     own cost: the window partition is (user, day), never global.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     day = F.col("ts").cast("date")
     w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
     ranked = ev.select(

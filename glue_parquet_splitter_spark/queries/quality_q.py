@@ -224,6 +224,7 @@ def stratified_sample_by_lang(spark, sf_dir):
           FROM documents)
     """,
     tags=("text", "packing"),
+    unique_docs_guard=True,
 )
 def train_pack_budget(spark, sf_dir):
     """Sequence packing for the trainer: docs stream per language in
@@ -232,10 +233,18 @@ def train_pack_budget(spark, sf_dir):
     partition — at 100 TB the partition key would include a date/shard
     component so no single language becomes one giant ordered
     partition; the assignment stays deterministic either way, which is
-    what makes packed batches reproducible."""
+    what makes packed batches reproducible.
+
+    Identity-scoped (r14): the per-language running sum orders by
+    doc_id, which a duplicate doc_id makes non-total — pack_ids after
+    the duplicate pair then depend on the engines' pick (caught by
+    the --dupkeys --nullkeys seed-2 sweep); reads through
+    unique_documents like the rest of the identity-scoped family."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf_dir)
+    from ..operators.text import unique_documents
+
+    d = unique_documents(_docs(spark, sf_dir))
     w = (Window.partitionBy("lang").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, -1))
     return (

@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.events import unique_events
 from . import register
 
 CMS_W = 128  # bucket width per row
@@ -116,6 +117,7 @@ def cms_heavy_hitters(spark, sf_dir):
     FROM hist WHERE rn = 1
     """,
     tags=("warehouse", "scd2", "window"),
+    unique_events_guard=True,
 )
 def scd2_current_snapshot(spark, sf_dir):
     """The "current view" every SCD2 table is queried for: each user's
@@ -128,7 +130,7 @@ def scd2_current_snapshot(spark, sf_dir):
     change-compression happens before the latest-row reduce, so the
     top-1 pass sees only state transitions, not raw events.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))

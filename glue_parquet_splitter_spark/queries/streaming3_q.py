@@ -186,6 +186,7 @@ def streaming_static_enrich_join(spark, sf_dir):
     """,
     tags=("streaming", "stateful", "sampling", "governance"),
     stream_events_guard=True,
+    unique_events_guard=True,
 )
 def streaming_quota_sampler(spark, sf_dir):
     """Per-user quota sampling AT INGEST — a custom stateful operator

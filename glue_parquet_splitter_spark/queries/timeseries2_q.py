@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.events import unique_events
 from . import register
 
 ALPHA = 0.1  # EWMA smoothing factor
@@ -35,6 +36,7 @@ ALPHA = 0.1  # EWMA smoothing factor
     FROM acc GROUP BY user_id
     """,
     tags=("timeseries", "window", "smoothing"),
+    unique_events_guard=True,
 )
 def ewma_user_value(spark, sf_dir):
     """Exponentially-weighted moving average of each user's event
@@ -50,7 +52,7 @@ def ewma_user_value(spark, sf_dir):
     Scale: one shuffle on ``user_id``; the final per-user reduce reuses
     the same partitioning.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     rn = F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
     ordered = ev.select("user_id", "value", rn.alias("rn"))
     w = (Window.partitionBy("user_id").orderBy("rn")
@@ -89,6 +91,7 @@ def ewma_user_value(spark, sf_dir):
     FROM acc GROUP BY user_id
     """,
     tags=("timeseries", "window", "smoothing"),
+    unique_events_guard=True,
 )
 def ewma_user_value_rebased(spark, sf_dir):
     """Same EWMA contract as ``ewma_user_value``, computed by the
@@ -99,7 +102,7 @@ def ewma_user_value_rebased(spark, sf_dir):
     precision wherever the closed form doesn't overflow)."""
     from ..operators.timeseries import ewma
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     s = ewma(ev, ["user_id"], ["ts", "event_id"], "value", ALPHA)
     return s.groupBy("user_id").agg(
         F.max("rn").cast("long").alias("n_events"),
@@ -177,6 +180,7 @@ def zscore_daily_anomaly(spark, sf_dir):
     FROM s GROUP BY user_id
     """,
     tags=("timeseries", "window", "algebra"),
+    unique_events_guard=True,
 )
 def capped_running_balance(spark, sf_dir):
     """Floor-clamped running balance — b_t = max(0, b_{t-1} + delta_t)
@@ -201,7 +205,7 @@ def capped_running_balance(spark, sf_dir):
     partition-arrival-ordered and flips ROUND on half-cent boundaries
     (the r6 driver caught exactly that).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     delta = F.when(F.col("event_type").isin("purchase", "signup"),
                    F.col("value")).otherwise(-F.col("value"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

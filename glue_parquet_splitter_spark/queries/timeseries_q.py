@@ -8,6 +8,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.events import unique_events
 from . import register
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -25,11 +26,12 @@ TS_FMT = "yyyy-MM-dd HH:mm:ss"
           FROM events)
     """,
     tags=("timeseries", "window"),
+    unique_events_guard=True,
 )
 def locf_gap_fill(spark, sf_dir):
     """Last-observation-carried-forward: error readings are nulled and
     forward-filled from the user's previous good value."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -15,6 +15,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..operators.events import unique_events
 from . import register
 
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -113,6 +114,7 @@ def merge_upsert_apply(spark, sf_dir):
     FROM changes
     """,
     tags=("warehouse", "scd2", "window"),
+    unique_events_guard=True,
 )
 def scd2_event_type_intervals(spark, sf_dir):
     """SCD type-2 history build: collapse each user's event-type stream
@@ -124,7 +126,7 @@ def scd2_event_type_intervals(spark, sf_dir):
     one shuffle total (Spark reuses the partitioning for the second
     window), no joins.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -286,6 +288,7 @@ def dq_profile_summary(spark, sf_dir):
     GROUP BY from_type, to_type
     """,
     tags=("warehouse", "sequence", "window"),
+    unique_events_guard=True,
 )
 def event_transition_matrix(spark, sf_dir):
     """First-order Markov transition counts over per-user event streams
@@ -294,7 +297,7 @@ def event_transition_matrix(spark, sf_dir):
     Scale: one ``user_id`` window shuffle, then a tiny (|types|²-row)
     map-side-combined aggregate.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = ev.select(
         F.col("event_type").alias("from_type"),
@@ -479,6 +482,7 @@ def dq_expectations(spark, sf_dir):
     GROUP BY d.state
     """,
     tags=("warehouse", "scd2", "join", "range"),
+    unique_events_guard=True,
 )
 def scd2_temporal_fact_join(spark, sf_dir):
     """POINT-IN-TIME (temporal) fact join — the canonical SCD2 lookup:
@@ -498,7 +502,7 @@ def scd2_temporal_fact_join(spark, sf_dir):
     a cartesian; per-user version counts are human-bounded, so the
     bucket product stays linear.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = unique_events(load_table(spark, sf_dir, "events"))
     dim_ev = ev.where(F.col("event_type") != "purchase")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (

@@ -214,15 +214,32 @@ def _update_quota(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     which is what lets a batch row_number oracle grade a stream."""
     ids, tss, vals, seq = (state.get if state.exists
                            else ([], [], [], 0))
+
     # dedupe by (ts_us, event_id) while merging: a micro-batch REPLAYED
     # after checkpoint recovery (at-least-once delivery) must not let
     # the same event occupy two of the K slots and evict a legitimate
-    # one — state stays a function of the event SET even under replay
-    merged = {(int(t), int(i)): float(v)
-              for (t, i, v) in zip(tss, ids, vals)}
+    # one — state stays a function of the event SET even under replay.
+    # CONFLICTING redelivery (same identity, mutated value — the
+    # --dupkeys hostility) keeps the MINIMUM value, NaN/None last:
+    # last-write-wins made the kept value arrival-order-dependent, and
+    # min-value is exactly the winner operators.events.unique_events
+    # picks when ts/user_id agree (value precedes event_type in its
+    # order key for this reason), so the batch oracle still grades the
+    # stream (r14 seed sweep).
+    def _vkey(v):
+        fv = float(v)
+        return (1, 0.0) if fv != fv else (0, fv)  # NaN sorts last
+
+    def _keep(d, k, v):
+        if k not in d or _vkey(v) < _vkey(d[k]):
+            d[k] = float(v)
+
+    merged: dict = {}
+    for t, i, v in zip(tss, ids, vals):
+        _keep(merged, (int(t), int(i)), v)
     for pdf in pdfs:
         for t, i, v in zip(pdf["ts_us"], pdf["event_id"], pdf["value"]):
-            merged[(int(t), int(i))] = float(v)
+            _keep(merged, (int(t), int(i)), v)
     rows = sorted((t, i, v) for (t, i), v in merged.items())
     rows = rows[:_QUOTA_K]
     seq += 1

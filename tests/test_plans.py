@@ -154,9 +154,17 @@ def test_merge_upsert_single_join(spark, sf_dir):
 
 
 def test_scd2_single_shuffle(spark, sf_dir):
-    """Both window passes share the user_id partitioning: one exchange."""
+    """Both SCD2 window passes share the user_id partitioning: one
+    exchange between them.  Since r14 the query reads through the
+    unique_events identity contract (duplicate event_ids make the
+    (ts, event_id) change-detection order non-total), which adds ONE
+    event_id-keyed exchange ahead of the user_id one — two total;
+    production reads identity-clean silver and keeps the single
+    user_id exchange."""
     plan = plan_of(spark, sf_dir, "scd2_event_type_intervals")
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert plan.count("Window [row_number()") == 1, plan[:2000]  # identity
+    assert "Join" not in plan, plan[:2000]
 
 
 def test_sessionize_single_shuffle(spark, sf_dir):
