@@ -320,6 +320,8 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     )
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
         n = len(pdf)                      # COUNT(*) — all rows
         # regr_slope/regr_intercept fit over complete (x, y) PAIRS
         # only; pandas' NaN-skipping .sum() would otherwise mix
@@ -330,12 +332,24 @@ def grouped_pandas_linear_fit(spark, sf_dir):
         cov = ((x - mx) * (y - my)).sum()
         var = ((x - mx) ** 2).sum()
         slope = cov / var
+
+        # HALF-AWAY rounding, not Python's banker's round(): DuckDB's
+        # ROUND ties away from zero, and a 2-point fit over the fuzz
+        # mutation grid lands slope EXACTLY on a half boundary
+        # (-1.53125 → banker's -1.5312 vs DuckDB -1.5313; caught by
+        # the --malformed --dupkeys seed-2 sweep)
+        def rnd(v, nd):
+            if v != v or math.isinf(v):
+                return v
+            m = 10.0 ** nd
+            return math.copysign(math.floor(abs(v) * m + 0.5), v) / m
+
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n": [n],
-                "slope": [round(slope, 4) + 0.0],
-                "intercept": [round(my - slope * mx, 2) + 0.0],
+                "slope": [rnd(slope, 4) + 0.0],
+                "intercept": [rnd(my - slope * mx, 2) + 0.0],
             }
         )
 
