@@ -613,7 +613,10 @@ WALL_GATE_MIN_SEC = 0.3
 # suite start) — a contended first sighting would bake the regime
 # defect right back in.
 ANCHOR_GATE_RATIO = 2.0
-ANCHOR_FREEZE_MAX_LOAD = 1.0
+# re-exported from the dependency-free module so the commit gate
+# (scripts/check_bench_baseline.py) can read it without importing
+# pyspark (ADVICE r14); bench-side users keep this name
+from bench_constants import ANCHOR_FREEZE_MAX_LOAD  # noqa: E402,F401
 
 # stdout-line cap: the slowest N queries appear on the ONE JSON line
 # (plus an _omitted_n count); the full map lives in BENCH_METRICS.json.
