@@ -216,6 +216,16 @@ REGRADE_FRONT: dict[str, int] = {
     "capped_running_balance": 15,
     "streaming_quota_sampler": 15,
     "train_pack_budget": 15,
+    # r15 changes queued for the r16 slate (the r15 slate is already
+    # oversubscribed: 11 fronted regrades + the 49-query r7 cohort =
+    # 58 uniques for ~50 slots — VERDICT r14 #1 mandates zero
+    # displacement):
+    # - grouped_pandas_linear_fit: rnd() now compares the exact
+    #   fractional part of the product (std::round semantics, ==
+    #   DuckDB's ROUND(double) — 18k param-bound half-boundary cases,
+    #   0 mismatches) instead of floor(x+0.5) with its binary-carry
+    #   artifact (ADVICE r14)
+    "grouped_pandas_linear_fit": 16,
 }
 
 

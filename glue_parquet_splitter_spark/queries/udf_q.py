@@ -337,12 +337,23 @@ def grouped_pandas_linear_fit(spark, sf_dir):
         # ROUND ties away from zero, and a 2-point fit over the fuzz
         # mutation grid lands slope EXACTLY on a half boundary
         # (-1.53125 → banker's -1.5312 vs DuckDB -1.5313; caught by
-        # the --malformed --dupkeys seed-2 sweep)
+        # the --malformed --dupkeys seed-2 sweep).  The half-away test
+        # compares the exact fractional part of the PRODUCT (frac is
+        # exact for |x| < 2^52: floor(x) and x share a binade), which
+        # is std::round semantics — the same thing DuckDB applies to
+        # value*10^nd — WITHOUT the floor(x + 0.5) binary-carry
+        # artifact on doubles just below a .5 boundary (ADVICE r14).
+        # Decimal(repr(v)).quantize(ROUND_HALF_UP) was rejected: true
+        # decimal half-up DIVERGES from DuckDB's double-product path
+        # (ROUND(2.675, 2) is 2.67 in DuckDB, 2.68 in Decimal).
         def rnd(v, nd):
             if v != v or math.isinf(v):
                 return v
-            m = 10.0 ** nd
-            return math.copysign(math.floor(abs(v) * m + 0.5), v) / m
+            x = abs(v) * 10.0 ** nd
+            fx = math.floor(x)
+            if x - fx >= 0.5:
+                fx += 1.0
+            return math.copysign(fx, v) / 10.0 ** nd
 
         return pd.DataFrame(
             {

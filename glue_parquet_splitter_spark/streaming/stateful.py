@@ -215,32 +215,42 @@ def _update_quota(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     ids, tss, vals, seq = (state.get if state.exists
                            else ([], [], [], 0))
 
-    # dedupe by (ts_us, event_id) while merging: a micro-batch REPLAYED
-    # after checkpoint recovery (at-least-once delivery) must not let
-    # the same event occupy two of the K slots and evict a legitimate
-    # one — state stays a function of the event SET even under replay.
-    # CONFLICTING redelivery (same identity, mutated value — the
-    # --dupkeys hostility) keeps the MINIMUM value, NaN/None last:
-    # last-write-wins made the kept value arrival-order-dependent, and
-    # min-value is exactly the winner operators.events.unique_events
-    # picks when ts/user_id agree (value precedes event_type in its
-    # order key for this reason), so the batch oracle still grades the
-    # stream (r14 seed sweep).
+    # dedupe by event_id ALONE while merging — the same identity key
+    # the batch contract operators.events.unique_events collapses on.
+    # A micro-batch REPLAYED after checkpoint recovery (at-least-once
+    # delivery) must not let the same event occupy two of the K slots
+    # and evict a legitimate one — state stays a function of the event
+    # SET even under replay.  CONFLICTING redelivery (same event_id,
+    # mutated ts and/or value — the --dupkeys hostility) keeps the
+    # MINIMUM by (ts_us, value), NaN value last: that is exactly the
+    # winner unique_events picks when user_id agrees (its order key is
+    # (ts, user_id, value, event_type, props), and within one state
+    # group user_id is constant), so the batch row_number oracle still
+    # grades the stream — including a duplicate event_id redelivered
+    # at a DIFFERENT ts, which under the old (ts_us, event_id) dedup
+    # key occupied two K-slots where the oracle has one row (ADVICE
+    # r14).  HARD INVARIANT (documented in operators/events.py): a
+    # duplicate event_id must not span user_ids — the stream keys
+    # state by user_id, so a cross-user duplicate lands in two
+    # independent state groups that no per-group rule can reconcile;
+    # production dedups cross-user identity collisions at the
+    # bronze→silver boundary (unique_events / pk_uniqueness_audit).
     def _vkey(v):
         fv = float(v)
         return (1, 0.0) if fv != fv else (0, fv)  # NaN sorts last
 
-    def _keep(d, k, v):
-        if k not in d or _vkey(v) < _vkey(d[k]):
-            d[k] = float(v)
+    def _keep(d, i, t, v):
+        cand = (int(t), _vkey(v), float(v))
+        if i not in d or cand[:2] < d[i][:2]:
+            d[i] = cand
 
     merged: dict = {}
     for t, i, v in zip(tss, ids, vals):
-        _keep(merged, (int(t), int(i)), v)
+        _keep(merged, int(i), t, v)
     for pdf in pdfs:
         for t, i, v in zip(pdf["ts_us"], pdf["event_id"], pdf["value"]):
-            _keep(merged, (int(t), int(i)), v)
-    rows = sorted((t, i, v) for (t, i), v in merged.items())
+            _keep(merged, int(i), t, v)
+    rows = sorted((t, i, v) for i, (t, _vk, v) in merged.items())
     rows = rows[:_QUOTA_K]
     seq += 1
     state.update(([r[1] for r in rows], [r[0] for r in rows],

@@ -632,7 +632,6 @@ def _tail_checks(reg):
         for name, row in rows.items():
             if isinstance(row, dict) and (row.get("spark_rows") or 0) > 0:
                 evidenced.add(name)
-    ledger_ev: dict[str, list[str]] = {}
     for path in _g.glob("/root/repo/FUZZ_ledgers/FUZZ_*.json"):
         try:
             with open(path) as f:
@@ -642,9 +641,7 @@ def _tail_checks(reg):
         for name, n in (led.get("rows") or {}).items():
             if n and n > 0:
                 evidenced.add(name)
-                ledger_ev.setdefault(name, []).append(
-                    os.path.basename(path))
-    unevidenced = []
+    unevidenced, annotated = [], []
     for name, spec in reg.items():
         if name in evidenced:
             continue
@@ -652,7 +649,12 @@ def _tail_checks(reg):
             src = _inspect.getsource(spec.fn)
         except (OSError, TypeError):
             src = ""
-        if "# empty-by-construction:" not in src:
+        # the annotated tally counts queries that actually CARRY the
+        # annotation, not every unevidenced query (ADVICE r14: the old
+        # `len(reg) - len(evidenced)` overstated it)
+        if "# empty-by-construction:" in src:
+            annotated.append(name)
+        else:
             unevidenced.append(name)
     if unevidenced:
         fail("queries with ZERO Spark rows in every committed grade and "
@@ -661,10 +663,10 @@ def _tail_checks(reg):
              "grade green — prove non-emptiness under some regime or "
              "annotate why empty is the correct result):\n  "
              + "\n  ".join(unevidenced[:12]))
-    n_ann = len(reg) - len([n for n in reg if n in evidenced])
-    print(f"ok: non-emptiness lint — {len([n for n in reg if n in evidenced])}"
-          f" queries evidenced >0 rows, {n_ann} annotated "
-          "empty-by-construction")
+    n_ev = len([n for n in reg if n in evidenced])
+    print(f"ok: non-emptiness lint — {n_ev} queries evidenced >0 rows, "
+          f"{len(annotated)} annotated empty-by-construction"
+          + (f" {annotated[:6]}" if annotated else ""))
 
     # 5. environment-gate probe (VERDICT r6 #4): make the two known
     # env-gated gaps driver-visible evidence, not docstring claims.

@@ -153,3 +153,50 @@ def test_quota_sampler_replayed_batch_is_idempotent():
     # K=3 earliest by (ts, id): 2@50, 9@60, 3@75 — without the dedupe a
     # replayed copy of 2@50 or 3@75 would consume the slot 9 deserves
     assert clean[0] == [2, 9, 3]
+
+
+def test_quota_sampler_dedups_conflicting_redelivery_per_event_id():
+    """ADVICE r14: the state dedup key is event_id ALONE — the batch
+    contract's identity key (operators.events.unique_events) — not
+    (ts_us, event_id).  A duplicate event_id redelivered at a DIFFERENT
+    ts must occupy ONE slot with the min-(ts, value) winner, matching
+    the batch oracle's one row; under the old composite key it held two
+    slots and evicted a legitimate third event."""
+    import pandas as pd
+
+    from glue_parquet_splitter_spark.streaming.stateful import _update_quota
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    # event 1 delivered twice with mutated ts AND value; events 2 and 3
+    # are legitimate.  unique_events keeps (1@10, val 5.0) — min by
+    # (ts, value) — so the kept K=3 must be 1@10, 2@20, 3@30.
+    batches = [
+        [(40, 1, 1.0), (20, 2, 2.0)],
+        [(10, 1, 5.0), (30, 3, 3.0)],  # conflicting redelivery of 1
+    ]
+
+    def run(bs):
+        st = FakeState()
+        for batch in bs:
+            pdf = pd.DataFrame(batch, columns=["ts_us", "event_id", "value"])
+            list(_update_quota((7,), iter([pdf]), st))
+        return st._v[:3]
+
+    ids, tss, vals = run(batches)
+    assert ids == [1, 2, 3]
+    assert tss == [10, 20, 30]
+    assert vals == [5.0, 2.0, 3.0]
+    # arrival-order independence holds for the conflicting pair too
+    assert run(list(reversed(batches))) == (ids, tss, vals)
