@@ -405,7 +405,14 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
            # host contention at run end — context for wall-time
            # outliers (r5 recorded a 4.83 s min-of-3 for a 0.8 s
            # query); moved off the stdout line in r9 for headroom
-           "loadavg": [round(x, 2) for x in os.getloadavg()]}
+           "loadavg": [round(x, 2) for x in os.getloadavg()],
+           # names the stdout line's _omitted_n counter cut (the line
+           # keeps only the slowest _LINE_TOP_QUERIES entries) — their
+           # values are in "queries" above; listing the names here
+           # makes the omission greppable (VERDICT r14 #7)
+           "line_omitted": sorted(timings,
+                                  key=lambda k: (-timings[k], k)
+                                  )[_LINE_TOP_QUERIES:]}
     if loadavg_start is not None:
         # host state BEFORE the suite warmed up: the anchor-freeze
         # quiet-host check (< ANCHOR_FREEZE_MAX_LOAD) uses this value,

@@ -181,6 +181,8 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
 
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # total-order: sh is one row per (doc_id, shingle) — distinct
+    # shingles — so the trailing shingle is unique within the partition
     w_doc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
         sh.withColumn("df", F.count("*").over(Window.partitionBy("shingle")))

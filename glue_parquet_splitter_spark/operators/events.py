@@ -58,6 +58,8 @@ _EVENT_ORDER = ("ts", "user_id", "value", "event_type", "props")
 def unique_events(events: DataFrame) -> DataFrame:
     """One deterministic winner row per ``event_id`` (see module
     docstring for the rule and why value precedes event_type)."""
+    # total-order: orders by every non-pk column of the table —
+    # residual ties are byte-identical rows; any winner is the same row
     w = Window.partitionBy("event_id").orderBy(
         *[F.asc_nulls_last(c) for c in _EVENT_ORDER])
     return (events.withColumn("_uq_rn", F.row_number().over(w))

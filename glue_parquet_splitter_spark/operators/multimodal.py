@@ -378,6 +378,9 @@ def dhash_band_pairs(hashes: DataFrame, cap: int = 16,
                      F.expr(e).alias("band_val"))
             for i, e in enumerate(band_exprs)])).alias("b"))
         .select("doc_id", "h_lo", "h_hi", "b.band_idx", "b.band_val"))
+    # total-order: hashes is one fingerprint row per doc_id (callers
+    # pass the identity-deduped corpus — unique_docs_guard upstream),
+    # so doc_id is unique within every band bucket
     w = Window.partitionBy("band_idx", "band_val").orderBy("doc_id")
     capped = (bands.withColumn("rk", F.row_number().over(w))
               .filter(F.col("rk") <= cap))

@@ -134,6 +134,10 @@ def _dedup_identity(df: DataFrame, vec: str) -> DataFrame:
     order = [F.asc("_wf_serial")]
     if "label" in df.columns:
         order.append(F.asc_nulls_last("label"))
+    # total-order: orders by the full quantized-vector serialization
+    # (+ label) — residual ties differ only below the 1e-6 component
+    # quantization every consumer rounds away, i.e. the identity-clean
+    # equality pin: either winner is the same row for every reader
     w_id = Window.partitionBy("vec_id").orderBy(*order)
     return (df.withColumn("_wf_serial", serial)
             .withColumn("_wf_rn", F.row_number().over(w_id))
@@ -219,6 +223,9 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3) -> DataF
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
     )
+    # total-order: neighbor_id is the corpus vec_id — one scored row
+    # per (query_id, neighbor_id) by construction of the cross join
+    # over the identity-deduped corpus, so it is unique per partition
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -262,6 +269,8 @@ def pq_adc_topk(emb: DataFrame, query_id: int, m: int = 4, dsub: int = 16,
         F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
+    # total-order: j is the codebook centroid index — one scored row
+    # per (vec_id, s, j) by construction, unique within the partition
     w = Window.partitionBy("vec_id", "s").orderBy("d2", "j")
     assign = (
         # bounded: cent is the PQ codebook (n_sub x 256 centroids, constant)
@@ -310,6 +319,8 @@ def ivfpq_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     d2 = F.round(F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
+    # total-order: cid is the centroid id — one scored row per
+    # (vec_id, cid) by construction, unique within the partition
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         # bounded: cents is the n_coarse-row centroid table
@@ -368,6 +379,8 @@ def ivfpq_encode(assign: DataFrame, book: DataFrame, m: int = 4,
     sd2 = F.round(F.aggregate(
         F.zip_with("sv", "bv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
+    # total-order: j is the codebook centroid index — one scored row
+    # per (vec_id, s, j) by construction, unique within the partition
     w_code = Window.partitionBy("vec_id", "s").orderBy("sd2", "j")
     return (
         # bounded: book is the PQ codebook (m x nc rows, constant)
@@ -405,6 +418,8 @@ def ivfpq_adc_search(codes: DataFrame, queries: DataFrame,
               .filter(F.col("vec_id") != F.col("query_id"))
               .groupBy("query_id", "vec_id")
               .agg(F.round(F.sum("qd2"), 4).alias("est_d2")))
+    # total-order: vec_id is unique per partition — scored is a
+    # groupBy(query_id, vec_id) output
     w_rank = Window.partitionBy("query_id").orderBy("est_d2", "vec_id")
     return (scored.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)

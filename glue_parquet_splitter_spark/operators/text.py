@@ -100,6 +100,8 @@ def tf_idf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
     )
+    # total-order: tok is unique per partition — scored derives from
+    # the groupBy(doc_id, tok) term-frequency table
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -128,6 +130,8 @@ def unique_documents(docs: DataFrame) -> DataFrame:
     Scale: one doc_id-keyed window — production pipelines dedup once
     at the bronze→silver boundary and skip this pass; it is a no-op
     (beyond the shuffle) on an identity-clean corpus."""
+    # total-order: orders by every non-pk column of the table —
+    # residual ties are byte-identical rows; any winner is the same row
     w = Window.partitionBy("doc_id").orderBy(
         F.asc_nulls_last("text"), F.asc_nulls_last("lang"),
         F.asc_nulls_last("source"), F.asc_nulls_last("n_chars"))

@@ -61,6 +61,10 @@ def ewma(df: DataFrame, key_cols: list[str], order_cols: list[str],
     """
     B = rebase_block_size(alpha)
     q = F.lit(1.0 - alpha)
+    # total-order: caller contract — order_cols must be a TOTAL order
+    # within key_cols; the registered callers pass (ts, event_id) over
+    # the identity-deduped events table (operators.events.unique_events
+    # applied upstream), so ties cannot survive to the pick
     rn = F.row_number().over(
         Window.partitionBy(*key_cols).orderBy(*order_cols))
     rows = df.select(
@@ -73,6 +77,8 @@ def ewma(df: DataFrame, key_cols: list[str], order_cols: list[str],
     })
 
     # block-local weighted prefix sums: exponents bounded by B
+    # total-order: __j = (rn-1) % B + 1 is unique within (key, __block)
+    # by construction from the per-key row number
     wloc = (Window.partitionBy(*key_cols, "__block").orderBy("__j")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     inv = F.pow(q, -F.col("__j"))
@@ -135,6 +141,10 @@ def asof_backward(left: DataFrame, right: DataFrame, on: str,
         *[F.lit(None).cast(rdt[v]).alias(v) for v in values],
         *payload,
     )
+    # total-order: caller contract — right must be unique per (by, on)
+    # (the registered asof queries pre-aggregate the right side); tied
+    # LEFT rows are harmless: they carry NULL values, which the
+    # ignorenulls fill skips, so every tied row receives the same fill
     w = (Window.partitionBy(*by).orderBy("__t", "__is_l")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = right_u.unionByName(left_u).select(
@@ -173,6 +183,8 @@ def asof_forward(left: DataFrame, right: DataFrame, on: str,
         *[F.lit(None).cast(rdt[v]).alias(v) for v in values],
         *payload,
     )
+    # total-order: same caller contract as asof_backward above — right
+    # unique per (by, on); tied left rows receive identical fills
     w = (Window.partitionBy(*by).orderBy(F.desc("__t"), F.asc("__is_l"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = right_u.unionByName(left_u).select(

@@ -110,6 +110,8 @@ def materialize_tokenizer_stages(spark: SparkSession, sf_dir: str,
                      (F.col("base")
                       + F.when(F.col("rk") <= F.col("lo"), 1)
                       .otherwise(0)).cast("long").alias("quota")))
+    # total-order: packed is one row per doc_id (the packing stage's
+    # output table), so the trailing doc_id breaks every md5 tie
     w_sel = W.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     ranked = packed.withColumn("rn", F.row_number().over(w_sel))

@@ -226,6 +226,15 @@ REGRADE_FRONT: dict[str, int] = {
     #   0 mismatches) instead of floor(x+0.5) with its binary-carry
     #   artifact (ADVICE r14)
     "grouped_pandas_linear_fit": 16,
+    # - window-totality lint (r15, VERDICT r14 #2): order keys extended
+    #   with the CARRIED column so duplicate-pk ties stop rolling dice
+    #   (no-op on pk-unique fixtures).  The three same-class fixes in
+    #   the r7 cohort (window_lag_lead, window_moving_avg,
+    #   attribution_last_touch) re-grade in r15's natural rotation and
+    #   need no entry here.
+    "window_running_sum": 16,
+    "latest_event_per_user": 16,
+    "token_budget_head_selection": 16,
 }
 
 

@@ -591,6 +591,9 @@ def session_scoped_funnel(spark, sf_dir):
     BIGINT)`` would round-half-even and disagree on boundaries).
     """
     ev = load_table(spark, sf_dir, "events")
+    # total-order: ties share (ts, event_id); the windows carry only ts
+    # (equal across tied rows), so gaps, flags and session ids are
+    # roll-invariant and the rollups aggregate multisets order-free
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     flagged = ev.withColumn(

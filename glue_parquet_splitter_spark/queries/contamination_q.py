@@ -203,6 +203,9 @@ def train_mix_interleave(spark, sf_dir):
     the ≤500-row prefix.
     """
     d = load_table(spark, sf_dir, "documents")
+    # total-order: ties are duplicate doc_ids equal in every referenced
+    # column (doc_id, source) — seq numbers swap between
+    # indistinguishable rows, leaving the output multiset unchanged
     w = Window.partitionBy("source").orderBy("doc_id")
     seqd = d.select("doc_id", "source", F.row_number().over(w).alias("seq"))
     # NULLS LAST explicit on the nullable source key (fuzz_oracle.py:

@@ -94,6 +94,9 @@ def domain_cap_sample(spark, sf_dir):
     rows the cap discards, so the skew bounds itself.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # total-order: ties are duplicate doc_ids equal in every referenced
+    # column (doc_id, source) — ranks swap between indistinguishable
+    # rows; the <=50 cut keeps the same multiset either way
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id")
     return (
@@ -213,6 +216,9 @@ def linechunk_dedup_rebuild(spark, sf_dir):
         F.col("start").cast("long").alias("start"),
         F.concat_ws(" ", F.slice("t", F.col("start") + 1, 10)).alias("chunk"),
     )
+    # total-order: ties agree on (chunk, doc_id, start) — every column
+    # the keep-flag and rebuild read — so rnk==1 lands on an
+    # indistinguishable row whatever the roll
     ranked = chunks.withColumn(
         "rnk",
         F.row_number().over(

@@ -287,6 +287,10 @@ def curation_pipeline_end_to_end(spark, sf_dir):
 
     NGRAM = 8
     docs = load_table(spark, sf_dir, "documents")
+    # total-order: ties share (text, doc_id); n_chars is derived from
+    # text by ingest (fixture invariant) and lang/source are never read
+    # downstream of the pick — tied rows are equal in every referenced
+    # column
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (docs.withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") == 1).drop("rn"))
@@ -370,6 +374,8 @@ def weighted_priority_sample(spark, sf_dir):
         F.col("n_chars") > 0,
         (((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
          .cast("double") + 1) / F.col("n_chars"))
+    # total-order: ties share (lang, pkey, doc_id) — every returned
+    # column — so sample ranks swap between indistinguishable rows
     w = Window.partitionBy("lang").orderBy(F.asc_nulls_last("pkey"),
                                            "doc_id")
     return (
@@ -422,6 +428,8 @@ def epoch_shuffle_order(spark, sf_dir):
         .alias("k"))
     from pyspark.sql import Window
 
+    # total-order: ties share (epoch, k, doc_id) — every referenced
+    # column (k is md5(epoch, doc_id)) — indistinguishable rows
     w = Window.partitionBy("epoch").orderBy("k", "doc_id")
     return (
         keyed.select("epoch", "doc_id",

@@ -659,6 +659,9 @@ def entity_resolution_blocked_match(spark, sf_dir):
     ).where(F.col("score") >= 0.6)
     from pyspark.sql import Window as W
     rn = F.row_number().over(
+        # total-order: ties share (dirty_id, score, p_partkey) and
+        # matched_source derives from (p_partkey, dirty_id) — every
+        # returned column is tie-equal
         W.partitionBy("dirty_id").orderBy(F.desc("score"), "p_partkey"))
     return (
         scored.withColumn("rn", rn).where(F.col("rn") == 1)
@@ -810,6 +813,9 @@ def entity_resolution_multipass_block(spark, sf_dir):
     ).where(F.col("score") >= 0.6)
     from pyspark.sql import Window as W
     rn = F.row_number().over(
+        # total-order: ties share (dirty_id, score, p_partkey) and
+        # matched_source derives from (p_partkey, dirty_id) — every
+        # returned column is tie-equal
         W.partitionBy("dirty_id").orderBy(F.desc("score"), "p_partkey"))
     return (
         scored.withColumn("rn", rn).where(F.col("rn") == 1)

@@ -107,6 +107,9 @@ def exact_substring_spans(spark, sf_dir):
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", "pa", "pb"))
     diag = (F.col("pa") - F.col("pb")).alias("diag")
+    # total-order: tied rows are identical (pa) duplicates; row_number
+    # assigns the same multiset of island offsets whatever the roll, so
+    # the span aggregates are unchanged
     w = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     islands = hits.select(
         "doc_a", "doc_b", diag, "pa"
@@ -140,7 +143,10 @@ _BUDGET = 8_000  # global token budget; binds (~30% selected) at sf0.01
       SELECT d.doc_id, d.source, d.n_chars, d.toks,
              r.cum - r.gtoks
                + SUM(d.toks) OVER (PARTITION BY d.n_chars
-                                   ORDER BY d.doc_id) AS cum_doc
+                                   ORDER BY d.doc_id, d.toks,
+                                            d.source NULLS LAST
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_doc
       FROM docs d JOIN run r USING (n_chars)
     )
     SELECT source,
@@ -187,13 +193,21 @@ def token_budget_head_selection(spark, sf_dir):
         F.sum("gtoks").over(
             W.orderBy(F.desc("n_chars"))
             .rowsBetween(W.unboundedPreceding, 0)).alias("cum"))
+    # total-order: the running sum CARRIES toks and the rollup reads
+    # source, so both join the order key — a duplicate doc_id with the
+    # same length but different text/source is otherwise order-tied
+    # and the prefix sums roll dice (r15 window-totality lint); the
+    # oracle also pins ROWS explicitly because DuckDB's default
+    # ORDER-BY frame is RANGE, which treats tied rows as peers where
+    # Spark's rowsBetween does not.  No-op on identity-clean corpora.
     within = (
         docs.join(run, "n_chars")
         .select(
             "doc_id", "source", "toks",
             (F.col("cum") - F.col("gtoks")
              + F.sum("toks").over(
-                 W.partitionBy("n_chars").orderBy("doc_id")
+                 W.partitionBy("n_chars")
+                 .orderBy("doc_id", "toks", F.asc_nulls_last("source"))
                  .rowsBetween(W.unboundedPreceding, 0))).alias("cum_doc"))
     )
     return (within.where(F.col("cum_doc") <= _BUDGET)
@@ -332,6 +346,11 @@ def weighted_sample_wor(spark, sf_dir):
     keyed = docs.select(
         "doc_id", "lang", "toks",
         F.round(F.pow("u", F.lit(1.0) / F.col("toks")), 6).alias("es_key"))
+    # total-order: es_key is strictly monotone in toks for fixed doc_id
+    # (u in (0,1)), so tied (es_key, doc_id) rows agree on toks up to
+    # the 1e-6 key rounding — the identity-clean equality-pin residual
+    # the embeddings contract documents; all other returned columns are
+    # in the key
     w = W.partitionBy("lang").orderBy(F.desc("es_key"), "doc_id")
     return (keyed.withColumn("smp_rank", F.row_number().over(w))
             .where(F.col("smp_rank") <= _ES_K)
@@ -630,6 +649,8 @@ def winnowing_fingerprints(spark, sf_dir):
     hashed = grams.select(
         "doc_id", "pos", F.expr(hex_hash_expr("g", 6)).alias("h"))
     wdoc = W.partitionBy("doc_id")
+    # total-order: pos is unique per doc_id — posexplode over the
+    # identity-deduped documents (unique_documents upstream)
     wmin = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WIN_W - 1)
     codes = (hashed
              .withColumn("np", F.max("pos").over(wdoc))

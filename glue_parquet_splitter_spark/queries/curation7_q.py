@@ -553,6 +553,9 @@ def training_mix_manifest(spark, sf_dir):
                      (F.col("base")
                       + F.when(F.col("rk") <= F.col("l"), 1).otherwise(0))
                      .alias("quota")))
+    # total-order: ties are duplicate doc_ids equal in every referenced
+    # column (doc_id, source) — ranks swap between indistinguishable
+    # rows and the quota cut keeps the same multiset
     ws = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     ranked = d.select("doc_id", "source",

@@ -375,6 +375,9 @@ def trajectory_transition_similarity(spark, sf_dir):
     from pyspark.sql import Window as W
 
     cell = (F.col("user_id") % 5) * 10 + (F.col("event_id") % 10)
+    # total-order: ties share (ts, event_id); the lag carries cell =
+    # f(user_id, event_id), equal across tied rows, and .distinct()
+    # collapses the transition multiset — roll-invariant
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
         ev.select("user_id", "ts", "event_id", cell.alias("cell"))

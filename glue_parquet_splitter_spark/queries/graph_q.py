@@ -464,6 +464,8 @@ def dup_cluster_canonical_pick(spark, sf_dir):
         F.col("vertex").alias("doc_id"), "component")
     scored = comp.join(d.select("doc_id", "n_chars"), "doc_id")
     wc = Window.partitionBy("component")
+    # total-order: ties agree on (component, n_chars, doc_id) — every
+    # returned column — so the canonical pick is roll-invariant
     ranked = scored.select(
         "component", "doc_id", "n_chars",
         F.row_number().over(

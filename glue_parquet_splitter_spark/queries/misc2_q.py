@@ -16,7 +16,8 @@ from . import register
     SELECT user_id, event_id, event_type,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                                       ORDER BY ts DESC, event_id DESC) AS rn
+                                       ORDER BY ts DESC, event_id DESC,
+                                                event_type DESC NULLS LAST) AS rn
           FROM events)
     WHERE rn = 1
     """,
@@ -25,7 +26,14 @@ from . import register
 def latest_event_per_user(spark, sf_dir):
     """DISTINCT ON-style whole-row argmax: each user's latest event."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # total-order: the pick carries event_type, so the order key ends
+    # with it — a duplicate event_id with a mutated event_type
+    # (--dupkeys conflicting redelivery) is otherwise tied on
+    # (ts, event_id) and the returned row is a dice roll (r15
+    # window-totality lint).  Residual ties are equal in every
+    # returned column.  No-op on identity-clean data.
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"), F.desc_nulls_last("event_type"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

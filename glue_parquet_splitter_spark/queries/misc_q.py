@@ -136,6 +136,8 @@ def top_event_type_per_hour(spark, sf_dir):
         ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
         .agg(F.count("*").alias("n"))
     )
+    # total-order: one row per (h, event_type) — the groupBy output —
+    # so event_type is unique within the partition
     w = Window.partitionBy("h").orderBy(F.desc("n"), "event_type")
     return (
         hourly.withColumn("rn", F.row_number().over(w))

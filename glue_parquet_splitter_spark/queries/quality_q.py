@@ -471,6 +471,8 @@ def stratified_fixed_n_sample(spark, sf_dir):
     d = _docs(spark, sf_dir)
     from pyspark.sql import Window
 
+    # total-order: ties share (lang, doc_id) — every returned column —
+    # so ranks swap between indistinguishable rows
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.concat(F.lit("fs-"), F.col("doc_id").cast("string"))),
         "doc_id")
@@ -626,6 +628,8 @@ def doc_avg_nll(spark, sf_dir):
     d = unique_documents(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id",
                     F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    # total-order: pos is unique per doc_id — posexplode over the
+    # identity-deduped documents (unique_documents upstream)
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     big = (toks.withColumn("w2", F.lead("w").over(wdoc))
            .filter(F.col("w2").isNotNull())

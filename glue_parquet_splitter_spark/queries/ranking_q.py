@@ -407,6 +407,8 @@ def hybrid_rrf_fusion_ivf(spark, sf_dir):
     d2 = F.round(F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
+    # total-order: cid is unique per partition — one scored row per
+    # (vec_id, cid) by construction of the centroid cross join
     w_assign = W.partitionBy("vec_id").orderBy("d2", "cid")
     assign = (
         # bounded: cents is the k-row centroid table
@@ -627,6 +629,8 @@ def _hybrid_ivf_parts(spark, sf_dir, probes: int):
     d2 = F.round(F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
+    # total-order: cid is unique per partition — one scored row per
+    # (vec_id, cid) by construction of the centroid cross join
     w_assign = W.partitionBy("vec_id").orderBy("d2", "cid")
     ranked = (
         # bounded: cents is the k-row centroid table

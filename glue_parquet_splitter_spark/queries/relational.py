@@ -671,6 +671,8 @@ def topk_per_group(spark, sf_dir):
     from pyspark.sql import Window as W
 
     c = _t(spark, sf_dir, "customer")
+    # total-order: ties share (c_mktsegment, c_acctbal, c_custkey) —
+    # every returned column — indistinguishable rows
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
     return (
         c.withColumn("rn", F.row_number().over(w))

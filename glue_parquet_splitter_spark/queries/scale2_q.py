@@ -121,6 +121,8 @@ def reservoir_per_group(spark, sf_dir):
     two-level form, ``topk_per_group_salted``.
     """
     d = load_table(spark, sf_dir, "documents")
+    # total-order: ties share (lang, doc_id) — every returned column —
+    # so ranks swap between indistinguishable rows
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string"))), "doc_id"
     )
@@ -225,6 +227,8 @@ def topk_per_group_salted(spark, sf_dir):
     c = load_table(spark, sf_dir, "customer")
     salted = c.withColumn(
         "salt", F.pmod(F.xxhash64(F.col("c_custkey")), F.lit(N_SALT)))
+    # total-order: ties share (segment, acctbal, custkey) — every
+    # returned column (salt derives from custkey) — indistinguishable
     w_local = W.partitionBy("c_mktsegment", "salt").orderBy(
         F.desc("c_acctbal"), "c_custkey")
     local = (
@@ -232,6 +236,8 @@ def topk_per_group_salted(spark, sf_dir):
         .filter(F.col("rn") <= K)
         .drop("rn", "salt")
     )
+    # total-order: ties share (segment, acctbal, custkey) — every
+    # returned column — indistinguishable rows
     w_global = W.partitionBy("c_mktsegment").orderBy(
         F.desc("c_acctbal"), "c_custkey")
     return (

@@ -206,6 +206,8 @@ def kmeans_assign_step(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # total-order: cid is unique per partition — one scored row per
+    # (vec_id, cid) by construction of the centroid cross join
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         vecs.filter(F.col("vec_id") >= 4)
@@ -324,6 +326,8 @@ def kmeans_lloyd_iters(spark, sf_dir):
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
+    # total-order: cid is unique per partition — one scored row per
+    # (vec_id, cid) by construction of the centroid cross join
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     for it in range(2):
         assigned = (

@@ -96,6 +96,10 @@ def ann_topk_quantized(spark, sf_dir):
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 F.round(S.cosine(F.col("qv"), F.col("q")), 6).alias("cos_q8"))
     )
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_q8"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -185,6 +189,10 @@ def ann_lsh_multiprobe(spark, sf_dir):
     scored = cand.select(
         "query_id", "neighbor_id",
         F.round(S.cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -336,6 +344,10 @@ def mips_norm_bound_topk(spark, sf_dir):
             F.lit(0.0), lambda acc, x: acc + x), 4).alias("dot_score"),
     )
     w = Window.partitionBy("query_id").orderBy(
+        # total-order: ties agree on every returned column (the score and
+        # the trailing id ARE the output row) — rank swaps between
+        # indistinguishable rows leave the multiset, and any top-k cut of
+        # it, unchanged
         F.col("dot_score").desc(), "neighbor_id")
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
@@ -427,6 +439,10 @@ def ann_jl_projection_topk(spark, sf_dir):
     scored = cand.select(
         "query_id", F.col("vec_id").alias("neighbor_id"), pc.alias("pc"))
     w = Window.partitionBy("query_id").orderBy(
+        # total-order: ties agree on every returned column (the score and
+        # the trailing id ARE the output row) — rank swaps between
+        # indistinguishable rows leave the multiset, and any top-k cut of
+        # it, unchanged
         F.desc(F.round(F.col("pc"), 6)), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

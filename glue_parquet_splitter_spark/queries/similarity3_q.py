@@ -35,6 +35,8 @@ def _assigned(spark, sf_dir):
     d2 = F.round(F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
+    # total-order: cid is unique per partition — one scored row per
+    # (vec_id, cid) by construction of the centroid cross join
     w = W.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         # bounded: cents is the k-row centroid table
@@ -128,6 +130,10 @@ def ann_ivf_multiprobe(spark, sf_dir):
     scored = cand.select(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 2)
@@ -203,6 +209,10 @@ def hard_negative_mining(spark, sf_dir):
                 F.col("label").alias("neg_label"),
                 F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
     )
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "negative_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)
@@ -298,6 +308,10 @@ def retrieval_eval_metrics(spark, sf_dir):
                 F.col("vec_id").alias("neighbor_id"),
                 F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
     )
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     ranked = scored.withColumn("rnk", F.row_number().over(w))
     per = ranked.groupBy("query_id").agg(
@@ -432,6 +446,10 @@ def _knn_edges(spark, sf_dir):
                           S.dot(F.col("av"), F.col("bv")),
                           F.col("na") * F.col("nb")), 6)
                        .alias("cos_sim")))
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = W.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3))
@@ -819,6 +837,8 @@ def label_propagation_knn(spark, sf_dir):
     # against any real label.  Spark's bare ASC is NULLS FIRST while
     # DuckDB's is NULLS LAST — left implicit, a null-vs-real tie flips
     # the vote cross-engine (found by scripts/fuzz_oracle.py).
+    # total-order: nb_label is unique per src — votes is the
+    # groupBy(src, nb_label) output
     w = W.partitionBy("src").orderBy(F.desc("n"),
                                      F.asc_nulls_last("nb_label"))
     new_lab = (votes.withColumn("rn", F.row_number().over(w))
@@ -922,6 +942,10 @@ def hard_negative_mining_ivf(spark, sf_dir):
     scored = cand.select(
         "query_id", "negative_id", "neg_label",
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"))
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "negative_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= 3)

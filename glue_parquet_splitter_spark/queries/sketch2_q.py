@@ -480,11 +480,14 @@ def kmv_sketch_set_ops(spark, sf_dir):
             .distinct())
 
     def min_k(df, part_cols):
+        # total-order: hset is distinct over (s, h), so h is unique within
+        # every (s, salt-bucket) partition
         w1 = W.partitionBy(*part_cols, F.col("h") % 64).orderBy("h")
         cand = (df.withColumn("rn", F.row_number().over(w1))
                 .filter(F.col("rn") <= K).drop("rn"))
         # bounded: the global arm only ever sees `cand`, already cut to
         # <= 64 salt buckets x K rows by the w1 row_number filter
+        # total-order: h unique per s (distinct input, see w1)
         w2 = (W.partitionBy(*part_cols).orderBy("h") if part_cols
               else W.orderBy("h"))
         return (cand.withColumn("rn", F.row_number().over(w2))

@@ -182,7 +182,8 @@ def mad_robust_outliers(spark, sf_dir):
       SELECT user_id, ts, event_id, event_type, value,
              LAST_VALUE(CASE WHEN event_type IN ('view','click','signup')
                              THEN event_type END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts, event_id,
+                                                   event_type NULLS LAST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS channel
       FROM events
@@ -202,9 +203,10 @@ def attribution_last_touch(spark, sf_dir):
     The workhorse marketing query every event warehouse runs.
 
     The strictly-preceding frame (UNBOUNDED PRECEDING .. 1 PRECEDING,
-    ordered by (ts, event_id) for a total order under timestamp ties)
+    ordered by (ts, event_id, event_type) — event_type appended in r15
+    because duplicate event_ids make (ts, event_id) alone non-total)
     means a touch sharing the purchase's timestamp attributes only if
-    its event_id sorts earlier — deterministic on both engines.
+    its sort key is earlier — deterministic on both engines.
 
     Scale: one shuffle on user_id for the per-user ordered window (the
     same partitioning ``sessionize_events`` uses), then a 4-row final
@@ -215,7 +217,15 @@ def attribution_last_touch(spark, sf_dir):
     touch = F.when(
         F.col("event_type").isin("view", "click", "signup"),
         F.col("event_type"))
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # total-order: the pick carries a value derived from event_type,
+    # so the order key ends with it — a duplicate event_id with a
+    # mutated event_type (--dupkeys) is otherwise tied on
+    # (ts, event_id) and the attributed channel rolls dice (r15
+    # window-totality lint).  Residual ties are equal in event_type
+    # (the only column the pick reads); revenue aggregates the value
+    # multiset order-free.  No-op on identity-clean data.
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id", F.asc_nulls_last("event_type"))
          .rowsBetween(Window.unboundedPreceding, -1))
     seq = ev.select(
         "user_id", "event_type", "value",
@@ -360,16 +370,21 @@ def cusum_changepoint(spark, sf_dir):
     daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
              .agg(F.count("*").alias("n")))
     wt = W.partitionBy("event_type")
+    # total-order: day is unique per event_type — daily is the
+    # groupBy(event_type, day) output
     wrun = wt.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     seq = daily.select(
         "event_type", "day", "n",
         F.sum("n").over(wrun).alias("run"),
+        # total-order: day unique per event_type (groupBy output, see wrun)
         F.row_number().over(wt.orderBy("day")).alias("t"),
         F.avg("n").over(wt).alias("mu"),
         F.count("*").over(wt).alias("n_days"))
     cs = seq.select(
         "event_type", "day", "n_days", "mu",
         F.round(F.col("run") - F.col("t") * F.col("mu"), 6).alias("cusum"))
+    # total-order: day is unique per event_type (daily groupBy output),
+    # so the argmax tiebreak is total
     warg = wt.orderBy(F.desc(F.abs(F.col("cusum"))), "day")
     return (cs.withColumn("rn", F.row_number().over(warg))
             .filter(F.col("rn") == 1)

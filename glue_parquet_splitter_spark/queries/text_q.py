@@ -440,6 +440,8 @@ def pmi_adjacent_bigrams(spark, sf_dir):
                     F.posexplode(F.split("text", " ")).alias("pos", "w"))
     uni = toks.groupBy("w").agg(F.count("*").alias("c"))
     nu = uni.agg(F.sum("c").alias("n_u"))
+    # total-order: pos is unique per doc_id — posexplode over the
+    # identity-deduped documents (unique_documents upstream)
     wdoc = W.partitionBy("doc_id").orderBy("pos")
     big = (toks.withColumn("w2", F.lead("w").over(wdoc))
            .filter(F.col("w2").isNotNull())

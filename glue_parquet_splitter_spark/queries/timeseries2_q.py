@@ -55,6 +55,8 @@ def ewma_user_value(spark, sf_dir):
     ev = unique_events(load_table(spark, sf_dir, "events"))
     rn = F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
     ordered = ev.select("user_id", "value", rn.alias("rn"))
+    # total-order: rn is the row number over the identity-deduped events
+    # (unique_events upstream) — unique per user by construction
     w = (Window.partitionBy("user_id").orderBy("rn")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     decay = F.pow(F.lit(1 - ALPHA), -F.col("rn"))

@@ -79,6 +79,8 @@ def resample_hourly_locf(spark, sf_dir):
     hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
         F.round(F.avg("value"), 4).alias("v")
     )
+    # total-order: at most one row per (user_id, h) — grid is a
+    # sequence-exploded hour set left-joined to the hourly aggregate
     w = (Window.partitionBy("user_id").orderBy("h")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (

@@ -1551,6 +1551,8 @@ def tokenizer_fertility_matrix(spark, sf_dir):
     m = parts[0].unionByName(parts[1]).unionByName(parts[2])
     from pyspark.sql import Window as W
 
+    # total-order: one row per (lang, tokenizer) — the three-arm union
+    # aggregate — so the trailing tokenizer name is unique per partition
     w = W.partitionBy("lang").orderBy(F.desc("chars_per_token"),
                                       F.asc("tokenizer"))
     return m.withColumn("is_best", F.row_number().over(w) == 1)

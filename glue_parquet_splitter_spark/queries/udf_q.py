@@ -134,6 +134,8 @@ def ivf_topk_search(spark, sf_dir):
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
+    # total-order: cid is unique per partition — one scored row per
+    # (vec_id, cid) by construction of the centroid cross join
     w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
     assign = (
         # bounded: cents is the k-row centroid table
@@ -155,6 +157,10 @@ def ivf_topk_search(spark, sf_dir):
         "query_id", F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
     )
+    # total-order: ties agree on every returned column (the score and
+    # the trailing id ARE the output row) — rank swaps between
+    # indistinguishable rows leave the multiset, and any top-k cut of
+    # it, unchanged
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -186,11 +186,17 @@ def sessionize_events(spark, sf_dir):
     partitioning — one shuffle, then map-side-combinable agg.
     """
     ev = load_table(spark, sf_dir, "events")
+    # total-order: ties share (ts, event_id); the window carries only ts
+    # (equal across tied rows) — session boundaries and the per-session
+    # aggregates are roll-invariant multiset reductions
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     flagged = ev.withColumn(
         "is_new", F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0))
     )
+    # total-order: ties share (ts, event_id); the window carries only ts
+    # (equal across tied rows) — session boundaries and the per-session
+    # aggregates are roll-invariant multiset reductions
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -20,18 +20,26 @@ def _orders(spark, sf_dir):
     oracle="""
     SELECT o_orderkey,
            ROUND(SUM(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey,
+                                               o_totalprice NULLS LAST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
            CAST(ROW_NUMBER() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey) AS BIGINT) AS order_seq
+               PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey,
+                                               o_totalprice NULLS LAST) AS BIGINT) AS order_seq
     FROM orders
     """,
     tags=("window",),
 )
 def window_running_sum(spark, sf_dir):
     o = _orders(spark, sf_dir)
+    # total-order: the running sum CARRIES o_totalprice, so the order
+    # key includes it — a duplicate o_orderkey pair with a mutated
+    # price (--dupkeys) is otherwise order-tied and the prefix sums
+    # become a dice roll (r15 window-totality lint); residual ties are
+    # equal in every referenced column.  No-op on pk-unique fixtures.
     w = W.partitionBy("o_custkey").orderBy(
-        F.asc_nulls_last("o_orderdate"), "o_orderkey")
+        F.asc_nulls_last("o_orderdate"), "o_orderkey",
+        F.asc_nulls_last("o_totalprice"))
     return o.select(
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias("running_total"),
@@ -55,6 +63,10 @@ def window_running_sum(spark, sf_dir):
 )
 def window_rank_funcs(spark, sf_dir):
     o = _orders(spark, sf_dir)
+    # total-order: residual ties are duplicate (o_totalprice,
+    # o_orderkey) pairs; rank/dense_rank/percent_rank/cume_dist are
+    # tie-stable, and ntile's differing buckets attach to rows equal
+    # in every selected column — the output multiset is roll-invariant
     w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return o.select(
         "o_orderkey",
@@ -73,14 +85,21 @@ def window_rank_funcs(spark, sf_dir):
            ROUND(COALESCE(o_totalprice - LAG(o_totalprice) OVER w, 0), 2)  AS delta_prev,
            ROUND(COALESCE(LEAD(o_totalprice) OVER w - o_totalprice, 0), 2) AS delta_next
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey,
+                                                 o_totalprice NULLS LAST)
     """,
     tags=("window",),
 )
 def window_lag_lead(spark, sf_dir):
     o = _orders(spark, sf_dir)
+    # total-order: lag/lead CARRY o_totalprice, so the order key ends
+    # with it — duplicate o_orderkey pairs with a mutated price are
+    # otherwise order-tied and the deltas (their own and their
+    # neighbors') roll dice (r15 window-totality lint); residual ties
+    # are equal in every referenced column.  No-op on pk-unique data.
     w = W.partitionBy("o_custkey").orderBy(
-        F.asc_nulls_last("o_orderdate"), "o_orderkey")
+        F.asc_nulls_last("o_orderdate"), "o_orderkey",
+        F.asc_nulls_last("o_totalprice"))
     tp = F.col("o_totalprice")
     return o.select(
         "o_orderkey",
@@ -94,7 +113,8 @@ def window_lag_lead(spark, sf_dir):
     oracle="""
     SELECT o_orderkey,
            ROUND(AVG(o_totalprice) OVER (
-               PARTITION BY o_orderpriority ORDER BY o_orderdate NULLS LAST, o_orderkey
+               PARTITION BY o_orderpriority ORDER BY o_orderdate NULLS LAST, o_orderkey,
+                                                     o_totalprice NULLS LAST
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
     FROM orders
     """,
@@ -102,8 +122,14 @@ def window_lag_lead(spark, sf_dir):
 )
 def window_moving_avg(spark, sf_dir):
     o = _orders(spark, sf_dir)
+    # total-order: the 3-row moving average CARRIES o_totalprice, so
+    # the order key ends with it — otherwise a duplicate o_orderkey
+    # pair with a mutated price is order-tied and every ma3 touching
+    # the pair rolls dice (r15 window-totality lint); residual ties
+    # are equal in every referenced column.  No-op on pk-unique data.
     w = (W.partitionBy("o_orderpriority")
-         .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
+         .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey",
+                  F.asc_nulls_last("o_totalprice"))
          .rowsBetween(-2, W.currentRow))
     return o.select(
         "o_orderkey",
@@ -151,6 +177,9 @@ def window_range_frame(spark, sf_dir):
 )
 def window_first_last(spark, sf_dir):
     o = _orders(spark, sf_dir)
+    # total-order: the picks carry o_totalprice, which LEADS the order
+    # key — tied rows are equal in every referenced column, so
+    # first/last/nth_value are roll-invariant
     w = (W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
          .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
     return o.select(
@@ -194,6 +223,10 @@ def ntile_balance_quartiles(spark, sf_dir):
     # explicit NULLS LAST: unknown balances band into the top tile in
     # BOTH engines (Spark bare ASC = nulls first, DuckDB = nulls last —
     # fuzz_oracle.py)
+    # total-order: residual ties are duplicate (c_acctbal, c_custkey)
+    # pairs occupying adjacent fixed positions — ntile assigns the
+    # same quartiles to those positions whatever the roll, and the
+    # rollup only reads c_acctbal, which is tie-equal
     w = W.partitionBy("c_mktsegment").orderBy(
         F.asc_nulls_last("c_acctbal"), "c_custkey")
     t = cust.select(

@@ -76,6 +76,9 @@ def run_user_stats_stream(spark: SparkSession, events_path: str) -> DataFrame:
     # update-mode memory sink may hold several emissions per key across
     # micro-batches; the last one per user is the final state.
     snap = spark.table(name)
+    # total-order: n_events is the stream's cumulative per-user count —
+    # strictly increasing across a user's emissions, so desc(n_events)
+    # has a unique head row per partition
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         snap.withColumn("_rn", F.row_number().over(w))
@@ -177,6 +180,9 @@ def run_user_stats_tws_stream(spark: SparkSession,
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+    # total-order: n_events is the stream's cumulative per-user count —
+    # strictly increasing across a user's emissions, so desc(n_events)
+    # has a unique head row per partition
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         snap.withColumn("_rn", F.row_number().over(w))

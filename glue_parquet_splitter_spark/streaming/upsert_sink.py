@@ -28,6 +28,11 @@ N_BUCKETS = 16
 def _latest_per_key(df: DataFrame, key: str, order: str, tie: str) -> DataFrame:
     # the tie column makes same-timestamp winners deterministic — the
     # idempotent-replay contract needs identical content on re-run
+    # total-order: caller contract — (order, tie) must be total per key.
+    # The registered stream passes (ts, event_id) over the events source,
+    # whose duplicate-identity hostility is resolved at ingest (see
+    # operators/events.py); byte-identical replays tie harmlessly (every
+    # column of the kept row is equal)
     w = Window.partitionBy(key).orderBy(F.desc(order), F.desc(tie))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))

@@ -337,6 +337,8 @@ def run_windowed_topk_stream(spark: SparkSession, events_path: str,
     )
     q.awaitTermination()
     drained = spark.table(name)
+    # total-order: drained is one row per (window_start, event_type) —
+    # the groupBy output — so event_type is unique within the partition
     rk = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
     return (drained.withColumn("rk", F.row_number().over(rk))
             .where(F.col("rk") == 1).drop("rk"))

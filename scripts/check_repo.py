@@ -341,6 +341,289 @@ def scan_window_sites(root_dir):
     return hits
 
 
+def scan_pick_window_sites(root_dir):
+    """Window-totality lint core (check 4e, VERDICT r14 #2) — the r14
+    MANUAL audit of ``(ts, event_id)`` windows, machine-enforced.
+
+    A green ledger proves one dice roll: when a window's declared order
+    is NON-TOTAL within a partition (duplicate identity keys collapse
+    the tiebreak), both engines execute and agreement is chance — the
+    luck-dependent-pass class (ten structurally unsafe event queries,
+    r14).  So every ``Window.partitionBy(...).orderBy(...)`` whose
+    result feeds a PICK — an expression whose value depends on which of
+    several order-tied rows comes first — must carry a totality proof:
+
+      auto-pass  the order key ENDS with the pk column of a table
+                 covered by an identity contract (events.event_id /
+                 documents.doc_id / embeddings.vec_id) AND the
+                 enclosing function applies that contract
+                 (unique_events / unique_documents / finite_vectors)
+                 upstream in the same query;
+      else       a ``# total-order: <argument>`` comment on the spec's
+                 line span, the contiguous comment block above it, or
+                 its one-hop assignment.
+
+    RELATIONAL-PK DECISION (VERDICT r14 #4): the TPC-H tables —
+    including lineitem's composite (l_orderkey, l_linenumber), whose
+    REAL duplicate mass pk_uniqueness_audit reports in the driver
+    fixtures — are declared CONTRACT-EXEMPT: no fourth identity
+    contract.  Their readers are multiplicity-transparent aggregations
+    (the r13 rule) except the window family, whose r15 fix was
+    order-key EXTENSION to the carried column (window_running_sum /
+    window_lag_lead / window_moving_avg / token_budget_head_selection
+    — cheaper than a contract: same shuffle, no regrade cascade over
+    every lineitem reader).  This lint enforces the decision going
+    forward: relational pk columns have NO auto-pass entry below, so
+    any new pick-window ordered by one must present a per-site
+    totality argument (annotation) or extend its key.
+
+    Picks: row_number / ntile / lag / lead / first / last / nth_value /
+    any_value (tie-ARBITRARY: a different tie order changes the value),
+    plus ANY function over a partial ROWS frame (``rowsBetween`` with
+    at least one non-unbounded bound): running sums / prefix minima
+    over a tie-ambiguous order are nondeterministic even for
+    commutative aggregates.  Deliberately NOT picks — a reasoned
+    refinement of the verdict's list: rank / dense_rank /
+    percent_rank / cume_dist are tie-STABLE (every order-tied row
+    receives the SAME value, so the output — including any rk=1
+    filter, which keeps the whole tied set — is invariant to the tie
+    roll; no total order is needed for determinism).  RANGE frames
+    are tie-safe (all peers enter together) and whole-partition ROWS
+    frames are order-irrelevant for aggregates, so neither triggers
+    by itself.
+
+    Returns ``path:lineno: <snippet>`` strings for violating sites."""
+    import ast as _ast
+    import os
+    import re as _re
+
+    total_rx = _re.compile(r"#\s*total-order:")
+    _PICKS = {"row_number", "ntile", "lag", "lead", "first", "last",
+              "nth_value", "any_value", "first_value", "last_value"}
+    _CONTRACT_OF = {"event_id": "unique_events",
+                    "doc_id": "unique_documents",
+                    "vec_id": "finite_vectors"}
+
+    def _has_comment(lines, lo, hi):
+        for i in range(max(0, lo - 1), min(len(lines), hi)):
+            if total_rx.search(lines[i]):
+                return True
+        i = lo - 2
+        while i >= 0 and (not lines[i].strip()
+                          or lines[i].strip().startswith("#")):
+            if total_rx.search(lines[i]):
+                return True
+            i -= 1
+        return False
+
+    def _colname(node):
+        # trailing order key → column name: "c" / F.col("c") /
+        # F.desc("c") / F.col("c").desc() / F.asc_nulls_last("c")
+        while isinstance(node, _ast.Call):
+            if (node.args and isinstance(node.args[0], _ast.Constant)
+                    and isinstance(node.args[0].value, str)):
+                return node.args[0].value
+            node = node.func.value if isinstance(node.func, _ast.Attribute) \
+                else None
+        if isinstance(node, _ast.Constant) and isinstance(node.value, str):
+            return node.value
+        return None
+
+    def _unbounded(a):
+        return (isinstance(a, _ast.Attribute)
+                and a.attr in ("unboundedPreceding", "unboundedFollowing"))
+
+    def _partial_rows_frame(call):
+        # a rowsBetween(a, b) with at least one real bound
+        return not (len(call.args) == 2 and all(map(_unbounded, call.args)))
+
+    hits = []
+    for root, _dirs, files in os.walk(root_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            with open(path) as f:
+                src_text = f.read()
+            lines = src_text.splitlines()
+            tree = _ast.parse(src_text, filename=path)
+
+            aliases = set()
+            for node in _ast.walk(tree):
+                if isinstance(node, _ast.ImportFrom) and node.module in (
+                        "pyspark.sql", "pyspark.sql.window"):
+                    for a in node.names:
+                        if a.name == "Window":
+                            aliases.add(a.asname or a.name)
+            if not aliases:
+                continue
+
+            parent = {}
+            func_of = {}
+            for node in _ast.walk(tree):
+                for child in _ast.iter_child_nodes(node):
+                    parent[id(child)] = node
+                if isinstance(node, (_ast.FunctionDef, _ast.AsyncFunctionDef)):
+                    for sub in _ast.walk(node):
+                        func_of.setdefault(id(sub), node)
+
+            def _chain_root(call):
+                attrs, r = [], call
+                while True:
+                    if isinstance(r, _ast.Call) and \
+                            isinstance(r.func, _ast.Attribute):
+                        attrs.append(r.func.attr)
+                        r = r.func.value
+                    elif isinstance(r, _ast.Attribute):
+                        attrs.append(r.attr)
+                        r = r.value
+                    else:
+                        return r, attrs
+
+            def _last_assign(name, before_line, scope):
+                best = None
+                for sub in _ast.walk(scope) if scope is not None else ():
+                    if (isinstance(sub, _ast.Assign)
+                            and sub.lineno < before_line
+                            and any(isinstance(t, _ast.Name) and t.id == name
+                                    for t in sub.targets)):
+                        if best is None or sub.lineno > best.lineno:
+                            best = sub
+                return best
+
+            for node in _ast.walk(tree):
+                if not (isinstance(node, _ast.Call)
+                        and isinstance(node.func, _ast.Attribute)
+                        and node.func.attr == "orderBy"):
+                    continue
+                rootv, attrs = _chain_root(node)
+                if not isinstance(rootv, _ast.Name):
+                    continue
+                scope = func_of.get(id(node))
+                base_asg = None
+                if rootv.id in aliases:
+                    spec_attrs = set(attrs)
+                elif "partitionBy" in attrs:
+                    spec_attrs = set(attrs)  # w.orderBy? handled below
+                else:
+                    base_asg = _last_assign(rootv.id, node.lineno, scope)
+                    if base_asg is None:
+                        continue
+                    vroot, vattrs = _chain_root(base_asg.value)
+                    if not (isinstance(vroot, _ast.Name)
+                            and vroot.id in aliases):
+                        continue
+                    spec_attrs = set(attrs) | set(vattrs)
+                if "partitionBy" not in spec_attrs:
+                    continue  # global windows are check 4d's class
+
+                # the spec's statement: names it is assigned to, plus
+                # the ancestor chain above the orderBy (…rowsBetween)
+                anc_rows_partial = False
+                up = parent.get(id(node))
+                while up is not None and not isinstance(up, _ast.stmt):
+                    if (isinstance(up, _ast.Call)
+                            and isinstance(up.func, _ast.Attribute)
+                            and up.func.attr == "rowsBetween"
+                            and _partial_rows_frame(up)):
+                        anc_rows_partial = True
+                    up = parent.get(id(up))
+                spec_names = set()
+                rows_partial_names = set()
+                if isinstance(up, _ast.Assign):
+                    spec_names = {t.id for t in up.targets
+                                  if isinstance(t, _ast.Name)}
+                    if anc_rows_partial:
+                        rows_partial_names |= set(spec_names)
+                # the annotation may sit anywhere on the enclosing
+                # STATEMENT's span or the comment block above it (an
+                # inline spec inside a return/select has no assignment
+                # line of its own)
+                spec_stmt = up if isinstance(up, _ast.stmt) else None
+
+                # transitive derived specs: w2 = w.rowsBetween(...)
+                for _ in range(3):
+                    grew = False
+                    for sub in _ast.walk(scope) if scope is not None else ():
+                        if not isinstance(sub, _ast.Assign):
+                            continue
+                        vroot, vattrs = _chain_root(sub.value)
+                        if (isinstance(vroot, _ast.Name)
+                                and vroot.id in spec_names):
+                            tgts = {t.id for t in sub.targets
+                                    if isinstance(t, _ast.Name)}
+                            if not tgts <= spec_names:
+                                grew = True
+                                spec_names |= tgts
+                            if "rowsBetween" in vattrs:
+                                rb = sub.value
+                                while isinstance(rb, _ast.Call):
+                                    if (isinstance(rb.func, _ast.Attribute)
+                                            and rb.func.attr == "rowsBetween"
+                                            and _partial_rows_frame(rb)):
+                                        rows_partial_names |= tgts
+                                    rb = rb.func.value if isinstance(
+                                        rb.func, _ast.Attribute) else None
+                    if not grew:
+                        break
+
+                # every .over() usage of this spec in scope
+                pick_overs = []
+                for sub in _ast.walk(scope) if scope is not None else ():
+                    if not (isinstance(sub, _ast.Call)
+                            and isinstance(sub.func, _ast.Attribute)
+                            and sub.func.attr == "over" and sub.args):
+                        continue
+                    a = sub.args[0]
+                    used_names = {s.id for s in _ast.walk(a)
+                                  if isinstance(s, _ast.Name)}
+                    inline = any(s is node for s in _ast.walk(a))
+                    if not (inline or used_names & spec_names):
+                        continue
+                    # the windowed expression: F.<fn>(...).over(spec)
+                    expr, fname = sub.func.value, None
+                    if isinstance(expr, _ast.Call):
+                        if isinstance(expr.func, _ast.Attribute):
+                            fname = expr.func.attr
+                        elif isinstance(expr.func, _ast.Name):
+                            fname = expr.func.id
+                    rows_partial = (anc_rows_partial if inline else False) \
+                        or bool(used_names & rows_partial_names) \
+                        or any(isinstance(s, _ast.Call)
+                               and isinstance(s.func, _ast.Attribute)
+                               and s.func.attr == "rowsBetween"
+                               and _partial_rows_frame(s)
+                               for s in _ast.walk(a))
+                    if fname in _PICKS or rows_partial:
+                        pick_overs.append(sub)
+                if not pick_overs:
+                    continue
+
+                # auto-pass (a): order key ends with a contract pk AND
+                # the contract is applied in the enclosing function
+                fsrc = _ast.get_source_segment(src_text, scope) \
+                    if scope is not None else src_text
+                trail = _colname(node.args[-1]) if node.args else None
+                contract = _CONTRACT_OF.get(trail)
+                if contract and fsrc and f"{contract}(" in fsrc:
+                    continue
+
+                # (b): # total-order: annotation on the spec span, the
+                # block above, or its statement/one-hop assignment
+                if _has_comment(lines, node.lineno, node.end_lineno):
+                    continue
+                if spec_stmt is not None and _has_comment(
+                        lines, spec_stmt.lineno, spec_stmt.end_lineno):
+                    continue
+                if base_asg is not None and _has_comment(
+                        lines, base_asg.lineno, base_asg.end_lineno):
+                    continue
+                seg = _ast.get_source_segment(src_text, node) or "?"
+                hits.append(f"{path}:{node.lineno}: "
+                            f"{' '.join(seg.split())[:70]}")
+    return hits
+
+
 def main():
     # 1. pytest collection
     r = subprocess.run(
@@ -566,6 +849,22 @@ def _tail_checks(reg):
              "at the spec or its assignment):\n" + "\n".join(win_hits[:10]))
     print("ok: window-boundedness lint — every unpartitioned Window.orderBy "
           "bounded or justified")
+
+    # 4e. window-totality lint (VERDICT r14 #2): the r14 MANUAL audit
+    # of (ts, event_id) windows, machine-enforced — every partitioned
+    # Window.orderBy feeding a pick (row_number/ntile/lag/lead/first/
+    # last/nth_value, or any fn over a partial ROWS frame) must end in
+    # a contract-protected pk with the contract applied in-function,
+    # or carry a `# total-order: <argument>` comment.
+    pick_hits = scan_pick_window_sites("/root/repo/glue_parquet_splitter_spark")
+    if pick_hits:
+        fail("pick-feeding Window.orderBy with no totality proof (order "
+             "key must end in a contract pk — event_id/doc_id/vec_id — "
+             "with the contract applied in the same function, or carry a "
+             "`# total-order: <argument>` comment at the spec, its "
+             "statement, or its assignment):\n" + "\n".join(pick_hits[:10]))
+    print("ok: window-totality lint — every pick-feeding Window.orderBy "
+          "contract-keyed or justified")
 
     # 4b. float-stability ledger (VERDICT r6 #1's lint, made empirical):
     # STABILITY.json records, per query, Spark-vs-Spark exactness across

@@ -208,3 +208,120 @@ def test_lambda_ok_does_not_excuse_literal_md5(tmp_path):
     """))
     hits = scan_lambda_sites(str(tmp_path))
     assert len(hits) == 1, hits
+
+
+# ---- window-totality lint (check 4e, VERDICT r14 #2) ----
+# A green ledger proves one dice roll: a pick over a window whose
+# declared order is non-total within a partition is run-nondeterministic
+# (the r14 luck-dependent-pass class).  The lint requires a totality
+# proof on every pick-feeding partitioned Window.orderBy.
+
+from check_repo import scan_pick_window_sites  # noqa: E402
+
+
+def test_repo_has_no_unjustified_pick_windows():
+    hits = scan_pick_window_sites("/root/repo/glue_parquet_splitter_spark")
+    assert hits == [], "pick windows with no totality proof:\n" + \
+        "\n".join(hits)
+
+
+def test_seeded_pick_window_fails(tmp_path):
+    (tmp_path / "badp_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def latest(events):
+            w = Window.partitionBy("user_id").orderBy("ts")
+            return events.withColumn("rn", F.row_number().over(w))
+    """))
+    hits = scan_pick_window_sites(str(tmp_path))
+    assert len(hits) == 1 and "badp_q.py:5" in hits[0], hits
+
+
+def test_seeded_pick_window_passes_with_total_order_comment(tmp_path):
+    (tmp_path / "okp_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def latest(daily):
+            # total-order: day is unique per user (groupBy output)
+            w = Window.partitionBy("user_id").orderBy("day")
+            return daily.withColumn("rn", F.row_number().over(w))
+    """))
+    assert scan_pick_window_sites(str(tmp_path)) == []
+
+
+def test_contract_pk_trailing_key_auto_passes(tmp_path):
+    (tmp_path / "autop_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+        from ..operators.events import unique_events
+
+        def pick(load_table, spark, sf_dir):
+            ev = unique_events(load_table(spark, sf_dir, "events"))
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            return ev.withColumn("rn", F.row_number().over(w))
+    """))
+    assert scan_pick_window_sites(str(tmp_path)) == []
+
+
+def test_contract_pk_without_contract_call_fails(tmp_path):
+    # trailing event_id alone is NOT a proof — the contract must be
+    # applied in the same function (a raw read keeps duplicate pks)
+    (tmp_path / "rawp_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def pick(events):
+            w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+            return events.withColumn("rn", F.row_number().over(w))
+    """))
+    hits = scan_pick_window_sites(str(tmp_path))
+    assert len(hits) == 1, hits
+
+
+def test_rank_class_is_tie_stable_and_not_flagged(tmp_path):
+    # rank/dense_rank give every order-tied row the SAME value — the
+    # output (including a rk=1 filter, which keeps the whole tied set)
+    # is invariant to the tie roll, so no totality proof is needed
+    (tmp_path / "rankp_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def ranked(docs):
+            w = Window.partitionBy("lang").orderBy(F.desc("score"))
+            return docs.withColumn("r", F.rank().over(w))
+    """))
+    assert scan_pick_window_sites(str(tmp_path)) == []
+
+
+def test_partial_rows_frame_aggregate_is_flagged(tmp_path):
+    # a running sum over a partial ROWS frame is order-sensitive even
+    # though sum() itself is commutative — ties reorder the prefixes
+    (tmp_path / "framep_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def running(orders):
+            w = (Window.partitionBy("cust").orderBy("day")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            return orders.withColumn("run", F.sum("price").over(w))
+    """))
+    hits = scan_pick_window_sites(str(tmp_path))
+    assert len(hits) == 1, hits
+
+
+def test_whole_partition_rows_frame_aggregate_not_flagged(tmp_path):
+    # an unbounded-to-unbounded ROWS frame is the whole partition —
+    # order-irrelevant for an aggregate
+    (tmp_path / "wholep_q.py").write_text(textwrap.dedent("""\
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        def total(orders):
+            w = (Window.partitionBy("cust").orderBy("day")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+            return orders.withColumn("tot", F.sum("price").over(w))
+    """))
+    assert scan_pick_window_sites(str(tmp_path)) == []
