@@ -237,6 +237,21 @@ REGRADE_FRONT: dict[str, int] = {
     "token_budget_head_selection": 16,
 }
 
+# Pure RENAMES: new registry name -> the name its committed grades,
+# fuzz-ledger rows, and stability entries were recorded under.  Used
+# by ordered_registry and check_repo so a rename inherits its grade
+# lineage instead of consuming a never-graded slot (the computation is
+# byte-identical; only the name changed).  The driver re-grades the
+# NEW name when its cohort rotates in, which retires the alias's
+# usefulness naturally — delete entries once a grade exists under the
+# new name.
+# r15: dp_noisy_counts -> dp_noisy_counts_seeded (VERDICT r14 #6 — the
+# suffix marks the md5-seeded TESTING form; production DP remains
+# dp_noisy_counts_impl(mode="production"), pytest-pinned).
+GRADE_ALIASES: dict[str, str] = {
+    "dp_noisy_counts_seeded": "dp_noisy_counts",
+}
+
 
 def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]:
     """Registry reordered so every driver-graded slot earns new signal.
@@ -291,6 +306,10 @@ def ordered_registry(correctness_dir: str | None = None) -> dict[str, QuerySpec]
                 spec = reg.get(name)
                 if spec is not None and spec.oracle is None:
                     green[name] = rnd
+
+    for new_name, old_name in GRADE_ALIASES.items():
+        if new_name not in green and old_name in green:
+            green[new_name] = green[old_name]
 
     max_round = max(green.values(), default=0)
 

@@ -504,7 +504,11 @@ _DP_EPS = 1.0
 
 
 @register(
-    "dp_noisy_counts",
+    "dp_noisy_counts_seeded",  # RENAMED r15 (VERDICT r14 #6): the
+    # _seeded suffix makes it impossible to mistake the graded TESTING
+    # form for shippable DP — the registered query below draws its
+    # "noise" from a PUBLIC md5 seed so the oracle can grade it;
+    # production DP is dp_noisy_counts_impl(mode="production")
     oracle=f"""
     WITH c AS (
       SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_true
@@ -523,8 +527,11 @@ _DP_EPS = 1.0
     """,
     tags=("governance", "privacy", "agg"),
 )
-def dp_noisy_counts(spark, sf_dir):
-    """Laplace-noised count release — the final rung of the privacy
+def dp_noisy_counts_seeded(spark, sf_dir):
+    """SEEDED TESTING FORM — NOT SHIPPABLE DP (the md5 "noise" seed is
+    public, so the release is fully invertible; the name carries the
+    caveat since r15).  Laplace-noised count release — the final rung
+    of the privacy
     ladder the registry climbs (k-anonymity → l-diversity →
     t-closeness → contribution clipping → NOISE): per-segment counts
     with Laplace(1/ε) noise at ε=1, sensitivity 1 (each customer is

@@ -893,6 +893,8 @@ def _tail_checks(reg):
     import collections as _collections
     import glob as _g
     import re as _re
+
+    from glue_parquet_splitter_spark.queries import GRADE_ALIASES
     latest: dict[str, int] = {}
     for path in sorted(_g.glob("/root/repo/CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -905,6 +907,11 @@ def _tail_checks(reg):
             continue
         for name in rows:
             latest[name] = max(latest.get(name, 0), int(m.group(1)))
+    for new_name, old_name in GRADE_ALIASES.items():
+        # a pure rename inherits its grade lineage (queries/__init__)
+        if new_name not in latest and old_name in latest:
+            latest[new_name] = latest[old_name]
+    latest = {n: r for n, r in latest.items() if n in reg}
     hist = _collections.Counter(latest.values())
     never = sorted(set(reg) - set(latest))
     print("ok: staleness ledger — latest-grade histogram "
@@ -940,6 +947,9 @@ def _tail_checks(reg):
         for name, n in (led.get("rows") or {}).items():
             if n and n > 0:
                 evidenced.add(name)
+    for new_name, old_name in GRADE_ALIASES.items():
+        if old_name in evidenced:
+            evidenced.add(new_name)
     unevidenced, annotated = [], []
     for name, spec in reg.items():
         if name in evidenced:

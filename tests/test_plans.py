@@ -967,7 +967,7 @@ def test_table_diff_single_fullouter_join(spark, sf_dir):
 def test_dp_noise_zero_extra_shuffle(spark, sf_dir):
     """DP release: the noise is a map-side expression on group-granular
     rows — exactly one aggregation exchange, no joins."""
-    plan = plan_of(spark, sf_dir, "dp_noisy_counts")
+    plan = plan_of(spark, sf_dir, "dp_noisy_counts_seeded")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "partial_count" in plan
