@@ -128,9 +128,11 @@ SHOWCASE = {
         "three consumers."
     ),
     "sorted_neighborhood_neardup": (
-        "Sorted-neighborhood near-dup: ZERO join nodes — one window sort "
-        "partitioned by the leading blocking byte carries each doc's "
-        "neighbor shingle sets via lead(); Jaccard is a JVM "
+        "Sorted-neighborhood near-dup: ZERO join nodes — the doc_id "
+        "identity window (unique_documents, r14: duplicate doc_ids made "
+        "the (skey, doc_id) neighbor order non-total) feeds one window "
+        "sort partitioned by the leading blocking byte that carries each "
+        "doc's neighbor shingle sets via lead(); Jaccard is a JVM "
         "array_intersect per emitted pair, O(N\u00b7w) total."
     ),
     "weighted_median_per_group": (
