@@ -392,6 +392,13 @@ def scan_pick_window_sites(root_dir):
     frames are order-irrelevant for aggregates, so neither triggers
     by itself.
 
+    Coverage note: this is an AST scan of Window OBJECTS.  Spark-side
+    SQL strings could hide a pick window from it, but an r15 sweep of
+    every non-oracle string literal for ``ROW_NUMBER/NTILE/LAG/LEAD/
+    *_VALUE … OVER`` found none — every SQL-string window in the repo
+    is a DuckDB oracle (or oracle fragment) mirroring a lint-covered
+    Spark window.  Re-run that sweep if spark.sql windows ever appear.
+
     Returns ``path:lineno: <snippet>`` strings for violating sites."""
     import ast as _ast
     import os
