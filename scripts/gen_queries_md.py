@@ -89,6 +89,11 @@ def graded_rounds(repo_dir="/root/repo"):
                     or (row.get("err") == "no_oracle"
                         and row.get("spark_rows") is not None)):
                 green[name] = rnd(path)
+    # pure renames inherit their grade lineage (queries/__init__)
+    from glue_parquet_splitter_spark.queries import GRADE_ALIASES
+    for new_name, old_name in GRADE_ALIASES.items():
+        if new_name not in green and old_name in green:
+            green[new_name] = green[old_name]
     return green
 
 
