@@ -235,6 +235,18 @@ REGRADE_FRONT: dict[str, int] = {
     "window_running_sum": 16,
     "latest_event_per_user": 16,
     "token_budget_head_selection": 16,
+    # seed-15 --tiny roll find: the classifier prior ln(n_en/n_non)
+    # divides by zero on a one-class corpus; now Laplace-smoothed in
+    # the DEGENERATE CASE ONLY, so every two-class fixture (including
+    # every grading fixture) takes the exact old expression — the
+    # committed grades certify the new code bit-for-bit.  Queued at 17
+    # (not 16) because r16's slate is already oversubscribed (4
+    # fronted + 8 r7 spillover + the 49-query r8 cohort) and the
+    # change is unreachable at grading scale.
+    "hashgram_classifier_score": 17,
+    "curation_funnel_v3": 17,
+    "curation_funnel_materialized": 17,
+    "classifier_threshold_sweep": 17,
 }
 
 # Pure RENAMES: new registry name -> the name its committed grades,

@@ -324,11 +324,20 @@ def _clf_sql_ctes() -> str:
                         * {_CLF_SCALE}) AS BIGINT) AS w_int
       FROM ccnt CROSS JOIN ctot
     ), cbias AS (
-      SELECT CAST(ROUND(ln(CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END)
-                                AS DOUBLE)
-                           / SUM(CASE WHEN is_en THEN 0 ELSE 1 END))
+      -- one-class corpora (a degenerate tiny draw: every surviving doc
+      -- en, or none) make the raw prior ln(n_en/n_non) divide by zero
+      -- / ln(0) — found by the seed-15 --tiny roll (r15).  Laplace-
+      -- smooth the prior ONLY in the degenerate case so every
+      -- two-class corpus keeps its exact committed value
+      SELECT CAST(ROUND(ln(CASE WHEN n_en = 0 OR n_non = 0
+                                THEN (n_en + 1) / (n_non + 1)
+                                ELSE n_en / n_non END)
                         * {_CLF_SCALE}) AS BIGINT) AS b_int
-      FROM ctoks
+      FROM (SELECT CAST(SUM(CASE WHEN is_en THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS n_en,
+                   CAST(SUM(CASE WHEN is_en THEN 0 ELSE 1 END)
+                        AS DOUBLE) AS n_non
+            FROM ctoks) cprior
     ), clf AS (
       SELECT l.doc_id, MIN(l.is_en) AS is_en,
              SUM(l.cnt * w.w_int) + MIN(cbias.b_int) AS score_int,
@@ -370,10 +379,21 @@ def _clf_scores(spark, sf_dir):
               - F.log((F.col("neg_h") + 1).cast("double")
                       / (F.col("neg_tot") + _CLF_D)))
              * _CLF_SCALE).cast("long").alias("w_int")))
-    bias = docs.agg(F.round(
-        F.log(F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("double")
-              / F.sum(F.when(F.col("is_en"), 0).otherwise(1)))
-        * _CLF_SCALE).cast("long").alias("b_int"))
+    # one-class corpora (a degenerate tiny draw) make the raw prior
+    # ln(n_en/n_non) an ANSI divide-by-zero / ln(0) — found by the
+    # seed-15 --tiny roll (r15).  Laplace-smooth ONLY the degenerate
+    # case so every two-class corpus keeps its exact committed value
+    # (mirrors the oracle's cbias CTE)
+    bias = (docs.agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).cast("double")
+        .alias("n_en"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).cast("double")
+        .alias("n_non"))
+        .select(F.round(F.log(
+            F.when((F.col("n_en") == 0) | (F.col("n_non") == 0),
+                   (F.col("n_en") + 1) / (F.col("n_non") + 1))
+            .otherwise(F.col("n_en") / F.col("n_non")))
+            * _CLF_SCALE).cast("long").alias("b_int")))
     # bounded: weight table has at most D=512 hash-bucket rows
     return (lab.join(F.broadcast(w), "h")
             .crossJoin(F.broadcast(bias))  # bounded: 1-row bias scalar
