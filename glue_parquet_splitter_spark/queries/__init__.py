@@ -247,6 +247,12 @@ REGRADE_FRONT: dict[str, int] = {
     "curation_funnel_v3": 17,
     "curation_funnel_materialized": 17,
     "classifier_threshold_sweep": 17,
+    # seed-15 --tiny --negative roll finds, same degenerate-only
+    # rationale: sign-flipped measures cancel a sum to exactly zero
+    # (unreachable on the all-positive grading fixtures) —
+    # try_divide / None-on-zero-weight now matches DuckDB's /0→NULL
+    "pct_of_total_window": 17,
+    "pandas_udaf_weighted_avg": 17,
 }
 
 # Pure RENAMES: new registry name -> the name its committed grades,

@@ -141,7 +141,12 @@ def pct_of_total_window(spark, sf_dir):
         "event_type",
         F.round("t", 2).alias("type_total"),
         F.round(F.sum("t").over(w), 2).alias("grand_total"),
-        F.round(F.col("t") / F.sum("t").over(w), 6).alias("share"),
+        # try_divide: sign-flipped measures can cancel the grand total
+        # to exactly zero on a tiny corpus (seed-15 --tiny --negative
+        # roll) — ANSI / raises where DuckDB's /0 yields NULL; NULL
+        # share on a zero total is the correct degenerate answer
+        F.round(F.try_divide(F.col("t"), F.sum("t").over(w)), 6)
+        .alias("share"),
     )
 
 

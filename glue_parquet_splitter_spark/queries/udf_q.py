@@ -34,7 +34,14 @@ def pandas_udaf_weighted_avg(spark, sf_dir):
 
     @pandas_udf("double")
     def wavg(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        # sign-flipped quantities can cancel a group's weight sum to
+        # exactly zero on a tiny corpus (seed-15 --tiny --negative
+        # roll): numpy float /0 yields inf where DuckDB SUM/SUM yields
+        # NULL — return None to match the SQL degenerate answer
+        den = float(qty.sum())
+        if den == 0.0:
+            return None
+        return float((price * qty).sum() / den)
 
     li = load_table(spark, sf_dir, "lineitem")
     return (
