@@ -282,14 +282,46 @@ def pandas_udf_scalar_iter(spark, sf_dir):
 
 @register(
     "grouped_pandas_linear_fit",
+    # the oracle spells out the SAME two-pass centered algebra the
+    # pandas body computes, instead of DuckDB's one-pass regr_slope /
+    # regr_intercept co-moment recurrences: the two algorithms agree
+    # only to ~1e-9 RELATIVE error, and an ill-conditioned fit (two
+    # points a fractional second apart -> |slope| ~ 1e5; seed-15
+    # --dupkeys --dates roll) pushes that disagreement past the
+    # fixed-decimal ROUND.  With identical algebra the remaining
+    # difference is summation order (numpy pairwise vs sequential) on
+    # CENTERED terms — no cancellation amplification.  A zero-variance
+    # or pair-less group is NULL on both engines.
     oracle="""
-    SELECT event_type,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(regr_slope(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 4) + 0 AS slope,
-           ROUND(regr_intercept(value, (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0), 2) + 0
+    WITH fin AS (
+      SELECT event_type,
+             (epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 3600.0 AS x,
+             value AS y
+      FROM events
+      WHERE value IS NULL OR isfinite(value)
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS mx,
+             AVG(y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS my
+      FROM fin GROUP BY event_type
+    ), s AS (
+      -- IS NOT DISTINCT FROM: event_type is a NULLABLE group key and
+      -- Spark's groupBy treats the NULL group as ordinary — a plain
+      -- equi-join would silently drop its fit (--nan --nullkeys)
+      SELECT f.event_type,
+             SUM((f.x - m.mx) * (f.y - m.my)) AS cov,
+             SUM((f.x - m.mx) * (f.x - m.mx)) AS var
+      FROM fin f JOIN m ON f.event_type IS NOT DISTINCT FROM m.event_type
+      WHERE f.x IS NOT NULL AND f.y IS NOT NULL
+      GROUP BY f.event_type
+    )
+    SELECT m.event_type, m.n,
+           ROUND(CASE WHEN s.var = 0 THEN NULL
+                      ELSE s.cov / s.var END, 4) + 0 AS slope,
+           ROUND(CASE WHEN s.var = 0 THEN NULL
+                      ELSE m.my - (s.cov / s.var) * m.mx END, 2) + 0
              AS intercept
-    FROM events WHERE value IS NULL OR isfinite(value)
-    GROUP BY event_type
+    FROM m LEFT JOIN s ON m.event_type IS NOT DISTINCT FROM s.event_type
     """,
     tags=("udf", "pandas", "stats"),
 )
@@ -298,12 +330,13 @@ def grouped_pandas_linear_fit(spark, sf_dir):
     the regressor mean is O(100), keeping intercept = my - slope*mx
     float-stable to the rounded digit across engines) via
     ``applyInPandas`` — the grouped-ML API path — checked for EXACT
-    parity against the engine-side closed form (DuckDB's
-    ``regr_slope``/``regr_intercept``).  The pandas body computes the
-    same moment formula (slope = cov/var on centered sums), so the
-    Python path is graded to the digit, not just "runs": the pattern
-    to copy when a per-group scikit-style fit must stay auditable
-    against SQL.  ``+ 0`` / ``+ 0.0`` normalizes a rounded ``-0.0``
+    parity against an oracle that spells out the SAME two-pass
+    centered algebra (slope = cov/var on centered sums; since r15 —
+    DuckDB's one-pass ``regr_slope`` recurrence agrees with the
+    two-pass form only to ~1e-9 relative, which an ill-conditioned
+    fit pushes past the fixed-decimal ROUND).  The Python path is
+    graded to the digit, not just "runs": the pattern to copy when a
+    per-group scikit-style fit must stay auditable against SQL.  ``+ 0`` / ``+ 0.0`` normalizes a rounded ``-0.0``
     to ``+0.0`` in both engines (near-zero slopes land there).
     The regressor is ``cast(ts as double)`` — FRACTIONAL epoch
     seconds, matching DuckDB's ``epoch(ts)`` exactly; Spark's
@@ -336,14 +369,26 @@ def grouped_pandas_linear_fit(spark, sf_dir):
         import math
 
         n = len(pdf)                      # COUNT(*) — all rows
-        # regr_slope/regr_intercept fit over complete (x, y) PAIRS
-        # only; pandas' NaN-skipping .sum() would otherwise mix
-        # all-x variance with non-null-y covariance (fuzz_oracle.py)
+        # the OLS fits over complete (x, y) PAIRS only; pandas'
+        # NaN-skipping .sum() would otherwise mix all-x variance with
+        # non-null-y covariance (fuzz_oracle.py)
         fitp = pdf.dropna(subset=["x", "y"])
         x, y = fitp["x"], fitp["y"]
+        # a pair-less or zero-variance group has no defined fit: NULL
+        # on both engines (the oracle's CASE WHEN var = 0 / missing-s
+        # row; found latent by the seed-15 roll's degenerate draws —
+        # pandas 0/0 would yield NaN-vs-NULL, c/0 inf-vs-NULL)
+        if len(fitp) == 0:
+            return pd.DataFrame({"event_type": [pdf["event_type"].iloc[0]],
+                                 "n": [n], "slope": [None],
+                                 "intercept": [None]})
         mx, my = x.mean(), y.mean()
         cov = ((x - mx) * (y - my)).sum()
         var = ((x - mx) ** 2).sum()
+        if var == 0:
+            return pd.DataFrame({"event_type": [pdf["event_type"].iloc[0]],
+                                 "n": [n], "slope": [None],
+                                 "intercept": [None]})
         slope = cov / var
 
         # HALF-AWAY rounding, not Python's banker's round(): DuckDB's
