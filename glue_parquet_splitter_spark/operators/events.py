@@ -24,19 +24,20 @@ conflicting mutation the fuzz injects INCREASES the mutated column,
 so the original row wins under either rule).  NaN value sorts after
 all numbers and before NULL on both engines.
 
-Stream-state alignment (ADVICE r14): the quota sampler's state dedups
-per ``event_id`` alone, min by ``(ts_us, value)`` — the projection of
-this contract's order key onto the columns the O(K) state carries, so
-a duplicate event_id redelivered at a DIFFERENT ts collapses to the
-same single winner on both sides.  HARD INVARIANT: a duplicate
-``event_id`` must not span ``user_id`` values in a stream graded by a
-batch oracle — the stream keys state by user_id, so a cross-user
-identity collision lands in two independent state groups that no
-per-group rule can reconcile with the table-wide batch winner.
-Production dedups cross-user collisions at the bronze→silver boundary
-(this contract; ``pk_uniqueness_audit`` is the detector); the fuzz
-``--dupkeys`` injector honors the invariant (it mutates value/
-event_type/props, never user_id).
+Stream-state alignment (ADVICE r14, revised r15): the quota sampler's
+state dedups per ``event_id`` alone WITHIN its user group — i.e. per
+``(user_id, event_id)`` — min by ``(ts_us, value)``, the projection
+of this contract's order key onto the columns the O(K) state carries,
+so a duplicate event_id redelivered at a DIFFERENT ts collapses to
+the same single winner on both sides.  A duplicate event_id SPANNING
+``user_id`` values (the ``--dupkeys`` × ``--nullkeys`` interaction:
+one copy's user_id nulled — found by the seed-15 roll) lands in two
+independent state groups, and each user's quota deliberately counts
+its own copy: per-user quota semantics, mirrored by the sampler
+oracle's ``PARTITION BY user_id, event_id`` dedup instead of this
+table-wide contract.  Cross-user identity dedup remains the
+bronze→silver boundary's job (this contract; ``pk_uniqueness_audit``
+is the detector).
 
 Scale: one event_id-keyed window — production pipelines dedup once at
 the bronze→silver boundary and skip this pass; like the other two

@@ -175,18 +175,37 @@ def streaming_static_enrich_join(spark, sf_dir):
 
 @register(
     "streaming_quota_sampler",
+    # identity scope is (user_id, event_id), NOT the table-wide
+    # event_id contract: the stream keys state by user_id, so a
+    # duplicate event_id SPANNING users (a --dupkeys copy whose
+    # user_id the --nullkeys injector nulled — seed-15 roll) lands in
+    # two independent state groups and each user's quota counts its
+    # own copy.  The table-wide unique_events guard instead assigned
+    # the event to ONE user and diverged in the other's kept set.
+    # Per-user quota semantics make per-user identity the honest
+    # contract, and it matches the O(K) state rule exactly (min by
+    # (ts, value) within (user, event_id) — user_id is constant in
+    # the partition, so the order key is unique_events' minus it).
     oracle="""
+    WITH evu AS (
+      SELECT * EXCLUDE (_rn) FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_id
+            ORDER BY ts ASC NULLS LAST, value ASC NULLS LAST,
+                     event_type ASC NULLS LAST, props ASC NULLS LAST)
+          AS _rn
+        FROM events) WHERE _rn = 1
+    )
     SELECT user_id, event_id,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
            ROUND(value, 2) AS value
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS rn
-          FROM events)
+          FROM evu)
     WHERE rn <= 3
     """,
     tags=("streaming", "stateful", "sampling", "governance"),
     stream_events_guard=True,
-    unique_events_guard=True,
 )
 def streaming_quota_sampler(spark, sf_dir):
     """Per-user quota sampling AT INGEST — a custom stateful operator

@@ -235,12 +235,14 @@ def _update_quota(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     # grades the stream — including a duplicate event_id redelivered
     # at a DIFFERENT ts, which under the old (ts_us, event_id) dedup
     # key occupied two K-slots where the oracle has one row (ADVICE
-    # r14).  HARD INVARIANT (documented in operators/events.py): a
-    # duplicate event_id must not span user_ids — the stream keys
-    # state by user_id, so a cross-user duplicate lands in two
-    # independent state groups that no per-group rule can reconcile;
-    # production dedups cross-user identity collisions at the
-    # bronze→silver boundary (unique_events / pk_uniqueness_audit).
+    # r14).  Identity scope is (user_id, event_id): a duplicate
+    # event_id SPANNING users (the --dupkeys × --nullkeys
+    # interaction, seed-15 roll) lands in two independent state
+    # groups, and each user's quota counts its own copy — per-user
+    # quota semantics, mirrored by the oracle's
+    # PARTITION BY user_id, event_id dedup (streaming3_q).  Table-
+    # wide cross-user dedup remains the bronze→silver contract
+    # (unique_events / pk_uniqueness_audit), not this operator's job.
     def _vkey(v):
         fv = float(v)
         return (1, 0.0) if fv != fv else (0, fv)  # NaN sorts last
