@@ -87,7 +87,16 @@ def test_real_ledger_fronts_never_graded_then_stalest():
         for n, row in json.load(open(p)).items():
             if isinstance(row, dict) and row.get("hash_match") is True:
                 green[n] = rnd(p)
-    from glue_parquet_splitter_spark.queries import REGRADE_FRONT
+    from glue_parquet_splitter_spark.queries import (
+        GRADE_ALIASES,
+        REGRADE_FRONT,
+    )
+
+    # pure renames inherit their grade lineage, exactly as
+    # ordered_registry applies them (r15: dp_noisy_counts_seeded)
+    for new_name, old_name in GRADE_ALIASES.items():
+        if new_name not in green and old_name in green:
+            green[new_name] = green[old_name]
 
     names = list(ordered_registry("/root/repo"))
     max_round = max(green.values(), default=0)
