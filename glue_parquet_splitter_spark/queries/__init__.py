@@ -253,6 +253,10 @@ REGRADE_FRONT: dict[str, int] = {
     # try_divide / None-on-zero-weight now matches DuckDB's /0→NULL
     "pct_of_total_window": 17,
     "pandas_udaf_weighted_avg": 17,
+    # seed-16 pre-validation spot sweep: Neyman weights all zero on an
+    # all-singleton-strata draw -> try_divide (NULL quotas); same
+    # degenerate-only, grade-preserving class as above
+    "neyman_allocation_sampling": 17,
 }
 
 # Pure RENAMES: new registry name -> the name its committed grades,

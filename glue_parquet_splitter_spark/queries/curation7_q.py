@@ -275,13 +275,17 @@ def neyman_allocation_sampling(spark, sf_dir):
         F.sqrt((F.col("n_docs") * F.col("sxx")
                 - F.col("sx") * F.col("sx")).cast("double")).alias("wgt"))
     tot = w.agg(F.sum("wgt").alias("tw"))
+    # try_divide: a degenerate draw where EVERY stratum has zero
+    # length-variance (all-singleton strata — seed-16 tiny spot
+    # sweeps) zeroes the weight total; Neyman allocation is undefined
+    # there and the whole allocation degrades to NULL quotas on both
+    # engines (DuckDB's /0 is already NULL).  Unreachable on any
+    # multi-doc-per-source fixture.
+    share = F.try_divide(_NEYMAN_B * F.col("wgt"), F.col("tw"))
     q = (w.crossJoin(F.broadcast(tot))
          .select("source", "n_docs", "wgt",
-                 F.floor(_NEYMAN_B * F.col("wgt") / F.col("tw"))
-                 .cast("long").alias("base"),
-                 (_NEYMAN_B * F.col("wgt") / F.col("tw")
-                  - F.floor(_NEYMAN_B * F.col("wgt") / F.col("tw")))
-                 .alias("rem")))
+                 F.floor(share).cast("long").alias("base"),
+                 (share - F.floor(share)).alias("rem")))
     from pyspark.sql import Window
 
     # bounded: |sources| rows — the post-aggregate source dimension
