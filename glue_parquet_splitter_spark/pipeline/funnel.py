@@ -57,11 +57,27 @@ def materialize_funnel_signals(spark: SparkSession, sf_dir: str,
         "sig_pct": score_percentile_by_source(spark, sf_dir)
         .select("doc_id", "source", "pct"),
     }
-    paths: dict[str, str] = {}
-    for name, df in signals.items():
+    # The four signal jobs are INDEPENDENT (each reads the corpus,
+    # none reads another's output), so they are submitted from a small
+    # thread pool instead of sequentially: Spark schedules concurrent
+    # jobs FIFO, so the next job's tasks back-fill executors freed by
+    # the current job's straggler tail (optimization guide §2.6).
+    # Same four writes, same outputs — only the job submission
+    # overlaps; r15 measured 12.6 s -> 10.6 s at sf0.1/local[32] for
+    # the overlap alone (the classifier lineage cut landed alongside
+    # takes the full query to ~5.3 s).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(item: tuple[str, DataFrame]) -> tuple[str, str]:
+        name, df = item
+        spark.sparkContext.setJobDescription(f"funnel signal: {name}")
         path = f"{out_dir}/{name}.parquet"
         df.write.mode("overwrite").parquet(path)
-        paths[name] = path
+        return name, path
+
+    with ThreadPoolExecutor(max_workers=len(signals)) as pool:
+        paths = dict(pool.map(write_one, signals.items()))
+    spark.sparkContext.setJobDescription(None)
     return paths
 
 

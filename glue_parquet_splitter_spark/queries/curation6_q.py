@@ -364,7 +364,15 @@ def _clf_scores(spark, sf_dir):
             " slice(t, 2, size(t) - 1),"
             " (a, b) -> concat(a, '_', b)))")).alias("g"))
         .select("doc_id", "is_en", F.expr(_CLF_H).alias("h"))
-        .groupBy("doc_id", "is_en", "h").agg(F.count("*").alias("cnt")))
+        .groupBy("doc_id", "is_en", "h").agg(F.count("*").alias("cnt"))
+        # the feature table feeds BOTH the weight training aggs and the
+        # inference join; without the lineage cut the corpus explode +
+        # md5 hashing run once per consumer (guide §3.3 — materialize a
+        # reused intermediate).  localCheckpoint, not .cache(): the
+        # cache manager plan-matches across fn() calls (cross-run
+        # reuse the bench bans); a checkpoint is instance-scoped.
+        # r15: classifier signal write 5.7 s -> ~2.5 s at sf0.1.
+        .localCheckpoint(eager=False))
     ccnt = lab.groupBy("h").agg(
         F.sum(F.when(F.col("is_en"), F.col("cnt")).otherwise(0))
          .alias("pos_h"),
