@@ -209,19 +209,27 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 3) -> DataF
     ``queries`` / ``corpus``: (vec_id, embedding). Queries are
     broadcast; the corpus is never shuffled.
     """
+    # norms hoisted out of the pair expression (the knn_graph_lsh
+    # recipe): each side folds its own norm once per ROW instead of
+    # once per (query, corpus-row) PAIR — same sqrt-of-fold float
+    # expression and the same try_divide NULL contract, so scores are
+    # bit-identical; the per-pair work drops from 3 O(dim) folds to 1
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
-    )
+    ).withColumn("_nq", l2_norm(F.col("qv")))
     c = corpus.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("cv"),
-    )
+    ).withColumn("_nc", l2_norm(F.col("cv")))
     scored = (
         # bounded: q is the query set (k query vectors, caller-bounded)
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"))
+        .select("query_id", "neighbor_id",
+                F.round(F.try_divide(dot(F.col("qv"), F.col("cv")),
+                                     F.col("_nq") * F.col("_nc")), 6)
+                .alias("cos_sim"))
     )
     # total-order: neighbor_id is the corpus vec_id — one scored row
     # per (query_id, neighbor_id) by construction of the cross join

@@ -89,10 +89,18 @@ def _semdedup_assign(spark, sf_dir):
     # the k candidate rows per vector combine MAP-SIDE to one row
     # before any exchange (no sort, 1/k the shuffled rows) — at
     # 100 TB the assignment never full-sorts corpus x k rows.
+    # norms hoisted out of the pair expression (the knn_graph_lsh
+    # recipe): each corpus row folds its norm once, not once per
+    # centroid; centroid norms ride the broadcast.  Same float
+    # expression order (norm_v * norm_c), so cos_c is bit-identical.
     # bounded: cents is the k-row centroid table (k ≈ √N by sizing rule)
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", "cid",
-        S.cosine(F.col("v"), F.col("cv")).alias("cos_c"))
+    scored = (corpus.withColumn("_nv", S.l2_norm(F.col("v")))
+              .crossJoin(F.broadcast(
+                  cents.withColumn("_ncv", S.l2_norm(F.col("cv")))))
+              .select("vec_id", "v", "cid",
+                      F.try_divide(S.dot(F.col("v"), F.col("cv")),
+                                   F.col("_nv") * F.col("_ncv"))
+                      .alias("cos_c")))
     return (
         scored.groupBy("vec_id")
         .agg(F.max_by(

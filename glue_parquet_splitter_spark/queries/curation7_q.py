@@ -191,14 +191,22 @@ def embedding_dedup_threshold_sweep(spark, sf_dir):
     """
     # finite-vector + identity contract — mirrors the oracle wfd
     e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
-    v = e.select("vec_id", (F.col("vec_id") % _SWEEP_BLOCKS).alias("cid"),
-                 "embedding")
+    # norm folded once per row, not twice per candidate pair (the
+    # knn_graph_lsh recipe).  NO cast is added: this site has always
+    # folded the raw array<float> column (the round-4 output absorbs
+    # the float-vs-double seam) and the hoisted norm must be the
+    # IDENTICAL float expression cosine() would have produced inline.
+    v = (e.select("vec_id", (F.col("vec_id") % _SWEEP_BLOCKS).alias("cid"),
+                  "embedding")
+         .withColumn("_nv", S.l2_norm(F.col("embedding"))))
     b = v.select(F.col("vec_id").alias("ib"), F.col("cid").alias("bcid"),
-                 F.col("embedding").alias("be"))
+                 F.col("embedding").alias("be"), F.col("_nv").alias("nb"))
     pairs = (v.join(b, (F.col("cid") == F.col("bcid"))
                     & (F.col("ib") > F.col("vec_id")))
              .select(F.col("vec_id").alias("ia"), "ib",
-                     F.round(S.cosine(F.col("embedding"), F.col("be")), 4)
+                     F.round(F.try_divide(
+                         S.dot(F.col("embedding"), F.col("be")),
+                         F.col("_nv") * F.col("nb")), 4)
                      .alias("c")))
     swept = pairs.select(
         "ia", "ib", "c",

@@ -111,14 +111,22 @@ def cosine_neardup_planted(spark, sf_dir):
         ).alias("v"),
     )
     corpus = base.unionByName(planted)
-    bk = corpus.select("vec_id", "v", S.signbit_bucket(F.col("v")).alias("bucket"))
-    a = bk.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    b = bk.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    # norm folded once per row, not twice per candidate pair (the
+    # knn_graph_lsh recipe) — same float expression, bit-identical
+    bk = (corpus.select("vec_id", "v",
+                        S.signbit_bucket(F.col("v")).alias("bucket"))
+          .withColumn("_nv", S.l2_norm(F.col("v"))))
+    a = bk.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("_nv").alias("na"), "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("_nv").alias("nb"), "bucket")
     return (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b",
-                F.round(S.cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"))
+                F.round(F.try_divide(S.dot(F.col("va"), F.col("vb")),
+                                     F.col("na") * F.col("nb")), 4)
+                .alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.9)
     )
 
@@ -289,13 +297,21 @@ def embedding_dedup_apply(spark, sf_dir):
         ).alias("v"),
     )
     corpus = base.unionByName(planted)
-    bk = corpus.select("vec_id", "v", S.signbit_bucket(F.col("v")).alias("bucket"))
-    a = bk.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket")
-    b = bk.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket")
+    # norm folded once per row, not twice per candidate pair (the
+    # knn_graph_lsh recipe) — same float expression, bit-identical
+    bk = (corpus.select("vec_id", "v",
+                        S.signbit_bucket(F.col("v")).alias("bucket"))
+          .withColumn("_nv", S.l2_norm(F.col("v"))))
+    a = bk.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("_nv").alias("na"), "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("_nv").alias("nb"), "bucket")
     verified = (
         a.join(b, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 4) >= 0.9)
+        .filter(F.round(F.try_divide(S.dot(F.col("va"), F.col("vb")),
+                                     F.col("na") * F.col("nb")), 4)
+                >= 0.9)
     )
     removed = verified.select(F.col("vec_b").alias("vec_id")).distinct()
     surviving = corpus.join(removed, "vec_id", "left_anti")
