@@ -93,10 +93,11 @@ def _semdedup_assign(spark, sf_dir):
     # recipe): each corpus row folds its norm once, not once per
     # centroid; centroid norms ride the broadcast.  Same float
     # expression order (norm_v * norm_c), so cos_c is bit-identical.
-    # bounded: cents is the k-row centroid table (k ≈ √N by sizing rule)
+    cents_n = cents.withColumn("_ncv", S.l2_norm(F.col("cv")))
     scored = (corpus.withColumn("_nv", S.l2_norm(F.col("v")))
-              .crossJoin(F.broadcast(
-                  cents.withColumn("_ncv", S.l2_norm(F.col("cv")))))
+              # bounded: cents_n is the k-row centroid table (k ≈ √N
+              # by sizing rule) plus its per-row norm column
+              .crossJoin(F.broadcast(cents_n))
               .select("vec_id", "v", "cid",
                       F.try_divide(S.dot(F.col("v"), F.col("cv")),
                                    F.col("_nv") * F.col("_ncv"))
