@@ -327,17 +327,22 @@ def ivfpq_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     d2 = F.round(F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
-    # total-order: cid is the centroid id — one scored row per
-    # (vec_id, cid) by construction, unique within the partition
-    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # argmin via min_by on the composite key (d2, cid) — the
+    # ``_semdedup_assign`` partial-agg recipe: the ordering struct is
+    # TOTAL (cid is unique per candidate row), so the winner is the
+    # same row the old rank-1 sort window picked, but the n_coarse
+    # candidate rows per vector combine MAP-SIDE to one row before any
+    # exchange — no sort, 1/n_coarse the shuffled rows.
     return (
         # bounded: cents is the n_coarse-row centroid table
         vecs.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", "cid", "cv", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid",
-                F.zip_with("v", "cv", lambda a, b: a - b).alias("r"))
+        .groupBy("vec_id")
+        .agg(F.min_by(F.struct("cid", "cv", "v"),
+                      F.struct("d2", "cid")).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"),
+                F.zip_with("best.v", "best.cv",
+                           lambda a, b: a - b).alias("r"))
     )
 
 
@@ -387,15 +392,16 @@ def ivfpq_encode(assign: DataFrame, book: DataFrame, m: int = 4,
     sd2 = F.round(F.aggregate(
         F.zip_with("sv", "bv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
-    # total-order: j is the codebook centroid index — one scored row
-    # per (vec_id, s, j) by construction, unique within the partition
-    w_code = Window.partitionBy("vec_id", "s").orderBy("sd2", "j")
+    # argmin via min_by on the composite key (sd2, j) — total order (j
+    # unique per candidate row), same winner as the old rank-1 sort
+    # window, but the nc candidate rows per (vector, subspace) combine
+    # MAP-SIDE before any exchange (no sort, 1/nc the shuffled rows)
     return (
         # bounded: book is the PQ codebook (m x nc rows, constant)
         sub.join(F.broadcast(book), "s")
         .select("vec_id", "cid", "s", "j", sd2.alias("sd2"))
-        .withColumn("rn", F.row_number().over(w_code))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "cid", "s")
+        .agg(F.min_by("j", F.struct("sd2", "j")).alias("j"))
         .select("vec_id", "cid", "s", "j"))
 
 

@@ -110,7 +110,14 @@ def ivfpq_scratch_search(spark: SparkSession, sf_dir: str,
     the SAME model recipe (built from base rows, which the full
     corpus contains).  Exists only to grade ``incr_eq_scratch`` —
     the serving path is :func:`ivfpq_incremental_search`."""
-    vecs = _vecs(spark, sf_dir)
+    # the certification arm re-reads base∪delta BY DESIGN (it exists
+    # to prove the incremental index equals a from-scratch build);
+    # vecs feeds model build, full-corpus encode and the query slice,
+    # so the lineage cut computes the well-formedness contract once
+    # (guide §3.3).  The SERVING path (ivfpq_incremental_search) keeps
+    # raw scans — its plan pin requires pushed vec_id bounds so the
+    # base corpus is never re-read there.
+    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
     base = vecs.filter(F.col("vec_id") < BASE_SPLIT)
     cents, book = S.ivfpq_build(base, n_coarse=N_COARSE, m=M, dsub=DSUB,
                                 nc=NC, stride=STRIDE)

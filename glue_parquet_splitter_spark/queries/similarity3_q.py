@@ -1187,8 +1187,14 @@ def ivfpq_topk_search(spark, sf_dir):
     top-k rank — the ``pq_adc_topk`` conventions.
     """
     e = S.finite_vectors(load_table(spark, sf_dir, "embeddings"))
-    vecs = e.select("vec_id",
-                    F.col("embedding").cast("array<double>").alias("v"))
+    vecs = (e.select("vec_id",
+                     F.col("embedding").cast("array<double>").alias("v"))
+            # consumed by centroids, codebook, corpus encode, query
+            # slice AND the exact recall arm — without the lineage cut
+            # the well-formedness contract re-ran per consumer (6
+            # embeddings scans in the r15 before-plan); guide §3.3.
+            # A/B-measured in one session: 3.9 s -> 3.0 s at sf0.1
+            .localCheckpoint(eager=False))
     ivf = S.ivfpq_topk(vecs, n_coarse=4, m=4, dsub=16, nc=8, stride=5,
                        k=_IVFPQ_K)
     # exact arm (recall grading only): full-corpus L2 top-10 per query
