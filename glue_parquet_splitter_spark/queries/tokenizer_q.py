@@ -1128,15 +1128,18 @@ def unigram_lm_train(spark, sf_dir):
     ROW_NUMBER, and vocab merge uses UNION ALL + NOT IN (a plain
     UNION inside DuckDB's WITH RECURSIVE clause fails to dedup —
     engine quirk found while building this oracle)."""
-    # NOTE (measured, r11): each EM round's collect() replays the
-    # corpus collapse — the same O(K·corpus) lineage trap as
-    # uncheckpointed BPE (ADVICE r10).  At fixture scale the replay is
-    # CHEAPER than a cache (.cache() benched 5.2 s -> 12.9 s at sf0.1:
-    # the InMemoryRelation breaks whole-stage pipelining on a tiny
-    # table), so the registered query runs uncached; at 100 TB land
-    # the word-frequency table as a parquet stage first (the
+    # NOTE (measured r11, re-measured r15): each EM round's collect()
+    # replays the corpus collapse — the same O(K·corpus) lineage trap
+    # as uncheckpointed BPE (ADVICE r10).  .cache() made it WORSE
+    # (5.2 s -> 12.9 s at sf0.1: the InMemoryRelation breaks
+    # whole-stage pipelining, and the cache manager would plan-match
+    # across fn() calls — cross-run reuse the bench bans).
+    # localCheckpoint has neither problem: instance-scoped, no plan
+    # matching — the r15 in-session A/B measured 4.8 s -> 3.0 s with
+    # words + per-round seg checkpointed (identical output rows).  At
+    # 100 TB land the word table as a parquet stage instead (the
     # pipeline/funnel.py pattern) and train from that.
-    words = _uni_words(spark, sf_dir)
+    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
     costs_df = _uni_init(words)
 
     losses = None
@@ -1144,9 +1147,13 @@ def unigram_lm_train(spark, sf_dir):
         # O(V) <= 64 rows — metadata-bounded collect, closed over by
         # the Arrow-batched segmenter (the E-step's "model broadcast")
         costs = {row["piece"]: row["qcost"] for row in costs_df.collect()}
+        # checkpointed: the round's Python segmentation pass feeds BOTH
+        # this round's loss row and the next round's M-step/collect —
+        # uncut, round r's collect replayed every earlier round's seg
         seg = words.mapInPandas(
             _uni_segmenter(costs),
-            schema="w string, wf long, cost long, path string")
+            schema="w string, wf long, cost long, path string"
+        ).localCheckpoint(eager=False)
         loss_r = seg.agg(
             F.lit(r).alias("round"),
             F.lit(len(costs)).cast("long").alias("n_pieces"),
@@ -1195,15 +1202,18 @@ def unigram_lm_encode(spark, sf_dir):
     exact integer (chars, tokens) sums and divide once; word-length
     cap and tie-break contracts inherit from training.
     """
-    words = _uni_words(spark, sf_dir)   # uncached by measurement —
-    costs_df = _uni_init(words)         # see unigram_lm_train's note
+    # word table + per-round seg checkpointed — see unigram_lm_train's
+    # note (r15: lineage replay beat both .cache() and raw lineage)
+    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
+    costs_df = _uni_init(words)
     seg = None
     for _ in range(_UNI_K):
         # O(V) <= 64 rows — metadata-bounded collect (see train)
         costs = {row["piece"]: row["qcost"] for row in costs_df.collect()}
         seg = words.mapInPandas(
             _uni_segmenter(costs),
-            schema="w string, wf long, cost long, path string")
+            schema="w string, wf long, cost long, path string"
+        ).localCheckpoint(eager=False)
         costs_df = _uni_mstep(seg, costs_df)
     np_col = F.size(F.split("path", " ")).alias("np")
     final = seg.select("w", np_col)
