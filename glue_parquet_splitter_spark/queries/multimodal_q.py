@@ -345,7 +345,10 @@ def phash_image_dedup(spark, sf_dir):
     integer resample/gradient/band/cap pipeline in SQL.
     """
     docs = unique_documents(load_table(spark, sf_dir, "documents"))
-    hashes = M.dhash_ppm(M.pack_ppm(docs))
+    # fingerprint once: the hash table feeds the band explode and both
+    # self-join sides; uncut, the Arrow P6 pack+decode+dHash pass
+    # re-ran per consumer (guide §3.3/§8 — decode once, move hashes)
+    hashes = M.dhash_ppm(M.pack_ppm(docs)).localCheckpoint(eager=False)
     return M.dhash_band_pairs(hashes, cap=_DHASH_CAP,
                               max_hamming=_DHASH_MAX_HAM)
 
@@ -448,8 +451,14 @@ def audio_fingerprint_dedup(spark, sf_dir):
                    F.concat("text", F.lit("x" * 24)).alias("text"),
                    (F.col("n_chars") + 24).alias("n_chars")))
     corpus = base.unionByName(clip).unionByName(pad)
+    # the fingerprint table feeds the DF-cap agg, the kept join and
+    # the containment denominators; uncut, the Arrow WAV pack+decode
+    # pass re-ran per consumer (guide §3.3 — materialize the reused
+    # intermediate; §8's "decode once" rule).  In-session A/B at
+    # sf0.1: 4.2 s -> 2.4 s, identical pairs.
     bands = (M.wav_band_energy(M.pack_wav(corpus), window=8)
-             .select("doc_id", "win_idx", "energy"))
+             .select("doc_id", "win_idx", "energy")
+             .localCheckpoint(eager=False))
     return (M.band_containment_pairs(bands, df_cap=_AB_DF_CAP,
                                      threshold=0.9)
             .select("doc_a", "doc_b", "shared_windows", "containment",
