@@ -1179,7 +1179,10 @@ def test_cdc_chunking_is_map_side_only(spark, sf_dir):
     exchange in the plan (production reads bronze-deduped storage and
     skips it); the chunking itself still adds none."""
     plan = plan_of(spark, sf_dir, "cdc_gear_chunking")
-    assert "Generate posexplode" in plan
+    # r15: the batch chunker is one Arrow-batched map pass (NumPy gear
+    # hash — see _cdc_chunks); the streaming twin keeps the pure
+    # expression form.  Still zero chunker-side exchanges.
+    assert "MapInPandas" in plan
     import re
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
     assert all(k.startswith("doc_id") for k in exchanges), exchanges
