@@ -52,7 +52,9 @@ def materialize_tokenizer_stages(spark: SparkSession, sf_dir: str,
          .filter(F.col("text").isNotNull()))
 
     # -- stage 1: tokenized corpus stats -------------------------------
-    words = _uni_words(spark, sf_dir)
+    # checkpointed: the word table feeds both store collects AND the
+    # encode map — see unigram_lm_train's r15 note (lineage replay)
+    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
     init_df, cont_df = _wp_stores(words)
     # bounded: singles + 2x32 multis — metadata-bounded collects (the
     # wordpiece_encode model-broadcast pattern)

@@ -1523,7 +1523,9 @@ def wordpiece_encode(spark, sf_dir):
     the encoded word table.  The oracle replays the same greedy walk
     as a recursive CTE bounded by the 12-char word cap.
     """
-    words = _uni_words(spark, sf_dir)
+    # checkpointed: the word table feeds both store collects AND the
+    # encode map — see unigram_lm_train's r15 note (lineage replay)
+    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
     init_df, cont_df = _wp_stores(words)
     # bounded: singles are alphabet-sized, multis capped at 32/store —
     # metadata-bounded collect (the unigram-EM model-broadcast pattern)
@@ -1746,7 +1748,10 @@ def wordpiece_unk_rate(spark, sf_dir):
         d.filter(~F.col("held"))
         .select(F.explode(F.split("text", " ")).alias("w"))
         .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
-        .groupBy("w").agg(F.count("*").alias("wf")))
+        .groupBy("w").agg(F.count("*").alias("wf"))
+        # checkpointed: both store collects derive from this table —
+        # see unigram_lm_train's r15 note (lineage replay)
+        .localCheckpoint(eager=False))
     init_df, cont_df = _wp_stores(train_words, vsingle=_WP_VSINGLE)
     # bounded: singles capped at _WP_VSINGLE, multis at 32/store —
     # metadata-bounded collect (the wordpiece_encode pattern)
