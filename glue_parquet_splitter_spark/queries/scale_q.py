@@ -204,19 +204,17 @@ def kmeans_assign_step(spark, sf_dir):
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    from pyspark.sql import Window
-
-    # total-order: cid is unique per partition — one scored row per
-    # (vec_id, cid) by construction of the centroid cross join
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     return (
         vecs.filter(F.col("vec_id") >= 4)
         # bounded: cents is the k-row centroid table
         .crossJoin(F.broadcast(cents))
         .select("vec_id", "cid", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy(F.col("cid").alias("centroid_id"))
+        # argmin via min_by on (d2, cid) — total order (cid unique per
+        # candidate row), same winner as the old rank-1 sort window,
+        # map-side combinable (the _semdedup_assign recipe)
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("centroid_id"))
+        .groupBy("centroid_id")
         .agg(F.count("*").alias("n_assigned"))
     )
 
@@ -320,23 +318,25 @@ def kmeans_lloyd_iters(spark, sf_dir):
         F.col("vec_id").alias("cid"),
         F.expr("transform(v, x -> round(x, 8))").alias("cv"),
     )
-    from pyspark.sql import Window
-
     d2 = F.aggregate(
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    # total-order: cid is unique per partition — one scored row per
-    # (vec_id, cid) by construction of the centroid cross join
-    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     for it in range(2):
         assigned = (
             # bounded: cents is the k-row centroid table
             vecs.crossJoin(F.broadcast(cents))
             .select("vec_id", "v", "cid", d2.alias("d2"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid", "d2")
+            # argmin via min_by on (d2, cid) — total order (cid unique
+            # per candidate row), same winner as the old rank-1 sort
+            # window, but the k candidate rows per vector combine
+            # MAP-SIDE before any exchange (the _semdedup_assign /
+            # ivfpq_assign recipe): no sort, 1/k the shuffled rows
+            .groupBy("vec_id")
+            .agg(F.min_by(F.struct("cid", "d2", "v"),
+                          F.struct("d2", "cid")).alias("b"))
+            .select("vec_id", F.col("b.v").alias("v"),
+                    F.col("b.cid").alias("cid"), F.col("b.d2").alias("d2"))
         )
         if it == 1:
             return assigned.groupBy(F.col("cid").alias("centroid_id")).agg(
