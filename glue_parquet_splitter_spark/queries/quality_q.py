@@ -623,17 +623,21 @@ def doc_avg_nll(spark, sf_dir):
     self-trained add-1 bigram-LM score shared by
     ``bigram_lm_perplexity_filter`` (outlier head) and
     ``curation_funnel_v2`` (threshold gate)."""
-    from pyspark.sql import Window as W
-
     d = unique_documents(load_table(spark, sf_dir, "documents"))
-    toks = d.select("doc_id",
-                    F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    # total-order: pos is unique per doc_id — posexplode over the
-    # identity-deduped documents (unique_documents upstream)
-    wdoc = W.partitionBy("doc_id").orderBy("pos")
-    big = (toks.withColumn("w2", F.lead("w").over(wdoc))
-           .filter(F.col("w2").isNotNull())
-           .select("doc_id", F.col("w").alias("w1"), "w2"))
+    t = F.split("text", " ")
+    base = d.select("doc_id", t.alias("t"))
+    toks = base.select("doc_id", F.explode("t").alias("w"))
+    # adjacent bigrams map-side via zip_with of the two shifted slices
+    # (the _clf_scores recipe) — identical pair multiset to the old
+    # posexplode + doc-keyed lead() window, with ZERO exchange where
+    # the window shuffled every corpus token by doc_id (r15, guide
+    # §2.4: remove shuffles outright)
+    big = (base.select("doc_id", F.explode(F.expr(
+               "zip_with(slice(t, 1, size(t) - 1),"
+               " slice(t, 2, size(t) - 1),"
+               " (a, b) -> struct(a AS w1, b AS w2))")).alias("bg"))
+           .select("doc_id", F.col("bg.w1").alias("w1"),
+                   F.col("bg.w2").alias("w2")))
     uni = big.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("c1"))
     vocab = toks.agg(F.count_distinct("w").alias("v"))
     bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
