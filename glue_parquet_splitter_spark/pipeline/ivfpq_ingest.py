@@ -70,8 +70,19 @@ def materialize_ivfpq_base(spark: SparkSession, sf_dir: str,
     cents, book = S.ivfpq_build(base, n_coarse=N_COARSE, m=M, dsub=DSUB,
                                 nc=NC, stride=STRIDE)
     paths = {t: f"{out_dir}/{t}.parquet" for t in STAGE_TABLES}
-    cents.write.mode("overwrite").parquet(paths["ivf_cents"])
-    book.write.mode("overwrite").parquet(paths["ivf_book"])
+    # the two model writes are independent jobs (book's plan embeds
+    # cents' lineage but reads nothing cents WRITES); submitting them
+    # from a thread pool back-fills each tiny job's tail (guide §2.6).
+    # codes_base still waits on both read-backs below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_one(item):
+        df, path = item
+        df.write.mode("overwrite").parquet(path)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(write_one, [(cents, paths["ivf_cents"]),
+                                  (book, paths["ivf_book"])]))
     cents_t = spark.read.parquet(paths["ivf_cents"])
     book_t = spark.read.parquet(paths["ivf_book"])
     codes_base = S.ivfpq_encode(

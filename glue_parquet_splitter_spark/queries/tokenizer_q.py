@@ -1614,11 +1614,24 @@ def tokenizer_fertility_matrix(spark, sf_dir):
         ("unigram", unigram_lm_encode),
         ("wordpiece", wordpiece_encode),
     ]
-    parts = [
-        fn(spark, sf_dir).select(
+    # the unigram/wordpiece arms do driver-sequenced model work while
+    # BUILDING their DataFrames (EM cost collects, piece-store
+    # collects); constructing the three arms from a thread pool
+    # overlaps those independent jobs (guide §2.6 — Spark schedules
+    # concurrent jobs FIFO and back-fills idle executors).  Arm order
+    # in the union is fixed by the arms list, not completion order.
+    # r15 in-session A/B at sf0.1: 8.4 s -> 6.7 s, identical rows.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item):
+        name, fn = item
+        spark.sparkContext.setJobDescription(f"fertility arm: {name}")
+        return fn(spark, sf_dir).select(
             "lang", F.lit(name).alias("tokenizer"), "chars_per_token")
-        for name, fn in arms
-    ]
+
+    with ThreadPoolExecutor(max_workers=len(arms)) as pool:
+        parts = list(pool.map(build, arms))
+    spark.sparkContext.setJobDescription(None)
     m = parts[0].unionByName(parts[1]).unionByName(parts[2])
     from pyspark.sql import Window as W
 
