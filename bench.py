@@ -370,14 +370,33 @@ def write_metrics_file(repo_dir: str, sf: float, timings: dict[str, float],
     falls back to recovering BENCH_r*.json lines for older rounds."""
     try:
         with open(os.path.join(repo_dir, METRICS_FILE)) as f:
-            old_sf = json.load(f).get("sf")
+            old_doc = json.load(f)
+        old_sf = old_doc.get("sf")
+        old_load = old_doc.get("loadavg_start")
     except (OSError, json.JSONDecodeError, ValueError):
-        old_sf = None
+        old_sf = old_load = None
     if old_sf is not None and old_sf != sf and sf != 0.1:
         # a local sanity run at a non-canonical scale must not clobber
         # the committed canonical baseline (next round's gate source)
         print(f"bench: keeping {METRICS_FILE} (sf={old_sf}); "
               f"this run is sf={sf}", file=sys.stderr)
+        return
+    if (old_load is not None and old_load < ANCHOR_FREEZE_MAX_LOAD
+            and loadavg_start is not None
+            and loadavg_start >= ANCHOR_FREEZE_MAX_LOAD
+            and not os.environ.get("SPARK_GRAFT_FORCE_METRICS")):
+        # quiet-baseline guard (VERDICT r15 #2, automated form of
+        # scripts/check_bench_baseline.py): a CONTENDED run must not
+        # overwrite a quiet baseline in place — its inflated walls
+        # would fill wall_regressions with cross-regime phantoms and
+        # poison the next round's gate.  The run's stdout line still
+        # prints (the driver's record of the run); only the committed
+        # baseline file is protected.  SPARK_GRAFT_FORCE_METRICS=1
+        # overrides for a deliberate re-baseline.
+        print(f"bench: keeping quiet {METRICS_FILE} (loadavg_start="
+              f"{old_load}); this run started contended "
+              f"(loadavg_start={loadavg_start:.2f} >= "
+              f"{ANCHOR_FREEZE_MAX_LOAD})", file=sys.stderr)
         return
     doc = {"sf": sf,
            "calibration_sec": [round(c, 3) for c in calibration],

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..staging import stage_table
+
 NUM_HASHES = 8
 BAND_SIZE = 2  # → 4 bands of 2 hashes
 
@@ -179,7 +181,7 @@ def prefix_filtered_jaccard_pairs(sh: DataFrame, threshold: float) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    sh = sh.localCheckpoint(eager=False)
+    sh = stage_table(sh, label="prefix_elems")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # total-order: sh is one row per (doc_id, shingle) — distinct
     # shingles — so the trailing shingle is unique within the partition

@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..staging import stage_table
+
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iter: int = 25) -> DataFrame:
@@ -41,8 +43,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     und = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()  # reused every round; cut provenance once
     )
+    # reused every round; cut provenance once (must_cut: the loop's
+    # plan grows without bound if left uncut)
+    und = stage_table(und, label="cc_edges", eager=True, must_cut=True)
     comp = und.select("u").distinct().withColumn("comp", F.col("u"))
     changed = 1
     for _ in range(max_iter):
@@ -53,8 +57,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         new = (
             comp.join(nb_min, "u", "left")
             .select("u", F.least("comp", F.coalesce("nb", "comp")).alias("comp"))
-            .localCheckpoint()
         )
+        new = stage_table(new, label="cc_round", eager=True, must_cut=True)
         changed = (
             new.withColumnRenamed("comp", "new_comp")
             .join(comp, "u")

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..staging import stage_table
 
 STAGE_TABLES = ("ivf_cents", "ivf_book", "ivf_codes_base")
 BASE_SPLIT = 400    # vec_id < 400 = base corpus; >= 400 = delta batch
@@ -128,7 +129,7 @@ def ivfpq_scratch_search(spark: SparkSession, sf_dir: str,
     # (guide §3.3).  The SERVING path (ivfpq_incremental_search) keeps
     # raw scans — its plan pin requires pushed vec_id bounds so the
     # base corpus is never re-read there.
-    vecs = _vecs(spark, sf_dir).localCheckpoint(eager=False)
+    vecs = stage_table(_vecs(spark, sf_dir), label="ivfpq_vecs")
     base = vecs.filter(F.col("vec_id") < BASE_SPLIT)
     cents, book = S.ivfpq_build(base, n_coarse=N_COARSE, m=M, dsub=DSUB,
                                 nc=NC, stride=STRIDE)

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..staging import stage_table
+
 STAGE_TABLES = ("tok_stats", "tok_bins", "tok_manifest")
 MANIFEST_BUDGET = 120   # docs to apportion across sources (Hamilton)
 
@@ -52,9 +54,9 @@ def materialize_tokenizer_stages(spark: SparkSession, sf_dir: str,
          .filter(F.col("text").isNotNull()))
 
     # -- stage 1: tokenized corpus stats -------------------------------
-    # checkpointed: the word table feeds both store collects AND the
+    # staged: the word table feeds both store collects AND the
     # encode map — see unigram_lm_train's r15 note (lineage replay)
-    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
+    words = stage_table(_uni_words(spark, sf_dir), label="uni_words")
     init_df, cont_df = _wp_stores(words)
     # bounded: singles + 2x32 multis — metadata-bounded collects (the
     # wordpiece_encode model-broadcast pattern)

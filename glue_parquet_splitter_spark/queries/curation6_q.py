@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.text import unique_documents
+from ..staging import stage_table
 from . import register
 
 # ---- sequence packing -------------------------------------------------
@@ -357,22 +358,23 @@ def _clf_scores(spark, sf_dir):
     # through the rows (vs the first cut's union of two scans plus a
     # doc_id re-join to attach is_en): one corpus scan and one fewer
     # shuffle join in the inference path
-    lab = (docs.select(
+    # the feature table feeds BOTH the weight training aggs and the
+    # inference join; without the lineage cut the corpus explode +
+    # md5 hashing run once per consumer (guide §3.3 — materialize a
+    # reused intermediate).  stage_table, not .cache(): the cache
+    # manager plan-matches across fn() calls (cross-run reuse the
+    # bench bans); a stage is instance-scoped — localCheckpoint on
+    # local masters, a durable stage on clusters (staging.py).
+    # r15: classifier signal write 5.7 s -> ~2.5 s at sf0.1.
+    lab = stage_table(docs.select(
         "doc_id", "is_en",
         F.explode(F.expr(
             "concat(t, zip_with(slice(t, 1, size(t) - 1),"
             " slice(t, 2, size(t) - 1),"
             " (a, b) -> concat(a, '_', b)))")).alias("g"))
         .select("doc_id", "is_en", F.expr(_CLF_H).alias("h"))
-        .groupBy("doc_id", "is_en", "h").agg(F.count("*").alias("cnt"))
-        # the feature table feeds BOTH the weight training aggs and the
-        # inference join; without the lineage cut the corpus explode +
-        # md5 hashing run once per consumer (guide §3.3 — materialize a
-        # reused intermediate).  localCheckpoint, not .cache(): the
-        # cache manager plan-matches across fn() calls (cross-run
-        # reuse the bench bans); a checkpoint is instance-scoped.
-        # r15: classifier signal write 5.7 s -> ~2.5 s at sf0.1.
-        .localCheckpoint(eager=False))
+        .groupBy("doc_id", "is_en", "h").agg(F.count("*").alias("cnt")),
+        label="clf_features")
     ccnt = lab.groupBy("h").agg(
         F.sum(F.when(F.col("is_en"), F.col("cnt")).otherwise(0))
          .alias("pos_h"),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import multimodal as M
 from ..operators.text import unique_documents
+from ..staging import stage_table
 from . import register
 
 
@@ -348,7 +349,7 @@ def phash_image_dedup(spark, sf_dir):
     # fingerprint once: the hash table feeds the band explode and both
     # self-join sides; uncut, the Arrow P6 pack+decode+dHash pass
     # re-ran per consumer (guide §3.3/§8 — decode once, move hashes)
-    hashes = M.dhash_ppm(M.pack_ppm(docs)).localCheckpoint(eager=False)
+    hashes = stage_table(M.dhash_ppm(M.pack_ppm(docs)), label="dhash")
     return M.dhash_band_pairs(hashes, cap=_DHASH_CAP,
                               max_hamming=_DHASH_MAX_HAM)
 
@@ -456,9 +457,9 @@ def audio_fingerprint_dedup(spark, sf_dir):
     # pass re-ran per consumer (guide §3.3 — materialize the reused
     # intermediate; §8's "decode once" rule).  In-session A/B at
     # sf0.1: 4.2 s -> 2.4 s, identical pairs.
-    bands = (M.wav_band_energy(M.pack_wav(corpus), window=8)
-             .select("doc_id", "win_idx", "energy")
-             .localCheckpoint(eager=False))
+    bands = stage_table(
+        M.wav_band_energy(M.pack_wav(corpus), window=8)
+        .select("doc_id", "win_idx", "energy"), label="wav_bands")
     return (M.band_containment_pairs(bands, df_cap=_AB_DF_CAP,
                                      threshold=0.9)
             .select("doc_a", "doc_b", "shared_windows", "containment",

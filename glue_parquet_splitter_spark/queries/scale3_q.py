@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.indexing import global_row_index
+from ..staging import stage_table
 from . import register
 
 
@@ -140,7 +141,7 @@ def triangle_count_degree_ordered(spark, sf_dir):
        edges⋈edges⋈edges form materializes and shuffles every wedge
        (83M rows at sf0.1 — profiled 3× slower); here wedges are never
        rows, and the arrays stay small because orientation bounds
-       out-degree.  The oriented edge list is ``localCheckpoint``-ed:
+       out-degree.  The oriented edge list is staged (staging.py):
        three consumers (edge stream + two adjacency sides) share one
        computation instead of re-deriving the co-purchase self-join
        per branch — the same lineage-break a production run would do
@@ -155,8 +156,9 @@ def triangle_count_degree_ordered(spark, sf_dir):
         .select(F.col("a.l_partkey").alias("u"),
                 F.col("b.l_partkey").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)  # shared by degree/orient/count branches
     )
+    # shared by degree/orient/count branches
+    und = stage_table(und, label="tri_edges")
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -173,8 +175,8 @@ def triangle_count_degree_ordered(spark, sf_dir):
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
-        .localCheckpoint(eager=False)
     )
+    oriented = stage_table(oriented, label="tri_oriented")
     adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
     tri = (
         oriented.join(adj, "s")

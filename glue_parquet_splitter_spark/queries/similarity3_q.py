@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators import similarity as S
 from ..operators.similarity import cosine
+from ..staging import stage_table
 from . import register
 
 _PROBES = 2
@@ -1194,7 +1195,8 @@ def ivfpq_topk_search(spark, sf_dir):
             # the well-formedness contract re-ran per consumer (6
             # embeddings scans in the r15 before-plan); guide §3.3.
             # A/B-measured in one session: 3.9 s -> 3.0 s at sf0.1
-            .localCheckpoint(eager=False))
+            )
+    vecs = stage_table(vecs, label="ivfpq_vecs")
     ivf = S.ivfpq_topk(vecs, n_coarse=4, m=4, dsub=16, nc=8, stride=5,
                        k=_IVFPQ_K)
     # exact arm (recall grading only): full-corpus L2 top-10 per query

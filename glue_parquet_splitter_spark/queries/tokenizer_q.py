@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.text import unique_documents
+from ..staging import stage_table
 from . import register
 from .curation4_q import hex_hash_expr
 
@@ -227,7 +228,7 @@ def _bpe_train(wf, k: int = _BPE_K, apply_last: bool = False,
                        " concat(' ', replace(bp, ' ', ''), ' '))")
                        .alias("sym"), "cnt"))
             if checkpoint:
-                sym = sym.localCheckpoint(eager=False)
+                sym = stage_table(sym, label="bpe_sym", must_cut=True)
     return merge_rows, sym
 
 
@@ -1198,7 +1199,7 @@ def unigram_lm_train(spark, sf_dir):
     # words + per-round seg checkpointed (identical output rows).  At
     # 100 TB land the word table as a parquet stage instead (the
     # pipeline/funnel.py pattern) and train from that.
-    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
+    words = stage_table(_uni_words(spark, sf_dir), label="uni_words")
     costs_df = _uni_init(words)
 
     losses = None
@@ -1209,10 +1210,10 @@ def unigram_lm_train(spark, sf_dir):
         # checkpointed: the round's Python segmentation pass feeds BOTH
         # this round's loss row and the next round's M-step/collect —
         # uncut, round r's collect replayed every earlier round's seg
-        seg = words.mapInPandas(
+        seg = stage_table(words.mapInPandas(
             _uni_segmenter(costs),
             schema="w string, wf long, cost long, path string"
-        ).localCheckpoint(eager=False)
+        ), label="uni_seg", must_cut=True)
         loss_r = seg.agg(
             F.lit(r).alias("round"),
             F.lit(len(costs)).cast("long").alias("n_pieces"),
@@ -1263,16 +1264,16 @@ def unigram_lm_encode(spark, sf_dir):
     """
     # word table + per-round seg checkpointed — see unigram_lm_train's
     # note (r15: lineage replay beat both .cache() and raw lineage)
-    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
+    words = stage_table(_uni_words(spark, sf_dir), label="uni_words")
     costs_df = _uni_init(words)
     seg = None
     for _ in range(_UNI_K):
         # O(V) <= 64 rows — metadata-bounded collect (see train)
         costs = {row["piece"]: row["qcost"] for row in costs_df.collect()}
-        seg = words.mapInPandas(
+        seg = stage_table(words.mapInPandas(
             _uni_segmenter(costs),
             schema="w string, wf long, cost long, path string"
-        ).localCheckpoint(eager=False)
+        ), label="uni_seg", must_cut=True)
         costs_df = _uni_mstep(seg, costs_df)
     np_col = F.size(F.split("path", " ")).alias("np")
     final = seg.select("w", np_col)
@@ -1523,9 +1524,9 @@ def wordpiece_encode(spark, sf_dir):
     the encoded word table.  The oracle replays the same greedy walk
     as a recursive CTE bounded by the 12-char word cap.
     """
-    # checkpointed: the word table feeds both store collects AND the
+    # staged: the word table feeds both store collects AND the
     # encode map — see unigram_lm_train's r15 note (lineage replay)
-    words = _uni_words(spark, sf_dir).localCheckpoint(eager=False)
+    words = stage_table(_uni_words(spark, sf_dir), label="uni_words")
     init_df, cont_df = _wp_stores(words)
     # bounded: singles are alphabet-sized, multis capped at 32/store —
     # metadata-bounded collect (the unigram-EM model-broadcast pattern)
@@ -1761,10 +1762,10 @@ def wordpiece_unk_rate(spark, sf_dir):
         d.filter(~F.col("held"))
         .select(F.explode(F.split("text", " ")).alias("w"))
         .filter((F.length("w") >= 1) & (F.length("w") <= _UNI_MAXW))
-        .groupBy("w").agg(F.count("*").alias("wf"))
-        # checkpointed: both store collects derive from this table —
-        # see unigram_lm_train's r15 note (lineage replay)
-        .localCheckpoint(eager=False))
+        .groupBy("w").agg(F.count("*").alias("wf")))
+    # staged: both store collects derive from this table — see
+    # unigram_lm_train's r15 note (lineage replay)
+    train_words = stage_table(train_words, label="wp_train_words")
     init_df, cont_df = _wp_stores(train_words, vsingle=_WP_VSINGLE)
     # bounded: singles capped at _WP_VSINGLE, multis at 32/store —
     # metadata-bounded collect (the wordpiece_encode pattern)

@@ -22,6 +22,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..staging import stage_table
+
 N_BUCKETS = 16
 
 
@@ -93,7 +95,8 @@ def run_upsert_stream(spark: SparkSession, in_path: str, target_dir: str,
                 )
             # materialize before overwriting the path we just read from —
             # a lazy plan would scan files the write is deleting
-            merged = merged.localCheckpoint(eager=True)
+            merged = stage_table(merged, label="upsert_merge",
+                                 eager=True, must_cut=True)
             (merged.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("__bucket").parquet(target_dir))

@@ -496,3 +496,51 @@ def test_stdout_line_fits_tail_capture():
     # the omission marker never leaks into timing recovery
     doc = {"parsed": {"queries": line_q}}
     assert "_omitted_n" not in bench._timings_from_doc(doc)
+
+
+# ---- quiet-baseline overwrite guard (VERDICT r15 #2) ----
+
+def test_contended_run_cannot_clobber_quiet_baseline(tmp_path, monkeypatch):
+    """A contended-host run (loadavg_start >= the anchor-freeze
+    threshold) must not overwrite a quiet committed BENCH_METRICS.json
+    in place — the r15 driver run did exactly that and filled
+    wall_regressions with 59 cross-regime phantoms."""
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_METRICS", raising=False)
+    quiet = {"q1": 1.0}
+    bench.write_metrics_file(str(tmp_path), 0.1, quiet, {}, [0.5],
+                             loadavg_start=0.05)
+    # contended run refused
+    bench.write_metrics_file(str(tmp_path), 0.1, {"q1": 9.9}, {}, [0.9],
+                             loadavg_start=5.12)
+    with open(tmp_path / "BENCH_METRICS.json") as f:
+        doc = json.load(f)
+    assert doc["queries"] == quiet and doc["loadavg_start"] == 0.05
+    # quieter run accepted (quiet-over-quiet always wins)
+    bench.write_metrics_file(str(tmp_path), 0.1, {"q1": 0.9}, {}, [0.4],
+                             loadavg_start=0.02)
+    with open(tmp_path / "BENCH_METRICS.json") as f:
+        assert json.load(f)["queries"] == {"q1": 0.9}
+    # a contended run still cannot land over the quiet 0.02 baseline
+    bench.write_metrics_file(str(tmp_path), 0.1, {"q1": 3.3}, {}, [0.9],
+                             loadavg_start=4.0)
+    with open(tmp_path / "BENCH_METRICS.json") as f:
+        assert json.load(f)["queries"] == {"q1": 0.9}
+    # legacy file without loadavg_start: anything may replace it
+    with open(tmp_path / "BENCH_METRICS.json", "w") as f:
+        json.dump({"sf": 0.1, "queries": {"q1": 1.0}}, f)
+    bench.write_metrics_file(str(tmp_path), 0.1, {"q1": 2.0}, {}, [0.9],
+                             loadavg_start=5.0)
+    with open(tmp_path / "BENCH_METRICS.json") as f:
+        assert json.load(f)["queries"] == {"q1": 2.0}
+
+
+def test_force_metrics_env_overrides_quiet_guard(tmp_path, monkeypatch):
+    """SPARK_GRAFT_FORCE_METRICS=1 is the deliberate re-baseline escape
+    hatch."""
+    bench.write_metrics_file(str(tmp_path), 0.1, {"q1": 1.0}, {}, [0.5],
+                             loadavg_start=0.05)
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_METRICS", "1")
+    bench.write_metrics_file(str(tmp_path), 0.1, {"q1": 7.7}, {}, [0.9],
+                             loadavg_start=5.12)
+    with open(tmp_path / "BENCH_METRICS.json") as f:
+        assert json.load(f)["queries"] == {"q1": 7.7}
