@@ -25,19 +25,49 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Let the planner use shuffled-hash join where its size conditions
-    # hold instead of always sort-merge (optimization guide §3.1/§9):
-    # SMJ pays two full sorts a hash join skips.  Scale-agnostic — the
-    # planner/AQE still fall back to SMJ when a build side could be
-    # big; r15 measured 10 join-heavy bench entries 27.5 s -> 20.5 s
-    # at sf0.1 (exact_substring_spans 9.3 s -> 3.0 s).
-    "spark.sql.join.preferSortMergeJoin": "false",
-    # AQE's runtime escape hatch for the same choice: convert a
+    # Pinned, not assumed (ADVICE r15): the CDC chunker parity contract
+    # (the NumPy chunker raises on n_chars > len(text) exactly where
+    # the expression twin's ANSI element_at does) depends on ANSI mode.
+    # Spark 4 defaults to true, so this is a no-op locally; pinning it
+    # keeps the two chunker arms from drifting on deployments that
+    # disable ANSI globally.
+    "spark.sql.ansi.enabled": "true",
+    # AQE's runtime-safe shuffled-hash join conversion: convert a
     # planned SMJ to shuffled-hash when every post-shuffle partition
-    # is measured (not estimated) below the advisory partition size —
-    # default 0 disables the rewrite entirely.
+    # is MEASURED (not estimated) below the advisory partition size —
+    # default 0 disables the rewrite entirely.  Scale-agnostic: the
+    # per-partition build memory is bounded by partition sizing, which
+    # AQE manages.  (optimization guide §3.1)
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
 }
+
+# Let the STATIC planner pick shuffled-hash join where its size
+# conditions hold instead of always sort-merge (guide §3.1/§9): SMJ
+# pays two full sorts a hash join skips; r15 measured 10 join-heavy
+# bench entries 27.5 s -> 20.5 s at sf0.1 (exact_substring_spans
+# 9.3 s -> 3.0 s), and the r16 interleaved A/B cleared all four
+# suspected outliers (plan-identical or <=9 % noise).  Scoped to
+# LOCAL masters (ADVICE r15): the static flip decides from size
+# ESTIMATES, and an SHJ build side cannot spill — on a cluster a
+# misestimated/skewed build partition OOMs an executor where SMJ
+# would spill.  Clusters keep the AQE rewrite above (measured sizes,
+# runtime-safe); SPARK_GRAFT_PLANNER_SHJ=1 opts a cluster session in
+# after its skew profile is known.
+_LOCAL_ONLY_JOIN_CONFS = {
+    "spark.sql.join.preferSortMergeJoin": "false",
+}
+
+
+def _join_confs(master: str | None) -> dict:
+    override = os.environ.get("SPARK_GRAFT_PLANNER_SHJ")
+    if override is not None:
+        allow = override not in ("0", "false", "")
+        return {"spark.sql.join.preferSortMergeJoin":
+                "false" if allow else "true"}
+    if master is not None and master.startswith("local"):
+        return dict(_LOCAL_ONLY_JOIN_CONFS)
+    return {}
+
 
 # Local fixtures are small single files; a smaller split size keeps
 # all cores busy on scans (16m left the 10.8 MB sf0.1 lineitem in 3
@@ -112,7 +142,8 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         master = spark.sparkContext.master
     except Exception:  # e.g. connect sessions expose no sparkContext
         master = None
-    confs = {**_RUNTIME_CONFS, **_split_size_confs(master)}
+    confs = {**_RUNTIME_CONFS, **_split_size_confs(master),
+             **_join_confs(master)}
     for k, v in confs.items():
         try:
             spark.conf.set(k, v)
@@ -145,7 +176,8 @@ def get_spark(app_name: str = "glue_parquet_splitter_spark",
         # local mode: the driver JVM is the whole cluster — give it room
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
     )
-    for k, v in {**_RUNTIME_CONFS, **_split_size_confs(master)}.items():
+    for k, v in {**_RUNTIME_CONFS, **_split_size_confs(master),
+                 **_join_confs(master)}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

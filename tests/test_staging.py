@@ -81,3 +81,36 @@ def test_uncut_fallback_and_must_cut(spark, monkeypatch, capsys):
     cut = stage_table(df, label="loop", must_cut=True)
     assert cut is not df
     assert sorted(r["id"] for r in cut.collect()) == list(range(10))
+
+
+# ---- session conf scoping (ADVICE r15: planner SHJ is local-only) ------
+
+def test_planner_shj_conf_scoped_to_local(monkeypatch):
+    from glue_parquet_splitter_spark.session import (_RUNTIME_CONFS,
+                                                     _join_confs)
+
+    # the estimate-based static flip never rides _RUNTIME_CONFS onto a
+    # cluster session; the AQE measured-size rewrite does
+    assert "spark.sql.join.preferSortMergeJoin" not in _RUNTIME_CONFS
+    assert _RUNTIME_CONFS[
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"] == "64m"
+    assert _RUNTIME_CONFS["spark.sql.ansi.enabled"] == "true"
+    monkeypatch.delenv("SPARK_GRAFT_PLANNER_SHJ", raising=False)
+    assert _join_confs("local[32]") == {
+        "spark.sql.join.preferSortMergeJoin": "false"}
+    assert _join_confs("yarn") == {}
+    assert _join_confs("spark://h:7077") == {}
+    assert _join_confs(None) == {}
+    # explicit cluster opt-in / local opt-out
+    monkeypatch.setenv("SPARK_GRAFT_PLANNER_SHJ", "1")
+    assert _join_confs("yarn") == {
+        "spark.sql.join.preferSortMergeJoin": "false"}
+    monkeypatch.setenv("SPARK_GRAFT_PLANNER_SHJ", "0")
+    assert _join_confs("local[8]") == {
+        "spark.sql.join.preferSortMergeJoin": "true"}
+
+
+def test_local_session_still_prefers_shj(spark):
+    # the live test session (local[8]) must carry the local-scoped flip
+    assert spark.conf.get("spark.sql.join.preferSortMergeJoin") == "false"
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
