@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..operators.text import unique_documents
+from ..staging import stage_table
 from . import register
 
 _N = 4        # positional gram width (tokens)
@@ -612,7 +613,7 @@ _POS_BITS = 131072  # 2^17 — pos packs below the hash in the argmin code
     tags=("dedup", "curation", "window", "lsh"),
     unique_docs_guard=True,
 )
-def winnowing_fingerprints(spark, sf_dir):
+def winnowing_fingerprints(spark, sf_dir, docs=None):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
     MOSS algorithm): hash every 3-token gram, slide a window of
     {_WIN_W} consecutive gram hashes, keep each window's MINIMUM —
@@ -636,7 +637,8 @@ def winnowing_fingerprints(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    d = unique_documents(load_table(spark, sf_dir, "documents"))
+    d = docs if docs is not None \
+        else unique_documents(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.split("text", " ").alias("t"))
     grams = t.select(
         "doc_id",
@@ -833,15 +835,21 @@ def curation_funnel_v2(spark, sf_dir):
     """
     from .quality_q import doc_avg_nll, score_percentile_by_source
 
-    d = unique_documents(load_table(spark, sf_dir, "documents"))
+    # ONE identity-dedup pass shared by every signal branch (r16,
+    # guide §2.4): uncut, each of the three signals re-ran the
+    # unique_documents window over its own corpus scan
+    d = stage_table(unique_documents(load_table(spark, sf_dir,
+                                                "documents")),
+                    label="unique_docs")
     raw = d.select("doc_id", "source")
-    dup_drop = (winnowing_fingerprints(spark, sf_dir)
+    dup_drop = (winnowing_fingerprints(spark, sf_dir, docs=d)
                 .select(F.col("doc_b").alias("doc_id")).distinct()
                 .withColumn("_dup", F.lit(1)))
-    nll = doc_avg_nll(spark, sf_dir)
+    nll = doc_avg_nll(spark, sf_dir, docs=d)
     p95 = (nll.filter(F.col("n_bigrams") >= 5)
            .agg(F.percentile("avg_nll", 0.95).alias("p")))
-    pct = score_percentile_by_source(spark, sf_dir).select("doc_id", "pct")
+    pct = score_percentile_by_source(spark, sf_dir,
+                                     docs=d).select("doc_id", "pct")
     funnel = (raw
               .join(dup_drop, "doc_id", "left")
               .join(nll, "doc_id", "left")
@@ -902,11 +910,14 @@ def source_quality_leaderboard(spark, sf_dir):
     """
     from .quality_q import doc_avg_nll
 
-    d = unique_documents(load_table(spark, sf_dir, "documents"))
-    dup_drop = (winnowing_fingerprints(spark, sf_dir)
+    # shared identity-dedup stage across both signals (r16, guide §2.4)
+    d = stage_table(unique_documents(load_table(spark, sf_dir,
+                                                "documents")),
+                    label="unique_docs")
+    dup_drop = (winnowing_fingerprints(spark, sf_dir, docs=d)
                 .select(F.col("doc_b").alias("doc_id")).distinct()
                 .withColumn("_dup", F.lit(1)))
-    nll = doc_avg_nll(spark, sf_dir)
+    nll = doc_avg_nll(spark, sf_dir, docs=d)
     per = (d.select("source", "doc_id")
            .join(dup_drop, "doc_id", "left")
            .join(nll, "doc_id", "left"))

@@ -348,10 +348,13 @@ def _clf_sql_ctes() -> str:
     )"""
 
 
-def _clf_scores(spark, sf_dir):
+def _clf_scores(spark, sf_dir, docs=None):
     """(doc_id, is_en, score_int, pred_en) — the Spark twin of
-    ``_clf_sql_ctes``, shared by the classifier query and funnel v3."""
-    d = unique_documents(load_table(spark, sf_dir, "documents"))
+    ``_clf_sql_ctes``, shared by the classifier query and funnel v3.
+    ``docs`` = an optional pre-staged unique_documents table (the
+    composed funnels pass one shared stage)."""
+    d = docs if docs is not None \
+        else unique_documents(load_table(spark, sf_dir, "documents"))
     docs = d.select("doc_id", (F.col("lang") == "en").alias("is_en"),
                     F.split("text", " ").alias("t"))
     # ONE explode over unigrams ++ bigrams with the label carried
@@ -523,16 +526,23 @@ def curation_funnel_v3(spark, sf_dir):
     """
     from .quality_q import doc_avg_nll, score_percentile_by_source
 
-    d = unique_documents(load_table(spark, sf_dir, "documents"))
+    # ONE identity-dedup pass shared by all four signal branches
+    # (VERDICT r15 #4, guide §2.4): uncut, each signal re-ran the
+    # unique_documents window over its own corpus scan — ~30 pruned
+    # scans at fixture scale, 4 identical dedup windows
+    d = stage_table(unique_documents(load_table(spark, sf_dir,
+                                                "documents")),
+                    label="unique_docs")
     raw = d.select("doc_id", "source")
-    dup_drop = (winnowing_fingerprints(spark, sf_dir)
+    dup_drop = (winnowing_fingerprints(spark, sf_dir, docs=d)
                 .select(F.col("doc_b").alias("doc_id")).distinct()
                 .withColumn("_dup", F.lit(1)))
-    nll = doc_avg_nll(spark, sf_dir)
+    nll = doc_avg_nll(spark, sf_dir, docs=d)
     p95 = (nll.filter(F.col("n_bigrams") >= 5)
            .agg(F.percentile("avg_nll", 0.95).alias("p")))
-    pct = score_percentile_by_source(spark, sf_dir).select("doc_id", "pct")
-    clf = _clf_scores(spark, sf_dir).select("doc_id", "pred_en")
+    pct = score_percentile_by_source(spark, sf_dir,
+                                     docs=d).select("doc_id", "pct")
+    clf = _clf_scores(spark, sf_dir, docs=d).select("doc_id", "pred_en")
     funnel = (raw
               .join(dup_drop, "doc_id", "left")
               .join(nll, "doc_id", "left")

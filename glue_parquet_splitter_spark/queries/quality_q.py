@@ -507,7 +507,7 @@ def stratified_fixed_n_sample(spark, sf_dir):
     tags=("quality", "curation", "window"),
     unique_docs_guard=True,
 )
-def score_percentile_by_source(spark, sf_dir):
+def score_percentile_by_source(spark, sf_dir, docs=None):
     """Within-source percentile normalization of a quality score — the
     fix for the classic cross-domain filtering bug: raw quality
     scores are NOT comparable across sources (code "quality" and web
@@ -530,7 +530,8 @@ def score_percentile_by_source(spark, sf_dir):
     """
     from pyspark.sql import Window as W
 
-    d = unique_documents(load_table(spark, sf_dir, "documents"))
+    d = docs if docs is not None \
+        else unique_documents(load_table(spark, sf_dir, "documents"))
     t = F.split("text", " ")
     scored = d.select(
         "doc_id", "source",
@@ -618,12 +619,15 @@ def bigram_lm_perplexity_filter(spark, sf_dir):
             .limit(20))
 
 
-def doc_avg_nll(spark, sf_dir):
+def doc_avg_nll(spark, sf_dir, docs=None):
     """(doc_id, n_bigrams, avg_nll) for every doc with ≥1 bigram — the
     self-trained add-1 bigram-LM score shared by
     ``bigram_lm_perplexity_filter`` (outlier head) and
-    ``curation_funnel_v2`` (threshold gate)."""
-    d = unique_documents(load_table(spark, sf_dir, "documents"))
+    ``curation_funnel_v2`` (threshold gate).  ``docs`` lets a composed
+    funnel pass one SHARED identity-deduped documents stage instead of
+    each signal re-running unique_documents (guide §2.4)."""
+    d = docs if docs is not None \
+        else unique_documents(load_table(spark, sf_dir, "documents"))
     t = F.split("text", " ")
     base = d.select("doc_id", t.alias("t"))
     toks = base.select("doc_id", F.explode("t").alias("w"))
