@@ -664,9 +664,9 @@ def run_chunk_index_stream(spark: SparkSession, docs_path: str,
 
 
 def run_cdc_chunk_index_stream(spark: SparkSession, docs_path: str,
-                               chunk_list_expr: str,
-                               winners: "DataFrame | None" = None
-                               ) -> DataFrame:
+                               chunk_list_expr: str | None = None,
+                               winners: "DataFrame | None" = None,
+                               chunker=None) -> DataFrame:
     """Content-defined chunking AT INGEST: same stateless file-source →
     append-memory-sink shape as :func:`run_chunk_index_stream`, but the
     fan-out is the caller-supplied CDC chunk-struct-list expression
@@ -675,7 +675,15 @@ def run_cdc_chunk_index_stream(spark: SparkSession, docs_path: str,
     rows equal batch CDC chunking row for row — the parity the batch
     oracle grades.  availableNow drains the backlog once; at scale the
     query tails a landing bucket and the file-source checkpoint
-    guarantees each doc is chunked exactly once."""
+    guarantees each doc is chunked exactly once.
+
+    ``chunker`` (r16, VERDICT r15 #9): an optional callable
+    ``df(doc_id, text, n_chars, ...) -> chunk rows`` — the batch
+    NumPy/Arrow chunker (queries.tokenizer_q._cdc_chunks), stateless
+    ``mapInPandas`` and therefore streaming-legal.  The two chunker
+    forms are pinned byte-identical by tests/test_cdc_chunking.py;
+    the interpreted-expression form (``chunk_list_expr``) remains the
+    dependency-free fallback."""
     import tempfile
     import uuid
 
@@ -711,15 +719,19 @@ def run_cdc_chunk_index_stream(spark: SparkSession, docs_path: str,
             & F.col("n_chars").eqNullSafe(F.col("w_nc")))
             .select("doc_id", "text", "lang", "source", "n_chars")
             .dropDuplicates(["doc_id"]))
-    out = (stream.filter(F.col("n_chars") >= 1)
-           .select("doc_id", "text",
-                   F.posexplode(F.expr(chunk_list_expr))
-                   .alias("chunk_idx", "c"))
-           .select("doc_id", "chunk_idx",
-                   F.col("c.s").alias("chunk_start"),
-                   F.col("c.l").alias("chunk_len"),
-                   F.md5(F.expr("substr(text, CAST(c.s + 1 AS INT),"
-                                " CAST(c.l AS INT))")).alias("chunk_md5")))
+    if chunker is not None:
+        out = chunker(stream)
+    else:
+        out = (stream.filter(F.col("n_chars") >= 1)
+               .select("doc_id", "text",
+                       F.posexplode(F.expr(chunk_list_expr))
+                       .alias("chunk_idx", "c"))
+               .select("doc_id", "chunk_idx",
+                       F.col("c.s").alias("chunk_start"),
+                       F.col("c.l").alias("chunk_len"),
+                       F.md5(F.expr("substr(text, CAST(c.s + 1 AS INT),"
+                                    " CAST(c.l AS INT))"))
+                       .alias("chunk_md5")))
     name = "cdc_chunk_index_" + uuid.uuid4().hex[:10]
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("append")

@@ -52,11 +52,17 @@ def test_arrow_chunker_edge_contracts(spark):
     parity); n_chars < len truncates like substr; n_chars > len(text)
     with n_chars >= window RAISES (the expression's ANSI element_at
     contract)."""
+    astral = 'emoji 😀🚀 mid 𝄞 end padx'              # supplementary-plane chars
     rows = [
         (1, None, 5),
         (2, "tiny", 4),                       # < window: single chunk
         (3, "héllo wörld çedilla ümlaut!", 27),  # multi-byte codepoints
         (4, "a" * 100, 40),                   # n < len: truncate
+        # astral (surrogate-pair) codepoints: Spark's split('') /
+        # length / ascii are all codepoint-aware (probed on this
+        # build), matching Python's 1-codepoint-per-emoji — the one
+        # place the two chunkers could have disagreed (ADVICE r15)
+        (5, astral, len(astral)),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
     got = _cdc_chunks(df)
@@ -73,3 +79,29 @@ def test_arrow_chunker_edge_contracts(spark):
                                 "doc_id long, text string, n_chars long")
     with pytest.raises(Exception):
         _cdc_chunks(bad).collect()
+
+
+def test_streaming_runner_arrow_chunker_matches_expression(spark, sf_dir):
+    """The streaming twin now runs the NumPy chunker via stateless
+    mapInPandas (r16); the expression form stays the dependency-free
+    fallback.  Both runner paths must produce identical chunk rows for
+    the same landing table."""
+    from glue_parquet_splitter_spark.catalog import load_table
+    from glue_parquet_splitter_spark.operators.text import unique_documents
+    from glue_parquet_splitter_spark.queries.tokenizer_q import (
+        _cdc_chunk_list_expr, _cdc_chunks)
+    from glue_parquet_splitter_spark.streaming.windows import (
+        run_cdc_chunk_index_stream)
+
+    winners = unique_documents(load_table(spark, sf_dir, "documents"))
+    path = f"{sf_dir}/documents.parquet"
+    via_expr = run_cdc_chunk_index_stream(
+        spark, path, _cdc_chunk_list_expr(), winners=winners)
+    via_arrow = run_cdc_chunk_index_stream(
+        spark, path, winners=winners, chunker=_cdc_chunks)
+    # nullability differs (posexplode pos is non-nullable; mapInPandas
+    # output is nullable) — names and types must match exactly
+    assert [(f.name, f.dataType) for f in via_expr.schema.fields] == \
+        [(f.name, f.dataType) for f in via_arrow.schema.fields]
+    assert sorted(map(tuple, via_expr.collect())) == \
+        sorted(map(tuple, via_arrow.collect()))
