@@ -175,13 +175,29 @@ def run_incremental_ivfpq(spark: SparkSession, sf_dir: str,
     a frozen model is algebraically lossless, so anything < 100 %
     equality is a bug, never a tuning knob."""
     out_dir = out_dir or _default_stages_dir()
-    materialize_ivfpq_base(spark, sf_dir, out_dir)
+    # The certification (scratch) arm reads nothing the base
+    # materialization writes — it re-derives the model from raw vectors
+    # BY DESIGN — so it runs concurrently with the base-stage writes
+    # from a worker thread and lands as an eagerly staged |queries|·k
+    # row table (guide §2.6; the r16 fertility-matrix pattern).  The
+    # incremental arm still waits on the stage writes it reads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def scratch_arm():
+        spark.sparkContext.setJobDescription("ivfpq certification arm")
+        arm = (ivfpq_scratch_search(spark, sf_dir, k=k)
+               .select(F.col("query_id").alias("s_qid"),
+                       F.col("rank").alias("s_rank"),
+                       F.col("neighbor_id").alias("s_neighbor"),
+                       F.col("est_d2").alias("s_d2")))
+        return stage_table(arm, label="ivfpq_scratch_topk", eager=True)
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        scr_future = pool.submit(scratch_arm)
+        materialize_ivfpq_base(spark, sf_dir, out_dir)
+        scr = scr_future.result()
+    spark.sparkContext.setJobDescription(None)
     incr = ivfpq_incremental_search(spark, sf_dir, out_dir, k=k)
-    scr = (ivfpq_scratch_search(spark, sf_dir, k=k)
-           .select(F.col("query_id").alias("s_qid"),
-                   F.col("rank").alias("s_rank"),
-                   F.col("neighbor_id").alias("s_neighbor"),
-                   F.col("est_d2").alias("s_d2")))
     j = incr.join(scr, (incr["query_id"] == scr["s_qid"])
                   & (incr["rank"] == scr["s_rank"]), "full")
     per_q = j.groupBy(F.coalesce("query_id", "s_qid").alias("query_id")).agg(
