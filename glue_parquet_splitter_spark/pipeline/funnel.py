@@ -44,17 +44,30 @@ def materialize_funnel_signals(spark: SparkSession, sf_dir: str,
     threshold sweep, the percentiles feed the mix manifest); the
     signal plans are exactly the audited single-computation shapes of
     their source queries."""
+    from ..catalog import load_table
+    from ..operators.text import unique_documents
     from ..queries.curation5_q import winnowing_fingerprints
     from ..queries.curation6_q import _clf_scores
     from ..queries.quality_q import doc_avg_nll, score_percentile_by_source
+    from ..staging import stage_table
 
+    # ONE identity-dedup pass shared by all four signal jobs (r16, the
+    # funnel-v3 recipe): staged EAGERLY before the pool so the four
+    # worker threads consume pinned blocks instead of racing to
+    # materialize a lazy checkpoint.  Each signal job stays a separate
+    # restartable write; the shared stage is just their common input
+    # (on a cluster, a real parquet stage table — staging.py).
+    docs = stage_table(
+        unique_documents(load_table(spark, sf_dir, "documents")),
+        label="unique_docs", eager=True)
     signals: dict[str, DataFrame] = {
-        "sig_dedup": (winnowing_fingerprints(spark, sf_dir)
+        "sig_dedup": (winnowing_fingerprints(spark, sf_dir, docs=docs)
                       .select(F.col("doc_b").alias("doc_id")).distinct()),
-        "sig_nll": doc_avg_nll(spark, sf_dir)
+        "sig_nll": doc_avg_nll(spark, sf_dir, docs=docs)
         .select("doc_id", "avg_nll", "n_bigrams"),
-        "sig_clf": _clf_scores(spark, sf_dir).select("doc_id", "pred_en"),
-        "sig_pct": score_percentile_by_source(spark, sf_dir)
+        "sig_clf": (_clf_scores(spark, sf_dir, docs=docs)
+                    .select("doc_id", "pred_en")),
+        "sig_pct": score_percentile_by_source(spark, sf_dir, docs=docs)
         .select("doc_id", "source", "pct"),
     }
     # The four signal jobs are INDEPENDENT (each reads the corpus,
